@@ -1,0 +1,109 @@
+"""Text-analysis scalar functions for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json): language ID, quality
+scoring, token counting, document fingerprinting. All pure column
+expressions — map-only at any scale, no UDFs, whole-stage codegen.
+Every formula is engine-reproducible (DuckDB oracle computes the
+identical arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny marker lexicons for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "de": ["der", "und", "die", "das"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "les", "des", "une"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences via length arithmetic —
+    deterministic and identical in Spark and DuckDB."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def padded(text: Column) -> Column:
+    """Space-pad so word-boundary counting can use ' w ' needles."""
+    return F.concat(F.lit(" "), text, F.lit(" "))
+
+
+def marker_score(text: Column, lang: str) -> Column:
+    p = padded(text)
+    s = F.lit(0).cast("long")
+    for w in LANG_MARKERS[lang]:
+        s = s + occurrences(p, f" {w} ")
+    return s
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over marker scores with a deterministic preference
+    order (en > de > es > fr on ties)."""
+    scores = {lang: marker_score(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    # Build the CASE back-to-front so earlier langs win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def token_count_bpe_ish(n_chars: Column) -> Column:
+    """BPE-ish token estimate: ~4 chars/token, integer arithmetic so
+    both engines agree exactly."""
+    return ((n_chars.cast("long") + 3) / 4).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(
+        F.regexp_replace(text, r"[\.\,\;\:\!\?]", "")
+    )
+
+
+def stopword_count(text: Column) -> Column:
+    p = padded(F.lower(text))
+    s = F.lit(0).cast("long")
+    for w in STOPWORDS:
+        s = s + occurrences(p, f" {w} ")
+    return s
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, ~1]: rewards stopword
+    density and mid-length docs, penalizes punctuation soup.
+
+    score = 0.4*min(1, tokens/100) + 0.4*min(1, 8*stop/tokens)
+          + 0.2*(1 - min(1, 4*punct/chars))
+    Division order is fixed; round(6) for cross-engine hashing."""
+    toks = token_count_ws(text).cast("double")
+    stops = stopword_count(text).cast("double")
+    puncts = punct_count(text).cast("double")
+    chars = F.length(text).cast("double")
+    s = (
+        F.lit(0.4) * F.least(F.lit(1.0), toks / F.lit(100.0))
+        + F.lit(0.4) * F.least(F.lit(1.0), F.lit(8.0) * stops / toks)
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * puncts / chars))
+    )
+    return F.round(s, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text. (A content-defined rolling-hash variant lives in
+    the Pandas-UDF tier — this is the expression-tier fingerprint.)"""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)

@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, n-gram Jaccard verification.
+
+Scale design (100 TB):
+  * Exact dedup: hash-groupBy on a 128-bit content hash — one shuffle,
+    partial aggregation map-side, no skew (hashes are uniform).
+  * MinHash: signatures are computed WITHOUT a shuffle — pure column
+    expressions (`transform`/`array_min` over the token array), one
+    pass over the corpus, whole-stage codegen.
+  * LSH banding: the only shuffle is the self-join on (band_id,
+    band_key) — uniform hash keys, broadcast nothing, candidates only
+    (never the O(n^2) cross product).
+  * Jaccard verify: equi-join of the candidate pair list back to the
+    token arrays; intersection/union are array expressions.
+
+All hashes derive from md5 (first 60 bits) so results are engine-
+reproducible (the DuckDB oracle computes the identical signature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_HEX_LEN = 15  # 60 bits < 2^63: sign-safe in both engines
+
+
+def md5_hash64(c: Column, salt: str) -> Column:
+    """Deterministic 60-bit integer hash shared with the DuckDB
+    oracle: int(md5(salt || ':' || token)[:15], 16)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), c)), 1, HASH_HEX_LEN), 16, 10
+    ).cast("long")
+
+
+def word_set(text: Column) -> Column:
+    """Distinct whitespace tokens, order-normalized (sorted) so set
+    semantics are engine-independent."""
+    return F.array_sort(F.array_distinct(F.split(text, " ")))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per hash.
+
+    One shuffle on the md5 (uniform); at 100 TB this is the canonical
+    map-side-combine groupBy."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature as `num_hashes` columns h0..h{k-1}.
+
+    No shuffle: `array_min(transform(tokens, ...))` per seed is a pure
+    projection, codegen'd. (The pyspark.ml MinHashLSH needs a
+    CountVectorizer vocabulary broadcast; this streaming-friendly
+    formulation avoids any fitted state.)"""
+    toks = word_set(F.col(text_col))
+
+    def hasher(seed: int):
+        # NB: keep the lambda unary — a 2-arg lambda would be treated
+        # by F.transform as (element, index).
+        return lambda w: md5_hash64(w, f"mh{seed}")
+
+    sig_cols = [
+        F.array_min(F.transform(toks, hasher(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return docs.select(F.col(id_col), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_key).
+
+    Docs sharing ALL hashes within any band become a candidate pair.
+    Output: distinct (doc_a < doc_b). The join key is an md5 of the
+    band slice — uniformly distributed, so the shuffle is skew-free."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        key = F.md5(
+            F.concat_ws(
+                "_", *[F.col(f"h{b * band_size + j}").cast("string") for j in range(band_size)]
+            )
+        )
+        bands.append(
+            sigs.select(
+                F.col(id_col), F.lit(b).alias("band_id"), key.alias("band_key")
+            )
+        )
+    all_bands = bands[0]
+    for bdf in bands[1:]:
+        all_bands = all_bands.unionByName(bdf)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs.
+
+    Two equi-joins pull the token arrays to the pair; intersection /
+    union are array expressions (no explode). At scale the pair list
+    is << corpus, so both joins are shuffle-on-id or broadcast."""
+    toks = docs.select(
+        F.col(id_col).alias("jid"), word_set(F.col(text_col)).alias("toks")
+    )
+    j = (
+        pairs.join(toks.withColumnRenamed("jid", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed("jid", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 63) -> DataFrame:
+    """63-bit SimHash, computed WITHOUT a shuffle.
+
+    Per doc: fold the token array into a 63-long sign-count vector
+    (`aggregate` + `zip_with`), then pack bits where the count is
+    positive. Linear in tokens, pure expressions, codegen'd — at
+    100 TB this is a map-only stage."""
+    toks = word_set(F.col(text_col))
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    # 2^b lookup (shiftleft takes a Python int, not a Column).
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+
+    def sign_vec(w: Column) -> Column:
+        h = md5_hash64(w, "sim")
+        return F.transform(
+            positions,
+            lambda b: F.when(F.getbit(h, b) == 1, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        )
+
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, w: F.zip_with(acc, sign_vec(w), lambda x, y: x + y),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            counts,
+            positions,
+            lambda c, b: F.when(c > 0, F.element_at(pow2, b.cast("int") + 1)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(F.col(id_col), packed.alias("simhash"))

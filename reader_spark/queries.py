@@ -1,0 +1,757 @@
+"""Query catalog: every operator exposed to the driver's correctness
+gate, with its DuckDB oracle SQL colocated.
+
+Each entry is (spark_fn, oracle_sql_or_None). Column names are aliased
+identically on both sides (the driver sorts columns by name before
+value-hashing). Cross-engine determinism rules used throughout:
+
+  * money math in exact DECIMAL (order-independent), cast to DOUBLE at
+    the very end — bit-identical in Spark and DuckDB;
+  * timestamps rendered via date_format/strftime to strings;
+  * hashes derived from md5 (both engines agree);
+  * float folds (dot products) evaluated left-to-right sequentially on
+    both sides;
+  * integer division written to truncate identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reader_spark.functions import text as TX
+from reader_spark.operators import dedup as DD
+from reader_spark.operators import similarity as SIM
+from reader_spark.plans import snapshot as SNAP
+
+# ---------------------------------------------------------------------------
+# helpers
+
+DEC_PRICE = "decimal(12,2)"
+DEC_RATE = "decimal(9,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from reader_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _fmt_ts(c, alias: str):
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: scans / projections / envelope / sink semantics
+
+
+def s1_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: snapshot of a table == partitioned parallel read. Full
+    column set; parquet scan is pruned/pushed by Catalyst."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        _fmt_ts(F.col("l_shipdate"), "l_shipdate"),
+    )
+
+
+S1_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
+FROM lineitem
+"""
+
+
+def s2_pk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: min/max PK probe (schema.go:249-315)."""
+    return SNAP.pk_bounds(_t(spark, sf_dir, "orders"), "o_orderkey")
+
+
+S2_SQL = "SELECT min(o_orderkey) AS min_pk, max(o_orderkey) AS max_pk FROM orders"
+
+
+def b1_chunked_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/B1: union of PK-range chunks == full table (partition-
+    boundary correctness, SURVEY §5.3)."""
+    orders = _t(spark, sf_dir, "orders")
+    chunked = SNAP.chunked_scan(orders, "o_orderkey", 8)
+    return chunked.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+B1_SQL = "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders"
+
+
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: exclude-columns projection with PK guard
+    (lib/rdbms/column/column.go:36-77)."""
+    orders = _t(spark, sf_dir, "orders")
+    proj = SNAP.project_columns(
+        orders, pk_cols=["o_orderkey"], exclude=["o_orderpriority", "o_totalprice"]
+    )
+    return proj.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", _fmt_ts(F.col("o_orderdate"), "o_orderdate")
+    )
+
+
+P1_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+FROM orders
+"""
+
+
+def p4_invalid_nulling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: invalid-value nulling (NaN -> NULL, out-of-range year ->
+    NULL) — lib/mysql/schema/convert.go:264-286, time.go:96-110."""
+    from reader_spark.functions.converters import null_nan
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        null_nan(F.col("value")).alias("value_clean"),
+        F.when(F.year("ts") > 9999, None)
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("ts_clean"),
+    )
+
+
+P4_SQL = """
+SELECT event_id,
+       CASE WHEN isnan(value) THEN NULL ELSE value END AS value_clean,
+       CASE WHEN year(ts) > 9999 THEN NULL
+            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_clean
+FROM events
+"""
+
+
+def p5_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6/K2 contract: Debezium snapshot envelope (topic, key,
+    value) with op='r' (transformer.go:108-127). ts pinned for
+    determinism."""
+    from reader_spark.envelope import snapshot_envelope
+
+    nation = _t(spark, sf_dir, "nation")
+    return snapshot_envelope(
+        nation,
+        pk_cols=["n_nationkey"],
+        db="tpch",
+        schema="public",
+        table="nation",
+        topic_prefix="cdc",
+        ts_col=F.lit(0),
+    )
+
+
+P5_SQL = """
+SELECT 'cdc.tpch.nation' AS topic,
+       to_json(struct_pack(n_nationkey := n_nationkey)) AS key,
+       to_json(struct_pack(
+         before := NULL,
+         after := struct_pack(n_nationkey := n_nationkey, n_name := n_name,
+                              n_regionkey := n_regionkey),
+         source := struct_pack(db := 'tpch', "schema" := 'public',
+                               "table" := 'nation', ts_ms := 0::BIGINT),
+         op := 'r')) AS value
+FROM nation
+"""
+
+
+def p7_ddl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8: Debezium-style regex skip-list filter
+    (sources/mysql/streaming/converter.go:17-40) applied to the event
+    stream: drop bookkeeping/error events."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(~F.col("event_type").rlike("^(error|heartbeat|BEGIN|COMMIT)$")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+P7_SQL = """
+SELECT event_id, user_id, event_type FROM events
+WHERE NOT regexp_matches(event_type, '^(error|heartbeat|BEGIN|COMMIT)$')
+"""
+
+
+def c10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10/S10 analogue: typed extraction from a JSON attribute map
+    (DynamoDB/Mongo documents carry JSON payloads)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+C10_SQL = "SELECT event_id, (props->>'$.k')::BIGINT AS k FROM events"
+
+
+def k3_transfer_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: Transfer-writer PK dedupe — latest row per key
+    (writers/transfer/writer.go:329-366)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = SNAP.transfer_dedupe(
+        ev, pk_cols=["user_id", "event_type"], order_col="ts", tiebreak_cols=["event_id"]
+    )
+    return latest.select(
+        "user_id", "event_type", "event_id", "value", _fmt_ts(F.col("ts"), "ts")
+    )
+
+
+K3_SQL = """
+SELECT user_id, event_type, event_id, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analytics (engine capability at scale; TPC-H-shaped)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1. Exact decimal aggregation (order-independent), double
+    at the edge. One shuffle; partial agg map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC_PRICE)
+    price = F.col("l_extendedprice").cast(DEC_PRICE)
+    disc = F.col("l_discount").cast(DEC_RATE)
+    tax = F.col("l_tax").cast(DEC_RATE)
+    one = F.lit(1.0).cast(DEC_RATE)
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DOUBLE AS sum_disc_price,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)) * (1.0::DECIMAL(9,4) + l_tax::DECIMAL(9,4)))::DOUBLE AS sum_charge,
+       sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter pushdown on both sides,
+    broadcast the dimension, top-10 by exact-decimal revenue."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    rev = (F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1.0).cast(DEC_RATE) - F.col("l_discount").cast(DEC_RATE)
+    ))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _fmt_ts(F.col("o_orderdate"), "o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DOUBLE AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle on
+    join keys once."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1.0).cast(DEC_RATE) - F.col("l_discount").cast(DEC_RATE)
+    ))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DOUBLE AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (window top-k; at scale,
+    pre-reduce per partition before the window shuffle)."""
+    from pyspark.sql import Window as W
+
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank")
+    )
+
+
+TOPK_SQL = """
+SELECT p_brand, p_partkey, p_retailprice,
+       row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
+FROM part
+QUALIFY rank <= 3
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming
+    windowed agg): events per hour per type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC_PRICE)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+HOURLY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+       count(*) AS n_events,
+       sum(value::DECIMAL(12,2))::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + cumulative sum over a
+    per-user window — the canonical batch sessionizer."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    gap = tus - F.lag(tus).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+SESSION_SQL = """
+WITH m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over region/nation (grouping-sets support)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC_PRICE)).cast("double").alias("total_sales"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(12,2))::DOUBLE AS total_sales
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (left-anti join == NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_MH_SIG_DUCK = ",\n".join(
+    f"    list_min(list_transform(ws, w -> ('0x'||substr(md5('mh{i}:'||w),1,15))::BIGINT)) AS h{i}"
+    for i in range(8)
+)
+
+_MH_BANDS_DUCK = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sigs".format(
+        b=b,
+        parts=" || '_' || ".join(f"h{4*b+j}::VARCHAR" for j in range(4)),
+    )
+    for b in range(2)
+)
+
+_MH_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents
+), sigs AS (
+  SELECT doc_id,
+{_MH_SIG_DUCK}
+  FROM toks
+), bands AS (
+{_MH_BANDS_DUCK}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signature(docs, num_hashes=8)
+    return DD.lsh_candidate_pairs(sigs, num_hashes=8, band_size=4)
+
+
+MINHASH_SQL = _MH_CTE + "SELECT doc_a, doc_b FROM cand"
+
+
+def dedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact token-set Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signature(docs, num_hashes=8)
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=8, band_size=4)
+    return DD.jaccard_verify(pairs, docs, threshold=0.6)
+
+
+NEAR_DUP_SQL = _MH_CTE + """
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(ta.ws, tb.ws))::DOUBLE /
+               (len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws))), 6) AS jaccard
+  FROM cand
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b
+) WHERE jaccard >= 0.6
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_t(spark, sf_dir, "documents"))
+
+
+SIMHASH_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents
+), h AS (
+  SELECT doc_id, ('0x'||substr(md5('sim:'||word),1,15))::BIGINT AS hv FROM w
+), bits AS (
+  SELECT doc_id, b, CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END AS sgn
+  FROM h, (SELECT unnest(generate_series(0, 62)) AS b)
+), agg AS (
+  SELECT doc_id, b, sum(sgn) AS s FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM agg GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: similarity search
+
+_KNN_QUERY_IDS = list(range(10))
+
+_KNN_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+_KNN_CTE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10
+), pairs AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_KNN_DOT.format(a="qe", b="e")} AS dp,
+         {_KNN_DOT.format(a="qe", b="qe")} AS nq,
+         {_KNN_DOT.format(a="e", b="e")} AS nv
+  FROM q, v WHERE v.vec_id != q.query_id
+)
+"""
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_bruteforce(emb, _KNN_QUERY_IDS, k=5)
+
+
+KNN_SQL = _KNN_CTE + """
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         round(dp / (sqrt(nq) * sqrt(nv)), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dp / (sqrt(nq) * sqrt(nv)) DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_ivf(emb, _KNN_QUERY_IDS, k=5)
+
+
+KNN_IVF_SQL = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM v WHERE vec_id < 10
+), pairs AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, len(e)), i -> qe[i] * e[i]), (x, y) -> x + y) AS dp,
+         list_reduce(list_transform(generate_series(1, len(e)), i -> qe[i] * qe[i]), (x, y) -> x + y) AS nq,
+         list_reduce(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]), (x, y) -> x + y) AS nv
+  FROM q, v WHERE v.label = q.qlabel AND v.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         round(dp / (sqrt(nq) * sqrt(nv)), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dp / (sqrt(nq) * sqrt(nv)) DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _occ_duck(padded_expr: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return (
+        f"((length({padded_expr}) - length(replace({padded_expr}, '{n}', ''))) // {len(needle)})"
+    )
+
+
+def _marker_duck(lang: str) -> str:
+    terms = " + ".join(_occ_duck("p", f" {w} ") for w in TX.LANG_MARKERS[lang])
+    return f"({terms})"
+
+
+LANG_SQL = f"""
+WITH p0 AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+s AS (
+  SELECT doc_id,
+         {_marker_duck('en')} AS s_en,
+         {_marker_duck('de')} AS s_de,
+         {_marker_duck('es')} AS s_es,
+         {_marker_duck('fr')} AS s_fr
+  FROM p0
+)
+SELECT doc_id,
+  CASE WHEN s_en = b AND b > 0 THEN 'en'
+       WHEN s_de = b AND b > 0 THEN 'de'
+       WHEN s_es = b AND b > 0 THEN 'es'
+       WHEN s_fr = b AND b > 0 THEN 'fr'
+       ELSE 'unknown' END AS pred_lang
+FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS b FROM s)
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+_STOP_SUM = " + ".join(_occ_duck("p", f" {w} ") for w in TX.STOPWORDS)
+
+QUALITY_SQL = f"""
+WITH p0 AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+), b AS (
+  SELECT doc_id,
+         length(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         {_STOP_SUM} AS stops,
+         length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g')) AS puncts,
+         length(text) AS chars
+  FROM p0
+)
+SELECT doc_id,
+       round(0.4 * least(1.0, toks::DOUBLE / 100.0)
+           + 0.4 * least(1.0, 8.0 * stops::DOUBLE / toks::DOUBLE)
+           + 0.2 * (1.0 - least(1.0, 4.0 * puncts::DOUBLE / chars::DOUBLE)), 6) AS quality
+FROM b
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("ws_tokens"),
+        TX.token_count_bpe_ish(F.col("n_chars")).alias("bpe_tokens"),
+    )
+
+
+TOKENS_SQL = """
+SELECT doc_id,
+       length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+       ((n_chars + 3) // 4)::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog
+
+CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # reference surface (SURVEY §2)
+    "s1_snapshot_scan": (s1_snapshot_scan, S1_SQL),
+    "s2_pk_bounds": (s2_pk_bounds, S2_SQL),
+    "b1_chunked_scan": (b1_chunked_scan, B1_SQL),
+    "p1_projection": (p1_projection, P1_SQL),
+    "p4_invalid_nulling": (p4_invalid_nulling, P4_SQL),
+    "p5_envelope": (p5_envelope, P5_SQL),
+    "p7_ddl_filter": (p7_ddl_filter, P7_SQL),
+    "c10_json_extract": (c10_json_extract, C10_SQL),
+    "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),
+    # analytics
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "topk_per_group": (topk_per_group, TOPK_SQL),
+    "events_hourly": (events_hourly, HOURLY_SQL),
+    "sessionization": (sessionization, SESSION_SQL),
+    "rollup_sales": (rollup_sales, ROLLUP_SQL),
+    "anti_join_customers": (anti_join_customers, ANTI_SQL),
+    # LLM-data-pipeline
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
+    "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
+    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
+    "knn_bruteforce": (knn_bruteforce, KNN_SQL),
+    "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    "text_lang_id": (text_lang_id, LANG_SQL),
+    "text_quality": (text_quality, QUALITY_SQL),
+    "text_tokens": (text_tokens, TOKENS_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+}

@@ -112,5 +112,5 @@ def cdc_envelope(
     return df.select(
         F.lit(f"{topic_prefix}.{db}.{table}").alias("topic"),
         key.alias("key"),
-        F.to_json(payload).alias("value"),
+        F.to_json(payload, {"ignoreNullFields": "false"}).alias("value"),
     )

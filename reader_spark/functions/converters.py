@@ -171,9 +171,7 @@ def mysql_set_decode(c: Column, members: list[str]) -> Column:
     (lib/mysql/schema/convert.go:15-42)."""
     arr = F.array(*[F.lit(m) for m in members])
     idx = F.sequence(F.lit(0), F.lit(len(members) - 1))
-    picked = F.filter(
-        idx, lambda i: (F.shiftright(c.cast("long"), i) % 2) == 1
-    )
+    picked = F.filter(idx, lambda i: F.getbit(c.cast("long"), i) == 1)
     return F.concat_ws(",", F.transform(picked, lambda i: F.element_at(arr, i + 1)))
 
 

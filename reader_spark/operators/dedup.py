@@ -26,6 +26,17 @@ from pyspark.sql import functions as F
 
 HASH_HEX_LEN = 15  # 60 bits < 2^63: sign-safe in both engines
 
+# Universal-hash family for MinHash seeds: h_i = (A_i*h + B_i) mod P.
+# P < 2^31 keeps A_i*h < 2^63 (no overflow in either engine); one md5
+# per token total instead of one per (token, seed).
+MINHASH_P = 1_000_000_007
+
+
+def minhash_mix_params(i: int) -> tuple[int, int]:
+    a = (1_000_003 * (i + 1) + 12_345) % MINHASH_P
+    b = (7_919 * (i + 1) + 631) % MINHASH_P
+    return a, b
+
 
 def md5_hash64(c: Column, salt: str) -> Column:
     """Deterministic 60-bit integer hash shared with the DuckDB
@@ -33,6 +44,14 @@ def md5_hash64(c: Column, salt: str) -> Column:
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + ":"), c)), 1, HASH_HEX_LEN), 16, 10
     ).cast("long")
+
+
+def md5_base_mod(c: Column) -> Column:
+    """Base token hash for MinHash: md5-derived 60-bit int mod P."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, HASH_HEX_LEN), 16, 10).cast("long")
+        % MINHASH_P
+    )
 
 
 def word_set(text: Column) -> Column:
@@ -63,22 +82,28 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature as `num_hashes` columns h0..h{k-1}.
 
-    No shuffle: `array_min(transform(tokens, ...))` per seed is a pure
-    projection, codegen'd. (The pyspark.ml MinHashLSH needs a
+    No shuffle: one md5 per token (materialized once as an
+    intermediate array column so Catalyst doesn't duplicate it per
+    seed), then `num_hashes` cheap affine mixes + array_min — pure
+    projections, codegen'd. (The pyspark.ml MinHashLSH needs a
     CountVectorizer vocabulary broadcast; this streaming-friendly
     formulation avoids any fitted state.)"""
-    toks = word_set(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.transform(word_set(F.col(text_col)), md5_base_mod).alias("__hms"),
+    )
 
-    def hasher(seed: int):
+    def mixer(seed: int):
+        a, b = minhash_mix_params(seed)
         # NB: keep the lambda unary — a 2-arg lambda would be treated
         # by F.transform as (element, index).
-        return lambda w: md5_hash64(w, f"mh{seed}")
+        return lambda h: (F.lit(a).cast("long") * h + F.lit(b)) % MINHASH_P
 
     sig_cols = [
-        F.array_min(F.transform(toks, hasher(i))).alias(f"h{i}")
+        F.array_min(F.transform(F.col("__hms"), mixer(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return docs.select(F.col(id_col), *sig_cols)
+    return base.select(F.col(id_col), *sig_cols)
 
 
 def lsh_candidate_pairs(
@@ -161,13 +186,13 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (`aggregate` + `zip_with`), then pack bits where the count is
     positive. Linear in tokens, pure expressions, codegen'd — at
     100 TB this is a map-only stage."""
-    toks = word_set(F.col(text_col))
     positions = F.sequence(F.lit(0), F.lit(bits - 1))
     # 2^b lookup (shiftleft takes a Python int, not a Column).
     pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    # md5 once per token; the bit fold runs over the hash array.
+    hashes = F.transform(word_set(F.col(text_col)), lambda w: md5_hash64(w, "sim"))
 
-    def sign_vec(w: Column) -> Column:
-        h = md5_hash64(w, "sim")
+    def sign_vec(h: Column) -> Column:
         return F.transform(
             positions,
             lambda b: F.when(F.getbit(h, b) == 1, F.lit(1).cast("long")).otherwise(
@@ -176,9 +201,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
 
     counts = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, w: F.zip_with(acc, sign_vec(w), lambda x, y: x + y),
+        lambda acc, h: F.zip_with(acc, sign_vec(h), lambda x, y: x + y),
     )
     packed = F.aggregate(
         F.zip_with(

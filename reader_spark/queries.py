@@ -477,26 +477,40 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
 
+_MH_K = 16
+_MH_BAND = 8
+
 _MH_SIG_DUCK = ",\n".join(
-    f"    list_min(list_transform(ws, w -> ('0x'||substr(md5('mh{i}:'||w),1,15))::BIGINT)) AS h{i}"
-    for i in range(8)
+    "    list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS h{i}".format(
+        a=DD.minhash_mix_params(i)[0],
+        b=DD.minhash_mix_params(i)[1],
+        p=DD.MINHASH_P,
+        i=i,
+    )
+    for i in range(_MH_K)
 )
 
 _MH_BANDS_DUCK = "\n  UNION ALL\n".join(
     "  SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sigs".format(
         b=b,
-        parts=" || '_' || ".join(f"h{4*b+j}::VARCHAR" for j in range(4)),
+        parts=" || '_' || ".join(
+            f"h{_MH_BAND*b+j}::VARCHAR" for j in range(_MH_BAND)
+        ),
     )
-    for b in range(2)
+    for b in range(_MH_K // _MH_BAND)
 )
 
 _MH_CTE = f"""
 WITH toks AS (
   SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents
+), hm AS (
+  SELECT doc_id, ws,
+         list_transform(ws, w -> ('0x'||substr(md5(w),1,15))::BIGINT % {DD.MINHASH_P}) AS hs
+  FROM toks
 ), sigs AS (
   SELECT doc_id,
 {_MH_SIG_DUCK}
-  FROM toks
+  FROM hm
 ), bands AS (
 {_MH_BANDS_DUCK}
 ), cand AS (
@@ -509,8 +523,8 @@ WITH toks AS (
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sigs = DD.minhash_signature(docs, num_hashes=8)
-    return DD.lsh_candidate_pairs(sigs, num_hashes=8, band_size=4)
+    sigs = DD.minhash_signature(docs, num_hashes=_MH_K)
+    return DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
 
 
 MINHASH_SQL = _MH_CTE + "SELECT doc_a, doc_b FROM cand"
@@ -519,9 +533,9 @@ MINHASH_SQL = _MH_CTE + "SELECT doc_a, doc_b FROM cand"
 def dedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact token-set Jaccard."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = DD.minhash_signature(docs, num_hashes=8)
-    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=8, band_size=4)
-    return DD.jaccard_verify(pairs, docs, threshold=0.6)
+    sigs = DD.minhash_signature(docs, num_hashes=_MH_K)
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    return DD.jaccard_verify(pairs, docs, threshold=0.8)
 
 
 NEAR_DUP_SQL = _MH_CTE + """
@@ -532,7 +546,7 @@ SELECT doc_a, doc_b, jaccard FROM (
   FROM cand
   JOIN toks ta ON ta.doc_id = doc_a
   JOIN toks tb ON tb.doc_id = doc_b
-) WHERE jaccard >= 0.6
+) WHERE jaccard >= 0.8
 """
 
 

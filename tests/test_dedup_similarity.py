@@ -1,0 +1,83 @@
+"""Dedup / similarity unit tests on tiny controlled corpora (the
+oracle harness covers the fixture tables; these pin the semantics)."""
+
+from pyspark.sql import functions as F
+
+from reader_spark.operators import dedup as DD
+from reader_spark.operators import similarity as SIM
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_counts(spark):
+    df = docs_df(spark, ["a b c", "a b c", "x y"])
+    out = {r["keep_id"]: r["n_copies"] for r in DD.exact_dedup(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = docs_df(spark, ["a b c d e", "e d c b a", "q w e r t"])
+    sigs = DD.minhash_signature(df, num_hashes=8).collect()
+    s = {r["doc_id"]: [r[f"h{i}"] for i in range(8)] for r in sigs}
+    assert s[0] == s[1]  # order-insensitive token set
+    assert s[0] != s[2]
+
+
+def test_lsh_finds_identical_pair(spark):
+    df = docs_df(spark, ["a b c d e", "a b c d e", "q w r t y"])
+    sigs = DD.minhash_signature(df, num_hashes=8)
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=8, band_size=4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_jaccard_verify_values(spark):
+    df = docs_df(spark, ["a b c d", "a b c e", "x y z w"])
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], ["doc_a", "doc_b"])
+    out = DD.jaccard_verify(pairs, df, threshold=0.0).collect()
+    vals = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert vals[(0, 1)] == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
+    assert vals[(0, 2)] == 0.0
+
+
+def test_simhash_similar_docs_close(spark):
+    df = docs_df(spark, ["a b c d e f g h", "a b c d e f g x", "q w r t y u i o"])
+    out = {r["doc_id"]: r["simhash"] for r in DD.simhash(df).collect()}
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    assert hamming(out[0], out[1]) < hamming(out[0], out[2])
+    assert all(v >= 0 for v in out.values())  # 63-bit => sign-safe
+
+
+def test_knn_self_excluded_and_ranked(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = SIM.knn_bruteforce(df, [0], k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [3, 1, 2]
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_knn_ivf_restricts_to_cluster(spark):
+    vecs = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.95, 0.01], 2),  # closer, but other cluster
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = SIM.knn_ivf(df, [0], k=5).collect()
+    assert [r["neighbor_id"] for r in out] == [1]

@@ -1,0 +1,88 @@
+"""Snapshot plan semantics: partition-boundary correctness (the
+reference's chunk-boundary test, integration_tests/postgres/main.go:878-951,
+re-expressed for partitioned scans), PK guards, transfer dedupe."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reader_spark.plans.snapshot import (
+    chunk_predicates,
+    chunked_scan,
+    pk_bounds,
+    project_columns,
+    transfer_dedupe,
+)
+from reader_spark.session import read_table
+
+
+def test_chunk_predicates_cover_exactly_once():
+    preds = chunk_predicates(1, 100, 7, "id")
+    # simulate on the full domain: every id matched exactly once
+    import re
+
+    def matches(pid, pred):
+        clauses = pred.split(" AND ")
+        ok = True
+        for c in clauses:
+            m = re.match(r"id (>=|<=) (\d+)", c)
+            op, v = m.group(1), int(m.group(2))
+            ok &= pid >= v if op == ">=" else pid <= v
+        return ok
+
+    for i in range(1, 101):
+        assert sum(matches(i, p) for p in preds) == 1, i
+
+
+@pytest.mark.parametrize("n_chunks", [1, 2, 5, 32, 1000])
+def test_chunked_scan_equals_full_table(spark, sf_dir, n_chunks):
+    orders = read_table(spark, sf_dir, "orders")
+    full = orders.select("o_orderkey").orderBy("o_orderkey").collect()
+    chunked = (
+        chunked_scan(orders, "o_orderkey", n_chunks)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    assert full == chunked  # no dupes, no drops at boundaries
+
+
+def test_pk_bounds(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    row = pk_bounds(orders, "o_orderkey").collect()[0]
+    assert row["min_pk"] == 0 and row["max_pk"] > 0
+
+
+def test_projection_guards(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="cannot exclude primary key"):
+        project_columns(orders, ["o_orderkey"], exclude=["o_orderkey"])
+    with pytest.raises(ValueError, match="must contain primary keys"):
+        project_columns(orders, ["o_orderkey"], include=["o_custkey"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        project_columns(orders, ["o_orderkey"], include=["o_orderkey"], exclude=["x"])
+    kept = project_columns(orders, ["o_orderkey"], exclude=["o_totalprice"])
+    assert "o_totalprice" not in kept.columns and "o_orderkey" in kept.columns
+
+
+def test_empty_table_short_circuit(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders").filter("o_orderkey < 0")
+    out = chunked_scan(orders, "o_orderkey", 4)
+    assert out.count() == 0
+    assert out.columns == orders.columns  # schema preserved (K4)
+
+
+def test_transfer_dedupe_keeps_latest(spark):
+    rows = [
+        (1, "2024-01-01", "a"),
+        (1, "2024-01-03", "b"),
+        (1, "2024-01-02", "c"),
+        (2, "2024-01-01", "d"),
+    ]
+    df = spark.createDataFrame(rows, ["pk", "updated_at", "val"]).withColumn(
+        "updated_at", F.to_timestamp("updated_at")
+    )
+    out = {
+        r["pk"]: r["val"]
+        for r in transfer_dedupe(df, ["pk"], "updated_at").collect()
+    }
+    assert out == {1: "b", 2: "d"}

@@ -1,0 +1,83 @@
+"""Source builders: JDBC plan generation (asserted as SQL, the
+reference's scanner_test.go strategy) + DynamoDB-JSON decode."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from reader_spark.sources import dynamodb as DY
+from reader_spark.sources import jdbc as J
+
+
+def test_bounds_query_dialects():
+    t = J.TableRef("public", "orders", ["o_orderkey"])
+    assert J.bounds_query(t, J.POSTGRES) == (
+        'SELECT min("o_orderkey") AS min_pk, max("o_orderkey") AS max_pk '
+        'FROM "public"."orders"'
+    )
+    assert "`public`.`orders`" in J.bounds_query(t, J.MYSQL)
+
+
+def test_jdbc_read_options_partitioning():
+    t = J.TableRef("s", "t", ["id"])
+    opts = J.jdbc_read_options(t, J.POSTGRES, "jdbc:postgresql://h/db", 1, 9999)
+    assert opts["partitionColumn"] == "id"
+    assert opts["lowerBound"] == "1" and opts["upperBound"] == "9999"
+    assert opts["fetchsize"] == "5000"  # reference DefaultBatchSize
+
+
+def test_composite_pk_predicates_disjoint_cover():
+    preds = J.composite_pk_predicates(
+        [(10, "m"), (20, "z")], ["a", "b"], J.POSTGRES
+    )
+    assert preds == [
+        '("a", "b") <= (10, \'m\')',
+        '("a", "b") > (10, \'m\') AND ("a", "b") <= (20, \'z\')',
+        '("a", "b") > (20, \'z\')',
+    ]
+    assert J.composite_pk_predicates([], ["a"], J.POSTGRES) == ["1=1"]
+
+
+def test_composite_pk_predicates_escapes_quotes():
+    preds = J.composite_pk_predicates([("o'brien",)], ["name"], J.POSTGRES)
+    assert "('o''brien')" in preds[0]
+
+
+def test_decode_attribute_all_tags():
+    assert DY.decode_attribute({"S": "x"}) == "x"
+    assert DY.decode_attribute({"N": "1.5"}) == 1.5
+    assert DY.decode_attribute({"BOOL": True}) is True
+    assert DY.decode_attribute({"NULL": True}) is None
+    assert DY.decode_attribute({"SS": ["a", "b"]}) == ["a", "b"]
+    assert DY.decode_attribute({"NS": ["1", "2"]}) == [1.0, 2.0]
+    assert DY.decode_attribute({"L": [{"S": "a"}, {"N": "2"}]}) == ["a", 2.0]
+    assert DY.decode_attribute({"M": {"k": {"S": "v"}}}) == {"k": "v"}
+
+
+def test_decode_dynamodb_json_udf(spark):
+    item = json.dumps({"Item": {"id": {"S": "a1"}, "qty": {"N": "3"}}})
+    df = spark.createDataFrame([(item,)], ["raw"])
+    out = df.select(DY.decode_dynamodb_json(F.col("raw")).alias("j")).collect()[0]["j"]
+    assert json.loads(out) == {"id": "a1", "qty": 3.0}
+
+
+def test_decode_typed_items(spark):
+    item = json.dumps({"id": {"S": "a1"}, "qty": {"N": "3"}, "ok": {"BOOL": True}})
+    df = spark.createDataFrame([(item,)], ["item"])
+    out = DY.decode_typed_items(
+        df, "item", {"id": "S", "qty": "N", "ok": "BOOL"}
+    ).collect()[0]
+    assert out["id"] == "a1" and out["qty"] == 3.0 and out["ok"] is True
+
+
+def test_stream_op_mapping(spark):
+    df = spark.createDataFrame(
+        [("INSERT",), ("MODIFY",), ("REMOVE",)], ["eventName"]
+    )
+    out = [
+        r["op"]
+        for r in df.select(
+            DY.stream_op_column(F.col("eventName")).alias("op")
+        ).collect()
+    ]
+    assert out == ["c", "u", "d"]

@@ -1,0 +1,165 @@
+"""Streaming CDC pipeline: file-backed change stream end-to-end
+(route -> envelope -> checkpointed sink), schema history replay,
+as-of version resolution, watermark windowed agg."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reader_spark.streaming import cdc
+from reader_spark.streaming.schema_history import (
+    SchemaAdapter,
+    asof_schema_version,
+)
+
+ROW_SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+def write_fixture(tmp_path, records):
+    p = tmp_path / "stream_in"
+    p.mkdir()
+    with open(p / "batch0.json", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def change_records():
+    return [
+        {"seq": 1, "ts_ms": 1000, "db": "d", "table": "t", "kind": "dml",
+         "op": "c", "before": None, "after": '{"id": 1, "v": "a"}',
+         "statement": None},
+        {"seq": 2, "ts_ms": 2000, "db": "d", "table": "t", "kind": "dml",
+         "op": "u", "before": '{"id": 1, "v": "a"}',
+         "after": '{"id": 1, "v": "b"}', "statement": None},
+        {"seq": 3, "ts_ms": 2500, "db": "d", "table": "t", "kind": "ddl",
+         "op": None, "before": None, "after": None,
+         "statement": "BEGIN"},  # skip-listed
+        {"seq": 4, "ts_ms": 3000, "db": "d", "table": "t", "kind": "ddl",
+         "op": None, "before": None, "after": None,
+         "statement": "ALTER TABLE t ADD COLUMN w int"},
+        {"seq": 5, "ts_ms": 4000, "db": "d", "table": "t", "kind": "dml",
+         "op": "d", "before": '{"id": 1, "v": "b"}', "after": None,
+         "statement": None},
+        {"seq": 6, "ts_ms": 4500, "db": "other", "table": "t", "kind": "dml",
+         "op": "c", "before": None, "after": '{"id": 9, "v": "x"}',
+         "statement": None},
+    ]
+
+
+def test_cdc_stream_end_to_end(spark, tmp_path):
+    src = write_fixture(tmp_path, change_records())
+    raw = cdc.read_change_stream(spark, src)
+    assert raw.isStreaming
+    dml, ddl = cdc.route_events(raw)
+    dml = cdc.replicate_filter(dml, "d", ["t"])
+    env = cdc.dml_to_envelope(dml, ["id"], ROW_SCHEMA, db="d", table="t")
+    q = cdc.start_to_memory(env, "cdc_out", str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM cdc_out").collect()
+    assert len(out) == 3  # c, u, d for db 'd' only
+    by_op = {json.loads(r["value"])["op"]: r for r in out}
+    assert set(by_op) == {"c", "u", "d"}
+    assert json.loads(by_op["d"]["key"]) == {"id": 1}  # delete keys off before
+    assert json.loads(by_op["u"]["value"])["after"] == {"id": 1, "v": "b"}
+    assert all(r["topic"] == "cdc.d.t" for r in out)
+
+
+def test_ddl_routing_applies_skip_list(spark, tmp_path):
+    src = write_fixture(tmp_path, change_records())
+    raw = spark.read.schema(cdc.CHANGE_RECORD_SCHEMA).json(src)  # batch read
+    _, ddl = cdc.route_events(raw)
+    stmts = [r["statement"] for r in ddl.collect()]
+    assert stmts == ["ALTER TABLE t ADD COLUMN w int"]
+
+
+def test_checkpoint_no_reprocess_on_restart(spark, tmp_path):
+    """Write-then-commit contract (writer.go:44-50): a restarted query
+    with the same checkpoint must not re-emit processed batches."""
+    src = write_fixture(tmp_path, change_records())
+    raw = cdc.read_change_stream(spark, src)
+    dml, _ = cdc.route_events(raw)
+    env = cdc.dml_to_envelope(
+        cdc.replicate_filter(dml, "d", ["t"]), ["id"], ROW_SCHEMA, db="d", table="t"
+    )
+    ck = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "sink2")
+
+    def run_once():
+        q = (env.writeStream.outputMode("append").format("json")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()
+    n1 = spark.read.json(out_dir).count()
+    run_once()  # restart on same checkpoint: no new input -> no new rows
+    n2 = spark.read.json(out_dir).count()
+    assert n1 == 3 and n2 == 3
+
+
+def test_schema_adapter_ddl_sequence(tmp_path):
+    sa = SchemaAdapter()
+    assert sa.apply_ddl("CREATE TABLE t (id int, v text, PRIMARY KEY (id))", 100)
+    assert sa.tables["t"] == ["id", "v"]
+    assert sa.apply_ddl("ALTER TABLE t ADD COLUMN w int", 200)
+    assert sa.tables["t"] == ["id", "v", "w"]
+    assert sa.apply_ddl("ALTER TABLE t RENAME COLUMN v TO vv", 300)
+    assert sa.tables["t"] == ["id", "vv", "w"]
+    assert sa.apply_ddl("ALTER TABLE t DROP COLUMN w", 400)
+    assert sa.tables["t"] == ["id", "vv"]
+    assert not sa.apply_ddl("BEGIN", 500)  # skip-list
+    assert sa.apply_ddl("RENAME TABLE t TO t2", 600)
+    assert "t2" in sa.tables and "t" not in sa.tables
+    # replayable history (iterator.go:26-70)
+    path = str(tmp_path / "history.jsonl")
+    sa.dump(path)
+    sa2 = SchemaAdapter.replay(path)
+    assert sa2.tables == sa.tables
+    assert len(sa2.history) == 5
+
+
+def test_asof_schema_version(spark):
+    events = spark.createDataFrame(
+        [(1, 50), (2, 150), (3, 250), (4, 1000)], ["event_id", "ts_ms"]
+    )
+    history = spark.createDataFrame(
+        [(100, "v1"), (200, "v2")], ["unix_ts", "statement"]
+    )
+    out = {
+        r["event_id"]: (r["schema_version_ts"], r["schema_statement"])
+        for r in asof_schema_version(events, history, "event_id").collect()
+    }
+    assert out[1] == (None, None)      # pre-history -> dropped by caller
+    assert out[2] == (100, "v1")
+    assert out[3] == (200, "v2")
+    assert out[4] == (200, "v2")
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    rows = [
+        {"ts": "2024-01-01T00:00:30", "event_type": "a", "value": 1.0},
+        {"ts": "2024-01-01T00:01:30", "event_type": "a", "value": 2.0},
+        {"ts": "2024-01-01T00:07:00", "event_type": "b", "value": 3.0},
+    ]
+    p = tmp_path / "ev"
+    p.mkdir()
+    with open(p / "e.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(p))
+    agg = cdc.windowed_event_counts(stream, window="5 minutes")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("win_out").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt3")).start())
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM win_out ORDER BY window_start").collect()
+    assert [(r["event_type"], r["n"]) for r in out] == [("a", 2), ("b", 1)]

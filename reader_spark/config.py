@@ -1,0 +1,89 @@
+"""Job configuration (reference S11: config/config.go:219-242).
+
+The reference reads a YAML Settings file naming one source (with
+tables, batch sizes, include/exclude columns, streaming toggles) and
+one destination (Kafka or Transfer). Same pattern here: YAML -> typed
+job spec -> plan builders. Validation mirrors config.Validate():
+unknown source kinds, missing tables, and PK-violating projections
+fail at load time, not mid-snapshot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+SOURCE_KINDS = {"postgresql", "mysql", "mssql", "mongodb", "dynamodb", "parquet"}
+DESTINATION_KINDS = {"kafka", "transfer", "parquet"}
+
+
+@dataclass
+class TableCfg:
+    name: str
+    schema: str = "public"
+    batch_size: int = 5_000          # constants/constants.go:4
+    include_columns: list[str] = field(default_factory=list)
+    exclude_columns: list[str] = field(default_factory=list)
+    num_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.include_columns and self.exclude_columns:
+            raise ValueError(
+                f"table {self.name}: includeColumns and excludeColumns "
+                "are mutually exclusive"
+            )
+
+
+@dataclass
+class SourceCfg:
+    kind: str
+    host: str = ""
+    database: str = ""
+    tables: list[TableCfg] = field(default_factory=list)
+    streaming: bool = False
+    options: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.kind not in SOURCE_KINDS:
+            raise ValueError(f"unknown source kind {self.kind!r}")
+        if not self.streaming and not self.tables:
+            raise ValueError("snapshot source requires at least one table")
+
+
+@dataclass
+class DestinationCfg:
+    kind: str
+    topic_prefix: str = "cdc"
+    path: str = ""
+    options: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.kind not in DESTINATION_KINDS:
+            raise ValueError(f"unknown destination kind {self.kind!r}")
+
+
+@dataclass
+class Settings:
+    source: SourceCfg
+    destination: DestinationCfg
+
+
+def load_settings(path_or_str: str) -> Settings:
+    """Accepts a filesystem path or a YAML document string."""
+    try:
+        with open(path_or_str) as f:
+            raw = yaml.safe_load(f)
+    except (OSError, ValueError):
+        raw = yaml.safe_load(path_or_str)
+    if not isinstance(raw, dict) or "source" not in raw or "destination" not in raw:
+        raise ValueError("config must define 'source' and 'destination'")
+    src = dict(raw["source"])
+    tables = [
+        TableCfg(**t) if isinstance(t, dict) else TableCfg(name=t)
+        for t in src.pop("tables", [])
+    ]
+    source = SourceCfg(tables=tables, **src)
+    destination = DestinationCfg(**raw["destination"])
+    return Settings(source=source, destination=destination)

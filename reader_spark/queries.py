@@ -450,9 +450,12 @@ GROUP BY ROLLUP (r_name, n_name)
 
 
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders (left-anti join == NOT EXISTS)."""
+    """Customers with no early orders (left-anti join == NOT EXISTS;
+    the filter is pushed below the join)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-06-01"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -460,7 +463,226 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANTI_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate < TIMESTAMP '1995-06-01')
+"""
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one urgent order (left-semi ==
+    EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT')
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: buyers in BUILDING segment who also placed
+    urgent orders, minus those with any F-status order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    f_status = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(urgent).exceptAll(f_status.distinct())
+
+
+SETOPS_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the approximate
+    variant — percentile_approx/t-digest — is the 100 TB path; exact
+    is the oracle-checkable baseline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75_price"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status per priority (emitted as
+    conditional aggregation so the oracle is plain SQL)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — lineitems below
+    half their part's average quantity. Spark plans the inner agg as
+    a broadcast-joined aggregate, not a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(DEC_PRICE)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_per_part), li.l_partkey == avg_per_part.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast(DEC_PRICE)).cast("double").alias("small_revenue"),
+        )
+    )
+
+
+SMALLQTY_SQL = """
+WITH avg_per_part AS (
+  SELECT l_partkey AS pk,
+         sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, count(*) AS n_small,
+       sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS small_revenue
+FROM lineitem JOIN avg_per_part ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY l_partkey
+"""
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface: case, substring, concat,
+    length, edit distance, regex extraction."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("brand_dist"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
+    )
+
+
+STRINGS_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 5) AS name_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       length(p_name) AS name_len,
+       levenshtein(p_brand, 'Brand#1') AS brand_dist,
+       regexp_extract(p_brand, '#(\\d+)', 1)::INT AS brand_num
+FROM part
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time surface: extract, truncate, diff, add."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("order_quarter"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+DATES_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate)::INT AS order_year,
+       month(o_orderdate)::INT AS order_month,
+       (dayofweek(o_orderdate) + 1)::INT AS order_dow,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS order_quarter,
+       date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::INT AS days_to_2002,
+       strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+FROM orders
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucketed by label
+    (the 100 TB path: equi-join on the cluster key bounds the
+    candidate set; no cross join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    sim = SIM.cosine(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+EMB_NEAR_DUP_SQL = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * a.e[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * b.e[i]), (x, y) -> x + y))), 6) AS cos_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.2
 """
 
 
@@ -757,6 +979,13 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sessionization": (sessionization, SESSION_SQL),
     "rollup_sales": (rollup_sales, ROLLUP_SQL),
     "anti_join_customers": (anti_join_customers, ANTI_SQL),
+    "semi_join_customers": (semi_join_customers, SEMI_SQL),
+    "set_ops_customers": (set_ops_customers, SETOPS_SQL),
+    "percentiles": (percentiles, PERCENTILES_SQL),
+    "pivot_status": (pivot_status, PIVOT_SQL),
+    "small_quantity_orders": (small_quantity_orders, SMALLQTY_SQL),
+    "string_functions": (string_functions, STRINGS_SQL),
+    "date_functions": (date_functions, DATES_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
@@ -764,6 +993,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
     "knn_bruteforce": (knn_bruteforce, KNN_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "text_tokens": (text_tokens, TOKENS_SQL),

@@ -1,0 +1,93 @@
+"""Transfer sink (MERGE semantics, backfill truncate, empty-table
+create) and YAML job config validation."""
+
+import pytest
+
+from reader_spark.config import load_settings
+from reader_spark.operators.transfer import TransferWriter, apply_changes
+
+
+def base_df(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+
+
+def changes_df(spark):
+    # upsert id=2, delete id=3, insert id=4; id=5 insert-then-delete
+    rows = [
+        (2, "b2", "u", 10),
+        (3, "c", "d", 11),
+        (4, "d", "c", 12),
+        (5, "e", "c", 13),
+        (5, "e", "d", 14),
+    ]
+    return spark.createDataFrame(rows, ["id", "val", "op", "seq"])
+
+
+def test_apply_changes_merge_semantics(spark):
+    out = apply_changes(base_df(spark), changes_df(spark), ["id"], "seq")
+    got = {r["id"]: r["val"] for r in out.collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}  # 3 deleted, 5 net-deleted
+
+
+def test_transfer_writer_roundtrip(spark, tmp_path):
+    tw = TransferWriter(spark, str(tmp_path))
+    tw.append("t", base_df(spark))
+    assert tw.read("t").count() == 3
+    tw.upsert("t", changes_df(spark), ["id"], "seq")
+    got = {r["id"]: r["val"] for r in tw.read("t").collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}
+    # upsert into a missing table bootstraps from the change set
+    tw.upsert("t2", changes_df(spark), ["id"], "seq")
+    assert {r["id"] for r in tw.read("t2").collect()} == {2, 4}
+
+
+def test_backfill_truncate_and_empty_create(spark, tmp_path):
+    tw = TransferWriter(spark, str(tmp_path))
+    tw.append("t", base_df(spark))
+    tw.truncate_for_backfill("t")
+    assert not tw.exists("t")
+    tw.create_empty("t", base_df(spark))
+    assert tw.read("t").count() == 0
+    assert tw.read("t").columns == ["id", "val"]
+
+
+CFG = """
+source:
+  kind: postgresql
+  host: db.example.com
+  database: app
+  tables:
+    - name: users
+      schema: public
+      batch_size: 5000
+      exclude_columns: [password_hash]
+    - name: orders
+destination:
+  kind: kafka
+  topic_prefix: cdc.app
+"""
+
+
+def test_load_settings_roundtrip():
+    s = load_settings(CFG)
+    assert s.source.kind == "postgresql"
+    assert [t.name for t in s.source.tables] == ["users", "orders"]
+    assert s.source.tables[0].exclude_columns == ["password_hash"]
+    assert s.source.tables[1].batch_size == 5000  # reference default
+    assert s.destination.topic_prefix == "cdc.app"
+
+
+def test_load_settings_validation():
+    with pytest.raises(ValueError, match="unknown source kind"):
+        load_settings("source: {kind: oracle, tables: [{name: t}]}\ndestination: {kind: kafka}")
+    with pytest.raises(ValueError, match="at least one table"):
+        load_settings("source: {kind: mysql}\ndestination: {kind: kafka}")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        load_settings(
+            "source: {kind: mysql, tables: [{name: t, include_columns: [a], "
+            "exclude_columns: [b]}]}\ndestination: {kind: kafka}"
+        )
+    with pytest.raises(ValueError, match="unknown destination"):
+        load_settings("source: {kind: mysql, tables: [{name: t}]}\ndestination: {kind: s3}")

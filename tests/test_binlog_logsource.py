@@ -1,0 +1,94 @@
+"""Binlog-shaped decoders (C3/C4) + the custom logtail streaming
+source (C1/C6/C9 semantics: shards-as-partitions, offset resume)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from reader_spark.streaming import binlog as B
+
+
+def test_decode_positional_rows(spark):
+    df = spark.createDataFrame(
+        [(1, ["7", "alice", "x"]), (2, ["8", "bob", None])],
+        ["seq", "values"],
+    )
+    out = B.decode_positional_rows(df, ["id", "name", "flag"]).collect()
+    got = {r["seq"]: (r["id"], r["name"], r["flag"]) for r in out}
+    assert got == {1: ("7", "alice", "x"), 2: ("8", "bob", None)}
+
+
+def test_pair_update_rows(spark):
+    df = spark.createDataFrame(
+        [(1, [["1", "old"], ["1", "new"], ["2", "o2"], ["2", "n2"]])],
+        ["seq", "rows"],
+    )
+    out = B.pair_update_rows(df).orderBy("pair_idx").collect()
+    assert [(r["before"], r["after"]) for r in out] == [
+        (["1", "old"], ["1", "new"]),
+        (["2", "o2"], ["2", "n2"]),
+    ]
+
+
+def test_gtid_dedupe_batch(spark):
+    df = spark.createDataFrame(
+        [("s1", 1, "a"), ("s1", 1, "a-replay"), ("s1", 2, "b"), ("s2", 1, "c")],
+        ["gtid_sid", "gtid_tx", "payload"],
+    )
+    out = B.gtid_dedupe_batch(df)
+    assert out.count() == 3
+    assert out.filter("gtid_sid = 's1' AND gtid_tx = 1").count() == 1
+
+
+def _write_log(d, name, records):
+    with open(d / name, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_logtail_source_reads_and_resumes(spark, tmp_path):
+    from reader_spark.streaming.log_source import LogTailDataSource
+
+    spark.dataSource.register(LogTailDataSource)
+    src = tmp_path / "log"
+    src.mkdir()
+    _write_log(src, "shard0.jsonl", [{"seq": 1, "payload": "a"}, {"seq": 2, "payload": "b"}])
+    _write_log(src, "shard1.jsonl", [{"seq": 10, "payload": "x"}])
+
+    stream = (
+        spark.readStream.format("logtail")
+        .schema("seq string, payload string")
+        .option("path", str(src))
+        .load()
+    )
+    assert stream.isStreaming
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream.writeStream.format("json").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+
+    drain()
+    rows1 = {
+        (r["seq"], r["payload"]) for r in spark.read.json(out).collect()
+    }
+    assert rows1 == {("1", "a"), ("2", "b"), ("10", "x")}
+
+    # append to one shard + add a new shard; resume from checkpoint
+    with open(src / "shard0.jsonl", "a") as f:
+        f.write(json.dumps({"seq": 3, "payload": "c"}) + "\n")
+    _write_log(src, "shard2.jsonl", [{"seq": 20, "payload": "z"}])
+
+    drain()
+    rows2 = {
+        (r["seq"], r["payload"]) for r in spark.read.json(out).collect()
+    }
+    # ONLY the delta was appended — per-shard offsets advanced,
+    # no reprocessing of already-committed records
+    assert rows2 == rows1 | {("3", "c"), ("20", "z")}
+    assert spark.read.json(out).count() == 5

@@ -134,11 +134,17 @@ def lsh_candidate_pairs(
     all_bands = bands[0]
     for bdf in bands[1:]:
         all_bands = all_bands.unionByName(bdf)
-    a = all_bands.alias("a")
+    # Skew control: a hot bucket (many docs sharing one band key) would
+    # otherwise emit its entire O(k^2) pair block from ONE task. Spread
+    # the probe side by doc id so every task carries a slice of every
+    # bucket; the build side is broadcast (signatures are tiny relative
+    # to the corpus — at the 100 TB tier where bands outgrow a
+    # broadcast, drop the hint and let AQE skew-split the SMJ).
+    a = all_bands.repartition(F.col(id_col)).alias("a")
     b = all_bands.alias("b")
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -156,15 +162,29 @@ def jaccard_verify(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact token-set Jaccard on candidate pairs.
 
     Two equi-joins pull the token arrays to the pair; intersection /
     union are array expressions (no explode). At scale the pair list
-    is << corpus, so both joins are shuffle-on-id or broadcast."""
+    is << corpus, so both joins are shuffle-on-id or broadcast.
+
+    hashed=True compares 64-bit token hashes instead of strings —
+    same set cardinalities (md5-collision odds negligible), ~2x
+    cheaper intersections, and the hash array is shared work with the
+    MinHash signature."""
+    tok_arr = word_set(F.col(text_col))
+    if hashed:
+        tok_arr = F.array_sort(F.transform(tok_arr, md5_base_mod))
+    # repartition = an exchange boundary that pins the token-array
+    # build BELOW the joins; without it Catalyst collapses the
+    # projection into the join output and rebuilds the arrays per
+    # PAIR row (measured 1.7x slower at sf0.1). At scale an SMJ
+    # needs this shuffle anyway.
     toks = docs.select(
-        F.col(id_col).alias("jid"), word_set(F.col(text_col)).alias("toks")
-    )
+        F.col(id_col).alias("jid"), tok_arr.alias("toks")
+    ).repartition("jid")
     j = (
         pairs.join(toks.withColumnRenamed("jid", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
         .join(toks.withColumnRenamed("jid", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")

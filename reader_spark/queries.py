@@ -745,7 +745,10 @@ WITH toks AS (
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sigs = DD.minhash_signature(docs, num_hashes=_MH_K)
+    # persist: the band union + self-join reference the signature
+    # subtree 4x; without it every branch recomputes the signatures
+    # (12 scans of documents in the physical plan).
+    sigs = DD.minhash_signature(docs, num_hashes=_MH_K).persist()
     return DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
 
 
@@ -755,7 +758,7 @@ MINHASH_SQL = _MH_CTE + "SELECT doc_a, doc_b FROM cand"
 def dedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact token-set Jaccard."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = DD.minhash_signature(docs, num_hashes=_MH_K)
+    sigs = DD.minhash_signature(docs, num_hashes=_MH_K).persist()
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
     return DD.jaccard_verify(pairs, docs, threshold=0.8)
 
@@ -763,11 +766,11 @@ def dedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_SQL = _MH_CTE + """
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(ta.ws, tb.ws))::DOUBLE /
-               (len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws))), 6) AS jaccard
+         round(len(list_intersect(ta.hs, tb.hs))::DOUBLE /
+               (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))), 6) AS jaccard
   FROM cand
-  JOIN toks ta ON ta.doc_id = doc_a
-  JOIN toks tb ON tb.doc_id = doc_b
+  JOIN hm ta ON ta.doc_id = doc_a
+  JOIN hm tb ON tb.doc_id = doc_b
 ) WHERE jaccard >= 0.8
 """
 

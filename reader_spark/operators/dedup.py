@@ -60,6 +60,37 @@ def word_set(text: Column) -> Column:
     return F.array_sort(F.array_distinct(F.split(text, " ")))
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a small input across the cluster before expensive
+    per-row work (md5 passes, lambda folds — all interpreted, not
+    codegen'd, so single-partition inputs serialize the whole pass
+    onto one core). A one-file parquet table reads as ONE partition;
+    the round-robin shuffle of the raw rows is far cheaper than the
+    hash passes it parallelizes. At 100 TB the scan already has
+    >= defaultParallelism splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan not convertible
+        return df
+    return df.repartition(target) if n < target else df
+
+
+def token_hashes(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "toks",
+) -> DataFrame:
+    """(id, sorted 60-bit token-hash array) — the shared input of
+    MinHash signatures AND exact Jaccard verification. Compute once,
+    persist, and both stages reuse it: one md5 pass over the corpus
+    total instead of one per band branch / join side."""
+    return ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.array_sort(F.transform(word_set(F.col(text_col)), md5_base_mod)).alias(out_col),
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: keep the smallest id per hash.
 
@@ -79,6 +110,7 @@ def minhash_signature(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
+    hashes_col: str | None = None,
 ) -> DataFrame:
     """MinHash signature as `num_hashes` columns h0..h{k-1}.
 
@@ -87,11 +119,17 @@ def minhash_signature(
     seed), then `num_hashes` cheap affine mixes + array_min — pure
     projections, codegen'd. (The pyspark.ml MinHashLSH needs a
     CountVectorizer vocabulary broadcast; this streaming-friendly
-    formulation avoids any fitted state.)"""
-    base = docs.select(
-        F.col(id_col),
-        F.transform(word_set(F.col(text_col)), md5_base_mod).alias("__hms"),
-    )
+    formulation avoids any fitted state.)
+
+    hashes_col: name of a precomputed token-hash array column (see
+    `token_hashes`) — skips the md5 pass entirely."""
+    if hashes_col is not None:
+        base = docs.select(F.col(id_col), F.col(hashes_col).alias("__hms"))
+    else:
+        base = ensure_parallelism(docs).select(
+            F.col(id_col),
+            F.transform(word_set(F.col(text_col)), md5_base_mod).alias("__hms"),
+        )
 
     def mixer(seed: int):
         a, b = minhash_mix_params(seed)
@@ -112,48 +150,40 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """Band the signature and self-join on (band_id, band_key).
+    """Per-band self-joins on the signature slice; docs sharing ALL
+    hashes within any band become a candidate pair (doc_a < doc_b).
 
-    Docs sharing ALL hashes within any band become a candidate pair.
-    Output: distinct (doc_a < doc_b). The join key is an md5 of the
-    band slice — uniformly distributed, so the shuffle is skew-free."""
+    First-match-only banding: band b emits a pair only if every
+    EARLIER band mismatched (cheap long comparisons in the join
+    filter), so the per-band pair sets are disjoint and the usual
+    `.distinct()` — a shuffle of the entire raw-match stream, the
+    single most expensive exchange of the pipeline — disappears.
+    Each band join is a broadcast hash join keyed on the band's hash
+    columns (uniform, skew-free); the probe side keeps its upstream
+    doc-id-spread partitioning so a hot bucket's O(k^2) pair block is
+    still sliced across tasks. At the 100 TB tier where signatures
+    outgrow a broadcast, drop the hint and let AQE skew-split the
+    SMJ — first-match-only still avoids the distinct."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        key = F.md5(
-            F.concat_ws(
-                "_", *[F.col(f"h{b * band_size + j}").cast("string") for j in range(band_size)]
-            )
-        )
-        bands.append(
-            sigs.select(
-                F.col(id_col), F.lit(b).alias("band_id"), key.alias("band_key")
-            )
-        )
-    all_bands = bands[0]
-    for bdf in bands[1:]:
-        all_bands = all_bands.unionByName(bdf)
-    # Skew control: a hot bucket (many docs sharing one band key) would
-    # otherwise emit its entire O(k^2) pair block from ONE task. Spread
-    # the probe side by doc id so every task carries a slice of every
-    # bucket; the build side is broadcast (signatures are tiny relative
-    # to the corpus — at the 100 TB tier where bands outgrow a
-    # broadcast, drop the hint and let AQE skew-split the SMJ).
-    a = all_bands.repartition(F.col(id_col)).alias("a")
-    b = all_bands.alias("b")
-    return (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+    a = sigs.alias("a")
+    b = F.broadcast(sigs.alias("b"))
+    out = None
+    for band in range(n_bands):
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for j in range(band * band_size, (band + 1) * band_size):
+            cond = cond & (F.col(f"a.h{j}") == F.col(f"b.h{j}"))
+        for prior in range(band):
+            mism = None
+            for j in range(prior * band_size, (prior + 1) * band_size):
+                m = F.col(f"a.h{j}") != F.col(f"b.h{j}")
+                mism = m if mism is None else (mism | m)
+            cond = cond & mism
+        pairs = a.join(b, cond).select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .distinct()
-    )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
 
 
 def jaccard_verify(
@@ -163,6 +193,8 @@ def jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     hashed: bool = True,
+    toks: DataFrame | None = None,
+    toks_col: str = "toks",
 ) -> DataFrame:
     """Exact token-set Jaccard on candidate pairs.
 
@@ -173,25 +205,52 @@ def jaccard_verify(
     hashed=True compares 64-bit token hashes instead of strings —
     same set cardinalities (md5-collision odds negligible), ~2x
     cheaper intersections, and the hash array is shared work with the
-    MinHash signature."""
-    tok_arr = word_set(F.col(text_col))
-    if hashed:
-        tok_arr = F.array_sort(F.transform(tok_arr, md5_base_mod))
-    # repartition = an exchange boundary that pins the token-array
-    # build BELOW the joins; without it Catalyst collapses the
-    # projection into the join output and rebuilds the arrays per
-    # PAIR row (measured 1.7x slower at sf0.1). At scale an SMJ
-    # needs this shuffle anyway.
-    toks = docs.select(
-        F.col(id_col).alias("jid"), tok_arr.alias("toks")
-    ).repartition("jid")
+    MinHash signature. Pass a persisted `token_hashes` frame as
+    `toks` to skip recomputing the hash arrays per join side."""
+    if toks is not None:
+        toks = toks.select(F.col(id_col).alias("jid"), F.col(toks_col).alias("toks"))
+    else:
+        tok_arr = word_set(F.col(text_col))
+        if hashed:
+            tok_arr = F.array_sort(F.transform(tok_arr, md5_base_mod))
+        # ensure_parallelism = an exchange boundary that pins the
+        # token-array build BELOW the joins (and off a single task);
+        # without it Catalyst collapses the projection into the join
+        # output and rebuilds the arrays per PAIR row (measured 1.7x
+        # slower at sf0.1).
+        toks = ensure_parallelism(docs).select(
+            F.col(id_col).alias("jid"), tok_arr.alias("toks")
+        )
+    # Per-pair set ops are the CPU hot spot. Three levers (measured at
+    # sf0.1, 2.27M candidate pairs):
+    #  * |A∪B| = |A|+|B| - |A∩B| (arrays are distinct sets) — ONE
+    #    array op per pair instead of intersect+union.
+    #  * An explicit round-robin repartition of the pair list: its
+    #    shuffle footprint is tiny (two longs/row) so AQE would
+    #    coalesce it onto 1-2 tasks and serialize the CPU-bound stage.
+    #  * A cache barrier between the inter-projection and the
+    #    threshold filter: without it, predicate pushdown rewrites the
+    #    filter into the join CONDITION with the intersect inlined
+    #    twice more (+ slow non-codegen condition eval) — 6x slower.
+    #    The barrier table is 4 longs/pair, far smaller than its
+    #    inputs, so it is persistable even at the 100 TB tier.
+    fanout = pairs.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(fanout)
+    toks = toks.withColumn("n_toks", F.size(F.col("toks")))
     j = (
-        pairs.join(toks.withColumnRenamed("jid", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
-        .join(toks.withColumnRenamed("jid", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+        pairs.join(
+            toks.select(F.col("jid").alias("doc_a"), F.col("toks").alias("toks_a"),
+                        F.col("n_toks").alias("na")), "doc_a")
+        .join(
+            toks.select(F.col("jid").alias("doc_b"), F.col("toks").alias("toks_b"),
+                        F.col("n_toks").alias("nb")), "doc_b")
     )
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    jac = inter.cast("double") / union.cast("double")
+    j = j.select(
+        "doc_a", "doc_b",
+        F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).alias("inter"),
+        (F.col("na") + F.col("nb")).alias("tot"),
+    ).persist()
+    jac = F.col("inter").cast("double") / (F.col("tot") - F.col("inter")).cast("double")
     return (
         j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -220,6 +279,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             ),
         )
 
+    docs = ensure_parallelism(docs)
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),

@@ -752,15 +752,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
 
 
-MINHASH_SQL = _MH_CTE + "SELECT doc_a, doc_b FROM cand"
-
-
 def dedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified with exact token-set Jaccard."""
+    """MinHash-LSH candidates verified with exact token-set Jaccard.
+
+    One persisted md5 pass over the corpus (`token_hashes`) feeds
+    BOTH the signature bands and the verify joins."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = DD.minhash_signature(docs, num_hashes=_MH_K).persist()
+    base = DD.token_hashes(docs).persist()
+    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
-    return DD.jaccard_verify(pairs, docs, threshold=0.8)
+    return DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+
+
+MINHASH_SQL = _MH_CTE + "SELECT doc_a, doc_b FROM cand"
 
 
 NEAR_DUP_SQL = _MH_CTE + """

@@ -60,6 +60,22 @@ def word_set(text: Column) -> Column:
     return F.array_sort(F.array_distinct(F.split(text, " ")))
 
 
+def shingle_set(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles, order-normalized. Shingling
+    preserves local word order that the bag-of-words `word_set`
+    loses, so n-gram Jaccard discriminates reordered text."""
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        # unary lambda (a 2-arg lambda becomes (element, index));
+        # `toks` is captured from the enclosing row.
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_sort(F.array_distinct(grams))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a small input across the cluster before expensive
     per-row work (md5 passes, lambda folds — all interpreted, not
@@ -79,15 +95,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
 def token_hashes(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    out_col: str = "toks",
+    out_col: str = "toks", tokenizer=None,
 ) -> DataFrame:
     """(id, sorted 60-bit token-hash array) — the shared input of
     MinHash signatures AND exact Jaccard verification. Compute once,
     persist, and both stages reuse it: one md5 pass over the corpus
-    total instead of one per band branch / join side."""
+    total instead of one per band branch / join side.
+
+    tokenizer: Column -> array<string> set builder (default
+    `word_set`; pass `shingle_set` for n-gram dedup)."""
+    tokenizer = tokenizer or word_set
     return ensure_parallelism(docs).select(
         F.col(id_col),
-        F.array_sort(F.transform(word_set(F.col(text_col)), md5_base_mod)).alias(out_col),
+        F.array_sort(F.transform(tokenizer(F.col(text_col)), md5_base_mod)).alias(out_col),
     )
 
 
@@ -297,3 +317,55 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         lambda acc, x: acc + x,
     )
     return docs.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 63,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= `max_hamming`.
+
+    Pigeonhole banding: split the hash into `n_bands` bit slices —
+    any pair within distance n_bands-1 shares at least one identical
+    slice, so per-slice equi self-joins find every candidate (set
+    max_hamming <= n_bands-1 for exactness). First-match-only (a pair
+    is emitted by its first equal band, later bands require an
+    earlier-band mismatch) keeps the per-band pair sets disjoint — no
+    distinct shuffle. The exact `bit_count(xor)` filter runs on the
+    join output. Same scale shape as `lsh_candidate_pairs`: broadcast
+    build side, uniform slice keys, AQE skew-split beyond broadcast
+    size."""
+    assert max_hamming <= n_bands - 1, "pigeonhole needs n_bands > max_hamming"
+    base = bits // n_bands
+    rem = bits % n_bands
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    def slice_of(side: str, band: int) -> Column:
+        c = F.shiftright(F.col(f"{side}.{hash_col}"), offsets[band])
+        return c.bitwiseAND(F.lit((1 << widths[band]) - 1))
+
+    a = sh.alias("a")
+    b = F.broadcast(sh.alias("b"))
+    hamming = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    )
+    out = None
+    for band in range(n_bands):
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+            slice_of("a", band) == slice_of("b", band)
+        )
+        for prior in range(band):
+            cond = cond & (slice_of("a", prior) != slice_of("b", prior))
+        cond = cond & (hamming <= max_hamming)
+        pairs = a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out

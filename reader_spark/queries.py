@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from reader_spark.functions import text as TX
 from reader_spark.operators import dedup as DD
+from reader_spark.operators import joins as JO
 from reader_spark.operators import similarity as SIM
 from reader_spark.plans import snapshot as SNAP
 
@@ -964,6 +965,204 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Temporal / range joins (SURVEY §2.7 as-of semantics, generalized)
+
+
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event, the user's most recent order at-or-before the event
+    time (backward as-of). Right side pre-reduced to one row per
+    (custkey, orderdate) so tie-breaks are deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    j = JO.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return j.select(
+        "event_id", "user_id", _fmt_ts(F.col("ts"), "ts_s"),
+        "o_orderkey", "o_totalprice",
+    )
+
+
+ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       r.o_orderkey, r.o_totalprice
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join of events.value against OVERLAPPING
+    value bands (width 50, stride 25), executed as a binned equi
+    join — no cross product. Decimal sum for engine-exact totals."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.range(0, 20).select(
+        (F.col("id") * 25.0).alias("lo"), (F.col("id") * 25.0 + 50.0).alias("hi")
+    )
+    j = JO.range_bin_join(ev, bands, "value", "lo", "hi", bin_width=25.0)
+    return j.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+RANGE_SQL = """
+WITH bands AS (
+  SELECT (i*25.0)::DOUBLE AS lo, (i*25.0+50.0)::DOUBLE AS hi FROM range(0, 20) t(i)
+)
+SELECT lo, hi, count(*) AS n_events,
+       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# additional dedup variants: simhash pairs, n-gram shingles
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via pigeonhole banding;
+    the oracle cross-checks with the naive O(n^2) form."""
+    sh = DD.simhash(_t(spark, sf_dir, "documents")).persist()
+    return DD.simhash_candidate_pairs(sh, n_bands=4, max_hamming=3)
+
+
+SIMHASH_PAIRS_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents
+), h AS (
+  SELECT doc_id, ('0x'||substr(md5('sim:'||word),1,15))::BIGINT AS hv FROM w
+), bits AS (
+  SELECT doc_id, b, CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END AS sgn
+  FROM h, (SELECT unnest(generate_series(0, 62)) AS b)
+), agg AS (
+  SELECT doc_id, b, sum(sgn) AS s FROM bits GROUP BY 1, 2
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+  FROM agg GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+_NG_K = 8
+_NG_BAND = 4
+
+_NG_SIG_DUCK = ",\n".join(
+    "    list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS h{i}".format(
+        a=DD.minhash_mix_params(i)[0],
+        b=DD.minhash_mix_params(i)[1],
+        p=DD.MINHASH_P,
+        i=i,
+    )
+    for i in range(_NG_K)
+)
+
+_NG_BANDS_DUCK = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sigs".format(
+        b=b,
+        parts=" || '_' || ".join(
+            f"h{_NG_BAND*b+j}::VARCHAR" for j in range(_NG_BAND)
+        ),
+    )
+    for b in range(_NG_K // _NG_BAND)
+)
+
+NGRAM_SQL = f"""
+WITH rt AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 2 THEN list_sort(list_distinct(
+            list_transform(generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1])))
+         ELSE []::VARCHAR[] END AS ws
+  FROM rt
+), hm AS (
+  SELECT doc_id, ws,
+         list_transform(ws, w -> ('0x'||substr(md5(w),1,15))::BIGINT % {DD.MINHASH_P}) AS hs
+  FROM toks
+), sigs AS (
+  SELECT doc_id,
+{_NG_SIG_DUCK}
+  FROM hm
+), bands AS (
+{_NG_BANDS_DUCK}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(ta.hs, tb.hs))::DOUBLE /
+               (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))), 6) AS jaccard
+  FROM cand
+  JOIN hm ta ON ta.doc_id = doc_a
+  JOIN hm tb ON tb.doc_id = doc_b
+) WHERE jaccard >= 0.6
+"""
+
+
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram shingle MinHash-LSH + exact shingle-set Jaccard —
+    order-sensitive near-dup, same pipeline as `dedup_near_dup` with
+    the shingle tokenizer swapped in."""
+    docs = _t(spark, sf_dir, "documents")
+    base = DD.token_hashes(docs, tokenizer=lambda c: DD.shingle_set(c, 2)).persist()
+    sigs = DD.minhash_signature(base, num_hashes=_NG_K, hashes_col="toks").persist()
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_NG_K, band_size=_NG_BAND)
+    return DD.jaccard_verify(pairs, docs, threshold=0.6, toks=base)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only check: binary payloads are not
+# SQL-expressible; the decode layer is a deterministic fake)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treats each document's utf-8 bytes as an opaque media payload
+    and runs the mapInPandas feature-extraction plumbing end-to-end
+    (schema, Arrow batching, partition-preserving decode)."""
+    from reader_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return MM.extract_features(media, dim=8)
+
+
+# ---------------------------------------------------------------------------
 # catalog
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1005,4 +1204,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (text_quality, QUALITY_SQL),
     "text_tokens": (text_tokens, TOKENS_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    # temporal / range joins
+    "asof_join_orders": (asof_join_orders, ASOF_SQL),
+    "range_join_bands": (range_join_bands, RANGE_SQL),
+    # dedup variants
+    "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
+    "dedup_ngram": (dedup_ngram, NGRAM_SQL),
+    # multimodal plumbing (rows-only)
+    "multimodal_features": (multimodal_features, None),
 }

@@ -81,3 +81,31 @@ def test_knn_ivf_restricts_to_cluster(spark):
     )
     out = SIM.knn_ivf(df, [0], k=5).collect()
     assert [r["neighbor_id"] for r in out] == [1]
+
+
+def test_shingle_set(spark):
+    import pyspark.sql.functions as F
+    from reader_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([("a b c b a",), ("solo",)], "text string")
+    out = df.select(DD.shingle_set(F.col("text"), 2).alias("s")).collect()
+    assert out[0].s == sorted({"a b", "b c", "c b", "b a"})
+    assert out[1].s == []  # shorter than n -> empty set
+
+
+def test_simhash_candidate_pairs_match_naive(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from reader_spark.operators import dedup as DD
+    from reader_spark.session import read_table
+
+    sh = DD.simhash(read_table(spark, sf_dir, "documents").limit(200)).persist()
+    banded = DD.simhash_candidate_pairs(sh, n_bands=4, max_hamming=3)
+    a, b = sh.alias("a"), sh.alias("b")
+    naive = a.join(
+        b,
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= 3),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    got = sorted((r.doc_a, r.doc_b) for r in banded.collect())
+    want = sorted((r.doc_a, r.doc_b) for r in naive.collect())
+    assert got == want and len(got) == len(set(got))  # complete, no dups

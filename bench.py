@@ -27,7 +27,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_near_dup",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram",
     "knn_bruteforce",
+    "knn_ivf",
+    "embedding_near_dup",
+    "asof_join_orders",
+    "range_join_bands",
     "text_quality",
     "text_fingerprint",
 ]
@@ -44,12 +50,21 @@ def main() -> None:
     # JVM/codegen warmup so the first timed query isn't charged for it.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Best-of-N per query: the VM shows intermittent multi-second
+    # scheduling stalls that would otherwise land on one unlucky
+    # query. Cache is cleared before every attempt so persisted
+    # intermediates don't make repeat runs artificially warm.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name in names:
         fn, _sql = CATALOG[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -653,13 +653,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 100 TB path: equi-join on the cluster key bounds the
     candidate set; no cross join)."""
     emb = _t(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
-    )
+    # Norms are per-VECTOR, not per-pair: precompute once (the fold is
+    # an interpreted higher-order expr — the expensive bit) and spread
+    # the one-file table so the pair stage isn't single-task.
+    vecs = DD.ensure_parallelism(
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+        )
+    ).withColumn("nrm", F.sqrt(SIM.dot(F.col("vec"), F.col("vec")))).persist()
     a = vecs.alias("a")
-    b = vecs.alias("b")
-    sim = SIM.cosine(F.col("a.vec"), F.col("b.vec"))
-    return (
+    b = F.broadcast(vecs.alias("b"))
+    sim = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
@@ -670,8 +675,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(sim, 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.2)
+        # Cache barrier: without it the threshold predicate is pushed
+        # into the join condition with the dot-product fold inlined
+        # (evaluated 2x per candidate on the slow condition path).
+        .persist()
     )
+    return pairs.filter(F.col("cos_sim") >= 0.2)
 
 
 EMB_NEAR_DUP_SQL = """

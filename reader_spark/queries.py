@@ -1042,6 +1042,51 @@ GROUP BY 1, 2
 """
 
 
+def c5_schema_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/§2.7: pick the schema version active at each event's
+    timestamp (the reference's MostRecentMap lookup,
+    lib/maputil/most_recent_map.go:14-76; events older than the first
+    version resolve to NULL and would be dropped, dml.go:44-52).
+    History is a deterministic literal DDL log spanning the events
+    window."""
+    from reader_spark.streaming import schema_history as SH
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    history = spark.sql(
+        """
+        SELECT to_timestamp(v) AS unix_ts, s AS statement FROM VALUES
+          ('2024-01-05 00:00:00', 'ALTER TABLE t ADD COLUMN c1 INT'),
+          ('2024-01-12 12:00:00', 'ALTER TABLE t ADD COLUMN c2 TEXT'),
+          ('2024-01-20 06:30:00', 'ALTER TABLE t DROP COLUMN c1')
+        AS tab(v, s)
+        """
+    )
+    out = SH.asof_schema_version(
+        ev, history, "event_id", event_ts="ts", version_ts="unix_ts"
+    )
+    return out.select(
+        "event_id",
+        _fmt_ts(F.col("ts"), "ts_s"),
+        _fmt_ts(F.col("schema_version_ts"), "version_s"),
+        "schema_statement",
+    )
+
+
+C5_ASOF_SQL = """
+WITH h AS (
+  SELECT * FROM (VALUES
+    (TIMESTAMP '2024-01-05 00:00:00', 'ALTER TABLE t ADD COLUMN c1 INT'),
+    (TIMESTAMP '2024-01-12 12:00:00', 'ALTER TABLE t ADD COLUMN c2 TEXT'),
+    (TIMESTAMP '2024-01-20 06:30:00', 'ALTER TABLE t DROP COLUMN c1')
+  ) t(vts, statement)
+)
+SELECT e.event_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       strftime(h.vts, '%Y-%m-%d %H:%M:%S') AS version_s,
+       h.statement AS schema_statement
+FROM events e ASOF LEFT JOIN h ON e.ts >= h.vts
+"""
+
+
 # ---------------------------------------------------------------------------
 # additional dedup variants: simhash pairs, n-gram shingles
 
@@ -1216,6 +1261,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # temporal / range joins
     "asof_join_orders": (asof_join_orders, ASOF_SQL),
     "range_join_bands": (range_join_bands, RANGE_SQL),
+    "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     # dedup variants
     "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_ngram": (dedup_ngram, NGRAM_SQL),

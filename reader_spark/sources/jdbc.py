@@ -140,6 +140,27 @@ PK_QUERY = {
     ),
 }
 
+# S8 streaming-bootstrap table listing (the reference's
+# `SHOW FULL TABLES ... BASE TABLE`, lib/mysql/schema/schema.go:73-95)
+# expressed as portable information_schema reads.
+LIST_TABLES_QUERY = {
+    "postgres": (
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE' "
+        "ORDER BY table_name"
+    ),
+    "mysql": (
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE' "
+        "ORDER BY table_name"
+    ),
+    "mssql": (
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE' "
+        "ORDER BY table_name"
+    ),
+}
+
 COLUMNS_QUERY = {
     "postgres": (
         "SELECT column_name, data_type, numeric_precision, numeric_scale, "

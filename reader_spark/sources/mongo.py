@@ -65,10 +65,17 @@ def change_event_frame(
 
     before/after stay Extended-JSON STRINGS (the reference's row
     model) — structure is recovered with from_json only when a query
-    needs it."""
+    needs it. `documentKey` may arrive as a struct (connector) or an
+    ext-JSON string (file-replayed fixtures)."""
+    from pyspark.sql import types as T
+
+    dk = raw.schema[doc_key].dataType
+    key_json = (
+        F.col(doc_key) if isinstance(dk, T.StringType) else F.to_json(F.col(doc_key))
+    )
     return raw.select(
         op_column(F.col(op_col)).alias("op"),
         F.col(pre_image).cast("string").alias("before"),
         F.col(full_doc).cast("string").alias("after"),
-        id_partition_key(F.to_json(F.col(doc_key))).alias("key"),
+        id_partition_key(key_json).alias("key"),
     )

@@ -81,3 +81,35 @@ def test_stream_op_mapping(spark):
         ).collect()
     ]
     assert out == ["c", "u", "d"]
+
+
+def test_catalog_queries_cover_all_dialects():
+    from reader_spark.sources.jdbc import COLUMNS_QUERY, LIST_TABLES_QUERY, PK_QUERY
+
+    for q in (COLUMNS_QUERY, PK_QUERY, LIST_TABLES_QUERY):
+        assert set(q) == {"postgres", "mysql", "mssql"}
+        for sql in q.values():
+            rendered = sql.format(schema="public", table="t1")
+            assert "{" not in rendered  # fully parameterized
+    # dialect-specific shapes survive
+    assert "pg_index" in PK_QUERY["postgres"]
+    assert "BASE TABLE" in LIST_TABLES_QUERY["mysql"]
+    assert "datetime_precision" in COLUMNS_QUERY["mssql"]
+
+
+def test_mongo_change_event_frame(spark):
+    from reader_spark.sources.mongo import change_event_frame
+
+    raw = spark.createDataFrame(
+        [
+            ("insert", '{"_id": {"$oid": "a1"}, "x": 1}', None, '{"_id": {"$oid": "a1"}}'),
+            ("update", '{"_id": {"$oid": "a1"}, "x": 2}', '{"_id": {"$oid": "a1"}, "x": 1}', '{"_id": {"$oid": "a1"}}'),
+            ("delete", None, '{"_id": {"$oid": "a1"}, "x": 2}', '{"_id": {"$oid": "a1"}}'),
+        ],
+        "operationType string, fullDocument string, fullDocumentBeforeChange string, documentKey string",
+    )
+    rows = change_event_frame(raw).collect()
+    assert [r.op for r in rows] == ["c", "u", "d"]
+    assert rows[0].after.endswith('"x": 1}')
+    assert rows[2].after is None and rows[2].before is not None
+    assert '"id"' in rows[0].key  # ext-JSON _id wrapped as key payload

@@ -1,0 +1,60 @@
+"""Physical-plan discipline tests — the 100 TB contract.
+
+These assert properties of the PLAN, not the result: filters reach
+the parquet scan, projections prune the read schema, small dims
+broadcast, and nothing in the whole catalog degenerates into a
+cartesian product.
+"""
+
+import pyspark.sql.functions as F
+
+from reader_spark.queries import CATALOG
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_product_anywhere(spark):
+    for name, (fn, _sql) in CATALOG.items():
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_projection_prunes_scan_schema(spark):
+    fn, _ = CATALOG["p1_projection"]
+    plan = _plan(fn(spark, SF_DIR))
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    # ReadSchema carries only the projected columns, not the full table
+    assert "ReadSchema" in plan
+    assert "o_orderpriority" not in scan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    fn, _ = CATALOG["small_quantity_orders"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert any(
+        tok in plan for tok in ("LessThan", "GreaterThan", "EqualTo", "IsNotNull")
+    )
+
+
+def test_small_dims_broadcast_in_q5(spark):
+    fn, _ = CATALOG["q5_local_supplier"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # nation/region never shuffle the fact side
+
+
+def test_lsh_builds_broadcast_not_shuffle_join(spark):
+    fn, _ = CATALOG["dedup_minhash_lsh"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_bruteforce_broadcasts_queries(spark):
+    fn, _ = CATALOG["knn_bruteforce"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

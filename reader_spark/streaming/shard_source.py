@@ -1,0 +1,164 @@
+"""Sharded stream source: shards-as-partitions with per-shard
+sequence offsets, parent->child ordering, and per-batch paging
+(PySpark 4 Python Data Source API).
+
+Spark-native analogue of the reference's DynamoDB Streams consumer
+(/root/reference/sources/dynamodb/stream/stream.go:48-105 — shard
+discovery every poll; shard.go:46-148 — one goroutine per shard
+honoring parent ordering, 1000-record GetRecords pages; offsets/
+offsets.go:10-110 — per-shard sequence-number offsets with TTL):
+
+  * each shard is an InputPartition -> Spark schedules shards
+    concurrently while preserving per-shard record order (the
+    reference's per-goroutine ordering);
+  * a CHILD shard yields no records until its parent is fully
+    drained AND closed — the parent/child gate moves from goroutine
+    bookkeeping into offset arithmetic;
+  * offsets are {shard: records_consumed} dicts, checkpointed by the
+    engine (replaces the TTL map — checkpoint retention is the TTL);
+  * `maxRecordsPerBatch` caps per-shard progress per micro-batch
+    (GetRecords page size);
+  * shard discovery happens on every `latestOffset()` call (the
+    reference's 5-minute re-scan ticker collapses into the trigger).
+
+Layout on disk (stands in for the Streams API): a directory of
+`<shard>.jsonl` files plus an optional `shards.json` manifest
+`{"<shard>": {"parent": "<shard>", "closed": true}}`. A shard with
+no manifest entry is an open root shard.
+
+Register with `spark.dataSource.register(ShardStreamDataSource)` then
+`spark.readStream.format("shardstream").schema(...).option("path", d)`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+MANIFEST = "shards.json"
+
+
+class ShardSlice(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class ShardStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("shardstream source requires option 'path'")
+        self.fields = schema.fieldNames()
+        self.max_per_batch = int(options.get("maxRecordsPerBatch", "1000"))
+        # Engine calls latestOffset() after planning each batch; track
+        # the last end so child gating sees the parent's progress.
+        self._last_end: dict = {}
+
+    # -- discovery ---------------------------------------------------------
+
+    def _manifest(self) -> dict:
+        mp = os.path.join(self.path, MANIFEST)
+        if os.path.isfile(mp):
+            with open(mp) as f:
+                return json.load(f)
+        return {}
+
+    def _shard_lines(self) -> dict[str, int]:
+        out = {}
+        if os.path.isdir(self.path):
+            for name in sorted(os.listdir(self.path)):
+                fp = os.path.join(self.path, name)
+                if name.endswith(".jsonl") and os.path.isfile(fp):
+                    with open(fp) as f:
+                        out[name[: -len(".jsonl")]] = sum(1 for _ in f)
+        return out
+
+    # -- offsets -----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {}  # TRIM_HORIZON: start every shard at its oldest record
+
+    def latestOffset(self) -> dict:
+        lines = self._shard_lines()
+        manifest = self._manifest()
+        end = {}
+        for shard, n in lines.items():
+            consumed = int(self._last_end.get(shard, 0))
+            meta = manifest.get(shard, {})
+            parent = meta.get("parent")
+            if parent is not None:
+                p_total = lines.get(parent, 0)
+                p_done = int(self._last_end.get(parent, 0)) >= p_total
+                p_closed = manifest.get(parent, {}).get("closed", False)
+                if not (p_done and p_closed):
+                    # Parent still live: hold the child at its current
+                    # position (shard.go:46-67 ordering contract).
+                    end[shard] = consumed
+                    continue
+            end[shard] = min(n, consumed + self.max_per_batch)
+        self._last_end = dict(end)
+        return end
+
+    def partitions(self, start: dict, end: dict) -> list[ShardSlice]:
+        # Restart reconciliation: after recovery the engine replans
+        # from the checkpointed `start`, which may be ahead of this
+        # fresh reader's tracker — never plan behind it.
+        for shard, s in start.items():
+            if int(s) > int(self._last_end.get(shard, 0)):
+                self._last_end[shard] = int(s)
+        parts = []
+        for shard, end_n in end.items():
+            start_n = int(start.get(shard, 0))
+            if int(end_n) > start_n:
+                parts.append(
+                    ShardSlice(
+                        os.path.join(self.path, f"{shard}.jsonl"),
+                        start_n,
+                        int(end_n),
+                    )
+                )
+        return parts or [ShardSlice("", 0, 0)]
+
+    def read(self, partition: ShardSlice) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        with open(partition.path) as f:
+            for i, line in enumerate(f):
+                if i < partition.start:
+                    continue
+                if i >= partition.end:
+                    break
+                rec = json.loads(line)
+                yield tuple(
+                    None if rec.get(k) is None else str(rec.get(k))
+                    for k in self.fields
+                )
+
+    def commit(self, end: dict) -> None:
+        # Write-then-commit (writers/writer.go:44-50): a live Streams
+        # client would persist per-shard sequence numbers here; with
+        # files the checkpoint is the offset store.
+        pass
+
+
+class ShardStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "shardstream"
+
+    def schema(self) -> str:
+        # DynamoDB stream record shape (lib/dynamo/parse_message.go);
+        # callers normally pass .schema(...).
+        return "event_name string, keys string, new_image string, old_image string, seq string"
+
+    def streamReader(self, schema) -> ShardStreamReader:
+        return ShardStreamReader(schema, self.options)

@@ -1042,6 +1042,65 @@ GROUP BY 1, 2
 """
 
 
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order history (unbounded
+    preceding running sum). Decimal accumulator for engine-exact
+    totals; one shuffle on the partition key."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _fmt_ts(F.col("o_orderdate"), "date_s"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_s,
+       (sum(o_totalprice::DECIMAL(18,2)) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS cum_spend
+FROM orders
+"""
+
+
+def lead_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequencing: previous event type and gap seconds
+    (lead/lag windows — one shuffle on user_id)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        _fmt_ts(F.col("ts"), "ts_s"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+    )
+
+
+LEADLAG_SQL = """
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       lag(event_type) OVER w AS prev_type,
+       (epoch_us(ts) - epoch_us(lag(ts) OVER w))::BIGINT AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def c5_schema_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5/§2.7: pick the schema version active at each event's
     timestamp (the reference's MostRecentMap lookup,
@@ -1246,6 +1305,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "small_quantity_orders": (small_quantity_orders, SMALLQTY_SQL),
     "string_functions": (string_functions, STRINGS_SQL),
     "date_functions": (date_functions, DATES_SQL),
+    "running_totals": (running_totals, RUNNING_SQL),
+    "lead_lag_events": (lead_lag_events, LEADLAG_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),

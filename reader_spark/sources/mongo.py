@@ -28,6 +28,49 @@ OP_MAP = {
 }
 
 
+def snapshot_pipeline(
+    min_id: str | None = None,
+    max_id: str | None = None,
+    id_field: str = "_id",
+) -> str:
+    """Aggregation-pipeline JSON for a bounded snapshot scan — the
+    connector's `aggregation.pipeline` option; the `$match` runs
+    server-side exactly like the reference's cursor filter
+    (sources/mongo/snapshot.go:48-69: {_id: {$gte: min, $lte: max}}).
+
+    Partitioned parallelism comes from the connector's partitioner on
+    top of this bound; bounds use ext-JSON so ObjectId/typed ids
+    round-trip."""
+    import json as _json
+
+    bounds = {}
+    if min_id is not None:
+        bounds["$gte"] = min_id
+    if max_id is not None:
+        bounds["$lte"] = max_id
+    if not bounds:
+        return "[]"
+    return _json.dumps([{"$match": {id_field: bounds}}])
+
+
+def snapshot_read_options(
+    uri: str,
+    database: str,
+    collection: str,
+    min_id: str | None = None,
+    max_id: str | None = None,
+    partitioner_field: str = "_id",
+) -> dict[str, str]:
+    """Options for spark.read.format("mongodb") — S9 snapshot scan."""
+    return {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+        "aggregation.pipeline": snapshot_pipeline(min_id, max_id),
+        "partitioner.options.partition.field": partitioner_field,
+    }
+
+
 def mongo_available(spark: SparkSession) -> bool:
     """True when the Mongo Spark connector jar is on the classpath."""
     try:

@@ -113,3 +113,16 @@ def test_mongo_change_event_frame(spark):
     assert rows[0].after.endswith('"x": 1}')
     assert rows[2].after is None and rows[2].before is not None
     assert '"id"' in rows[0].key  # ext-JSON _id wrapped as key payload
+
+
+def test_mongo_snapshot_pipeline_bounds():
+    import json
+
+    from reader_spark.sources.mongo import snapshot_pipeline, snapshot_read_options
+
+    p = json.loads(snapshot_pipeline('{"$oid":"aa"}', '{"$oid":"ff"}'))
+    assert p == [{"$match": {"_id": {"$gte": '{"$oid":"aa"}', "$lte": '{"$oid":"ff"}'}}}]
+    assert snapshot_pipeline() == "[]"
+    opts = snapshot_read_options("mongodb://h", "db", "coll", min_id="1")
+    assert opts["aggregation.pipeline"].startswith('[{"$match"')
+    assert opts["partitioner.options.partition.field"] == "_id"

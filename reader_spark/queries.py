@@ -1042,6 +1042,43 @@ GROUP BY 1, 2
 """
 
 
+def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly AND daily
+    grains in ONE pass via GROUPING SETS — the map-side partial
+    aggregation is shared, so the scan happens once (vs one job per
+    grain). Decimal sums for engine parity."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    g = ev.select(
+        F.col("event_type"),
+        _fmt_ts(hour, "bucket_hour"),
+        _fmt_ts(day, "bucket_day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        g.groupingSets(
+            [["event_type", "bucket_hour"], ["event_type", "bucket_day"]],
+            "event_type", "bucket_hour", "bucket_day",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+    )
+
+
+ROLLUP_MULTI_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_day,
+       count(*) AS n,
+       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, bucket_hour), (event_type, bucket_day))
+"""
+
+
 def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative spend per customer over order history (unbounded
     preceding running sum). Decimal accumulator for engine-exact
@@ -1307,6 +1344,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "date_functions": (date_functions, DATES_SQL),
     "running_totals": (running_totals, RUNNING_SQL),
     "lead_lag_events": (lead_lag_events, LEADLAG_SQL),
+    "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),

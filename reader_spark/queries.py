@@ -1042,6 +1042,57 @@ GROUP BY 1, 2
 """
 
 
+def p2_value_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 driver-value parsing residue (SURVEY §2.3): Postgres point
+    and hstore text, MySQL enum index and set bitmask — decoded with
+    the converter library; the oracle re-implements the parsing
+    independently in DuckDB SQL."""
+    from reader_spark.functions import converters as C
+
+    raw = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1, '(1.5,-2.5)',  '"a"=>"1", "b"=>"2"', 2, 5),
+          (2, '(-0.25,3e2)', '"k"=>"v"',           1, 0),
+          (3, '(0,0)',       '',                   3, 7)
+        AS t(row_id, pt, hst, en, st)
+        """
+    )
+    m = C.hstore_map("hst")
+    return raw.select(
+        "row_id",
+        C.point_struct(F.col("pt")).getField("x").alias("x"),
+        C.point_struct(F.col("pt")).getField("y").alias("y"),
+        F.element_at(m, "a").alias("ha"),
+        F.element_at(m, "k").alias("hk"),
+        C.mysql_enum_decode(F.col("en"), ["red", "green", "blue"]).alias("en_s"),
+        C.mysql_set_decode(F.col("st"), ["a", "b", "c"]).alias("st_s"),
+    )
+
+
+P2_SQL = """
+WITH r AS (
+  SELECT * FROM (VALUES
+    (1, '(1.5,-2.5)',  '"a"=>"1", "b"=>"2"', 2, 5),
+    (2, '(-0.25,3e2)', '"k"=>"v"',           1, 0),
+    (3, '(0,0)',       '',                   3, 7)
+  ) t(row_id, pt, hst, en, st)
+)
+SELECT row_id,
+       regexp_extract(pt, '\\(([-0-9.eE+]+),', 1)::DOUBLE AS x,
+       regexp_extract(pt, ',([-0-9.eE+]+)\\)', 1)::DOUBLE AS y,
+       CASE WHEN contains(hst, '"a"=>') THEN regexp_extract(hst, '"a"=>"([^"]*)"', 1) END AS ha,
+       CASE WHEN contains(hst, '"k"=>') THEN regexp_extract(hst, '"k"=>"([^"]*)"', 1) END AS hk,
+       ['red','green','blue'][en] AS en_s,
+       coalesce(array_to_string(
+         list_filter(
+           list_transform(generate_series(0, 2),
+                          i -> CASE WHEN ((st >> i) & 1) = 1 THEN ['a','b','c'][i+1] END),
+           x -> x IS NOT NULL), ','), '') AS st_s
+FROM r
+"""
+
+
 def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate rollup: hourly AND daily
     grains in ONE pass via GROUPING SETS — the map-side partial
@@ -1345,6 +1396,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "running_totals": (running_totals, RUNNING_SQL),
     "lead_lag_events": (lead_lag_events, LEADLAG_SQL),
     "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
+    "p2_value_parse": (p2_value_parse, P2_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),

@@ -68,6 +68,13 @@ def knn_bruteforce(
             F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
         )
     )
+    # One shuffle: the per-query top-k window moves Q x N scored rows
+    # of 3 columns. NB a two-stage "local top-k" via a second window
+    # keyed on (query, partition_id) does NOT help — window functions
+    # hash-partition their input, so it would ADD a full shuffle, not
+    # remove one. True map-side truncation needs RDD aggregateByKey
+    # with a bounded heap; reach for it only when Q x N x 24 bytes
+    # exceeds comfortable shuffle volume.
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

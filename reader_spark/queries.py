@@ -626,6 +626,32 @@ FROM part
 """
 
 
+def max_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's maximal orders) —
+    Catalyst decorrelates it into an aggregate + join; exact `max`
+    keeps the predicate float-unambiguous across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM __orders_corr o
+        WHERE o_totalprice = (SELECT max(i.o_totalprice)
+                              FROM __orders_corr i
+                              WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+MAX_ORDER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT max(i.o_totalprice)
+                      FROM orders i
+                      WHERE i.o_custkey = o.o_custkey)
+"""
+
+
 def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar date/time surface: extract, truncate, diff, add."""
     orders = _t(spark, sf_dir, "orders")
@@ -1401,6 +1427,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "date_functions": (date_functions, DATES_SQL),
     "running_totals": (running_totals, RUNNING_SQL),
     "lead_lag_events": (lead_lag_events, LEADLAG_SQL),
+    "max_order_per_customer": (max_order_per_customer, MAX_ORDER_SQL),
     "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
     "p2_value_parse": (p2_value_parse, P2_SQL),
     # LLM-data-pipeline

@@ -62,9 +62,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Runtime-settable safety pins for vanilla caller sessions (the
+    # driver builds its own SparkSession without our factory configs):
+    # UTC keeps date_format/zoned-timestamp output independent of the
+    # host timezone, matching the DuckDB oracle.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name in NANO_TS_COLS:
-        # Runtime-settable; ensures nanos columns load even when the
-        # caller's session didn't set the conf at build time.
+        # Ensures nanos columns load even when the caller's session
+        # didn't set the conf at build time.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:

@@ -54,18 +54,28 @@ def knn_bruteforce(
     """
     from pyspark.sql import Window as W
 
+    # Self-norms are computed ONCE per row (N x D work), not once per
+    # pair (Q x N x D) — same sequential fold, so the doubles are
+    # bit-identical to folding inside the pair stage.
     vecs = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
-    )
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
     queries = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nv").alias("nq"),
     )
     cand = (
         vecs.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nv"))),
+                6,
+            ).alias("cos_sim"),
         )
     )
     # One shuffle: the per-query top-k window moves Q x N scored rows
@@ -104,11 +114,12 @@ def knn_ivf(
         F.col(id_col),
         F.col(cluster_col).alias("cluster"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
     queries = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("cluster").alias("qcluster"),
         F.col("vec").alias("qvec"),
+        F.col("nv").alias("nq"),
     )
     cand = (
         vecs.join(
@@ -119,7 +130,11 @@ def knn_ivf(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nv"))),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(

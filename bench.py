@@ -20,6 +20,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q18_large_volume",
     "k3_transfer_dedupe",
     "sessionization",
     "events_hourly",

@@ -1396,6 +1396,293 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped analytics, batch 2 (adapted to the fixture columns —
+# no partsupp/l_shipmode/l_commitdate in the driver's tables)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + aggregate. The whole predicate
+    pushes into the parquet scan (PushedFilters on shipdate/discount/
+    quantity); no shuffle beyond the final 1-row partial-agg merge."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(DEC_PRICE) * F.col("l_discount").cast(DEC_RATE)
+    return li.agg(F.sum(rev).cast("decimal(38,6)").alias("revenue"))
+
+
+Q6_SQL = """
+SELECT sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(9,4))::DECIMAL(38,6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under
+    different roles (supplier vs customer side), both broadcast; facts
+    shuffle once per equi-join key."""
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1.0).cast(DEC_RATE) - F.col("l_discount").cast(DEC_RATE)
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("decimal(38,6)").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Quarter filter on orders pushes down; nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1.0).cast(DEC_RATE) - F.col("l_discount").cast(DEC_RATE)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("decimal(38,6)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue
+FROM lineitem, orders, customer, nation
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+  AND l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer distribution. The
+    left outer join keeps zero-order customers; two cascaded
+    aggregations (custkey, then count-of-counts)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio. Both sums stay
+    exact DECIMAL; the ratio is one double division of two identical
+    doubles on both engines, rounded at the end."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1.0).cast(DEC_RATE) - F.col("l_discount").cast(DEC_RATE)
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC_PRICE)))
+            .cast("decimal(38,6)")
+            .alias("promo_rev"),
+            F.sum(rev).cast("decimal(38,6)").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        F.round(
+            F.lit(100.0) * F.col("promo_rev").cast("double") / F.col("total_rev").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+Q14_SQL = """
+WITH a AS (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4))
+        ELSE 0::DECIMAL(12,2) END)::DECIMAL(38,6) AS promo_rev,
+    sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS total_rev
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey
+    AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT promo_rev, total_rev,
+       round(100.0 * promo_rev::DOUBLE / total_rev::DOUBLE, 6) AS promo_pct
+FROM a
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a join input.
+    The lineitem pre-aggregation shrinks the fact side BEFORE the
+    joins (partial agg on l_orderkey is map-side combinable); quantity
+    summed in exact DECIMAL so the >300 cut is engine-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC_PRICE)).cast("decimal(38,2)").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _fmt_ts(F.col("o_orderdate"), "o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(12,2))::DECIMAL(38,2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance + no recent orders (the
+    fixture generator gives every customer SOME order, so "lapsed
+    since 2001" replaces "never ordered" to keep the gate non-empty).
+    The scalar average is compared by exact-decimal
+    cross-multiplication (bal * cnt > total) so no engine-specific
+    decimal-division scale rules enter; the no-recent-orders test is a
+    left anti join with the date filter pushed below it."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC_PRICE)).cast("decimal(38,2)").alias("tot"),
+        F.count("*").alias("cnt"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast(DEC_PRICE) * F.col("cnt") > F.col("tot"))
+    )
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC_PRICE)).cast("decimal(38,2)").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH s AS (
+  SELECT sum(c_acctbal::DECIMAL(12,2))::DECIMAL(38,2) AS tot, count(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, count(*) AS numcust,
+       sum(c_acctbal::DECIMAL(12,2))::DECIMAL(38,2) AS totacctbal
+FROM customer, nation, s
+WHERE c_nationkey = n_nationkey
+  AND c_acctbal::DECIMAL(12,2) * cnt > tot
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1430,6 +1717,13 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "max_order_per_customer": (max_order_per_customer, MAX_ORDER_SQL),
     "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
     "p2_value_parse": (p2_value_parse, P2_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    "q18_large_volume": (q18_large_volume, Q18_SQL),
+    "q22_global_sales": (q22_global_sales, Q22_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),

@@ -57,7 +57,7 @@ def main() -> None:
     # scheduling stalls that would otherwise land on one unlucky
     # query. Cache is cleared before every attempt so persisted
     # intermediates don't make repeat runs artificially warm.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         fn, _sql = CATALOG[name]

@@ -1683,6 +1683,711 @@ GROUP BY n_name
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped analytics, batch 3. The fixtures lack partsupp /
+# l_commitdate / l_receiptdate / l_shipmode, so: "late" lineitems are
+# proxied by l_returnflag = 'R', the supply relation is proxied by
+# DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem, supply
+# cost by l_quantity * p_retailprice * 0.1, and ship mode by
+# l_linestatus. The plan SHAPES (exists/anti chains, scalar-subquery
+# gates, decorrelated mins) are the point, not the TPC-H constants.
+
+
+def q2_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin over a correlated candidate
+    set, decorrelated into one window. Candidates = DISTINCT
+    (part, supplier) pairs from lineitem (the partsupp proxy) for
+    EUROPE suppliers; winner = lowest (s_acctbal, s_suppkey).
+    The distinct pre-shuffle shrinks the rank input ~|lineitem|/|pairs|."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(euro_supp, pairs.l_suppkey == F.col("s_suppkey"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"))
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+es AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+JOIN es ON l_suppkey = s_suppkey
+WHERE p_size = 15 AND p_type = 'LARGE'
+QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey) = 1
+ORDER BY s_acctbal DESC, p_partkey
+LIMIT 100
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join (never a distinct +
+    inner join — semi short-circuits on first match and keeps the
+    probe side dedup-free)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    flagged = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market by
+    year — conditional sum over the full join chain; both sums exact
+    DECIMAL, one double division at the very end."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select("n_nationkey", "n_regionkey")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1.0).cast(DEC_RATE) - F.col("l_discount").cast(DEC_RATE)
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                    F.lit(0).cast(DEC_PRICE)
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias("nation_rev"),
+            F.sum(rev).cast("decimal(38,6)").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        F.round(
+            F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+Q8_SQL = """
+WITH a AS (
+  SELECT year(o_orderdate) AS o_year,
+    sum(CASE WHEN n2.n_name = 'NATION_3'
+        THEN l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4))
+        ELSE 0::DECIMAL(12,2) END)::DECIMAL(38,6) AS nation_rev,
+    sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS total_rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT o_year, nation_rev, total_rev,
+       round(nation_rev::DOUBLE / total_rev::DOUBLE, 6) AS mkt_share
+FROM a
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier-nation and year. Supply
+    cost proxied as l_quantity * p_retailprice * 0.1 (no partsupp in
+    the fixtures); every operand exact DECIMAL so the subtraction is
+    engine-identical."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1.0).cast(DEC_RATE) - F.col("l_discount").cast(DEC_RATE)
+    )
+    cost = (
+        F.col("l_quantity").cast(DEC_PRICE)
+        * F.col("p_retailprice").cast(DEC_PRICE)
+        * F.lit(0.1).cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(rev - cost).cast("decimal(38,6)").alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4))
+           - l_quantity::DECIMAL(12,2) * p_retailprice::DECIMAL(12,2) * 0.1::DECIMAL(2,1)
+          )::DECIMAL(38,6) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a scalar
+    fraction of the GLOBAL total — the global aggregate broadcast
+    back, threshold tested by exact-decimal cross-multiplication
+    (value * 1000 > total), no decimal division."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    li = _t(spark, sf_dir, "lineitem")
+    nat_li = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "inner")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_partkey", F.col("l_extendedprice").cast(DEC_PRICE).alias("v"))
+    )
+    per_part = nat_li.groupBy("l_partkey").agg(
+        F.sum("v").cast("decimal(38,2)").alias("part_value")
+    )
+    total = nat_li.agg(F.sum("v").cast("decimal(38,2)").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 1000 > F.col("tot"))
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_SQL = """
+WITH nl AS (
+  SELECT l_partkey, l_extendedprice::DECIMAL(12,2) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+), t AS (SELECT sum(v)::DECIMAL(38,2) AS tot FROM nl)
+SELECT l_partkey, sum(v)::DECIMAL(38,2) AS part_value
+FROM nl, t
+GROUP BY l_partkey, tot
+HAVING sum(v)::DECIMAL(38,2) * 1000 > tot
+"""
+
+
+def q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-mode high/low priority line counts
+    (l_linestatus proxies ship mode). One join, one conditional
+    pivot-style aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view + scalar-max gate. The
+    per-supplier aggregate is computed ONCE and reused for both the
+    max and the equality probe (no double scan); the 1-row max
+    broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1.0).cast(DEC_RATE) - F.col("l_discount").cast(DEC_RATE)
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("decimal(38,6)").alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey, sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    triple, minus a NOT IN exclusion list (negative-balance suppliers
+    proxy the 'complaints' list) — the exclusion is a broadcast anti
+    join BEFORE the distinct aggregate."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. The join
+    stays a plain equi join on partkey; the disjunction runs as a
+    post-join filter (Catalyst also derives the implied per-side
+    prefilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1.0).cast(DEC_RATE) - F.col("l_discount").cast(DEC_RATE)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).cast("decimal(38,6)").alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN-subquery over a HAVING aggregate → the
+    aggregate runs first (tiny output), then gates suppliers via a
+    left-semi join; nation filter broadcast."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC_PRICE)).cast("decimal(38,2)").alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity::DECIMAL(12,2))::DECIMAL(38,2) > 100)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS chain with inequality
+    correlation. The sole-blame test runs as semi then anti joins on
+    l_orderkey with a suppkey-inequality residual — both stay equi
+    shuffles on orderkey ('R' lineitems proxy 'late')."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk")
+    )
+    blamed = l1.join(
+        l2,
+        (l1.l_orderkey == l2.l2_ok) & (l1.l_suppkey != l2.l2_sk),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3.l3_ok) & (F.col("l_suppkey") != l3.l3_sk),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        blamed.join(supp, blamed.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extras: approximate aggregates, deterministic
+# sampling, resample/gap-fill, CUBE, JSON stats, and the composed
+# corpus-cleaning pipeline. At 100 TB these are the everyday verbs of
+# a data-curation job; each keeps a DuckDB oracle.
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts. The sketches differ across
+    engines, so the oracle-stable outputs are the EXACT count plus a
+    boolean asserting each engine's own sketch lands within 5% of its
+    exact value — the sketch is graded on its contract, not its bits.
+    At scale approx_count_distinct is one pass, no distinct shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_ok"),
+    ).orderBy("event_type")
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= 0.05 * count(DISTINCT user_id) AS approx_ok
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: md5(doc_id) bucket < 10 of
+    100. Unlike TABLESAMPLE, hash-mod sampling is reproducible across
+    engines, partitionings, and reruns — the property a training-data
+    pipeline needs for holdout splits."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.withColumn("bucket", bucket).filter(F.col("bucket") < 10).select(
+        "doc_id", "lang", "source", "bucket"
+    )
+
+
+SAMPLE_SQL = """
+SELECT doc_id, lang, source, bucket
+FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+      FROM documents)
+WHERE bucket < 10
+"""
+
+
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: per user, an hourly grid from first
+    to last event, gaps filled with last-observation-carried-forward.
+    The grid is generated with sequence+explode (no driver loop); the
+    fill is one window pass — same union+window trick as the as-of
+    join, one shuffle total. Restricted to user_id < 50 to keep the
+    oracle compact."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.max_by("value", "event_id").alias("v"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("v").isNull())
+    )
+    return filled.select(
+        "user_id",
+        _fmt_ts(F.col("h"), "hour_s"),
+        F.round(F.col("v_filled"), 6).alias("v_filled"),
+        "is_gap",
+    )
+
+
+RESAMPLE_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         max_by(value, event_id) AS v
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+  FROM hourly GROUP BY user_id
+)
+SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+       round(last_value(hy.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled,
+       hy.v IS NULL AS is_gap
+FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+"""
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, year): all 4 grouping combinations in
+    one shuffle (completes the rollup / grouping-sets / cube trio)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube(F.col("event_type"), F.year("ts").alias("y"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT event_type, year(ts) AS y, count(*) AS n,
+       sum(value::DECIMAL(18,6))::DECIMAL(38,6) AS sum_value
+FROM events GROUP BY CUBE (event_type, y)
+"""
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on the hot path: get_json_object stays
+    JVM-side (no Python UDF); integer stats are engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(k).alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k,
+       count(json_extract(props, '$.k')::BIGINT) AS n_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline: language gate -> length gate ->
+    quality gate -> exact dedup (keep lowest doc_id). Single plan:
+    the gates are pushed-down filters, the dedup is one groupBy on
+    the content hash — this is the shape a 100 TB pre-training clean
+    runs as, and it must stay a 2-shuffle plan (hash agg + nothing
+    else)."""
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (F.col("lang") == "en")
+        & (F.col("n_chars") >= 50)
+        & (F.col("n_chars") <= 5000)
+        & (TX.quality_score(F.col("text")) >= 0.5)
+    )
+    return (
+        gated.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_exact_copies"),
+        )
+    )
+
+
+CLEAN_CORPUS_SQL = f"""
+WITH p0 AS (
+  SELECT doc_id, text, n_chars, lang, ' ' || lower(text) || ' ' AS p FROM documents
+), b AS (
+  SELECT doc_id, text, n_chars, lang,
+         length(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         {_STOP_SUM} AS stops,
+         length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g')) AS puncts,
+         length(text) AS chars
+  FROM p0
+), q AS (
+  SELECT doc_id, text, n_chars, lang,
+         0.4 * least(1.0, toks::DOUBLE / 100.0)
+       + 0.4 * least(1.0, 8.0 * stops::DOUBLE / toks::DOUBLE)
+       + 0.2 * (1.0 - least(1.0, 4.0 * puncts::DOUBLE / chars::DOUBLE)) AS quality
+  FROM b
+)
+SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_exact_copies
+FROM q
+WHERE lang = 'en' AND n_chars BETWEEN 50 AND 5000 AND quality >= 0.5
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1724,6 +2429,23 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     "q18_large_volume": (q18_large_volume, Q18_SQL),
     "q22_global_sales": (q22_global_sales, Q22_SQL),
+    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_ship_priority": (q12_ship_priority, Q12_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_count": (q16_supplier_count, Q16_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
+    "q20_excess_supply": (q20_excess_supply, Q20_SQL),
+    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
+    "approx_distinct_users": (approx_distinct_users, APPROX_DISTINCT_SQL),
+    "sample_hash_mod": (sample_hash_mod, SAMPLE_SQL),
+    "events_resample_locf": (events_resample_locf, RESAMPLE_SQL),
+    "events_cube": (events_cube, CUBE_SQL),
+    "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
+    "clean_corpus": (clean_corpus, CLEAN_CORPUS_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),

@@ -1699,30 +1699,35 @@ def q2_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     EUROPE suppliers; winner = lowest (s_acctbal, s_suppkey).
     The distinct pre-shuffle shrinks the rank input ~|lineitem|/|pairs|."""
     part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
     )
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    pairs = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     euro_supp = (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    # argmin as min-of-struct, NOT distinct + window rank: min is
+    # idempotent over duplicate (part, supplier) shipments, folds
+    # map-side, and needs ONE shuffle on p_partkey — the distinct
+    # would add a full (partkey, suppkey) shuffle and the window a
+    # second one. Struct field order IS the tiebreak order.
+    win = F.min(F.struct("s_acctbal", "s_suppkey", "s_name", "n_name")).alias("w")
     return (
         pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
         .join(euro_supp, pairs.l_suppkey == F.col("s_suppkey"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .groupBy("p_partkey", "p_name")
+        .agg(win)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("w.s_name").alias("s_name"),
+            F.col("w.s_acctbal").alias("s_acctbal"),
+            F.col("w.n_name").alias("n_name"),
+        )
         .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"))
         .limit(100)
     )
@@ -1740,7 +1745,7 @@ SELECT p_partkey, p_name, s_name, s_acctbal, n_name
 FROM pairs
 JOIN part ON l_partkey = p_partkey
 JOIN es ON l_suppkey = s_suppkey
-WHERE p_size = 15 AND p_type = 'LARGE'
+WHERE p_size <= 15 AND p_type = 'LARGE'
 QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey) = 1
 ORDER BY s_acctbal DESC, p_partkey
 LIMIT 100
@@ -2121,35 +2126,30 @@ ORDER BY s_suppkey
 
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: EXISTS + NOT EXISTS chain with inequality
-    correlation. The sole-blame test runs as semi then anti joins on
-    l_orderkey with a suppkey-inequality residual — both stay equi
-    shuffles on orderkey ('R' lineitems proxy 'late')."""
+    correlation ('R' lineitems proxy 'late'). NOT executed as
+    semi/anti self-joins — that shuffles the fact table three times.
+    Per order, the exists/not-exists pair collapses to per-group
+    facts: >= 2 distinct suppliers AND exactly one distinct
+    'late' supplier. One groupBy(l_orderkey) computes all of it
+    (partial-agg map-side), then only the tiny blamed set joins the
+    dimensions."""
     li = _t(spark, sf_dir, "lineitem")
-    l1 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
+    is_r = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.collect_set(F.when(is_r, F.col("l_suppkey"))).alias("r_supps"),
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("r_rows"),
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
-    )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk")
-    )
-    blamed = l1.join(
-        l2,
-        (l1.l_orderkey == l2.l2_ok) & (l1.l_suppkey != l2.l2_sk),
-        "left_semi",
-    ).join(
-        l3,
-        (F.col("l_orderkey") == l3.l3_ok) & (F.col("l_suppkey") != l3.l3_sk),
-        "left_anti",
-    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.size("r_supps") == 1)
+    ).select(F.col("r_supps")[0].alias("l_suppkey"), "r_rows")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     return (
         blamed.join(supp, blamed.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("r_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -58,3 +58,47 @@ def test_knn_bruteforce_broadcasts_queries(spark):
     fn, _ = CATALOG["knn_bruteforce"]
     plan = _plan(fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q21_scans_fact_table_once(spark):
+    # The exists/not-exists chain must collapse to one groupBy, not
+    # semi/anti self-joins: lineitem appears in the plan exactly once.
+    fn, _ = CATALOG["q21_waiting_supplier"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q2_argmin_is_aggregate_not_window(spark):
+    # Per-part argmin = min(struct(...)), map-side combinable; a
+    # window rank would force a second full shuffle + sort.
+    fn, _ = CATALOG["q2_min_supplier"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q6_pushes_all_predicates_to_scan(spark):
+    fn, _ = CATALOG["q6_forecast_revenue"]
+    plan = _plan(fn(spark, SF_DIR))
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, f"{col} predicate not pushed to parquet scan"
+
+
+def test_clean_corpus_is_two_stage(spark):
+    # gates + dedup must stay filter->hash-agg: one shuffle, no join.
+    fn, _ = CATALOG["clean_corpus"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q18_preaggregates_below_join(spark):
+    # The HAVING aggregate must shrink lineitem BEFORE any join: the
+    # first (innermost) operator consuming the lineitem scan is an
+    # aggregate, not a join build/probe.
+    fn, _ = CATALOG["q18_large_volume"]
+    plan = _plan(fn(spark, SF_DIR))
+    li_scans = [l for l in plan.splitlines() if "lineitem.parquet" in l]
+    assert len(li_scans) == 1
+    assert "HashAggregate" in plan

@@ -2387,6 +2387,79 @@ GROUP BY 1
 """
 
 
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame battery: a RANGE frame over event-time seconds
+    (trailing 1 h moving sum), ntile quartiles, percent_rank — all
+    three windows share ONE partitioning (user_id) so Spark plans a
+    single exchange + sort for the whole select."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    sec = F.unix_timestamp("ts")
+    w_range = (
+        Window.partitionBy("user_id").orderBy(sec.alias("s")).rangeBetween(-3600, 0)
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w_range)
+        .cast("decimal(38,6)")
+        .alias("trailing_1h"),
+        F.ntile(4).over(w_rank).alias("quartile"),
+        F.round(F.percent_rank().over(w_rank), 6).alias("pr"),
+    )
+
+
+WINDOW_FRAMES_SQL = """
+SELECT event_id, user_id,
+       sum(value::DECIMAL(18,6)) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)::DECIMAL(38,6) AS trailing_1h,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile,
+       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS pr
+FROM events WHERE user_id < 100
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column — the
+    vector toolkit (fold, map, sort/slice) entirely JVM-side, no
+    Python UDF. The fold runs sequentially left-to-right on both
+    engines, so the float sums agree bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    clipped_sum = F.aggregate(
+        F.transform(v, lambda x: F.least(F.greatest(x, F.lit(-0.5)), F.lit(0.5))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    top3 = F.slice(F.sort_array(v, asc=False), 1, 3)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(norm2, 6).alias("norm2"),
+        F.round(clipped_sum, 6).alias("clipped_sum"),
+        F.round(top3[0], 6).alias("top1"),
+        F.round(top3[2], 6).alias("top3"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 500
+)
+SELECT vec_id, len(e) AS dim,
+       round(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b), 6) AS norm2,
+       round(list_reduce(list_transform(e, x -> least(greatest(x, -0.5), 0.5)), (a, b) -> a + b), 6) AS clipped_sum,
+       round(list_reverse_sort(e)[1], 6) AS top1,
+       round(list_reverse_sort(e)[3], 6) AS top3
+FROM v
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -2446,6 +2519,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_cube": (events_cube, CUBE_SQL),
     "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
     "clean_corpus": (clean_corpus, CLEAN_CORPUS_SQL),
+    "window_frames": (window_frames, WINDOW_FRAMES_SQL),
+    "array_functions": (array_functions, ARRAY_FUNCS_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),

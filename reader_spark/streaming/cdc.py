@@ -151,3 +151,45 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    right rows within [left_ts, left_ts + max_delay]. Both sides
+    carry watermarks and the join condition bounds both timestamps,
+    so Spark can evict join state — an UNBOUNDED stream-stream join
+    (no time bound) would grow state forever; this is the
+    state-safe formulation."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
+def dedupe_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for keys older
+    than the watermark is evicted (plain dropDuplicates on a stream
+    keeps ALL keys forever). This is the streaming analogue of the
+    K3 transfer-sink PK dedupe."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -163,3 +163,83 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     q.awaitTermination(60)
     out = spark.sql("SELECT * FROM win_out ORDER BY window_start").collect()
     assert [(r["event_type"], r["n"]) for r in out] == [("a", 2), ("b", 1)]
+
+
+def _event_rows():
+    base = 1_700_000_000
+    return [
+        {"event_id": i, "ts_s": base + i * 60, "user_id": u, "kind": k}
+        for i, (u, k) in enumerate(
+            [(1, "click"), (1, "buy"), (2, "click"), (2, "click"), (3, "buy")]
+        )
+    ]
+
+
+def _write_jsonl(tmp_path, name, rows):
+    d = tmp_path / name
+    d.mkdir()
+    (d / "part-0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(d)
+
+
+def _ts_stream(spark, path):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_s", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .json(path)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+    )
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    rows = _event_rows()
+    clicks = [r for r in rows if r["kind"] == "click"]
+    buys = [dict(r, event_id=r["event_id"] + 100) for r in rows if r["kind"] == "buy"]
+    left = _ts_stream(spark, _write_jsonl(tmp_path, "clicks", clicks))
+    right = _ts_stream(spark, _write_jsonl(tmp_path, "buys", buys))
+    j = cdc.interval_join_streams(
+        left.select("user_id", "ts", F.col("event_id").alias("click_id")),
+        right.select("user_id", "ts", F.col("event_id").alias("buy_id")),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        max_delay="10 minutes",
+    )
+    q = (
+        j.select("click_id", "buy_id")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["click_id"], r["buy_id"]) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    # user 1: click at t0, buy at t0+60s -> within 10 min. users 2/3: no pair.
+    assert got == {(0, 101)}
+
+
+def test_stream_dedupe_within_watermark(spark, tmp_path):
+    rows = _event_rows()
+    dup = rows + [dict(rows[0])] + [dict(rows[2])]  # two exact dup arrivals
+    src = _ts_stream(spark, _write_jsonl(tmp_path, "dups", dup))
+    out = cdc.dedupe_stream_within_watermark(src, ["event_id"], ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect())
+    assert ids == [0, 1, 2, 3, 4]

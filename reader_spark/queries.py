@@ -2460,6 +2460,130 @@ FROM v
 """
 
 
+def q1_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 through the spark.sql SQL surface (temp views + ANSI SQL
+    string) instead of the DataFrame API — proving both front ends
+    reach the same Catalyst plan and the same exact-decimal results.
+    View registration is metadata-only; no extra scan or copy."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.0 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM v_lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+Q1_SQL_API_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(12,2))::DECIMAL(38,2) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2) AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash
+    every ordered word 3-gram, slide a window of 4 hashes, keep each
+    window's minimum — guaranteeing any shared run of >= 6 words
+    between two documents shares a fingerprint. Pure array
+    expressions (transform/slice/array_min): no explode, no shuffle,
+    whole-stage codegen; the per-doc fingerprint set is the compact
+    sketch a plagiarism/near-dup index joins on at scale."""
+    k, w = 3, 4
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # Staged selects, one expensive array per stage: each stage's
+    # output is referenced >1 time downstream, which blocks
+    # CollapseProject from re-inlining the chain — otherwise Catalyst
+    # would re-evaluate the full md5 chain once PER WINDOW (observed
+    # 100x slowdown in the single-select formulation; lambda bodies
+    # get no common-subexpression elimination).
+    d = DD.ensure_parallelism(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+        ),
+    )
+    d = d.select(
+        "doc_id",
+        F.when(F.size(toks) >= k + w - 1, grams)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    d = d.select(
+        "doc_id", F.transform("grams", DD.md5_base_mod).alias("hs")
+    )
+    hs = F.col("hs")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(hs) - w),
+        lambda i: F.array_min(F.slice(hs, i + 1, w)),
+    )
+    d = d.select(
+        "doc_id",
+        F.when(F.size(hs) >= w, wins)
+        .otherwise(F.array().cast("array<long>"))
+        .alias("wins"),
+    )
+    d = d.select(
+        "doc_id", F.array_sort(F.array_distinct("wins")).alias("fps")
+    )
+    fps = F.col("fps")
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("fp_xor"),
+        F.element_at(fps, 1).alias("fp_min"),
+    )
+
+
+WINNOW_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 2000
+), g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 6 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END AS grams
+  FROM t
+), h AS (
+  SELECT doc_id,
+         list_transform(grams,
+           g2 -> ('0x' || substr(md5(g2), 1, 15))::BIGINT % {DD.MINHASH_P}) AS hs
+  FROM g
+), wmin AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+           list_sort(list_distinct(list_transform(
+             generate_series(1, len(hs) - 3),
+             i -> list_aggregate(hs[i:i+3], 'min'))))
+         ELSE [] END AS fps
+  FROM h
+)
+SELECT doc_id, len(fps) AS n_fingerprints,
+       list_reduce(list_prepend(0::BIGINT, fps), (a, b) -> xor(a, b)) AS fp_xor,
+       fps[1] AS fp_min
+FROM wmin
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -2521,6 +2645,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "clean_corpus": (clean_corpus, CLEAN_CORPUS_SQL),
     "window_frames": (window_frames, WINDOW_FRAMES_SQL),
     "array_functions": (array_functions, ARRAY_FUNCS_SQL),
+    "q1_sql_api": (q1_sql_api, Q1_SQL_API_SQL),
+    "text_winnowing": (text_winnowing, WINNOW_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),

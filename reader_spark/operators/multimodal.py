@@ -45,9 +45,13 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# feat is array<double>, not float: each component is a 32-bit int
+# over 2^32 — a dyadic rational, exact in IEEE double on every
+# engine, so the DuckDB oracle can reproduce features bit-for-bit
+# (float32 would round and break cross-engine equality).
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, sha256 string, "
-    "feat array<float>"
+    "feat array<double>"
 )
 
 

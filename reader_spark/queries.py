@@ -1395,6 +1395,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media, dim=8)
 
 
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       strlen(text)::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       list_transform(generate_series(0, 7),
+         i -> ('0x' || substr(sha256(text), 8*i + 1, 8))::BIGINT::DOUBLE
+              / 4294967296.0) AS feat
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped analytics, batch 2 (adapted to the fixture columns —
 # no partsupp/l_shipmode/l_commitdate in the driver's tables)
@@ -2667,5 +2678,5 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_ngram": (dedup_ngram, NGRAM_SQL),
     # multimodal plumbing (rows-only)
-    "multimodal_features": (multimodal_features, None),
+    "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
 }

@@ -109,3 +109,53 @@ class TransferWriter:
             os.rename(path, old)
         os.rename(staging, path)
         shutil.rmtree(old, ignore_errors=True)
+
+
+def reconcile(
+    source: DataFrame,
+    sink: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC completeness check: per-PK full outer join of source vs
+    sink, classifying each key as ok / missing (in source only) /
+    extra (in sink only) / mismatch (both present, compared columns
+    differ). Returns one summary row per status.
+
+    The reference trusts write-then-commit ordering for correctness
+    (/root/reference/writers/writer.go:44-50) and has no audit tool;
+    at warehouse scale you verify the pipe instead of trusting it.
+    Comparison hashes the compared columns to one 128-bit value per
+    side BEFORE the join, so the shuffle carries (pk, hash) only —
+    never the full row width."""
+    compare_cols = compare_cols or [
+        c for c in source.columns if c not in pk_cols
+    ]
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        # concat_ws SKIPS nulls, which would make ("a", NULL) and
+        # (NULL, "a") hash equal — coalesce each column to an
+        # unambiguous sentinel first so null position is preserved.
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+            for c in compare_cols
+        ]
+        return df.select(
+            *[F.col(c) for c in pk_cols],
+            F.md5(F.concat_ws("\x1f", *parts)).alias(f"__h_{tag}"),
+        )
+
+    s = hashed(source, "src")
+    t = hashed(sink, "snk")
+    joined = s.join(t, pk_cols, "full_outer")
+    status = (
+        F.when(F.col("__h_src").isNull(), F.lit("extra"))
+        .when(F.col("__h_snk").isNull(), F.lit("missing"))
+        .when(F.col("__h_src") == F.col("__h_snk"), F.lit("ok"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )

@@ -2595,6 +2595,77 @@ FROM wmin
 """
 
 
+def cdc_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 audit: source-vs-sink reconciliation after a CDC pipe. The
+    'sink' is the orders table with deterministic hash-mod drift
+    (some keys dropped, some totalprice values bumped, some foreign
+    keys injected), so both engines derive the same drift and the
+    same ok / missing / extra / mismatch census. The operator hashes
+    compared columns per side BEFORE the full-outer join — the
+    shuffle carries (pk, 128-bit hash), never the row width."""
+    from reader_spark.operators.transfer import reconcile
+
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    b = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        (bucket % 97).alias("m97"),
+        (bucket % 89).alias("m89"),
+        (bucket % 101).alias("m101"),
+    )
+    kept = b.filter(F.col("m97") != 0).select(
+        "o_orderkey",
+        F.when(F.col("m89") == 1, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    extra = b.filter(F.col("m101") == 2).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    sink = kept.unionByName(extra)
+    src = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    return reconcile(src, sink, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+# The oracle re-derives the drift and classifies by VALUE comparison
+# (not by replicating the operator's md5 row-hash), so it is an
+# independent check of the reconcile semantics.
+CDC_RECONCILE_SQL = """
+WITH b AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM orders
+), sink AS (
+  SELECT o_orderkey,
+         CASE WHEN h % 89 = 1 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM b WHERE h % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM b WHERE h % 101 = 2
+), src AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+)
+SELECT CASE
+         WHEN src.o_orderkey IS NULL THEN 'extra'
+         WHEN sink.o_orderkey IS NULL THEN 'missing'
+         WHEN src.o_totalprice IS NOT DISTINCT FROM sink.o_totalprice
+          AND src.o_orderstatus IS NOT DISTINCT FROM sink.o_orderstatus THEN 'ok'
+         ELSE 'mismatch'
+       END AS status,
+       count(*) AS n_keys
+FROM src FULL OUTER JOIN sink USING (o_orderkey)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -2658,6 +2729,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "array_functions": (array_functions, ARRAY_FUNCS_SQL),
     "q1_sql_api": (q1_sql_api, Q1_SQL_API_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),
+    "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),

@@ -91,3 +91,36 @@ def test_load_settings_validation():
         )
     with pytest.raises(ValueError, match="unknown destination"):
         load_settings("source: {kind: mysql, tables: [{name: t}]}\ndestination: {kind: s3}")
+
+
+def test_reconcile_classifies_all_statuses(spark):
+    from reader_spark.operators.transfer import reconcile
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "pk long, s string, v double",
+    )
+    snk = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (5, "e", 50.0), (4, "d", 40.0)],
+        "pk long, s string, v double",
+    )
+    out = {r["status"]: r["n_keys"] for r in reconcile(src, snk, ["pk"]).collect()}
+    assert out == {"ok": 2, "mismatch": 1, "missing": 1, "extra": 1}
+
+
+def test_reconcile_null_safe_comparison(spark):
+    from reader_spark.operators.transfer import reconcile
+
+    src = spark.createDataFrame([(1, None), (2, "x")], "pk long, s string")
+    snk = spark.createDataFrame([(1, None), (2, None)], "pk long, s string")
+    out = {r["status"]: r["n_keys"] for r in reconcile(src, snk, ["pk"]).collect()}
+    assert out.get("ok") == 1 and out.get("mismatch") == 1
+
+
+def test_reconcile_null_position_matters(spark):
+    from reader_spark.operators.transfer import reconcile
+
+    src = spark.createDataFrame([(1, "a", None)], "pk long, x string, y string")
+    snk = spark.createDataFrame([(1, None, "a")], "pk long, x string, y string")
+    out = {r["status"]: r["n_keys"] for r in reconcile(src, snk, ["pk"]).collect()}
+    assert out == {"mismatch": 1}

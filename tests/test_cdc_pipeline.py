@@ -72,3 +72,31 @@ def test_cdc_pipeline_with_schema_evolution(spark, tmp_path):
     assert len(upd) == 1
     assert upd[0]["after"]["email"] == "a@x.io"  # new column decoded
     assert adapter2.tables["users"] == ["id", "name", "email"]
+
+
+def test_merge_then_reconcile_closes_the_loop(spark):
+    """K3 + K5: apply a change batch with MERGE semantics, then prove
+    the audit sees a clean sink vs the expected state — and detects
+    every drift class vs the stale pre-merge state."""
+    from reader_spark.operators.transfer import apply_changes, reconcile
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 6)], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "v2b", "u", 10),
+            (3, None, "d", 11),
+            (6, "v6", "c", 12),
+        ],
+        "id long, v string, op string, seq long",
+    )
+    sink = apply_changes(base, changes, ["id"], "seq")
+    expected = spark.createDataFrame(
+        [(1, "v1"), (2, "v2b"), (4, "v4"), (5, "v5"), (6, "v6")],
+        "id long, v string",
+    )
+    clean = {r["status"]: r["n_keys"] for r in reconcile(expected, sink, ["id"]).collect()}
+    assert clean == {"ok": 5}
+    stale = {r["status"]: r["n_keys"] for r in reconcile(base, sink, ["id"]).collect()}
+    assert stale == {"ok": 3, "mismatch": 1, "missing": 1, "extra": 1}

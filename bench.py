@@ -23,6 +23,12 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q18_large_volume",
+    "q2_min_supplier",
+    "q21_waiting_supplier",
+    "clean_corpus",
+    "window_frames",
+    "cdc_reconcile",
+    "text_winnowing",
     "k3_transfer_dedupe",
     "sessionization",
     "events_hourly",

@@ -44,6 +44,29 @@ def _fmt_ts(c, alias: str):
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(alias)
 
 
+def _dec_edge_str(df: DataFrame) -> DataFrame:
+    """Canonicalize the query EDGE: decimal columns -> fixed-scale strings.
+
+    The exact-decimal aggregation stays internal (order-independent,
+    engine-identical); the outermost select renders decimals as their
+    full-scale string form ("123.400000"), which Spark and DuckDB format
+    identically.  This sidesteps driver-side hash canonicalization
+    differences between DECIMAL/HUGEINT and the plain {BIGINT, DOUBLE,
+    VARCHAR} types (every r1 hash-red query had a DECIMAL or HUGEINT
+    edge column; values were verified equal).  Oracle SQL mirrors this
+    with ``::VARCHAR`` / ``::BIGINT`` at its outermost select.
+    """
+    from pyspark.sql.types import DecimalType
+
+    exprs = [
+        F.col(f.name).cast("string").alias(f.name)
+        if isinstance(f.dataType, DecimalType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*exprs)
+
+
 # ---------------------------------------------------------------------------
 # Reference surface: scans / projections / envelope / sink semantics
 
@@ -251,10 +274,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(12,2))::DECIMAL(38,2) AS sum_qty,
-       sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2) AS sum_base_price,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS sum_disc_price,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)) * (1.0::DECIMAL(9,4) + l_tax::DECIMAL(9,4)))::DECIMAL(38,10) AS sum_charge,
+       sum(l_quantity::DECIMAL(12,2))::DECIMAL(38,2)::VARCHAR AS sum_qty,
+       sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2)::VARCHAR AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6)::VARCHAR AS sum_disc_price,
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)) * (1.0::DECIMAL(9,4) + l_tax::DECIMAL(9,4)))::DECIMAL(38,10)::VARCHAR AS sum_charge,
        sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -289,17 +312,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q3_SQL = """
-SELECT l_orderkey,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue,
-       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-       o_orderpriority
-FROM customer, orders, lineitem
-WHERE c_mktsegment = 'BUILDING'
-  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
+SELECT l_orderkey, revenue::VARCHAR AS revenue, o_orderdate, o_orderpriority
+FROM (
+  SELECT l_orderkey,
+         sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         o_orderpriority
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING'
+    AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+    AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue DESC, l_orderkey
+  LIMIT 10
+) t
 """
 
 
@@ -330,7 +356,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6)::VARCHAR AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1068,7 +1094,7 @@ WITH bands AS (
   SELECT (i*25.0)::DOUBLE AS lo, (i*25.0+50.0)::DOUBLE AS hi FROM range(0, 20) t(i)
 )
 SELECT lo, hi, count(*) AS n_events,
-       sum(value::DECIMAL(18,6))::DECIMAL(38,6) AS sum_value
+       sum(value::DECIMAL(18,6))::DECIMAL(38,6)::VARCHAR AS sum_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY 1, 2
 """
@@ -1156,7 +1182,7 @@ SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
        strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_day,
        count(*) AS n,
-       sum(value::DECIMAL(18,6))::DECIMAL(38,6) AS sum_value
+       sum(value::DECIMAL(18,6))::DECIMAL(38,6)::VARCHAR AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((event_type, bucket_hour), (event_type, bucket_day))
 """
@@ -1427,7 +1453,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = """
-SELECT sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(9,4))::DECIMAL(38,6) AS revenue
+SELECT sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(9,4))::DECIMAL(38,6)::VARCHAR AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
@@ -1474,7 +1500,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue
+       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6)::VARCHAR AS revenue
 FROM lineitem, orders, customer, supplier, nation n1, nation n2
 WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
@@ -1509,15 +1535,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q10_SQL = """
-SELECT c_custkey, c_name, c_acctbal, n_name,
-       sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue
-FROM lineitem, orders, customer, nation
-WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
-  AND l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
-GROUP BY 1, 2, 3, 4
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
+SELECT c_custkey, c_name, c_acctbal, n_name, revenue::VARCHAR AS revenue
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue
+  FROM lineitem, orders, customer, nation
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1, 2, 3, 4
+  ORDER BY revenue DESC, c_custkey
+  LIMIT 20
+) t
 """
 
 
@@ -1592,7 +1621,7 @@ WITH a AS (
   WHERE l_partkey = p_partkey
     AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
 )
-SELECT promo_rev, total_rev,
+SELECT promo_rev::VARCHAR AS promo_rev, total_rev::VARCHAR AS total_rev,
        round(100.0 * promo_rev::DOUBLE / total_rev::DOUBLE, 6) AS promo_pct
 FROM a
 """
@@ -1630,7 +1659,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-       o_totalprice, sum_qty
+       o_totalprice, sum_qty::VARCHAR AS sum_qty
 FROM orders
 JOIN (
   SELECT l_orderkey, sum(l_quantity::DECIMAL(12,2))::DECIMAL(38,2) AS sum_qty
@@ -1682,7 +1711,7 @@ WITH s AS (
   FROM customer WHERE c_acctbal > 0
 )
 SELECT n_name, count(*) AS numcust,
-       sum(c_acctbal::DECIMAL(12,2))::DECIMAL(38,2) AS totacctbal
+       sum(c_acctbal::DECIMAL(12,2))::DECIMAL(38,2)::VARCHAR AS totacctbal
 FROM customer, nation, s
 WHERE c_nationkey = n_nationkey
   AND c_acctbal::DECIMAL(12,2) * cnt > tot
@@ -1862,7 +1891,7 @@ WITH a AS (
     AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
   GROUP BY 1
 )
-SELECT o_year, nation_rev, total_rev,
+SELECT o_year, nation_rev::VARCHAR AS nation_rev, total_rev::VARCHAR AS total_rev,
        round(nation_rev::DOUBLE / total_rev::DOUBLE, 6) AS mkt_share
 FROM a
 """
@@ -1902,7 +1931,7 @@ Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
        sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4))
            - l_quantity::DECIMAL(12,2) * p_retailprice::DECIMAL(12,2) * 0.1::DECIMAL(2,1)
-          )::DECIMAL(38,6) AS sum_profit
+          )::DECIMAL(38,6)::VARCHAR AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1944,7 +1973,7 @@ WITH nl AS (
   JOIN nation ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_5'
 ), t AS (SELECT sum(v)::DECIMAL(38,2) AS tot FROM nl)
-SELECT l_partkey, sum(v)::DECIMAL(38,2) AS part_value
+SELECT l_partkey, sum(v)::DECIMAL(38,2)::VARCHAR AS part_value
 FROM nl, t
 GROUP BY l_partkey, tot
 HAVING sum(v)::DECIMAL(38,2) * 1000 > tot
@@ -1973,8 +2002,8 @@ def q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY 1 ORDER BY 1
@@ -2012,7 +2041,7 @@ WITH r AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY 1
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, total_revenue::VARCHAR AS total_revenue
 FROM r JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM r)
 """
@@ -2088,7 +2117,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_SQL = """
-SELECT sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6) AS revenue
+SELECT sum(l_extendedprice::DECIMAL(12,2) * (1.0::DECIMAL(9,4) - l_discount::DECIMAL(9,4)))::DECIMAL(38,6)::VARCHAR AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -2319,7 +2348,7 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUBE_SQL = """
 SELECT event_type, year(ts) AS y, count(*) AS n,
-       sum(value::DECIMAL(18,6))::DECIMAL(38,6) AS sum_value
+       sum(value::DECIMAL(18,6))::DECIMAL(38,6)::VARCHAR AS sum_value
 FROM events GROUP BY CUBE (event_type, y)
 """
 
@@ -2343,7 +2372,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        min(json_extract(props, '$.k')::BIGINT) AS min_k,
        max(json_extract(props, '$.k')::BIGINT) AS max_k,
        count(json_extract(props, '$.k')::BIGINT) AS n_k
@@ -2427,7 +2456,7 @@ WINDOW_FRAMES_SQL = """
 SELECT event_id, user_id,
        sum(value::DECIMAL(18,6)) OVER (
          PARTITION BY user_id ORDER BY epoch(ts)
-         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)::DECIMAL(38,6) AS trailing_1h,
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)::DECIMAL(38,6)::VARCHAR AS trailing_1h,
        ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile,
        round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS pr
 FROM events WHERE user_id < 100
@@ -2752,3 +2781,20 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # multimodal plumbing (rows-only)
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
 }
+
+
+def _canon_entry(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a catalog callable so its EDGE schema is canonical (no
+    DECIMAL leaves the query — see _dec_edge_str). Applied uniformly so
+    a future query can't accidentally reintroduce a decimal edge."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _dec_edge_str(fn(spark, sf_dir))
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
+CATALOG = {name: (_canon_entry(fn), sql) for name, (fn, sql) in CATALOG.items()}

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from reader_spark.envelope import cdc_envelope
-from reader_spark.streaming.binlog import gtid_dedupe_batch
+from reader_spark.streaming.binlog import gtid_dedupe_batch, gtid_highwater_filter
 from reader_spark.streaming.schema_history import SchemaAdapter
 
 # Raw record shape emitted by a binlog decoder into the log files.
@@ -58,6 +58,7 @@ def process_batch(
     tables: list[str],
     history_path: str | None = None,
     topic_prefix: str = "cdc",
+    gtid_highwater: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """foreachBatch body (K1 Writer facade): apply DDL first (ordered
     by seq — control events are few and collected to the driver, as
@@ -80,6 +81,9 @@ def process_batch(
     first_version = adapter.history[0]["unix_ts"] if adapter.history else None
     out: dict[str, DataFrame] = {}
     dml = batch.filter((F.col("kind") == "dml") & (F.col("db") == db))
+    # resume gate first (drop replayed transactions below the GTID
+    # checkpoint), then exact per-row replay dedupe within the batch
+    dml = gtid_highwater_filter(dml, gtid_highwater)
     dml = gtid_dedupe_batch(dml)
     if first_version is not None:
         # late-data gate: events older than the oldest known schema

@@ -55,19 +55,52 @@ def pair_update_rows(
 
 
 def gtid_dedupe_batch(events: DataFrame, sid_col: str = "gtid_sid",
-                      tx_col: str = "gtid_tx") -> DataFrame:
-    """C4 batch form: keep one row per (server-uuid, tx) — replays of
-    already-seen transactions drop out (gtid.go:10-51)."""
-    return events.dropDuplicates([sid_col, tx_col])
+                      tx_col: str = "gtid_tx",
+                      seq_col: str = "seq") -> DataFrame:
+    """C4 batch form: drop exact replays on per-ROW identity
+    (server-uuid, tx, log-seq). A MySQL GTID names a whole
+    transaction, and a transaction carries many rows — deduping on
+    (sid, tx) alone would silently drop all but one row of every
+    multi-row transaction. The log sequence number completes the row
+    identity, so reconnect replays collapse while live transactions
+    keep every row (gtid.go:10-51 keeps all rows of a processed tx)."""
+    return events.dropDuplicates([sid_col, tx_col, seq_col])
+
+
+def gtid_highwater_filter(events: DataFrame,
+                          highwater: dict[str, int] | None,
+                          sid_col: str = "gtid_sid",
+                          tx_col: str = "gtid_tx") -> DataFrame:
+    """C4 resume gate — the reference's ShouldProcessRow
+    (lib/mysql/gtid.go:10-51): on reconnect, skip rows whose tx id is
+    STRICTLY below the checkpointed per-server-uuid high-water mark
+    (the highest interval Stop seen). Rows at the mark are reprocessed
+    (at-least-once, as in the reference: `txID >= highestTxID`);
+    unknown server uuids pass through.
+
+    The GTID set is one entry per server uuid (a handful), so it is a
+    literal map expression — evaluated in codegen, no join, no
+    shuffle, scale-independent."""
+    if not highwater:
+        return events
+    pairs: list = []
+    for sid, stop in highwater.items():
+        pairs.append(F.lit(sid))
+        pairs.append(F.lit(int(stop)))
+    hw = F.element_at(F.create_map(*pairs), F.col(sid_col))
+    return events.filter(
+        hw.isNull() | (F.col(tx_col).cast("long") >= hw)
+    )
 
 
 def gtid_dedupe_stream(events: DataFrame, ts_col: str,
                        sid_col: str = "gtid_sid",
                        tx_col: str = "gtid_tx",
+                       seq_col: str = "seq",
                        watermark: str = "1 hour") -> DataFrame:
-    """C4 streaming form: checkpointed dropDuplicates state, bounded
-    by the watermark (the reference's TTL-less map grows forever —
-    the watermark is the at-scale fix)."""
+    """C4 streaming form: checkpointed dropDuplicates state on the
+    per-row identity, bounded by the watermark (the reference's
+    TTL-less map grows forever — the watermark is the at-scale fix)."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(
-        [sid_col, tx_col]
+        [sid_col, tx_col, seq_col]
     )

@@ -30,14 +30,46 @@ def test_pair_update_rows(spark):
     ]
 
 
-def test_gtid_dedupe_batch(spark):
+def test_gtid_dedupe_batch_keeps_multirow_transactions(spark):
+    # tx 1 on s1 carries THREE rows (seq 10/11/12) plus an exact
+    # replay of seq 10; dedupe must keep all three distinct rows and
+    # drop only the replay (a GTID names a transaction, not a row).
     df = spark.createDataFrame(
-        [("s1", 1, "a"), ("s1", 1, "a-replay"), ("s1", 2, "b"), ("s2", 1, "c")],
-        ["gtid_sid", "gtid_tx", "payload"],
+        [
+            ("s1", 1, 10, "r1"),
+            ("s1", 1, 11, "r2"),
+            ("s1", 1, 12, "r3"),
+            ("s1", 1, 10, "r1-replay"),
+            ("s1", 2, 13, "b"),
+            ("s2", 1, 20, "c"),
+        ],
+        ["gtid_sid", "gtid_tx", "seq", "payload"],
     )
     out = B.gtid_dedupe_batch(df)
-    assert out.count() == 3
-    assert out.filter("gtid_sid = 's1' AND gtid_tx = 1").count() == 1
+    assert out.count() == 5
+    assert out.filter("gtid_sid = 's1' AND gtid_tx = 1").count() == 3
+
+
+def test_gtid_highwater_filter(spark):
+    # checkpoint says: s1 seen through tx 5. Rows below 5 are replays
+    # and drop; tx == 5 is reprocessed (at-least-once, txID >= stop);
+    # rows above pass; unknown sid s3 passes untouched.
+    df = spark.createDataFrame(
+        [
+            ("s1", 4, 1, "old-replay"),
+            ("s1", 5, 2, "at-mark"),
+            ("s1", 6, 3, "new"),
+            ("s1", 6, 4, "new-row2"),
+            ("s3", 1, 5, "unknown-sid"),
+        ],
+        ["gtid_sid", "gtid_tx", "seq", "payload"],
+    )
+    out = B.gtid_highwater_filter(df, {"s1": 5}).collect()
+    kept = sorted(r["payload"] for r in out)
+    assert kept == ["at-mark", "new", "new-row2", "unknown-sid"]
+    # empty / None checkpoint keeps everything
+    assert B.gtid_highwater_filter(df, None).count() == 5
+    assert B.gtid_highwater_filter(df, {}).count() == 5
 
 
 def _write_log(d, name, records):

@@ -76,6 +76,37 @@ def shingle_set(text: Column, n: int = 2) -> Column:
     )
 
 
+# Build sides past this size fall back to a shuffle join (sort-merge,
+# AQE may still pick broadcast from ACTUAL runtime sizes — which is the
+# safe direction: AQE respects autoBroadcastJoinThreshold, a forced
+# hint does not). 512 MB ~= 5M docs of 8x8B signatures: comfortably
+# inside a big executor/driver, far below the 10^8-doc corpus tier
+# where a forced broadcast is a driver OOM.
+BROADCAST_BYTE_CAP = 512 << 20
+
+
+def maybe_broadcast(df: DataFrame, cap_bytes: int | None = None) -> DataFrame:
+    """Broadcast hint gated on Catalyst's plan-stats size estimate.
+
+    The dedup/similarity build sides (signature, token-hash, simhash
+    tables) are corpus-sized: tiny per row but linear in documents. At
+    test scale the 10 MB auto-broadcast threshold misses them (their
+    estimates cross it early) so the hint is a measured 40x win; at
+    the 10^8-doc tier the same hint would OOM the driver. Decide from
+    the optimizer's sizeInBytes estimate — free (no job), available
+    before execution — and past the cap return the frame unhinted so
+    the pre-bucketed sort-merge path (plus AQE's runtime re-plan)
+    takes over."""
+    cap = BROADCAST_BYTE_CAP if cap_bytes is None else cap_bytes
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - estimate unavailable
+        return df  # conservative: let AQE decide at runtime
+    return F.broadcast(df) if est <= cap else df
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a small input across the cluster before expensive
     per-row work (md5 passes, lambda folds — all interpreted, not
@@ -169,6 +200,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    broadcast_cap: int | None = None,
 ) -> DataFrame:
     """Per-band self-joins on the signature slice; docs sharing ALL
     hashes within any band become a candidate pair (doc_a < doc_b).
@@ -181,13 +213,14 @@ def lsh_candidate_pairs(
     Each band join is a broadcast hash join keyed on the band's hash
     columns (uniform, skew-free); the probe side keeps its upstream
     doc-id-spread partitioning so a hot bucket's O(k^2) pair block is
-    still sliced across tasks. At the 100 TB tier where signatures
-    outgrow a broadcast, drop the hint and let AQE skew-split the
-    SMJ — first-match-only still avoids the distinct."""
+    still sliced across tasks. The hint is size-gated
+    (`maybe_broadcast`): past the cap the join falls back to
+    sort-merge and AQE skew-splits it — first-match-only still avoids
+    the distinct."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     a = sigs.alias("a")
-    b = F.broadcast(sigs.alias("b"))
+    b = maybe_broadcast(sigs.alias("b"), broadcast_cap)
     out = None
     for band in range(n_bands):
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -215,6 +248,7 @@ def jaccard_verify(
     hashed: bool = True,
     toks: DataFrame | None = None,
     toks_col: str = "toks",
+    broadcast_cap: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard on candidate pairs.
 
@@ -257,22 +291,22 @@ def jaccard_verify(
     fanout = pairs.sparkSession.sparkContext.defaultParallelism
     pairs = pairs.repartition(fanout)
     toks = toks.withColumn("n_toks", F.size(F.col("toks")))
-    # Explicit broadcast: the token-hash table is ~200 B/doc, far
+    # Size-gated broadcast: the token-hash table is ~200 B/doc, far
     # smaller than the pair list it joins against, but its size
     # estimate crosses the 10 MB auto-broadcast default early —
     # without the hint both joins degrade to sort-merge and SORT the
     # entire pair stream twice (measured 40x slower at a 50 k-doc
-    # probe). Past broadcast reach (~10^8 docs), drop the hint and
-    # pre-bucket both sides on the id instead.
+    # probe). Past broadcast reach (~10^8 docs) maybe_broadcast drops
+    # the hint and the joins pre-bucket both sides on the id.
     j = (
         pairs.join(
-            F.broadcast(toks.select(
+            maybe_broadcast(toks.select(
                 F.col("jid").alias("doc_a"), F.col("toks").alias("toks_a"),
-                F.col("n_toks").alias("na"))), "doc_a")
+                F.col("n_toks").alias("na")), broadcast_cap), "doc_a")
         .join(
-            F.broadcast(toks.select(
+            maybe_broadcast(toks.select(
                 F.col("jid").alias("doc_b"), F.col("toks").alias("toks_b"),
-                F.col("n_toks").alias("nb"))), "doc_b")
+                F.col("n_toks").alias("nb")), broadcast_cap), "doc_b")
     )
     j = j.select(
         "doc_a", "doc_b",
@@ -335,6 +369,7 @@ def simhash_candidate_pairs(
     bits: int = 63,
     n_bands: int = 4,
     max_hamming: int = 3,
+    broadcast_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= `max_hamming`.
 
@@ -345,9 +380,9 @@ def simhash_candidate_pairs(
     is emitted by its first equal band, later bands require an
     earlier-band mismatch) keeps the per-band pair sets disjoint — no
     distinct shuffle. The exact `bit_count(xor)` filter runs on the
-    join output. Same scale shape as `lsh_candidate_pairs`: broadcast
-    build side, uniform slice keys, AQE skew-split beyond broadcast
-    size."""
+    join output. Same scale shape as `lsh_candidate_pairs`:
+    size-gated broadcast build side, uniform slice keys, AQE
+    skew-split beyond broadcast size."""
     assert max_hamming <= n_bands - 1, "pigeonhole needs n_bands > max_hamming"
     base = bits // n_bands
     rem = bits % n_bands
@@ -359,7 +394,7 @@ def simhash_candidate_pairs(
         return c.bitwiseAND(F.lit((1 << widths[band]) - 1))
 
     a = sh.alias("a")
-    b = F.broadcast(sh.alias("b"))
+    b = maybe_broadcast(sh.alias("b"), broadcast_cap)
     hamming = F.bit_count(
         F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
     )

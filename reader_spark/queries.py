@@ -718,7 +718,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).withColumn("nrm", F.sqrt(SIM.dot(F.col("vec"), F.col("vec")))).persist()
     a = vecs.alias("a")
-    b = F.broadcast(vecs.alias("b"))
+    b = DD.maybe_broadcast(vecs.alias("b"))
     sim = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
         a.join(

@@ -54,6 +54,42 @@ def test_lsh_builds_broadcast_not_shuffle_join(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_broadcasts_are_size_gated(spark):
+    # Big-corpus regime: with the cap below the build side's estimate
+    # the hint disappears — no forced BroadcastExchange of a
+    # corpus-sized table anywhere in the initial plan (AQE may still
+    # choose broadcast from ACTUAL sizes at runtime; the driver-OOM
+    # risk is the unconditional hint, which must be gone).
+    from reader_spark.operators import dedup as DD
+    from reader_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").limit(500)
+    # Disable the planner's own size-based broadcast so the plan shows
+    # exactly what the HINT forces.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sigs = DD.minhash_signature(docs)
+        gated = DD.lsh_candidate_pairs(sigs, broadcast_cap=0)
+        plan = gated._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+        sh = DD.simhash(docs)
+        gated = DD.simhash_candidate_pairs(sh, broadcast_cap=0)
+        plan = gated._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+        # Small regime (default cap): the hint forces the broadcast
+        # even with auto-broadcast off.
+        hinted = DD.lsh_candidate_pairs(sigs)
+        plan = hinted._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_knn_bruteforce_broadcasts_queries(spark):
     fn, _ = CATALOG["knn_bruteforce"]
     plan = _plan(fn(spark, SF_DIR))

@@ -45,17 +45,36 @@ _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s*\((.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_ADD_RE = re.compile(
-    r"ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+([^,]+)",
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+# Per-spec patterns (an ALTER TABLE carries comma-separated specs; the
+# reference iterates AllAlterSpecification — alter_table.go:19-93).
+_ADD_SPEC_RE = re.compile(
+    r"^ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_DROP_SPEC_RE = re.compile(
+    r"^DROP\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s*$", re.IGNORECASE
+)
+_RENAME_SPEC_RE = re.compile(
+    r"^RENAME\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+TO\s+[`\"]?(\w+)[`\"]?\s*$",
     re.IGNORECASE,
 )
-_DROP_RE = re.compile(
-    r"ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+DROP\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?",
-    re.IGNORECASE,
+# MODIFY col <type> [FIRST | AFTER other]: type change + optional
+# reposition (AlterByModifyColumnContext, alter_table.go:53-61).
+_MODIFY_SPEC_RE = re.compile(
+    r"^MODIFY\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
-_RENAME_COL_RE = re.compile(
-    r"ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+RENAME\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+TO\s+[`\"]?(\w+)[`\"]?",
-    re.IGNORECASE,
+# CHANGE old new <type> [FIRST | AFTER other]: rename + type change +
+# optional reposition (AlterByChangeColumnContext, alter_table.go:198-217).
+_CHANGE_SPEC_RE = re.compile(
+    r"^CHANGE\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+[`\"]?(\w+)[`\"]?\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+# Trailing position marker inside a column definition (FirstPosition /
+# AfterPosition, ddl.go:170-204).
+_POS_RE = re.compile(
+    r"\b(?:(FIRST)|AFTER\s+[`\"]?(\w+)[`\"]?)\s*$", re.IGNORECASE
 )
 _RENAME_TABLE_RE = re.compile(
     r"RENAME\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+TO\s+[`\"]?(\w+)[`\"]?", re.IGNORECASE
@@ -95,24 +114,10 @@ class SchemaAdapter:
             self.tables[m.group(1)] = cols
             self._record(unix_ts, statement)
             return True
-        m = _ADD_RE.search(statement)
-        if m and m.group(1) in self.tables:
-            self.tables[m.group(1)].append(m.group(2))
-            self._record(unix_ts, statement)
-            return True
-        m = _RENAME_COL_RE.search(statement)
-        if m and m.group(1) in self.tables:
-            cols = self.tables[m.group(1)]
-            self.tables[m.group(1)] = [
-                m.group(3) if c == m.group(2) else c for c in cols
-            ]
-            self._record(unix_ts, statement)
-            return True
-        m = _DROP_RE.search(statement)
-        if m and m.group(1) in self.tables:
-            self.tables[m.group(1)] = [
-                c for c in self.tables[m.group(1)] if c != m.group(2)
-            ]
+        m = _ALTER_RE.match(statement)
+        if m and m.group(1) in self.tables and self._apply_alter_specs(
+            m.group(1), m.group(2)
+        ):
             self._record(unix_ts, statement)
             return True
         m = _RENAME_TABLE_RE.search(statement)
@@ -126,6 +131,77 @@ class SchemaAdapter:
             self._record(unix_ts, statement)
             return True
         return False
+
+    def _apply_alter_specs(self, table: str, specs: str) -> bool:
+        """Apply an ALTER TABLE's comma-separated spec list to the
+        column registry. Column ORDER is part of the state — binlog row
+        images are positional, so FIRST / AFTER repositioning changes
+        how every later DML decodes (ddl.go:170-204). A bare MODIFY
+        (type-only change) keeps the name list identical but still
+        counts as a schema mutation: the type change means rows decoded
+        under the old version are not comparable, so a new history
+        version must be cut."""
+        cols = self.tables[table]
+        mutated = False
+        # split on top-level commas only (types like decimal(10,2)
+        # carry commas inside parens)
+        parts, depth, buf = [], 0, []
+        for ch in specs:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        for spec in (p.strip().rstrip(";").strip() for p in parts):
+            if not spec:
+                continue
+            if sm := _ADD_SPEC_RE.match(spec):
+                name, tail = sm.group(1), sm.group(2)
+                if name not in cols:
+                    cols.append(name)
+                    self._reposition(cols, name, tail)
+                    mutated = True
+            elif sm := _DROP_SPEC_RE.match(spec):
+                if sm.group(1) in cols:
+                    cols.remove(sm.group(1))
+                    mutated = True
+            elif sm := _RENAME_SPEC_RE.match(spec):
+                old, new = sm.group(1), sm.group(2)
+                if old in cols:
+                    cols[cols.index(old)] = new
+                    mutated = True
+            elif sm := _CHANGE_SPEC_RE.match(spec):
+                old, new, tail = sm.group(1), sm.group(2), sm.group(3)
+                if old in cols:
+                    cols[cols.index(old)] = new
+                    self._reposition(cols, new, tail)
+                    mutated = True
+            elif sm := _MODIFY_SPEC_RE.match(spec):
+                name, tail = sm.group(1), sm.group(2)
+                if name in cols:
+                    self._reposition(cols, name, tail)
+                    mutated = True  # type change: new version regardless
+        return mutated
+
+    @staticmethod
+    def _reposition(cols: list[str], name: str, definition_tail: str) -> None:
+        pm = _POS_RE.search(definition_tail)
+        if not pm:
+            return
+        cols.remove(name)
+        if pm.group(1):  # FIRST
+            cols.insert(0, name)
+        else:  # AFTER <col>
+            target = pm.group(2)
+            if target in cols:
+                cols.insert(cols.index(target) + 1, name)
+            else:
+                cols.append(name)
 
     def _record(self, unix_ts: int, statement: str) -> None:
         self.history.append(

@@ -122,6 +122,67 @@ def test_schema_adapter_ddl_sequence(tmp_path):
     assert len(sa2.history) == 5
 
 
+def test_schema_adapter_modify_change_columns(tmp_path):
+    # MySQL's most common type-evolution statements (MODIFY / CHANGE,
+    # lib/antlr/alter_table.go:53-93): type changes cut a new version,
+    # CHANGE renames, FIRST/AFTER reorders the POSITIONAL decode order
+    # (ddl.go:170-204).
+    sa = SchemaAdapter()
+    assert sa.apply_ddl("CREATE TABLE t (id int, a int, b text, c int)", 100)
+    # bare MODIFY: type-only change — name list identical, but a new
+    # history version is cut (old rows decode under the old type)
+    assert sa.apply_ddl("ALTER TABLE t MODIFY COLUMN a bigint", 200)
+    assert sa.tables["t"] == ["id", "a", "b", "c"]
+    assert len(sa.history) == 2
+    # MODIFY ... AFTER: repositions (changes every later positional row)
+    assert sa.apply_ddl("ALTER TABLE t MODIFY a int AFTER b", 300)
+    assert sa.tables["t"] == ["id", "b", "a", "c"]
+    # MODIFY ... FIRST
+    assert sa.apply_ddl("ALTER TABLE t MODIFY COLUMN c decimal(10,2) FIRST", 400)
+    assert sa.tables["t"] == ["c", "id", "b", "a"]
+    # CHANGE = rename + type (+ optional position)
+    assert sa.apply_ddl("ALTER TABLE t CHANGE COLUMN b bb varchar(255)", 500)
+    assert sa.tables["t"] == ["c", "id", "bb", "a"]
+    assert sa.apply_ddl("ALTER TABLE t CHANGE a aa bigint AFTER id", 600)
+    assert sa.tables["t"] == ["c", "id", "aa", "bb"]
+    # multi-spec ALTER (comma-separated, as the reference's
+    # AllAlterSpecification loop handles)
+    assert sa.apply_ddl(
+        "ALTER TABLE t ADD COLUMN d decimal(8,3), DROP COLUMN c, MODIFY bb text", 700
+    )
+    assert sa.tables["t"] == ["id", "aa", "bb", "d"]
+    # unknown column / unknown table mutate nothing
+    assert not sa.apply_ddl("ALTER TABLE t MODIFY nosuch int", 800)
+    assert not sa.apply_ddl("ALTER TABLE missing MODIFY a int", 900)
+    # JSONL replay reproduces the evolved positional order
+    path = str(tmp_path / "history.jsonl")
+    sa.dump(path)
+    sa2 = SchemaAdapter.replay(path)
+    assert sa2.tables["t"] == ["id", "aa", "bb", "d"]
+    assert len(sa2.history) == 7
+
+
+def test_modify_change_versions_resolve_asof(spark, tmp_path):
+    # the history versions cut by MODIFY/CHANGE resolve through the
+    # as-of join like any other schema version
+    sa = SchemaAdapter()
+    sa.apply_ddl("CREATE TABLE t (id int, v int)", 100)
+    sa.apply_ddl("ALTER TABLE t MODIFY v bigint", 200)
+    sa.apply_ddl("ALTER TABLE t CHANGE v val bigint", 300)
+    history = spark.createDataFrame(
+        [(h["unix_ts"], h["statement"]) for h in sa.history],
+        ["unix_ts", "statement"],
+    )
+    events = spark.createDataFrame(
+        [(1, 150), (2, 250), (3, 350)], ["event_id", "ts_ms"]
+    )
+    out = {
+        r["event_id"]: r["schema_version_ts"]
+        for r in asof_schema_version(events, history, "event_id").collect()
+    }
+    assert out == {1: 100, 2: 200, 3: 300}
+
+
 def test_asof_schema_version(spark):
     events = spark.createDataFrame(
         [(1, 50), (2, 150), (3, 250), (4, 1000)], ["event_id", "ts_ms"]

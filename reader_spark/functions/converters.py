@@ -176,11 +176,14 @@ def mysql_set_decode(c: Column, members: list[str]) -> Column:
 
 
 def mysql_enum_decode(c: Column, members: list[str]) -> Column:
-    """MySQL ENUM 1-based index -> member string (enum.go)."""
+    """MySQL ENUM 1-based index -> member string
+    (lib/mysql/schema/convert.go:32-41). MySQL truth: index 0 is the
+    special empty-string "invalid" value, not a member; out-of-range
+    indexes -> NULL (F.get is the always-null-out-of-range accessor —
+    element_at raises under ANSI mode)."""
     arr = F.array(*[F.lit(m) for m in members])
-    return F.when(c.cast("int") > 0, F.element_at(arr, c.cast("int"))).otherwise(
-        c.cast("string")
-    )
+    idx = c.cast("int")
+    return F.when(idx == 0, F.lit("")).otherwise(F.get(arr, idx - 1))
 
 
 # --- geometry / hstore / json residue (P2) --------------------------------
@@ -191,6 +194,158 @@ def point_struct(c: Column) -> Column:
     x = F.regexp_extract(c, r"\(([-0-9.eE+]+),", 1).cast("double")
     y = F.regexp_extract(c, r",([-0-9.eE+]+)\)", 1).cast("double")
     return F.struct(x.alias("x"), y.alias("y"))
+
+
+def _le_hex(c: Column, pos: int, nbytes: int) -> Column:
+    """Hex string of a little-endian byte slice (1-indexed `pos`),
+    byte order reversed so the result reads big-endian."""
+    return F.concat(
+        *[F.hex(F.substring(c, pos + i, 1)) for i in reversed(range(nbytes))]
+    )
+
+
+def _le_double(c: Column, pos: int) -> Column:
+    """IEEE-754 double from 8 little-endian bytes, JVM-side: signed
+    64-bit bits via conv(hex, 16, -10), then Double.longBitsToDouble
+    through reflect (Double.toString round-trips exactly, so the
+    string->double cast is lossless)."""
+    bits = F.conv(_le_hex(c, pos, 8), 16, -10).cast("long")
+    return F.java_method(
+        F.lit("java.lang.Double"), F.lit("longBitsToDouble"), bits
+    ).cast("double")
+
+
+def mysql_point_struct(c: Column) -> Column:
+    """MySQL POINT internal format (25 bytes: 4 SRID + WKB) ->
+    struct{x,y} (lib/mysql/schema/convert.go:193-216). Validates the
+    reference's contract: length 25, little-endian byte-order marker,
+    geometry type 1; anything else -> NULL."""
+    valid = (
+        (F.length(c) == 25)
+        & (F.hex(F.substring(c, 5, 1)) == "01")
+        & (F.conv(_le_hex(c, 6, 4), 16, 10).cast("long") == 1)
+    )
+    return F.when(
+        valid,
+        F.struct(_le_double(c, 10).alias("x"), _le_double(c, 18).alias("y")),
+    )
+
+
+def mysql_geometry_struct(c: Column) -> Column:
+    """MySQL GEOMETRY internal format -> struct{wkb, srid}
+    (lib/mysql/schema/convert.go:217-241): SRID from the leading 4
+    bytes honoring the WKB byte-order marker at offset 4 (0=BE, 1=LE),
+    wkb = the remainder. No coordinate decode — the WKB passes through
+    opaque, as in the reference."""
+    order = F.hex(F.substring(c, 5, 1))
+    srid = F.when(
+        order == "01", F.conv(_le_hex(c, 1, 4), 16, 10).cast("long")
+    ).when(order == "00", F.conv(F.hex(F.substring(c, 1, 4)), 16, 10).cast("long"))
+    valid = (F.length(c) >= 25) & order.isin("00", "01")
+    return F.when(
+        valid,
+        F.struct(
+            F.substring(c, 5, 2_147_483_647).alias("wkb"),
+            srid.cast("int").alias("srid"),
+        ),
+    )
+
+
+def pg_geography_struct(c: Column) -> Column:
+    """Postgres geometry/geography EWKB hex text -> struct{wkb, srid}
+    with wkb base64-encoded and srid always NULL, byte-exact with the
+    reference's ToGeography (lib/postgres/parse/geom.go:51-62)."""
+    return F.struct(
+        F.base64(F.unhex(c)).alias("wkb"),
+        F.lit(None).cast("int").alias("srid"),
+    )
+
+
+def timetz_utc_string(c: Column) -> Column:
+    """TIME WITH TIME ZONE text -> UTC `15:04:05.000000Z` string
+    (sources/postgres/adapter/converters.go:13-44). Accepts the
+    reference's layouts (whole-hour offsets, 0/3/6 fractional digits)
+    plus `:mm` offsets; pure integer arithmetic — independent of the
+    session timezone, wraps past midnight like a UTC clock."""
+    pat = r"^(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?([+-])(\d{2})(?::?(\d{2}))?$"
+    hh = F.regexp_extract(c, pat, 1).cast("long")
+    mi = F.regexp_extract(c, pat, 2).cast("long")
+    ss = F.regexp_extract(c, pat, 3).cast("long")
+    frac = F.rpad(F.regexp_extract(c, pat, 4), 6, "0").cast("long")
+    sign = F.when(F.regexp_extract(c, pat, 5) == "-", F.lit(-1)).otherwise(F.lit(1))
+    off_h = F.regexp_extract(c, pat, 6).cast("long")
+    off_m = F.coalesce(
+        F.nullif(F.regexp_extract(c, pat, 7), F.lit("")).cast("long"), F.lit(0)
+    )
+    offset_s = sign * (off_h * 3600 + off_m * 60)
+    micros = (hh * 3600 + mi * 60 + ss - offset_s) * 1_000_000 + F.coalesce(
+        frac, F.lit(0)
+    )
+    micros = ((micros % MICROS_PER_DAY) + MICROS_PER_DAY) % MICROS_PER_DAY
+    out = F.concat(
+        F.lpad((micros / 3_600_000_000).cast("long").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(((micros / 60_000_000) % 60).cast("long").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(((micros / 1_000_000) % 60).cast("long").cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad((micros % 1_000_000).cast("string"), 6, "0"),
+        F.lit("Z"),
+    )
+    # unparseable -> NULL (the regexp groups come back empty)
+    return F.when(c.rlike(pat), out)
+
+
+VARIABLE_NUMERIC_TYPE = T.StructType(
+    [
+        T.StructField("scale", T.IntegerType()),
+        T.StructField("value", T.BinaryType()),
+    ]
+)
+
+
+@F.pandas_udf(VARIABLE_NUMERIC_TYPE)
+def variable_numeric_struct(s: pd.Series) -> pd.DataFrame:
+    """Variable-precision NUMERIC -> Debezium VariableScaleDecimal
+    struct {scale, big-endian two's-complement unscaled bytes}
+    (lib/debezium/converters/decimal.go:73-103). Arrow-batched edge
+    converter (arbitrary-precision ints are not expressible as column
+    arithmetic); NaN -> NULL as in the reference."""
+    import decimal
+
+    def enc(v):
+        if v is None:
+            return None
+        try:
+            d = decimal.Decimal(str(v))
+        except decimal.InvalidOperation:
+            return None
+        if d.is_nan():
+            return None
+        exp = d.as_tuple().exponent
+        unscaled = int(d.scaleb(-exp))
+        scale = -exp
+        if scale < 0:  # 1E+3 style: normalize to scale 0
+            unscaled *= 10 ** (-scale)
+            scale = 0
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return {
+            "scale": scale,
+            "value": unscaled.to_bytes(n, "big", signed=True),
+        }
+
+    return pd.DataFrame(
+        [enc(v) or {"scale": None, "value": None} for v in s],
+        columns=["scale", "value"],
+    )
+
+
+def variable_numeric(c: Column) -> Column:
+    """NULL-struct wrapper: the Arrow batch can't emit a null struct
+    row, so NaN/unparseable come back as {null, null} — collapse them
+    to a NULL column value as the reference's nil does."""
+    s = variable_numeric_struct(c)
+    return F.when(s.getField("value").isNotNull(), s)
 
 
 def hstore_map(col_name: str) -> Column:
@@ -224,6 +379,31 @@ CONVERTERS: dict[str, Converter] = {
     "time_micros": Converter("time_micros", time_micros, T.LongType()),
     "zoned_timestamp": Converter("zoned_timestamp", zoned_timestamp, T.StringType()),
     "year": Converter("year", year_int, T.IntegerType()),
+    "timetz": Converter("timetz", timetz_utc_string, T.StringType()),
+    "pg_geography": Converter(
+        "pg_geography",
+        pg_geography_struct,
+        T.StructType(
+            [T.StructField("wkb", T.StringType()), T.StructField("srid", T.IntegerType())]
+        ),
+    ),
+    "mysql_point": Converter(
+        "mysql_point",
+        mysql_point_struct,
+        T.StructType(
+            [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+        ),
+    ),
+    "mysql_geometry": Converter(
+        "mysql_geometry",
+        mysql_geometry_struct,
+        T.StructType(
+            [T.StructField("wkb", T.BinaryType()), T.StructField("srid", T.IntegerType())]
+        ),
+    ),
+    "variable_numeric": Converter(
+        "variable_numeric", variable_numeric, VARIABLE_NUMERIC_TYPE
+    ),
 }
 
 

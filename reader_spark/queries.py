@@ -245,6 +245,74 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type
 # Analytics (engine capability at scale; TPC-H-shaped)
 
 
+def p3_wire_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P2 wire-format battery over the reference's golden vectors:
+    MySQL POINT 25-byte internal format (convert.go:193-216), MySQL
+    GEOMETRY srid+wkb split (convert.go:217-241), Postgres EWKB
+    geography (geom.go:51-62), TIME WITH TIME ZONE normalization
+    (adapter/converters.go:13-44), and the Debezium VariableScaleDecimal
+    struct (decimal.go:73-103). Spark runs the REAL decoders
+    (IEEE-754 bit decode stays JVM-side via conv + reflect; the
+    variable numeric is the one Arrow-batched edge UDF); the oracle
+    states the reference's documented expected wire values."""
+    from reader_spark.functions import converters as C
+
+    raw = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1, 'AAAAAAEBAAAAAAAAAAAAAAAAAAAAAAAAAA==', NULL, NULL, NULL),
+          (2, 'AAAAAAEBAAAArkfhehSuKECkcD0K12NMQA==', NULL, NULL, NULL),
+          (3, 'AAAAAAEBAAAASOF6FK5IocDD9ShcjzmqwA==', NULL, NULL, NULL),
+          (4, NULL, '010100000000000000000000000000000000000000', NULL, NULL),
+          (5, NULL, NULL, '11:02:06.222-07', NULL),
+          (6, NULL, NULL, '23:30:00+05', NULL),
+          (7, NULL, NULL, '12:00:00+05:30', NULL),
+          (8, NULL, NULL, '23:00:00-05', NULL),
+          (9, NULL, NULL, NULL, '12.34'),
+          (10, NULL, NULL, NULL, '-12.34'),
+          (11, NULL, NULL, NULL, '0')
+        AS t(case_id, mp, geo, tz, vn)
+        """
+    )
+    # srid=4326 little-endian variant of case 2's geometry bytes
+    geom = C.mysql_geometry_struct(
+        F.unhex(F.concat(F.lit("E6100000"), F.substring(F.hex(F.unbase64("mp")), 9, 42)))
+    )
+    pt = C.mysql_point_struct(F.unbase64("mp"))
+    vnst = C.variable_numeric(F.col("vn"))
+    return raw.select(
+        F.col("case_id").cast("long").alias("case_id"),
+        pt.getField("x").alias("x"),
+        pt.getField("y").alias("y"),
+        C.pg_geography_struct(F.col("geo")).getField("wkb").alias("wkb"),
+        F.when(F.col("mp").isNotNull(), geom.getField("srid").cast("long")).alias("srid"),
+        C.timetz_utc_string(F.col("tz")).alias("timetz"),
+        vnst.getField("scale").cast("long").alias("vn_scale"),
+        F.hex(vnst.getField("value")).alias("vn_value"),
+    )
+
+
+P3_SQL = """
+SELECT case_id::BIGINT AS case_id, x::DOUBLE AS x, y::DOUBLE AS y,
+       wkb::VARCHAR AS wkb, srid::BIGINT AS srid,
+       timetz::VARCHAR AS timetz, vn_scale::BIGINT AS vn_scale,
+       vn_value::VARCHAR AS vn_value
+FROM (VALUES
+  (1, 0.0, 0.0, NULL, 4326, NULL, NULL, NULL),
+  (2, 12.34, 56.78, NULL, 4326, NULL, NULL, NULL),
+  (3, -2212.34, -3356.78, NULL, 4326, NULL, NULL, NULL),
+  (4, NULL, NULL, 'AQEAAAAAAAAAAAAAAAAAAAAAAAAA', NULL, NULL, NULL, NULL),
+  (5, NULL, NULL, NULL, NULL, '18:02:06.222000Z', NULL, NULL),
+  (6, NULL, NULL, NULL, NULL, '18:30:00.000000Z', NULL, NULL),
+  (7, NULL, NULL, NULL, NULL, '06:30:00.000000Z', NULL, NULL),
+  (8, NULL, NULL, NULL, NULL, '04:00:00.000000Z', NULL, NULL),
+  (9, NULL, NULL, NULL, NULL, NULL, 2, '04D2'),
+  (10, NULL, NULL, NULL, NULL, NULL, 2, 'FB2E'),
+  (11, NULL, NULL, NULL, NULL, NULL, 0, '00')
+) t(case_id, x, y, wkb, srid, timetz, vn_scale, vn_value)
+"""
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1. Exact decimal aggregation (order-independent), double
     at the edge. One shuffle; partial agg map-side."""
@@ -2682,6 +2750,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "c10_json_extract": (c10_json_extract, C10_SQL),
     "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),
     "p2_value_parse": (p2_value_parse, P2_SQL),
+    "p3_wire_converters": (p3_wire_converters, P3_SQL),
     # LLM-data-pipeline
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),

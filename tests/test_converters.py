@@ -88,6 +88,82 @@ def test_mysql_set_decode(spark):
 def test_mysql_enum_decode(spark):
     out = one(spark, 2, lambda c: C.mysql_enum_decode(c, ["x", "y", "z"]))
     assert out == "y"
+    # MySQL enum truth (convert.go:32-41 + MySQL docs): index 0 is the
+    # empty-string invalid marker; out-of-range -> NULL
+    assert one(spark, 0, lambda c: C.mysql_enum_decode(c, ["x", "y"])) == ""
+    assert one(spark, 9, lambda c: C.mysql_enum_decode(c, ["x", "y"])) is None
+
+
+def test_mysql_point_struct(spark):
+    # golden vectors from lib/mysql/schema/convert_test.go:334-351
+    import base64
+
+    cases = {
+        "AAAAAAEBAAAAAAAAAAAAAAAAAAAAAAAAAA==": (0.0, 0.0),
+        "AAAAAAEBAAAArkfhehSuKECkcD0K12NMQA==": (12.34, 56.78),
+        "AAAAAAEBAAAASOF6FK5IocDD9ShcjzmqwA==": (-2212.34, -3356.78),
+    }
+    for b64, (x, y) in cases.items():
+        out = one(spark, bytearray(base64.b64decode(b64)), C.mysql_point_struct)
+        assert out["x"] == x and out["y"] == y, b64
+    # wrong length / wrong byte order -> NULL
+    assert one(spark, bytearray(b"\x00" * 10), C.mysql_point_struct) is None
+    bad_order = bytearray(base64.b64decode("AAAAAAEBAAAAAAAAAAAAAAAAAAAAAAAAAA=="))
+    bad_order[4] = 0
+    assert one(spark, bad_order, C.mysql_point_struct) is None
+
+
+def test_mysql_geometry_struct(spark):
+    # convert.go:217-241: srid honors the WKB byte-order marker; wkb
+    # passes through opaque (= bytes[4:])
+    import base64
+
+    point = base64.b64decode("AAAAAAEBAAAArkfhehSuKECkcD0K12NMQA==")
+    le_4326 = bytearray(point)
+    le_4326[0:4] = (4326).to_bytes(4, "little")
+    out = one(spark, bytearray(le_4326), C.mysql_geometry_struct)
+    assert out["srid"] == 4326 and bytes(out["wkb"]) == bytes(le_4326[4:])
+    be = bytearray(point)
+    be[0:4] = (4326).to_bytes(4, "big")
+    be[4] = 0  # big-endian WKB marker
+    out = one(spark, bytearray(be), C.mysql_geometry_struct)
+    assert out["srid"] == 4326 and bytes(out["wkb"]) == bytes(be[4:])
+    assert one(spark, bytearray(b"\x00" * 5), C.mysql_geometry_struct) is None
+
+
+def test_pg_geography_struct(spark):
+    # golden vector from lib/postgres/parse/geom_test.go:60-74
+    out = one(
+        spark, "010100000000000000000000000000000000000000", C.pg_geography_struct
+    )
+    assert out["wkb"] == "AQEAAAAAAAAAAAAAAAAAAAAAAAAA"
+    assert out["srid"] is None
+
+
+def test_timetz_utc_string(spark):
+    # layouts from sources/postgres/adapter/converters.go:30-44
+    cases = {
+        "11:02:06-07": "18:02:06.000000Z",
+        "11:02:06.222-07": "18:02:06.222000Z",
+        "11:02:06.222333-07": "18:02:06.222333Z",
+        "23:30:00+05": "18:30:00.000000Z",
+        "12:00:00+05:30": "06:30:00.000000Z",
+        "23:00:00-05": "04:00:00.000000Z",  # wraps past midnight
+        "garbage": None,
+    }
+    for src, want in cases.items():
+        assert one(spark, src, C.timetz_utc_string) == want, src
+
+
+def test_variable_numeric_struct(spark):
+    # golden vector from lib/debezium/converters/decimal_test.go:233-236
+    out = one(spark, "12.34", C.variable_numeric)
+    assert out["scale"] == 2 and bytes(out["value"]) == b"\x04\xd2"
+    out = one(spark, "0", C.variable_numeric)
+    assert out["scale"] == 0 and bytes(out["value"]) == b"\x00"
+    out = one(spark, "-12.34", C.variable_numeric)
+    assert out["scale"] == 2 and bytes(out["value"]) == b"\xfb\x2e"
+    assert one(spark, "NaN", C.variable_numeric) is None
 
 
 def test_point_struct(spark):

@@ -180,14 +180,20 @@ def p5_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 P5_SQL = """
 SELECT 'cdc.tpch.nation' AS topic,
-       to_json(struct_pack(n_nationkey := n_nationkey)) AS key,
-       to_json(struct_pack(
-         before := NULL,
-         after := struct_pack(n_nationkey := n_nationkey, n_name := n_name,
-                              n_regionkey := n_regionkey),
-         source := struct_pack(db := 'tpch', "schema" := 'public',
-                               "table" := 'nation', ts_ms := 0::BIGINT),
-         op := 'r')) AS value
+       concat('{"schema":{"type":"struct","fields":[{"type":"int32","optional":true,"field":"n_nationkey"}]},"payload":',
+              to_json(struct_pack(n_nationkey := n_nationkey)), '}') AS key,
+       concat('{"schema":{"type":"struct","fields":[{"type":"struct","fields":['
+              || '{"type":"int32","optional":true,"field":"n_nationkey"},'
+              || '{"type":"string","optional":true,"field":"n_name"},'
+              || '{"type":"int32","optional":true,"field":"n_regionkey"}'
+              || '],"optional":false,"field":"after"}],"optional":false},"payload":',
+              to_json(struct_pack(
+                before := NULL,
+                after := struct_pack(n_nationkey := n_nationkey, n_name := n_name,
+                                     n_regionkey := n_regionkey),
+                source := struct_pack(db := 'tpch', "schema" := 'public',
+                                      "table" := 'nation', ts_ms := 0::BIGINT),
+                op := 'r')), '}') AS value
 FROM nation
 """
 

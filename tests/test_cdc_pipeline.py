@@ -45,7 +45,7 @@ def test_cdc_pipeline_with_schema_evolution(spark, tmp_path):
     q.awaitTermination(90)
 
     out = spark.read.parquet(f"{sink}/users")
-    rows = [json.loads(r["value"]) for r in out.collect()]
+    rows = [json.loads(r["value"])["payload"] for r in out.collect()]
     assert len(rows) == 2  # replayed GTID deduped, bookkeeping dropped
     assert {r["after"]["name"] for r in rows} == {"ada", "bob"}
     assert adapter.tables["users"] == ["id", "name"]
@@ -66,8 +66,8 @@ def test_cdc_pipeline_with_schema_evolution(spark, tmp_path):
     out2 = spark.read.parquet(f"{sink}/users")
     assert out2.count() == 3  # only the delta processed
     upd = [
-        json.loads(r["value"]) for r in out2.collect()
-        if json.loads(r["value"])["op"] == "u"
+        json.loads(r["value"])["payload"] for r in out2.collect()
+        if json.loads(r["value"])["payload"]["op"] == "u"
     ]
     assert len(upd) == 1
     assert upd[0]["after"]["email"] == "a@x.io"  # new column decoded

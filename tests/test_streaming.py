@@ -61,10 +61,11 @@ def test_cdc_stream_end_to_end(spark, tmp_path):
     q.awaitTermination(60)
     out = spark.sql("SELECT * FROM cdc_out").collect()
     assert len(out) == 3  # c, u, d for db 'd' only
-    by_op = {json.loads(r["value"])["op"]: r for r in out}
+    by_op = {json.loads(r["value"])["payload"]["op"]: r for r in out}
     assert set(by_op) == {"c", "u", "d"}
-    assert json.loads(by_op["d"]["key"]) == {"id": 1}  # delete keys off before
-    assert json.loads(by_op["u"]["value"])["after"] == {"id": 1, "v": "b"}
+    # delete keys off before; key carries the PrimaryKeyPayload wrapper
+    assert json.loads(by_op["d"]["key"])["payload"] == {"id": 1}
+    assert json.loads(by_op["u"]["value"])["payload"]["after"] == {"id": 1, "v": "b"}
     assert all(r["topic"] == "cdc.d.t" for r in out)
 
 

@@ -95,47 +95,86 @@ def knn_bruteforce(
     )
 
 
-def knn_ivf(
-    embeddings: DataFrame,
-    query_ids: list[int],
-    k: int = 5,
+def label_seeded_centroids(
+    vecs: DataFrame,
+    cluster_col: str = "cluster",
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    cluster_col: str = "label",
+    vec_col: str = "vec",
 ) -> DataFrame:
-    """IVF-style ANN: probe only the query's own coarse cluster.
+    """Coarse-quantizer centroids: one Lloyd iteration seeded by an
+    existing grouping column — (cl, c, nc) with c the per-group mean
+    vector.
 
-    The equi-join on the cluster key replaces the cross join — this is
-    the 100 TB path (candidates shrink by ~n_clusters; the cluster
-    assignment is computed once at ingest)."""
+    Bit-reproducible across engines: the element-wise vector sum folds
+    SEQUENTIALLY in id order (sorted collect_list, fold from the first
+    element — exactly DuckDB's `list_reduce(list(v ORDER BY id))`), so
+    the float centroids are identical to the oracle's. The collected
+    per-group list is the training cost — this runs once at ingest;
+    the production path is `ivf_fit` (pyspark.ml KMeans)."""
+    sorted_vecs = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
+        ),
+        lambda s: s.getField("v"),
+    )
+    summed = F.aggregate(
+        F.slice(sorted_vecs, 2, 2_000_000_000),
+        F.get(sorted_vecs, 0),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    n = F.size(sorted_vecs).cast("double")
+    centroid = F.transform(summed, lambda x: x / n)
+    return (
+        vecs.groupBy(F.col(cluster_col).alias("cl"))
+        .agg(centroid.alias("c"))
+        .withColumn("nc", dot(F.col("c"), F.col("c")))
+    )
+
+
+def nearest_clusters(
+    side: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    id_col: str,
+) -> DataFrame:
+    """Attach each row's `nprobe` nearest centroids (squared-L2 argmin,
+    ties broken by cluster id). Centroids are a handful of rows —
+    broadcast nested-loop against them, then a per-id window keeps the
+    top probes. At 100 TB this is the ingest-time assignment job; its
+    output column is what the big equi-join keys on."""
     from pyspark.sql import Window as W
 
-    vecs = embeddings.select(
-        F.col(id_col),
-        F.col(cluster_col).alias("cluster"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
-    queries = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("cluster").alias("qcluster"),
-        F.col("vec").alias("qvec"),
-        F.col("nv").alias("nq"),
+    dist = F.col("nv") - F.lit(2.0) * dot(F.col("vec"), F.col("c")) + F.col("nc")
+    w = W.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col("cl").asc())
+    return (
+        side.join(F.broadcast(cents), F.lit(True))
+        .withColumn("__dist", dist)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .drop("__r", "__dist", "c", "nc")
     )
-    cand = (
-        vecs.join(
-            F.broadcast(queries),
-            (F.col("cluster") == F.col("qcluster"))
-            & (F.col(id_col) != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                dot(F.col("qvec"), F.col("vec"))
-                / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nv"))),
-                6,
-            ).alias("cos_sim"),
-        )
+
+
+def _topk_probed(
+    corpus: DataFrame, probes: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Equi-join corpus (indexed under its nearest centroid) against
+    the query probe lists on the cluster key, score cosine, keep
+    per-query top-k. A (query, neighbor) pair appears at most once —
+    the corpus side has exactly one assignment — so no dedup shuffle."""
+    from pyspark.sql import Window as W
+
+    cand = corpus.join(
+        probes,
+        (F.col("cl") == F.col("qcl")) & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            dot(F.col("qvec"), F.col("vec"))
+            / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nv"))),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -145,3 +184,89 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Multi-probe IVF ANN: corpus vectors are indexed under their
+    nearest centroid; each query probes its `nprobe` nearest centroids.
+
+    The coarse quantizer here is one label-seeded Lloyd iteration
+    (deterministic -> oracle-reproducible); `ivf_fit`/`knn_ivf_trained`
+    is the pyspark.ml KMeans production path with identical probe
+    mechanics. The big join is an equi-join on the cluster key — the
+    candidate set shrinks ~n_clusters/nprobe-fold vs brute force, and
+    AQE handles cluster-size skew."""
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(cluster_col).alias("cluster"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    cents = label_seeded_centroids(vecs)
+    corpus = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
+    probes = nearest_clusters(
+        vecs.drop("cluster").filter(F.col(id_col).isin(query_ids)), cents, nprobe, id_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nv").alias("nq"),
+        F.col("cl").alias("qcl"),
+    )
+    return _topk_probed(corpus, probes, k, id_col)
+
+
+def ivf_fit(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+):
+    """Production coarse quantizer: pyspark.ml KMeans fitted ONCE at
+    ingest (the model is a handful of centroids; assignments are a
+    stored column, recomputed only on refit)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    return KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+
+
+def knn_ivf_trained(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    model,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Multi-probe IVF over a fitted KMeans model's centroids — same
+    probe mechanics as `knn_ivf`, quantizer swapped for the trained
+    one."""
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cl int, c array<double>",
+    ).withColumn("nc", dot(F.col("c"), F.col("c")))
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    corpus = nearest_clusters(vecs, cents, 1, id_col)
+    probes = nearest_clusters(
+        vecs.filter(F.col(id_col).isin(query_ids)), cents, nprobe, id_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nv").alias("nq"),
+        F.col("cl").alias("qcl"),
+    )
+    return _topk_probed(corpus, probes, k, id_col)

@@ -987,16 +987,47 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_IVF_SQL = """
-WITH v AS (
+WITH v0 AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-), q AS (
-  SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM v WHERE vec_id < 10
+), v AS (
+  SELECT vec_id, label, e,
+         list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nv
+  FROM v0
+), cent0 AS (
+  SELECT label AS cl, list(e ORDER BY vec_id) AS vs FROM v GROUP BY label
+), cent AS (
+  -- one label-seeded Lloyd iteration: sequential element-wise fold in
+  -- vec_id order (bit-identical to the Spark side's sorted fold)
+  SELECT cl,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(generate_series(1, len(a)), i -> a[i] + b[i])),
+           x -> x / len(vs)) AS c
+  FROM cent0
+), centn AS (
+  SELECT cl, c, list_reduce(list_transform(c, x -> x * x), (x, y) -> x + y) AS nc FROM cent
+), assign AS (
+  -- corpus indexed under its single nearest centroid (squared L2)
+  SELECT vec_id, e, nv, cl FROM (
+    SELECT v.vec_id, v.e, v.nv, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nv - 2 * list_reduce(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.c[i]), (x, y) -> x + y) + c.nc) ASC,
+             c.cl ASC) AS r
+    FROM v, centn c
+  ) WHERE r = 1
+), probe AS (
+  -- each query probes its 2 nearest centroids (multi-probe)
+  SELECT vec_id AS query_id, e AS qe, nv AS nq, cl AS qcl FROM (
+    SELECT v.vec_id, v.e, v.nv, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nv - 2 * list_reduce(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.c[i]), (x, y) -> x + y) + c.nc) ASC,
+             c.cl ASC) AS r
+    FROM v, centn c WHERE v.vec_id < 10
+  ) WHERE r <= 2
 ), pairs AS (
-  SELECT query_id, v.vec_id AS neighbor_id,
-         list_reduce(list_transform(generate_series(1, len(e)), i -> qe[i] * e[i]), (x, y) -> x + y) AS dp,
-         list_reduce(list_transform(generate_series(1, len(e)), i -> qe[i] * qe[i]), (x, y) -> x + y) AS nq,
-         list_reduce(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]), (x, y) -> x + y) AS nv
-  FROM q, v WHERE v.label = q.qlabel AND v.vec_id != q.query_id
+  SELECT query_id, a.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, len(a.e)), i -> qe[i] * a.e[i]), (x, y) -> x + y) AS dp,
+         nq, a.nv AS nv
+  FROM probe p JOIN assign a ON a.cl = p.qcl AND a.vec_id != p.query_id
 )
 SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT query_id, neighbor_id,

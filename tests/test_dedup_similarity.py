@@ -70,17 +70,60 @@ def test_knn_self_excluded_and_ranked(spark):
     assert all(r["neighbor_id"] != 0 for r in out)
 
 
-def test_knn_ivf_restricts_to_cluster(spark):
+def test_knn_ivf_probes_nearest_centroids(spark):
+    # label-seeded centroids: c1 = mean of vecs 0,1 = (0.95, 0.05),
+    # c2 = (0.95, 0.01). Quantizer ASSIGNMENT (not the stored label)
+    # indexes the corpus: vec 0 (1.0, 0.0) is nearer c2, so with
+    # nprobe=1 query 0 probes c2 and finds vec 2 — the genuinely
+    # closest neighbor the stale stored-label routing would miss.
     vecs = [
         (0, [1.0, 0.0], 1),
         (1, [0.9, 0.1], 1),
-        (2, [0.95, 0.01], 2),  # closer, but other cluster
+        (2, [0.95, 0.01], 2),
     ]
     df = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"]).withColumn(
         "embedding", F.col("embedding").cast("array<float>")
     )
-    out = SIM.knn_ivf(df, [0], k=5).collect()
-    assert [r["neighbor_id"] for r in out] == [1]
+    out = SIM.knn_ivf(df, [0], k=5, nprobe=1).collect()
+    assert [r["neighbor_id"] for r in out] == [2]
+    # nprobe=2 reaches both cells -> full candidate set, ranked by cos
+    out2 = SIM.knn_ivf(df, [0], k=5, nprobe=2).collect()
+    assert {r["neighbor_id"] for r in out2} == {1, 2}
+
+
+def test_knn_ivf_trained_recall(spark):
+    # production path: pyspark.ml KMeans quantizer fitted once,
+    # multi-probe search. The testdata embeddings are UNclustered
+    # random vectors (measured: 8% of a query's true top-5 shares its
+    # label), where no coarse quantizer can be recall-faithful with
+    # few probes — so validate the mechanics on data with real cluster
+    # structure: 10 well-separated centers + noise, the regime IVF is
+    # built for. recall@5 vs exact brute force >= 0.9 at nprobe=2/10.
+    import random
+
+    rng = random.Random(7)
+    dim, n_centers, per_center = 16, 10, 50
+    rows = []
+    for cid in range(n_centers):
+        center = [3.0 if d % n_centers == cid else 0.0 for d in range(dim)]
+        for j in range(per_center):
+            vec = [c + rng.uniform(-0.5, 0.5) for c in center]
+            rows.append((cid * per_center + j, vec))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    qids = [i * per_center for i in range(10)]
+    model = SIM.ivf_fit(emb, n_clusters=n_centers, seed=7)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.knn_bruteforce(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.knn_ivf_trained(emb, qids, model, k=5, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@5 = {recall}"
 
 
 def test_shingle_set(spark):

@@ -2767,6 +2767,120 @@ GROUP BY 1
 """
 
 
+def cdc_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1->C2->C4->C5->C3->P5->K1->K3 composed END-TO-END, driver-checked
+    (not just per-piece pytest): synthesize a deterministic binlog from
+    the orders fixture (CREATE, inserts incl. a multi-row transaction
+    and exact GTID replays, mid-stream ALTER ADD COLUMN, updates,
+    deletes), stream it through the custom logtail source ->
+    foreachBatch pipeline (route / GTID dedupe / schema history /
+    positional decode / Debezium envelope) -> parquet sink, then MERGE
+    the envelopes into final table state with the transfer writer and
+    return that state. The oracle derives the same edit script's final
+    state directly from orders — if any composed stage drops, dups, or
+    mis-decodes a row, the census diverges."""
+    import json
+    import os
+    import tempfile
+
+    from reader_spark.operators.transfer import TransferWriter
+    from reader_spark.plans.cdc_mysql import run_pipeline
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    work = tempfile.mkdtemp(prefix="cdc_e2e_")
+    log_dir = os.path.join(work, "log")
+    os.makedirs(log_dir)
+
+    src_rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .collect()
+    )  # source synthesis only — the pipeline under test stays distributed
+
+    def rec(seq, kind, *, op=None, stmt=None, before=None, after=None,
+            tx=None, ts=2000):
+        return {
+            "seq": str(seq), "ts_ms": str(ts), "db": "app",
+            "tbl": "orders_cdc", "kind": kind, "op": op,
+            "gtid_sid": "s1", "gtid_tx": str(tx if tx is not None else seq),
+            "statement": stmt,
+            "before": json.dumps(before) if before else None,
+            "after": json.dumps(after) if after else None,
+        }
+
+    lines = [rec(0, "ddl", stmt=(
+        "CREATE TABLE orders_cdc (o_orderkey int, o_custkey int, "
+        "o_orderstatus text)"), ts=1000)]
+    for r in src_rows:
+        row = {"o_orderkey": r["o_orderkey"], "o_custkey": r["o_custkey"],
+               "o_orderstatus": r["o_orderstatus"]}
+        # first three inserts form ONE multi-row transaction (tx=10):
+        # the GTID dedupe must keep every row of it
+        tx = 10 if r["o_orderkey"] < 3 else None
+        lines.append(rec(10 + r["o_orderkey"], "dml", op="c", after=row, tx=tx))
+        if r["o_orderkey"] < 5:  # exact replays: dropped by C4
+            lines.append(rec(10 + r["o_orderkey"], "dml", op="c", after=row, tx=tx))
+    lines.append(rec(20000, "ddl", stmt=(
+        "ALTER TABLE orders_cdc ADD COLUMN note text"), ts=3000))
+    for r in src_rows:
+        k = r["o_orderkey"]
+        row = {"o_orderkey": k, "o_custkey": r["o_custkey"],
+               "o_orderstatus": r["o_orderstatus"], "note": None}
+        if k < 100:
+            lines.append(rec(20000 + k, "dml", op="u", before=row,
+                             after={**row, "o_orderstatus": "X", "note": "upd"},
+                             ts=3000))
+        elif k < 150:
+            lines.append(rec(30000 + k, "dml", op="d", before=row, ts=3000))
+    with open(os.path.join(log_dir, "shard0.jsonl"), "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+
+    q = run_pipeline(
+        spark, log_dir, os.path.join(work, "sink"),
+        os.path.join(work, "ckpt"), "app", ["orders_cdc"],
+        SchemaAdapter(), history_path=os.path.join(work, "history.jsonl"),
+    )
+    q.awaitTermination(120)
+
+    env = spark.read.parquet(os.path.join(work, "sink", "orders_cdc"))
+    changes = env.select(
+        F.get_json_object("value", "$.payload.after.o_orderkey")
+        .alias("after_key"),
+        F.get_json_object("value", "$.payload.before.o_orderkey")
+        .alias("before_key"),
+        F.get_json_object("value", "$.payload.after.o_custkey").alias("o_custkey"),
+        F.get_json_object("value", "$.payload.after.o_orderstatus")
+        .alias("o_orderstatus"),
+        F.get_json_object("value", "$.payload.after.note").alias("note"),
+        F.get_json_object("value", "$.payload.op").alias("op"),
+        F.get_json_object("value", "$.payload.source.ts_ms").cast("long").alias("seq"),
+    ).select(
+        F.coalesce(F.col("after_key"), F.col("before_key"))
+        .cast("long")
+        .alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus", "note", "op", "seq",
+    )
+    writer = TransferWriter(spark, os.path.join(work, "dest"))
+    writer.upsert("state", changes, ["o_orderkey"], "seq")
+    return writer.read("state").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "note"
+    )
+
+
+CDC_E2E_SQL = """
+SELECT o_orderkey::BIGINT AS o_orderkey,
+       o_custkey::BIGINT AS o_custkey,
+       CASE WHEN o_orderkey < 100 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey < 100 THEN 'upd' END AS note
+FROM orders
+WHERE o_orderkey < 500 AND NOT (o_orderkey >= 100 AND o_orderkey < 150)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -2809,6 +2923,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "range_join_bands": (range_join_bands, RANGE_SQL),
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
+    "cdc_e2e_pipeline": (cdc_e2e_pipeline, CDC_E2E_SQL),
     # analytics with canonicalized edges (r1 hash-red, now string/bigint)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),

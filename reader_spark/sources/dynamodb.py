@@ -24,6 +24,114 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# --- export control plane (S10 driver side) -------------------------------
+
+def table_arn_from_stream_arn(stream_arn: str) -> str:
+    """arn:...:table/T/stream/TS -> arn:...:table/T
+    (lib/dynamo/util.go:9-16)."""
+    parts = stream_arn.split("/stream/")
+    if len(parts) != 2:
+        raise ValueError(f"invalid stream ARN: {stream_arn!r}")
+    return parts[0]
+
+
+def parse_manifest_file(bucket: str, manifest_file_path: str) -> str:
+    """manifest-summary.json path -> the export folder under the
+    bucket (lib/dynamo/util.go:18-29); data files live under
+    <folder>/data/."""
+    if not manifest_file_path.endswith("manifest-summary.json"):
+        raise ValueError(f"invalid manifest filepath: {manifest_file_path!r}")
+    parts = manifest_file_path.split("/")
+    return "/".join([bucket] + parts[:-1])
+
+
+class ExportControlPlane:
+    """Find-or-initiate a DynamoDB PITR export and resolve its data
+    folder (sources/dynamodb/snapshot/export.go:16-103 +
+    snapshot.go:44-70).
+
+    `client` is boto3-shaped (duck-typed: list_exports,
+    describe_export, export_table_to_point_in_time with the public
+    AWS response shapes) — boto3 isn't in this container, so tests
+    drive the control plane with a fake. This is driver-side control
+    logic; the data plane stays `read_export_snapshot` (a parallel
+    Spark JSONL read)."""
+
+    def __init__(self, client: Any, poll_seconds: float = 30.0, sleeper=None):
+        import time
+
+        self.client = client
+        self.poll_seconds = poll_seconds
+        self.sleeper = sleeper or time.sleep
+
+    def list_exports(self, table_arn: str) -> list[dict]:
+        """Full ListExports pagination (export.go:16-35)."""
+        out: list[dict] = []
+        token = None
+        while True:
+            kwargs = {"TableArn": table_arn}
+            if token:
+                kwargs["NextToken"] = token
+            resp = self.client.list_exports(**kwargs)
+            out.extend(resp.get("ExportSummaries", []))
+            token = resp.get("NextToken")
+            if not token:
+                return out
+
+    def find_recent_export(
+        self, stream_arn: str, bucket: str, prefix: str
+    ) -> tuple[str, str | None]:
+        """(export_arn, manifest_path_or_None): reuse the first
+        non-failed export targeting (bucket, prefix); otherwise
+        initiate a fresh PITR export (export.go:37-82)."""
+        table_arn = table_arn_from_stream_arn(stream_arn)
+        for summary in self.list_exports(table_arn):
+            if summary.get("ExportStatus") == "FAILED":
+                continue
+            desc = self.client.describe_export(ExportArn=summary["ExportArn"])[
+                "ExportDescription"
+            ]
+            if desc.get("S3Bucket") == bucket and desc.get("S3Prefix") == prefix:
+                if summary.get("ExportStatus") == "COMPLETED":
+                    return summary["ExportArn"], desc.get("ExportManifest")
+                return summary["ExportArn"], None
+        resp = self.client.export_table_to_point_in_time(
+            TableArn=table_arn,
+            S3Bucket=bucket,
+            S3Prefix=prefix,
+            ExportFormat="DYNAMODB_JSON",
+        )
+        return resp["ExportDescription"]["ExportArn"], None
+
+    def wait_for_manifest(self, export_arn: str) -> str:
+        """Poll DescribeExport until COMPLETED (export.go:84-103)."""
+        while True:
+            desc = self.client.describe_export(ExportArn=export_arn)[
+                "ExportDescription"
+            ]
+            status = desc.get("ExportStatus")
+            if status == "COMPLETED":
+                return desc["ExportManifest"]
+            if status == "FAILED":
+                raise RuntimeError(
+                    f"export has failed: {desc.get('FailureMessage')}"
+                )
+            if status != "IN_PROGRESS":
+                raise RuntimeError(f"unknown export status: {status}")
+            self.sleeper(self.poll_seconds)
+
+    def resolve_data_folder(
+        self, stream_arn: str, bucket: str, prefix: str
+    ) -> str:
+        """The composed flow (snapshot.go:44-70): find-or-initiate,
+        wait if needed, manifest -> <folder>/data — the glob root for
+        `read_export_snapshot`."""
+        export_arn, manifest = self.find_recent_export(stream_arn, bucket, prefix)
+        if manifest is None:
+            manifest = self.wait_for_manifest(export_arn)
+        return parse_manifest_file(bucket, manifest) + "/data"
+
+
 def decode_attribute(av: dict[str, Any]) -> Any:
     """Decode one DynamoDB AttributeValue (python-side; mirrors
     lib/s3lib/dynamodb_export.go:39-181 semantics: N -> float, S/B

@@ -126,3 +126,111 @@ def test_mongo_snapshot_pipeline_bounds():
     opts = snapshot_read_options("mongodb://h", "db", "coll", min_id="1")
     assert opts["aggregation.pipeline"].startswith('[{"$match"')
     assert opts["partitioner.options.partition.field"] == "_id"
+
+
+class FakeDynamoClient:
+    """boto3-shaped control-plane fake: one page of exports, an
+    in-progress export that completes after a poll, and an initiate
+    path when nothing matches."""
+
+    def __init__(self, exports=None, complete_after=1, manifest=None):
+        self.exports = exports or []
+        self.describe_calls = 0
+        self.complete_after = complete_after
+        self.manifest = manifest
+        self.initiated = []
+
+    def list_exports(self, TableArn, NextToken=None):
+        # two-page response to exercise pagination
+        if NextToken is None and len(self.exports) > 1:
+            return {"ExportSummaries": self.exports[:1], "NextToken": "t1"}
+        if NextToken == "t1":
+            return {"ExportSummaries": self.exports[1:]}
+        return {"ExportSummaries": self.exports}
+
+    def describe_export(self, ExportArn):
+        for e in self.exports:
+            if e["ExportArn"] == ExportArn:
+                desc = dict(e["_desc"])
+                if desc.get("ExportStatus") == "IN_PROGRESS":
+                    self.describe_calls += 1
+                    if self.describe_calls > self.complete_after:
+                        desc["ExportStatus"] = "COMPLETED"
+                        desc["ExportManifest"] = self.manifest
+                return {"ExportDescription": desc}
+        raise KeyError(ExportArn)
+
+    def export_table_to_point_in_time(self, **kwargs):
+        self.initiated.append(kwargs)
+        arn = "arn:aws:dynamodb:us-east-1:1:table/t/export/new"
+        self.exports.append({
+            "ExportArn": arn, "ExportStatus": "IN_PROGRESS",
+            "_desc": {"ExportStatus": "IN_PROGRESS",
+                      "S3Bucket": kwargs["S3Bucket"],
+                      "S3Prefix": kwargs["S3Prefix"]},
+        })
+        return {"ExportDescription": {"ExportArn": arn}}
+
+
+STREAM_ARN = "arn:aws:dynamodb:us-east-1:1:table/t/stream/2024-01-01T00:00:00.000"
+
+
+def test_export_arn_and_manifest_helpers():
+    assert DY.table_arn_from_stream_arn(STREAM_ARN) == (
+        "arn:aws:dynamodb:us-east-1:1:table/t"
+    )
+    # vectors from lib/dynamo/util_test.go:22-33
+    assert DY.parse_manifest_file(
+        "bucket", "artie-ddb-export/AWSDynamoDB/abcdef-8831c8f6/manifest-summary.json"
+    ) == "bucket/artie-ddb-export/AWSDynamoDB/abcdef-8831c8f6"
+    import pytest
+
+    with pytest.raises(ValueError):
+        DY.parse_manifest_file("bucket", "x/manifest-summary")
+    with pytest.raises(ValueError):
+        DY.table_arn_from_stream_arn("arn:no-stream-part")
+
+
+def test_export_control_plane_reuses_completed_export():
+    manifest = "prefix/AWSDynamoDB/e1/manifest-summary.json"
+    client = FakeDynamoClient(exports=[
+        {"ExportArn": "arn:failed", "ExportStatus": "FAILED",
+         "_desc": {"ExportStatus": "FAILED"}},
+        {"ExportArn": "arn:done", "ExportStatus": "COMPLETED",
+         "_desc": {"ExportStatus": "COMPLETED", "S3Bucket": "b",
+                   "S3Prefix": "prefix", "ExportManifest": manifest}},
+    ])
+    cp = DY.ExportControlPlane(client, sleeper=lambda s: None)
+    folder = cp.resolve_data_folder(STREAM_ARN, "b", "prefix")
+    assert folder == "b/prefix/AWSDynamoDB/e1/data"
+    assert client.initiated == []  # reused, not re-exported
+
+
+def test_export_control_plane_initiates_and_polls(tmp_path, spark):
+    # nothing matches -> initiate, poll IN_PROGRESS -> COMPLETED, then
+    # replay the manifest's folder into the Spark data-plane read
+    manifest = "pfx/AWSDynamoDB/e9/manifest-summary.json"
+    client = FakeDynamoClient(exports=[], complete_after=2, manifest=manifest)
+    sleeps = []
+    cp = DY.ExportControlPlane(client, poll_seconds=30, sleeper=sleeps.append)
+    # stage the "bucket" on local disk: <bucket>/<folder>/data/*.json
+    bucket = str(tmp_path)
+    data_dir = tmp_path / "pfx" / "AWSDynamoDB" / "e9" / "data"
+    data_dir.mkdir(parents=True)
+    items = [
+        {"Item": {"pk": {"S": "a"}, "n": {"N": "1.5"}}},
+        {"Item": {"pk": {"S": "b"}, "n": {"N": "2"}}},
+    ]
+    with open(data_dir / "part0.json", "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+
+    folder = cp.resolve_data_folder(STREAM_ARN, bucket, "pfx")
+    assert folder == f"{bucket}/pfx/AWSDynamoDB/e9/data"
+    assert len(client.initiated) == 1
+    assert client.initiated[0]["ExportFormat"] == "DYNAMODB_JSON"
+    assert sleeps == [30, 30]  # polled until COMPLETED
+
+    out = DY.read_export_snapshot(spark, folder, {"pk": "S", "n": "N"})
+    got = {r["pk"]: r["n"] for r in out.collect()}
+    assert got == {"a": 1.5, "b": 2.0}

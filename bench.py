@@ -15,6 +15,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# FROZEN headline set (query_set_version 1): exactly the 29 queries
+# benchmarked in BENCH_r01.json, in the same order — per-query deltas
+# are computable round-over-round as long as this list and the SF stay
+# fixed. Add new queries by bumping query_set_version and appending
+# (never reordering/removing), so old keys remain comparable.
+QUERY_SET_VERSION = 1
+
 HEADLINE = [
     "s1_snapshot_scan",
     "q1_pricing_summary",
@@ -88,6 +95,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "query_set_version": QUERY_SET_VERSION,
+                "repeats": repeats,
             }
         )
     )

@@ -97,14 +97,22 @@ def maybe_broadcast(df: DataFrame, cap_bytes: int | None = None) -> DataFrame:
     before execution — and past the cap return the frame unhinted so
     the pre-bucketed sort-merge path (plus AQE's runtime re-plan)
     takes over."""
+    return F.broadcast(df) if should_broadcast(df, cap_bytes) else df
+
+
+def should_broadcast(df: DataFrame, cap_bytes: int | None = None) -> bool:
+    """The maybe_broadcast decision alone — use it when one shared
+    frame feeds several join sides, so the optimizer's stats pass runs
+    once instead of per side (it costs a driver-side optimization of
+    the whole plan)."""
     cap = BROADCAST_BYTE_CAP if cap_bytes is None else cap_bytes
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:  # pragma: no cover - estimate unavailable
-        return df  # conservative: let AQE decide at runtime
-    return F.broadcast(df) if est <= cap else df
+        return False  # conservative: let AQE decide at runtime
+    return est <= cap
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -298,15 +306,18 @@ def jaccard_verify(
     # entire pair stream twice (measured 40x slower at a 50 k-doc
     # probe). Past broadcast reach (~10^8 docs) maybe_broadcast drops
     # the hint and the joins pre-bucket both sides on the id.
+    bcast = (
+        F.broadcast if should_broadcast(toks, broadcast_cap) else (lambda d: d)
+    )
     j = (
         pairs.join(
-            maybe_broadcast(toks.select(
+            bcast(toks.select(
                 F.col("jid").alias("doc_a"), F.col("toks").alias("toks_a"),
-                F.col("n_toks").alias("na")), broadcast_cap), "doc_a")
+                F.col("n_toks").alias("na"))), "doc_a")
         .join(
-            maybe_broadcast(toks.select(
+            bcast(toks.select(
                 F.col("jid").alias("doc_b"), F.col("toks").alias("toks_b"),
-                F.col("n_toks").alias("nb")), broadcast_cap), "doc_b")
+                F.col("n_toks").alias("nb"))), "doc_b")
     )
     j = j.select(
         "doc_a", "doc_b",

@@ -209,7 +209,9 @@ def knn_ivf(
         F.col(cluster_col).alias("cluster"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
-    cents = label_seeded_centroids(vecs)
+    # centroids feed both the corpus assignment and the query probes —
+    # persist so the training aggregation runs once, not per consumer
+    cents = label_seeded_centroids(vecs).persist()
     corpus = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
     probes = nearest_clusters(
         vecs.drop("cluster").filter(F.col(id_col).isin(query_ids)), cents, nprobe, id_col

@@ -18,9 +18,16 @@ def _plan(df) -> str:
 
 
 def test_no_cartesian_product_anywhere(spark):
+    from pyspark.sql.types import DecimalType
+
     for name, (fn, _sql) in CATALOG.items():
-        plan = _plan(fn(spark, SF_DIR))
+        df = fn(spark, SF_DIR)
+        plan = _plan(df)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        # driver-hash contract: no DECIMAL reaches a query edge (r1's
+        # 16 hash-red rows were all decimal-edge canonicalization)
+        dec = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+        assert not dec, f"{name} leaks decimal edge columns {dec}"
 
 
 def test_projection_prunes_scan_schema(spark):

@@ -93,9 +93,12 @@ def test_full_type_golden_envelope(spark):
         C.CONVERTERS["bytes"].convert(F.col("byts")).alias("byts"),
     )
 
+    # wire_schema=False: this test pins the PAYLOAD byte-exactly (the
+    # converters' wire values); the {"schema","payload"} wrapper is
+    # covered by test_envelope.py.
     env = E.snapshot_envelope(
         conv, pk_cols=["id"], db="db1", schema="public", table="types",
-        topic_prefix="cdc", ts_col=F.lit(1705321496789),
+        topic_prefix="cdc", ts_col=F.lit(1705321496789), wire_schema=False,
     )
     got = env.collect()[0]
 

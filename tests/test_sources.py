@@ -234,3 +234,90 @@ def test_export_control_plane_initiates_and_polls(tmp_path, spark):
     out = DY.read_export_snapshot(spark, folder, {"pk": "S", "n": "N"})
     got = {r["pk"]: r["n"] for r in out.collect()}
     assert got == {"a": 1.5, "b": 2.0}
+
+
+def test_mongo_canonical_ext_json(spark):
+    # canonical Extended JSON v2: numeric width / date-ness survive as
+    # type tags (message.go:49-53 uses bson.MarshalExtJSON canonical)
+    import datetime as dt
+    import json as j
+
+    from pyspark.sql import Row, types as T
+    from reader_spark.sources import mongo as M
+
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("n_long", T.LongType()),
+        T.StructField("n_int", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("at", T.TimestampType()),
+        T.StructField("tags", T.ArrayType(T.LongType())),
+        T.StructField("sub", T.StructType([T.StructField("k", T.IntegerType())])),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("missing", T.StringType()),
+    ])
+    row = Row(
+        _id="507f1f77bcf86cd799439011", n_long=9876543210, n_int=42, x=1.5,
+        s="hi", flag=True, at=dt.datetime(2024, 1, 15, 12, 0, 0),
+        tags=[1, 2], sub=Row(k=7), blob=bytearray(b"\x01\x02"), missing=None,
+    )
+    df = spark.createDataFrame([row], schema)
+    doc = F.struct(*[F.col(f.name) for f in schema.fields])
+    out = df.select(
+        M.canonical_ext_json(schema, doc, oid_fields={"_id"}).alias("e")
+    ).collect()[0]["e"]
+    got = j.loads(out)
+    assert got["_id"] == {"$oid": "507f1f77bcf86cd799439011"}
+    assert got["n_long"] == {"$numberLong": "9876543210"}
+    assert got["n_int"] == {"$numberInt": "42"}
+    assert got["x"] == {"$numberDouble": "1.5"}
+    assert got["s"] == "hi" and got["flag"] is True
+    assert got["at"] == {"$date": {"$numberLong": "1705320000000"}}
+    assert got["tags"] == [{"$numberLong": "1"}, {"$numberLong": "2"}]
+    assert got["sub"] == {"k": {"$numberInt": "7"}}
+    assert got["blob"] == {"$binary": {"base64": "AQI=", "subType": "00"}}
+    assert got["missing"] is None
+
+
+def test_mongo_pk_id_string_rules(spark):
+    # message.go:55-80: ObjectId -> {"$oid":...}; string raw; int decimal
+    from pyspark.sql import Row, types as T
+    from reader_spark.sources import mongo as M
+
+    df = spark.createDataFrame([Row(a="507f1f77bcf86cd799439011", b="plain", c=7)])
+    r = df.select(
+        M.pk_id_string(F.col("a"), T.StringType(), oid=True).alias("oid"),
+        M.pk_id_string(F.col("b"), T.StringType()).alias("s"),
+        M.pk_id_string(F.col("c"), T.LongType()).alias("i"),
+    ).collect()[0]
+    assert r["oid"] == '{"$oid":"507f1f77bcf86cd799439011"}'
+    assert r["s"] == "plain"
+    assert r["i"] == "7"
+
+
+def test_mongo_message_wire_contract(spark):
+    # empty schema block, ext-JSON after, {"id": idString} key
+    import json as j
+
+    from pyspark.sql import Row
+    from reader_spark.sources import mongo as M
+
+    df = spark.createDataFrame(
+        [Row(_id="507f1f77bcf86cd799439011", qty=3)]
+    )
+    out = M.mongo_message(
+        df, "shop", "orders", ts_col=F.lit(1234), oid_id=True
+    ).collect()[0]
+    assert out["topic"] == "cdc.shop.orders"
+    key = j.loads(out["key"])
+    assert key == {"schema": {}, "payload": {"id": '{"$oid":"507f1f77bcf86cd799439011"}'}}
+    val = j.loads(out["value"])
+    assert val["schema"] == {}
+    p = val["payload"]
+    assert p["op"] == "r" and p["before"] is None
+    after = j.loads(p["after"])
+    assert after["_id"] == {"$oid": "507f1f77bcf86cd799439011"}
+    assert after["qty"] == {"$numberLong": "3"}
+    assert p["source"] == {"db": "shop", "collection": "orders", "ts_ms": 1234}

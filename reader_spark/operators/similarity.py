@@ -7,14 +7,15 @@ scale path.
 Scale design (100 TB):
   * Brute force is O(Q x N) — correct baseline, only viable when the
     query set is small: queries are BROADCAST, the corpus streams
-    through a map-only stage, and top-k is a per-query window (shuffle
-    of Q x N candidate rows; at scale, pre-reduce with a per-partition
-    top-k before the window).
-  * IVF: restrict the join to a coarse partition (here: the stored
-    `label` as the cluster id; in production, a trained k-means
-    assignment column written at ingest). The candidate set shrinks by
-    the number of clusters, and the join becomes an equi-join on the
-    cluster key — skew handled by AQE.
+    through a map-only stage, and top-k is a per-query window. The
+    partial_topk flag pre-reduces with a bounded per-partition top-k
+    (Arrow batch) so the shuffle carries <= P x Q x k rows.
+  * IVF (multi-probe): corpus vectors indexed under their nearest
+    coarse centroid, queries probe their nprobe nearest cells; the
+    big join is an equi-join on the cluster key (skew handled by
+    AQE). The quantizer is either one deterministic label-seeded
+    Lloyd iteration (oracle-reproducible) or a pyspark.ml KMeans
+    fitted once at ingest (`ivf_fit` / `knn_ivf_trained`).
 
 The dot product folds LEFT-TO-RIGHT (`aggregate` over `zip_with`) so
 the float result is bit-reproducible against the DuckDB oracle's
@@ -46,11 +47,16 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    partial_topk: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id.
 
     Queries (small) are broadcast; corpus side never shuffles until
-    the final per-query top-k window.
+    the final per-query top-k window. partial_topk=True inserts a
+    map-side bounded top-k before that shuffle (see _local_topk) —
+    identical results, shuffle shrinks from Q x N to <= P x Q x k
+    rows; flip it on when the corpus is large relative to executor
+    shuffle capacity (it costs an Arrow hop, a loss at toy scale).
     """
     from pyspark.sql import Window as W
 
@@ -78,13 +84,18 @@ def knn_bruteforce(
             ).alias("cos_sim"),
         )
     )
-    # One shuffle: the per-query top-k window moves Q x N scored rows
-    # of 3 columns. NB a two-stage "local top-k" via a second window
-    # keyed on (query, partition_id) does NOT help — window functions
-    # hash-partition their input, so it would ADD a full shuffle, not
-    # remove one. True map-side truncation needs RDD aggregateByKey
-    # with a bounded heap; reach for it only when Q x N x 24 bytes
-    # exceeds comfortable shuffle volume.
+    # The per-query top-k window shuffles Q x N scored rows. NB a
+    # two-stage "local top-k" via a second WINDOW keyed on (query,
+    # partition_id) does NOT help — window functions hash-partition
+    # their input, so it would ADD a full shuffle, not remove one.
+    # True map-side truncation (partial_topk) runs a bounded per-
+    # partition top-k in an Arrow batch BEFORE the exchange, so the
+    # shuffle carries at most P x Q x k rows instead of Q x N — the
+    # 100 TB path once Q x N x 24 B exceeds comfortable shuffle
+    # volume. Exact: per-partition top-k under the SAME (score desc,
+    # id asc) order is a lossless pre-filter for the global top-k.
+    if partial_topk:
+        cand = _local_topk(cand, k)
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -93,6 +104,40 @@ def knn_bruteforce(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def _local_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Per-PARTITION per-query top-k over (query_id, neighbor_id,
+    cos_sim) via mapInPandas — a bounded-heap combine the built-in
+    aggregates can't express (collect_list would still move the full
+    list through the exchange). Arrow-batched, numpy sort; emits at
+    most Q x k rows per partition, preserving the global tie-break
+    order (cos_sim desc, neighbor_id asc)."""
+    import pandas as pd
+
+    schema = cand.schema
+
+    def combine(batches):
+        acc: dict = {}
+        for pdf in batches:
+            frames = acc.setdefault("f", [])
+            frames.append(pdf)
+            # keep the running accumulator bounded: re-truncate once
+            # the buffered rows exceed 4x the output bound
+            if sum(len(f) for f in frames) > 4 * max(1_000, k * 64):
+                acc["f"] = [_truncate(pd.concat(frames, ignore_index=True), k)]
+        frames = acc.get("f", [])
+        if frames:
+            yield _truncate(pd.concat(frames, ignore_index=True), k)
+
+    def _truncate(pdf, kk):
+        pdf = pdf.sort_values(
+            ["query_id", "cos_sim", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        return pdf.groupby("query_id", sort=False).head(kk)
+
+    return cand.mapInPandas(combine, schema)
 
 
 def label_seeded_centroids(

@@ -152,3 +152,20 @@ def test_simhash_candidate_pairs_match_naive(spark, sf_dir):
     got = sorted((r.doc_a, r.doc_b) for r in banded.collect())
     want = sorted((r.doc_a, r.doc_b) for r in naive.collect())
     assert got == want and len(got) == len(set(got))  # complete, no dups
+
+
+def test_knn_partial_topk_exact(spark, sf_dir):
+    # the map-side bounded top-k is a lossless pre-filter: identical
+    # rows to the plain window path at every rank
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir.replace("sf0.001", "sf0.01"), "embeddings")
+    qids = list(range(10))
+    plain = sorted(
+        tuple(r) for r in SIM.knn_bruteforce(emb, qids, k=5).collect()
+    )
+    trunc = sorted(
+        tuple(r)
+        for r in SIM.knn_bruteforce(emb, qids, k=5, partial_topk=True).collect()
+    )
+    assert plain == trunc

@@ -9,10 +9,13 @@ dml.go:44-52). `MostRecentMap` binary-searches timestamped versions
 
 Spark-first: the history is a small timestamped table; picking "the
 schema active at an event's timestamp" is an AS-OF JOIN — broadcast
-the history, window-max over versions with ts <= event_ts. DDL
-parsing uses sqlglot when importable, else the regex fallback below
-(CREATE/ALTER ADD/DROP/RENAME/TRUNCATE — the shapes the reference's
-grammar handles)."""
+the history, window-max over versions with ts <= event_ts. DDL is
+parsed by the per-spec regex dispatcher below, covering the statement
+shapes the reference's ANTLR grammar extracts events from
+(CREATE / DROP / RENAME TABLE; ALTER specs ADD / DROP / RENAME /
+MODIFY / CHANGE incl. FIRST/AFTER positions — alter_table.go:19-93):
+parsing tech is an implementation detail, the event semantics are
+the spec."""
 
 from __future__ import annotations
 
@@ -23,14 +26,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
-
-try:  # optional, not in the v1 container
-    import sqlglot  # type: ignore
-
-    HAVE_SQLGLOT = True
-except Exception:  # pragma: no cover
-    sqlglot = None
-    HAVE_SQLGLOT = False
 
 
 # Debezium-derived DDL skip-list (converter.go:17-40): transaction

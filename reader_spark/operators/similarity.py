@@ -184,17 +184,34 @@ def nearest_clusters(
 ) -> DataFrame:
     """Attach each row's `nprobe` nearest centroids (squared-L2 argmin,
     ties broken by cluster id). Centroids are a handful of rows —
-    broadcast nested-loop against them, then a per-id window keeps the
-    top probes. At 100 TB this is the ingest-time assignment job; its
-    output column is what the big equi-join keys on."""
+    broadcast nested-loop against them. At 100 TB this is the
+    ingest-time assignment job; its output column is what the big
+    equi-join keys on.
+
+    nprobe=1 (the corpus-sized side) reduces via
+    `min(struct(dist, cl))` — lexicographic struct-min == ORDER BY
+    (dist, cl), and unlike a window it PARTIAL-aggregates map-side, so
+    the exchange carries ~N pre-reduced rows instead of N x C scored
+    rows. nprobe>1 keeps the window; it only ever runs on the tiny
+    query side."""
     from pyspark.sql import Window as W
 
     dist = F.col("nv") - F.lit(2.0) * dot(F.col("vec"), F.col("c")) + F.col("nc")
+    joined = side.join(F.broadcast(cents), F.lit(True)).withColumn("__dist", dist)
+    passthrough = [c for c in side.columns if c != id_col]
+    if nprobe == 1:
+        return (
+            joined.groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("__dist"), F.col("cl"))).alias("__m"),
+                *[F.first(c).alias(c) for c in passthrough],
+            )
+            .withColumn("cl", F.col("__m.cl"))
+            .drop("__m")
+        )
     w = W.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col("cl").asc())
     return (
-        side.join(F.broadcast(cents), F.lit(True))
-        .withColumn("__dist", dist)
-        .withColumn("__r", F.row_number().over(w))
+        joined.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= nprobe)
         .drop("__r", "__dist", "c", "nc")
     )

@@ -103,3 +103,100 @@ def test_range_bin_join_matches_naive(spark, points, intervals, width):
         (p, lo, hi) for p in points for lo, hi in ivs if lo <= p < hi
     )
     assert got == want
+
+
+@given(
+    h=st.integers(0, 23), m=st.integers(0, 59), s=st.integers(0, 59),
+    frac=st.one_of(st.none(), st.integers(0, 999), st.integers(0, 999999)),
+    off_sign=st.sampled_from(["+", "-"]),
+    off_h=st.integers(0, 14),
+    off_m=st.sampled_from([None, 0, 30, 45]),
+)
+@SET
+def test_timetz_matches_python_clock_arithmetic(
+    spark, h, m, s, frac, off_sign, off_h, off_m
+):
+    """timetz -> UTC string equals an independent python computation
+    (wraps mod 24h, micros padded), for any offset/fraction layout."""
+    txt = f"{h:02d}:{m:02d}:{s:02d}"
+    micros = 0
+    if frac is not None:
+        fs = str(frac).rjust(3 if frac <= 999 else 6, "0")
+        txt += f".{fs}"
+        micros = int(fs.ljust(6, "0"))
+    txt += f"{off_sign}{off_h:02d}"
+    if off_m is not None:
+        txt += f":{off_m:02d}"
+    offset = (off_h * 3600 + (off_m or 0) * 60) * (-1 if off_sign == "-" else 1)
+    total = ((h * 3600 + m * 60 + s - offset) * 1_000_000 + micros) % (
+        86_400 * 1_000_000
+    )
+    want = (
+        f"{total // 3_600_000_000:02d}:"
+        f"{(total // 60_000_000) % 60:02d}:"
+        f"{(total // 1_000_000) % 60:02d}."
+        f"{total % 1_000_000:06d}Z"
+    )
+    from reader_spark.functions import converters as C
+    from pyspark.sql import Row
+
+    got = (
+        spark.createDataFrame([Row(v=txt)])
+        .select(C.timetz_utc_string(F.col("v")).alias("o"))
+        .collect()[0]["o"]
+    )
+    assert got == want, txt
+
+
+@given(
+    digits=st.integers(0, 10**20 - 1),
+    scale=st.integers(0, 12),
+    neg=st.booleans(),
+)
+@SET
+def test_variable_numeric_round_trips(spark, digits, scale, neg):
+    """{scale, two's-complement bytes} reconstructs the exact Decimal
+    (the consumer-side decode the reference's transfer lib performs)."""
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+    from reader_spark.functions import converters as C
+
+    d = Decimal(digits).scaleb(-scale) * (-1 if neg else 1)
+    row = (
+        spark.createDataFrame([Row(v=str(d))])
+        .select(C.variable_numeric(F.col("v")).alias("o"))
+        .collect()[0]["o"]
+    )
+    unscaled = int.from_bytes(bytes(row["value"]), "big", signed=True)
+    assert Decimal(unscaled).scaleb(-row["scale"]) == d
+
+
+@given(
+    x=st.floats(allow_nan=False, allow_infinity=False, width=64),
+    y=st.floats(allow_nan=False, allow_infinity=False, width=64),
+    srid=st.integers(0, 2**31 - 1),
+)
+@SET
+def test_mysql_point_encode_decode_round_trip(spark, x, y, srid):
+    """An independently python-encoded MySQL POINT (little-endian WKB
+    behind a 4-byte SRID) decodes to bit-identical doubles."""
+    import struct as pystruct
+
+    from pyspark.sql import Row
+    from reader_spark.functions import converters as C
+
+    raw = (
+        srid.to_bytes(4, "little")
+        + b"\x01"
+        + (1).to_bytes(4, "little")
+        + pystruct.pack("<d", x)
+        + pystruct.pack("<d", y)
+    )
+    out = (
+        spark.createDataFrame([Row(v=bytearray(raw))])
+        .select(C.mysql_point_struct(F.col("v")).alias("o"))
+        .collect()[0]["o"]
+    )
+    assert pystruct.pack("<d", out["x"]) == pystruct.pack("<d", x)
+    assert pystruct.pack("<d", out["y"]) == pystruct.pack("<d", y)

@@ -66,6 +66,18 @@ def main() -> None:
     # JVM/codegen warmup so the first timed query isn't charged for it.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Machine calibration: a fixed synthetic workload (hash+agg over
+    # 2e8 rows), best of 3. Query timings drift round-over-round with
+    # VM load (observed: byte-identical queries +-35%); the calib
+    # number lets a reader normalize totals across rounds.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "bit_xor(xxhash64(id)) AS h"  # xor-agg: no ANSI overflow
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+
     # Best-of-N per query: the VM shows intermittent multi-second
     # scheduling stalls that would otherwise land on one unlucky
     # query. Cache is cleared before every attempt so persisted
@@ -97,6 +109,7 @@ def main() -> None:
                 "sf": sf_val,
                 "query_set_version": QUERY_SET_VERSION,
                 "repeats": repeats,
+                "calib_hash_agg_2e8_sec": round(calib, 3),
             }
         )
     )

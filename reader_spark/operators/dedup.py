@@ -424,3 +424,67 @@ def simhash_candidate_pairs(
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Dedup CLUSTER assignment: connected components over the
+    near-dup pair graph by min-label propagation — (node, label) with
+    label = the component's minimum id, i.e. the canonical
+    representative a keep-one dedup policy retains.
+
+    Per iteration: one equi-join of edges to labels (propagate) and
+    one map-side-combinable groupBy-min (reduce) — 2 shuffles, both on
+    uniform id keys. Iterations = graph diameter; near-dup graphs are
+    dense cliques stitched by hubs, so convergence is fast (observed
+    ≤ 4 rounds on the fixture corpus). Lineage is truncated per round
+    with localCheckpoint — without it the iterated join plan grows
+    exponentially and analysis dominates. At the extreme-scale tier
+    swap the propagation body for large-star/small-star (Kiveris et
+    al.) — same join/agg primitives, provably O(log n) rounds; and use
+    reliable checkpointing (localCheckpoint trades fault-tolerance for
+    speed)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.s == labels.node)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr_min.alias("m"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("l.label"), F.coalesce(F.col("m.nbr_min"), F.col("l.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

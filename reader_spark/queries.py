@@ -919,6 +919,57 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the step between pair detection
+    and the actual dedup decision: LSH+Jaccard pairs (>= 0.8) form an
+    undirected graph; every document maps to its connected component's
+    minimum doc_id (the canonical representative a keep-one policy
+    retains; isolated docs map to themselves). Spark side is iterative
+    min-label propagation (operators/dedup.py::connected_components);
+    the oracle computes the same fixpoint independently via a
+    recursive reachability CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    base = DD.token_hashes(docs).persist()
+    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    comp = DD.connected_components(verified)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("component_id"),
+        )
+    )
+
+
+DEDUP_COMPONENTS_SQL = _MH_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1) + """
+, vp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(ta.hs, tb.hs))::DOUBLE /
+           (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jac
+    FROM cand
+    JOIN hm ta ON ta.doc_id = doc_a
+    JOIN hm tb ON tb.doc_id = doc_b
+  ) WHERE round(jac, 6) >= 0.8
+), e AS (
+  SELECT doc_a AS s, doc_b AS d FROM vp
+  UNION ALL
+  SELECT doc_b, doc_a FROM vp
+), reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
+)
+SELECT docs.doc_id,
+       coalesce(mr.comp, docs.doc_id) AS component_id
+FROM documents docs
+LEFT JOIN (SELECT n, min(m) AS comp FROM reach GROUP BY n) mr ON mr.n = docs.doc_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_t(spark, sf_dir, "documents"))
 
@@ -2906,6 +2957,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_ngram": (dedup_ngram, NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
@@ -2943,8 +2995,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
     # analytics first entering the window
     "events_cube": (events_cube, CUBE_SQL),
-    "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
     "window_frames": (window_frames, WINDOW_FRAMES_SQL),
+    # json_props_stats rotates out of the 50-entry window: its HUGEINT
+    # canonicalization pattern gets a verdict via q12, which stays in
+    "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
     "clean_corpus": (clean_corpus, CLEAN_CORPUS_SQL),
     "array_functions": (array_functions, ARRAY_FUNCS_SQL),
     # -- past the driver window: r1-green, unchanged since r1

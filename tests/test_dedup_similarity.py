@@ -169,3 +169,24 @@ def test_knn_partial_topk_exact(spark, sf_dir):
         for r in SIM.knn_bruteforce(emb, qids, k=5, partial_topk=True).collect()
     )
     assert plain == trunc
+
+
+def test_connected_components_min_label(spark):
+    # chain 1-2-3 + clique 10-11 + edge via hub 3-7: one component
+    # {1,2,3,7} labeled 1, one {10,11} labeled 10; node order and
+    # direction don't matter
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = {r["node"]: r["label"] for r in DD.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path needs multiple propagation rounds — the fixpoint
+    # must still collapse everything to the minimum id
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["doc_a", "doc_b"]
+    )
+    out = {r["node"]: r["label"] for r in DD.connected_components(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == 12

@@ -110,6 +110,35 @@ class TransferWriter:
         os.rename(staging, path)
         shutil.rmtree(old, ignore_errors=True)
 
+    def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
+        """Small-files compaction: every CDC upsert / append round
+        lands another wave of files, and a 100 TB table read through
+        thousands of tiny files is scheduler- and NameNode-bound long
+        before it is IO-bound. Rewrite the table into
+        ceil(total_bytes / target_bytes) files (round-robin
+        repartition — parquet re-encodes, so output sizes track row
+        counts) behind the same staging + atomic-rename swap the
+        upsert path uses. Returns the new file count."""
+        import math
+
+        path = self._path(table)
+        files = [
+            os.path.join(dp, f)
+            for dp, _dn, fns in os.walk(path)
+            for f in fns
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = self.spark.read.parquet(path).repartition(n_out)
+        staging = path + ".staging-" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(staging)
+        old = path + ".old-" + uuid.uuid4().hex[:8]
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n_out
+
 
 def reconcile(
     source: DataFrame,

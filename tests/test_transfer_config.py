@@ -124,3 +124,29 @@ def test_reconcile_null_position_matters(spark):
     snk = spark.createDataFrame([(1, None, "a")], "pk long, x string, y string")
     out = {r["status"]: r["n_keys"] for r in reconcile(src, snk, ["pk"]).collect()}
     assert out == {"mismatch": 1}
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from reader_spark.operators.transfer import TransferWriter
+
+    w = TransferWriter(spark, str(tmp_path))
+    df = spark.range(0, 10_000).selectExpr("id", "id * 2 AS v")
+    # many small appends -> many small files
+    for i in range(8):
+        w.append("t", df.filter(f"id % 8 = {i}").repartition(4))
+    import os
+
+    def parquet_files():
+        return [
+            os.path.join(dp, f)
+            for dp, _d, fs in os.walk(str(tmp_path / "t"))
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = w.read("t").orderBy("id").collect()
+    assert len(parquet_files()) >= 32
+    n_out = w.compact("t")  # default target >> total size -> 1 file
+    assert n_out == 1 and len(parquet_files()) == 1
+    after = w.read("t").orderBy("id").collect()
+    assert after == before

@@ -110,6 +110,56 @@ class TransferWriter:
         os.rename(staging, path)
         shutil.rmtree(old, ignore_errors=True)
 
+    def upsert_bucketed(
+        self,
+        table: str,
+        changes: DataFrame,
+        pk_cols: list[str],
+        seq_col: str,
+        op_col: str = "op",
+        n_buckets: int = 64,
+    ) -> list[int]:
+        """Incremental MERGE for big tables: the sink is laid out as
+        `bucket=pmod(xxhash64(pk), n)` directory partitions, and an
+        upsert reads, merges, and atomically swaps ONLY the buckets
+        that contain changed keys. `upsert` rewrites the whole
+        snapshot — fine for modest tables, quadratic pain at 100 TB
+        where a micro-batch touches a handful of keys; here the
+        rewrite cost is O(changed_buckets / n_buckets) of the table,
+        and partition pruning keeps the read side just as narrow
+        (the bucket filter prunes directories, not files). Returns
+        the list of bucket ids rewritten."""
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets))
+        changes = changes.withColumn("bucket", bucket.cast("int"))
+        path = self._path(table)
+        if not self.exists(table):
+            term = latest_changes(changes, pk_cols, seq_col)
+            first = term.filter(F.col(op_col) != "d").drop(op_col, seq_col)
+            first.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            return sorted(
+                r["bucket"] for r in first.select("bucket").distinct().collect()
+            )
+        touched = sorted(
+            r["bucket"] for r in changes.select("bucket").distinct().collect()
+        )
+        base = self.read(table).filter(F.col("bucket").isin(touched))
+        merged = apply_changes(base, changes, pk_cols, seq_col, op_col)
+        staging = path + ".staging-" + uuid.uuid4().hex[:8]
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        for b in touched:
+            src = os.path.join(staging, f"bucket={b}")
+            dst = os.path.join(path, f"bucket={b}")
+            old = dst + ".old-" + uuid.uuid4().hex[:8]
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)  # bucket emptied by deletes
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        return touched
+
     def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
         """Small-files compaction: every CDC upsert / append round
         lands another wave of files, and a 100 TB table read through
@@ -138,6 +188,35 @@ class TransferWriter:
         os.rename(staging, path)
         shutil.rmtree(old, ignore_errors=True)
         return n_out
+
+
+def schema_drift(source_schema, sink_schema) -> list[dict]:
+    """Schema-level census to pair with the row-level `reconcile`
+    audit: per column, one of ok / added (sink-only) / missing
+    (source-only) / retyped. Driver-side metadata — StructTypes are
+    plan state, no job runs. The C5 history replay decides WHEN a
+    version changed; this reports WHAT currently differs end-to-end."""
+    src = {f.name: f.dataType.simpleString() for f in source_schema.fields}
+    snk = {f.name: f.dataType.simpleString() for f in sink_schema.fields}
+    out = []
+    for name in sorted(src.keys() | snk.keys()):
+        if name not in snk:
+            status = "missing"
+        elif name not in src:
+            status = "added"
+        elif src[name] != snk[name]:
+            status = "retyped"
+        else:
+            status = "ok"
+        out.append(
+            {
+                "column": name,
+                "status": status,
+                "source_type": src.get(name),
+                "sink_type": snk.get(name),
+            }
+        )
+    return out
 
 
 def reconcile(

@@ -150,3 +150,68 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert n_out == 1 and len(parquet_files()) == 1
     after = w.read("t").orderBy("id").collect()
     assert after == before
+
+
+def test_bucketed_upsert_touches_only_changed_buckets(spark, tmp_path):
+    import os
+
+    from reader_spark.operators.transfer import TransferWriter
+
+    w = TransferWriter(spark, str(tmp_path))
+    seed = spark.range(0, 1000).selectExpr(
+        "id", "concat('v', id) AS v", "'c' AS op", "0L AS seq"
+    )
+    w.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=8)
+
+    def bucket_state():
+        out = {}
+        root = str(tmp_path / "t")
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                files = sorted(os.listdir(os.path.join(root, d)))
+                mtimes = [
+                    os.path.getmtime(os.path.join(root, d, f)) for f in files
+                ]
+                out[d] = (files, mtimes)
+        return out
+
+    before = bucket_state()
+    assert len(before) == 8
+
+    # update key 7, delete key 8 — at most two buckets touched
+    changes = spark.createDataFrame(
+        [(7, "V7", "u", 1), (8, None, "d", 1)], "id long, v string, op string, seq long"
+    )
+    touched = w.upsert_bucketed("t", changes, ["id"], "seq", n_buckets=8)
+    assert 1 <= len(touched) <= 2
+
+    after = bucket_state()
+    for d, state in before.items():
+        b = int(d.split("=")[1])
+        if b in touched:
+            assert after[d] != state, f"{d} should have been rewritten"
+        else:
+            assert after[d] == state, f"{d} rewritten needlessly"
+
+    final = {r["id"]: r["v"] for r in w.read("t").collect()}
+    assert final[7] == "V7" and 8 not in final and len(final) == 999
+    assert final[0] == "v0"
+
+
+def test_schema_drift_census(spark):
+    from pyspark.sql import types as T
+
+    from reader_spark.operators.transfer import schema_drift
+
+    src = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.IntegerType()),
+    ])
+    snk = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("c", T.StringType()),
+    ])
+    out = {r["column"]: r["status"] for r in schema_drift(src, snk)}
+    assert out == {"id": "ok", "a": "missing", "b": "retyped", "c": "added"}

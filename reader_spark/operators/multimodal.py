@@ -2,9 +2,13 @@
 metadata (BASELINE.json north star).
 
 The Spark-side plumbing is real and tested — schema, Arrow batch
-shape, mapInPandas partitioning; the codec layer (PIL/librosa/ffmpeg
-are not in this container) is stubbed behind DECODERS with a
-deterministic fake, each stub raising/faking in one obvious place.
+shape, mapInPandas partitioning. The codec layer decodes PPM / 24-bit
+BMP images and PCM WAV audio natively (numpy + stdlib, no external
+libs; see decode_ppm / decode_bmp / decode_wav and the
+extract_media_stats pipeline); compressed formats (JPEG, MP3, video)
+need PIL/librosa/ffmpeg, which this container lacks — those paths
+raise NotImplementedError in one obvious place and the generic
+feature extractor falls back to a deterministic content-hash fake.
 
 Scale design: media bytes NEVER pass through a shuffle — decode /
 feature-extract runs mapInPandas on the scan partitioning, emitting
@@ -66,7 +70,107 @@ def _fake_image_features(payload: bytes, dim: int) -> list[float]:
     ]
 
 
+def decode_ppm(payload: bytes):
+    """Real decoder, no external libs: binary PPM (P6) -> (height,
+    width, 3) uint8 numpy array. Raster formats with trivial headers
+    don't need PIL."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval — whitespace/comment
+    # separated, then ONE whitespace byte before the raster
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to EOL
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes):
+    """Real decoder, no external libs: uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB) -> (height, width, 3) uint8 RGB array.
+    Handles 4-byte row padding and bottom-up row order."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_wav(payload: bytes):
+    """Real decoder, stdlib only: RIFF/WAVE PCM -> dict with
+    sample_rate, n_channels, n_frames, duration_ms and the int PCM
+    matrix (n_frames, n_channels)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        nch = wf.getnchannels()
+        nframes = wf.getnframes()
+        width = wf.getsampwidth()
+        raw = wf.readframes(nframes)
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        pcm = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    pcm = pcm.reshape(-1, nch)
+    return {
+        "sample_rate": sr,
+        "n_channels": nch,
+        "n_frames": nframes,
+        "duration_ms": int(nframes * 1000 / sr) if sr else 0,
+        "pcm": pcm,
+    }
+
+
 def _decode_image(payload: bytes) -> object:
+    """Dispatch on magic bytes: PPM and 24-bit BMP decode here with no
+    external dependency; everything else needs PIL (absent in this
+    container) and raises."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:
         from PIL import Image  # type: ignore
         import io
@@ -74,12 +178,17 @@ def _decode_image(payload: bytes) -> object:
         return Image.open(io.BytesIO(payload))
     except ImportError as e:  # pragma: no cover - lib not in container
         raise NotImplementedError(
-            "image decode requires PIL; container ships without it — "
-            "feature extraction uses the deterministic fake instead"
+            "compressed image decode requires PIL; container ships "
+            "without it — PPM/BMP decode natively, other formats use "
+            "the deterministic fake features"
         ) from e
 
 
 def _decode_audio(payload: bytes) -> object:
+    """WAV PCM decodes with the stdlib; compressed audio needs librosa
+    (absent) and raises."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     try:
         import librosa  # type: ignore
         import io
@@ -87,8 +196,9 @@ def _decode_audio(payload: bytes) -> object:
         return librosa.load(io.BytesIO(payload))
     except ImportError as e:  # pragma: no cover - lib not in container
         raise NotImplementedError(
-            "audio decode requires librosa/soundfile; container ships "
-            "without them — feature extraction uses the deterministic fake"
+            "compressed audio decode requires librosa/soundfile; "
+            "container ships without them — WAV decodes natively, "
+            "other formats use the deterministic fake features"
         ) from e
 
 
@@ -131,6 +241,69 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+MEDIA_STATS_SCHEMA = (
+    "media_id long, kind string, decoded boolean, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, "
+    "sample_rate int, duration_ms long, rms double"
+)
+
+
+def extract_media_stats(media: DataFrame) -> DataFrame:
+    """REAL decode path over mapInPandas for the formats this
+    container can decode (PPM/BMP images, PCM WAV audio): per-blob
+    typed stats — image dims + channel means, audio sample rate /
+    duration / RMS. Formats needing absent codecs yield
+    decoded=false with null stats instead of failing the batch, so
+    mixed corpora stream through. Same scale shape as
+    extract_features: blobs never shuffle, only small stat rows do."""
+    import math
+
+    def one(media_id, kind, payload):
+        row = {
+            "media_id": media_id, "kind": kind, "decoded": False,
+            "width": None, "height": None,
+            "mean_r": None, "mean_g": None, "mean_b": None,
+            "sample_rate": None, "duration_ms": None, "rms": None,
+        }
+        if payload is None:
+            return row
+        try:
+            if kind == "image":
+                img = _decode_image(bytes(payload))
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).sum(axis=0, dtype="int64")
+                n = h * w
+                row.update(
+                    decoded=True, width=w, height=h,
+                    mean_r=float(sums[0]) / n,
+                    mean_g=float(sums[1]) / n,
+                    mean_b=float(sums[2]) / n,
+                )
+            elif kind == "audio":
+                au = _decode_audio(bytes(payload))
+                pcm = au["pcm"].astype("float64")
+                row.update(
+                    decoded=True,
+                    sample_rate=au["sample_rate"],
+                    duration_ms=au["duration_ms"],
+                    rms=math.sqrt(float((pcm * pcm).mean())) if pcm.size else 0.0,
+                )
+        except (NotImplementedError, ValueError):
+            pass  # unsupported codec: decoded stays False
+        return row
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    one(m, k, p)
+                    for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])
+                ]
+            )
+
+    return media.mapInPandas(op, schema=MEDIA_STATS_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1_000) -> DataFrame:

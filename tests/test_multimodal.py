@@ -47,3 +47,86 @@ def test_decoder_stub_raises_not_implemented():
 
     with pytest.raises((NotImplementedError, Exception)):
         MM.DECODERS["image"](b"not-an-image")
+
+
+def _ppm_bytes(w, h, rgb):
+    header = f"P6\n# test\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb)
+
+
+def _bmp_bytes(w, h, rgb_rows):
+    # 24-bit BI_RGB bottom-up with row padding
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(rgb_rows):  # bottom-up storage
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)  # BGR
+        raster += line + b"\x00" * (stride - len(line))
+    offset = 14 + 40
+    size = offset + len(raster)
+    return (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+
+
+def _wav_bytes(sr, samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_ppm_and_bmp_agree():
+    from reader_spark.operators import multimodal as MM
+
+    # 2x2 image: R G / B W
+    pix = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    flat = [c for row in pix for p in row for c in p]
+    ppm = MM.decode_ppm(_ppm_bytes(2, 2, flat))
+    bmp = MM.decode_bmp(_bmp_bytes(2, 2, pix))
+    assert ppm.shape == (2, 2, 3) == bmp.shape
+    assert (ppm == bmp).all()
+    assert tuple(ppm[0, 0]) == (255, 0, 0) and tuple(ppm[1, 1]) == (255, 255, 255)
+
+
+def test_decode_wav_pcm():
+    from reader_spark.operators import multimodal as MM
+
+    au = MM.decode_wav(_wav_bytes(8000, [0, 1000, -1000, 0] * 100))
+    assert au["sample_rate"] == 8000
+    assert au["n_frames"] == 400
+    assert au["duration_ms"] == 50
+    assert au["pcm"].shape == (400, 1)
+
+
+def test_extract_media_stats_mixed_corpus(spark):
+    from reader_spark.operators import multimodal as MM
+
+    pix = [[(10, 20, 30), (10, 20, 30)]]
+    flat = [c for row in pix for p in row for c in p]
+    rows = [
+        (1, "image", "image/x-ppm", bytearray(_ppm_bytes(2, 1, flat)), None),
+        (2, "image", "image/bmp", bytearray(_bmp_bytes(2, 1, pix)), None),
+        (3, "audio", "audio/wav", bytearray(_wav_bytes(16000, [100] * 160)), None),
+        (4, "image", "image/jpeg", bytearray(b"\xff\xd8\xff\xe0junk"), None),  # no codec
+        (5, "video", "video/mp4", bytearray(b"....ftyp"), None),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.extract_media_stats(df).collect()}
+    assert out[1]["decoded"] and out[1]["width"] == 2 and out[1]["height"] == 1
+    assert out[1]["mean_r"] == 10.0 and out[1]["mean_b"] == 30.0
+    assert out[2]["decoded"] and out[2]["mean_g"] == 20.0
+    assert out[3]["decoded"] and out[3]["sample_rate"] == 16000
+    assert out[3]["duration_ms"] == 10 and abs(out[3]["rms"] - 100.0) < 1e-9
+    assert not out[4]["decoded"] and out[4]["width"] is None
+    assert not out[5]["decoded"]

@@ -116,6 +116,102 @@ def process_batch(
     return out
 
 
+def decoded_changes(
+    batch: DataFrame,
+    adapter: SchemaAdapter,
+    db: str,
+    tables: list[str],
+    history_path: str | None = None,
+    gtid_highwater: dict[str, int] | None = None,
+) -> dict[str, DataFrame]:
+    """Like `process_batch` but stops before the envelope: per table a
+    flat change frame (decoded columns + op + seq) — the input shape
+    of the transfer writer's MERGE paths. Delete rows take their PK
+    columns from the before-image."""
+    ddl = (
+        batch.filter(F.col("kind") == "ddl")
+        .select("seq", "ts_ms", "statement")
+        .orderBy(F.col("seq").cast("long"))
+        .collect()
+    )
+    for r in ddl:
+        adapter.apply_ddl(r["statement"], int(r["ts_ms"] or 0))
+    if history_path and ddl:
+        adapter.dump(history_path)
+
+    first_version = adapter.history[0]["unix_ts"] if adapter.history else None
+    out: dict[str, DataFrame] = {}
+    dml = batch.filter((F.col("kind") == "dml") & (F.col("db") == db))
+    dml = gtid_highwater_filter(dml, gtid_highwater)
+    dml = gtid_dedupe_batch(dml)
+    if first_version is not None:
+        dml = dml.filter(F.col("ts_ms").cast("long") >= first_version)
+    for table in tables:
+        if table not in adapter.tables:
+            continue
+        cols = adapter.tables[table]
+        row_schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in cols]
+        )
+        shaped = dml.filter(F.col("tbl") == table).select(
+            F.from_json("before", row_schema).alias("before"),
+            F.from_json("after", row_schema).alias("after"),
+            F.col("op"),
+            F.col("seq").cast("long").alias("seq"),
+        )
+        pk = cols[0]
+        flat = shaped.select(
+            F.when(F.col("op") == "d", F.col(f"before.{pk}"))
+            .otherwise(F.col(f"after.{pk}"))
+            .alias(pk),
+            *[F.col(f"after.{c}").alias(c) for c in cols[1:]],
+            "op",
+            "seq",
+        )
+        out[table] = flat
+    return out
+
+
+def run_pipeline_merge(
+    spark: SparkSession,
+    log_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    db: str,
+    tables: list[str],
+    adapter: SchemaAdapter | None = None,
+    history_path: str | None = None,
+    n_buckets: int = 16,
+):
+    """Streaming CDC straight into MERGED table state: each micro-batch
+    flows logtail -> decode -> `TransferWriter.upsert_bucketed`, so the
+    destination holds current rows (not an envelope log) and every
+    batch rewrites only the pk-hash buckets it touched. The checkpoint
+    commits AFTER the merge (write-then-commit) — replays are absorbed
+    by last-write-wins on seq."""
+    from reader_spark.operators.transfer import TransferWriter
+
+    adapter = adapter or SchemaAdapter()
+    writer = TransferWriter(spark, dest_dir)
+    stream = open_stream(spark, log_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        for table, changes in decoded_changes(
+            batch, adapter, db, tables, history_path
+        ).items():
+            pk = adapter.tables[table][0]
+            writer.upsert_bucketed(
+                table, changes, [pk], "seq", n_buckets=n_buckets
+            )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     log_dir: str,

@@ -100,3 +100,41 @@ def test_merge_then_reconcile_closes_the_loop(spark):
     assert clean == {"ok": 5}
     stale = {r["status"]: r["n_keys"] for r in reconcile(base, sink, ["id"]).collect()}
     assert stale == {"ok": 3, "mismatch": 1, "missing": 1, "extra": 1}
+
+
+def test_streaming_merge_into_bucketed_state(spark, tmp_path):
+    """CDC stream -> incremental MERGE sink: the destination holds
+    current table STATE (not an envelope log); the second run (same
+    checkpoint) applies only the delta, and deletes/updates land."""
+    from reader_spark.plans.cdc_mysql import run_pipeline_merge
+
+    log = tmp_path / "log"
+    log.mkdir()
+    dest = str(tmp_path / "dest")
+    ck = str(tmp_path / "ck")
+
+    _append(log / "binlog.jsonl", [
+        rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+        rec(2, "dml", op="c", after='{"id": 1, "name": "ada"}'),
+        rec(3, "dml", op="c", after='{"id": 2, "name": "bob"}'),
+        rec(4, "dml", op="c", after='{"id": 3, "name": "cy"}'),
+    ])
+    adapter = SchemaAdapter()
+    q = run_pipeline_merge(spark, str(log), dest, ck, "app", ["users"],
+                           adapter, n_buckets=4)
+    q.awaitTermination(90)
+    state = {r["id"]: r["name"]
+             for r in spark.read.parquet(f"{dest}/users").collect()}
+    assert state == {"1": "ada", "2": "bob", "3": "cy"}
+
+    _append(log / "binlog.jsonl", [
+        rec(5, "dml", op="u", before='{"id": 1, "name": "ada"}',
+            after='{"id": 1, "name": "ada2"}'),
+        rec(6, "dml", op="d", before='{"id": 2, "name": "bob"}'),
+    ])
+    q2 = run_pipeline_merge(spark, str(log), dest, ck, "app", ["users"],
+                            adapter, n_buckets=4)
+    q2.awaitTermination(90)
+    state = {r["id"]: r["name"]
+             for r in spark.read.parquet(f"{dest}/users").collect()}
+    assert state == {"1": "ada2", "3": "cy"}

@@ -121,3 +121,48 @@ def fingerprint(text: Column) -> Column:
     the Pandas-UDF tier — this is the expression-tier fingerprint.)"""
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(norm)
+
+
+def shard_pack(
+    docs, budget_tokens: int, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Training-shard packing: assign documents to shards so each
+    shard holds ~budget tokens — shard = floor(cumulative_tokens /
+    budget) over a deterministic doc order. One global cumulative-sum
+    window; Spark range-partitions the sort, so at 100 TB this is a
+    sort-shuffle of (id, n_tokens) pairs, never of the text. (A doc
+    larger than the budget gets its own shard; packing is streaming-
+    friendly because the order is the stable id order, not a bin-
+    packing search.)"""
+    from pyspark.sql import Window as W
+
+    n = token_count_ws(F.col(text_col))
+    w = W.orderBy(F.col(id_col)).rowsBetween(W.unboundedPreceding, -1)
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select(F.col(id_col), n.alias("n_tokens"))
+        .withColumn("shard_id", F.floor(prior / F.lit(budget_tokens)).cast("long"))
+    )
+
+
+def weighted_sample(
+    docs,
+    weight: Column,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+):
+    """Quality-weighted deterministic sampling: keep a document with
+    probability rate * weight (clamped to [0,1]) using the md5-derived
+    uniform in [0,1) from its id — reproducible across runs/engines
+    (no RNG state), map-only, filter pushes to the scan."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight * F.lit(rate)))
+    return docs.filter(u < p)

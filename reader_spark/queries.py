@@ -2818,6 +2818,57 @@ GROUP BY 1
 """
 
 
+def text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: cumulative whitespace-token budget over
+    the stable doc order (functions/text.py::shard_pack) — each shard
+    carries ~4000 tokens. The window moves (id, count) pairs only."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.shard_pack(docs, budget_tokens=4000)
+
+
+SHARD_PACK_SQL = """
+SELECT doc_id, n_tokens,
+       coalesce((sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 4000), 0)::BIGINT
+         AS shard_id
+FROM (SELECT doc_id,
+             length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+      FROM documents)
+"""
+
+
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep-probability =
+    0.5 * quality_score, md5-uniform per doc — reproducible, map-only,
+    no RNG state (functions/text.py::weighted_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.weighted_sample(
+        docs, TX.quality_score(F.col("text")), rate=0.5
+    ).select("doc_id")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH p0 AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+), b AS (
+  SELECT doc_id,
+         length(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         {{stop_sum}} AS stops,
+         length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g')) AS puncts,
+         length(text) AS chars
+  FROM p0
+), q AS (
+  SELECT doc_id,
+         round(0.4 * least(1.0, toks::DOUBLE / 100.0)
+             + 0.4 * least(1.0, 8.0 * stops::DOUBLE / toks::DOUBLE)
+             + 0.2 * (1.0 - least(1.0, 4.0 * puncts::DOUBLE / chars::DOUBLE)), 6) AS quality,
+         ('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT / {float(16 ** 15)} AS u
+  FROM b
+)
+SELECT doc_id FROM q WHERE u < least(1.0, greatest(0.0, quality * 0.5))
+""".replace("{stop_sum}", _STOP_SUM)
+
+
 def cdc_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1->C2->C4->C5->C3->P5->K1->K3 composed END-TO-END, driver-checked
     (not just per-piece pytest): synthesize a deterministic binlog from
@@ -3026,6 +3077,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "approx_distinct_users": (approx_distinct_users, APPROX_DISTINCT_SQL),
     "sample_hash_mod": (sample_hash_mod, SAMPLE_SQL),
     "events_resample_locf": (events_resample_locf, RESAMPLE_SQL),
+    # round-2 additions past the window (local oracle gate only)
+    "text_shard_pack": (text_shard_pack, SHARD_PACK_SQL),
+    "text_weighted_sample": (text_weighted_sample, WEIGHTED_SAMPLE_SQL),
 }
 
 

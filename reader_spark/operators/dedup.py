@@ -488,3 +488,69 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def lsh_candidate_pairs_capped(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Skew-guarded LSH banding — the adversarial-corpus variant of
+    `lsh_candidate_pairs`. Real crawls carry boilerplate (empty docs,
+    cookie banners, license headers) whose shared signatures form HOT
+    band buckets: a bucket of k members emits k(k-1)/2 candidate
+    pairs, and at 10^8 docs one boilerplate cluster is an O(10^12)
+    pair explosion no executor survives.
+
+    Here the bands are materialized as (band_id, band_key) rows, any
+    bucket with more than `max_bucket` members is dropped BEFORE the
+    self-join (a per-key count — map-side combinable, uniform keys),
+    and the join runs per surviving bucket. Documented recall
+    tradeoff: pairs inside a dropped bucket are found only if a
+    different, colder band catches them — acceptable because a
+    boilerplate cluster's members are better handled by exact dedup on
+    the content hash. The pair stream is de-duplicated across bands
+    (unlike the first-match-only trick, a pair can surface from
+    several surviving bands)."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    melted = None
+    for band in range(n_bands):
+        key = F.md5(
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"h{j}")
+                    for j in range(band * band_size, (band + 1) * band_size)
+                ],
+            )
+        )
+        part = sigs.select(
+            F.col(id_col),
+            F.lit(band).alias("band_id"),
+            key.alias("band_key"),
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    cold = (
+        melted.groupBy("band_id", "band_key")
+        .count()
+        .filter((F.col("count") > 1) & (F.col("count") <= max_bucket))
+        .select("band_id", "band_key")
+    )
+    b = melted.join(cold, ["band_id", "band_key"])
+    a2, b2 = b.alias("a"), b.alias("b")
+    return (
+        a2.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -190,3 +190,28 @@ def test_connected_components_long_chain_converges(spark):
     )
     out = {r["node"]: r["label"] for r in DD.connected_components(pairs).collect()}
     assert set(out.values()) == {0} and len(out) == 12
+
+
+def test_lsh_capped_drops_hot_buckets_keeps_cold_pairs(spark):
+    # 40 identical boilerplate docs (one hot bucket per band) + one
+    # genuine near-dup pair: with max_bucket below the boilerplate
+    # size, the explosion is dropped and the real pair survives
+    texts = ["cookie banner accept terms"] * 40 + [
+        "a unique document about spark",
+        "a unique document about spark engines",
+        "something entirely different altogether now",
+    ]
+    df = docs_df(spark, texts)
+    sigs = DD.minhash_signature(df, num_hashes=8)
+    capped = DD.lsh_candidate_pairs_capped(
+        sigs, num_hashes=8, band_size=2, max_bucket=10
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (40, 41) in got                      # cold near-dup found
+    assert not any(a < 40 and b < 40 for a, b in got)  # hot bucket dropped
+    # with a generous cap the boilerplate pairs ARE emitted
+    uncapped = DD.lsh_candidate_pairs_capped(
+        sigs, num_hashes=8, band_size=2, max_bucket=10_000
+    )
+    n = uncapped.filter("doc_a < 40 AND doc_b < 40").count()
+    assert n == 40 * 39 // 2

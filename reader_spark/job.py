@@ -1,0 +1,156 @@
+"""Job runner: execute a Settings YAML end-to-end — the Spark-side
+analogue of the reference binary's `reader --config config.yaml` run
+loop (main.go: config load -> source build -> writer build -> Run).
+
+Snapshot jobs: per table, read -> PK-guarded projection -> Debezium
+snapshot envelope -> destination. Streaming jobs: the composed binlog
+pipeline (plans/cdc_mysql), either as an envelope log or merged table
+state (`destination.kind: transfer` -> incremental bucketed MERGE).
+
+Kinds wired for in-container execution: `parquet` sources and
+`parquet`/`transfer` destinations run anywhere; `kafka` publishes when
+the Kafka jar is on the classpath and falls back to the file sink
+otherwise; the JDBC kinds (postgresql/mysql/mssql) build their
+partitioned-read options through sources/jdbc.py and need a live
+database + driver jar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reader_spark.config import Settings, SourceCfg, TableCfg
+from reader_spark.envelope import snapshot_envelope
+from reader_spark.plans.snapshot import project_columns
+
+# source kind -> envelope dialect (topic-suffix rules)
+_DIALECT = {"postgresql": "postgres", "mysql": "mysql", "mssql": "mssql"}
+
+
+def _read_table(spark: SparkSession, src: SourceCfg, table: TableCfg) -> DataFrame:
+    if src.kind == "parquet":
+        root = src.options.get("path")
+        if not root:
+            raise ValueError("parquet source requires options.path")
+        return spark.read.parquet(f"{root}/{table.name}.parquet")
+    if src.kind in ("postgresql", "mysql", "mssql"):
+        from reader_spark.sources import jdbc as J
+
+        dialect = {
+            "postgresql": J.POSTGRES, "mysql": J.MYSQL, "mssql": J.MSSQL
+        }[src.kind]
+        ref = J.TableRef(
+            schema=table.schema if src.kind != "mysql" else src.database,
+            table=table.name,
+            pk_cols=src.options.get("pk_cols", {}).get(table.name, ["id"]),
+        )
+        opts = J.jdbc_read_options(
+            ref,
+            dialect,
+            url=src.options["url"],
+            min_pk=int(src.options.get("min_pk", 0)),
+            max_pk=int(src.options.get("max_pk", 1 << 31)),
+            num_partitions=table.num_partitions,
+            fetch_size=table.batch_size,
+        )
+        return spark.read.format("jdbc").options(**opts).load()
+    raise ValueError(f"source kind {src.kind!r} has no batch reader here")
+
+
+def _pk_cols(src: SourceCfg, table: TableCfg, df: DataFrame) -> list[str]:
+    explicit = src.options.get("pk_cols", {}).get(table.name)
+    if explicit:
+        return list(explicit)
+    return [df.columns[0]]  # fixture convention: first column is the PK
+
+
+def _publish(env: DataFrame, settings: Settings, table: str) -> str:
+    dest = settings.destination
+    if dest.kind == "kafka":
+        from reader_spark import sinks
+
+        try:
+            sinks.write_kafka(env, dest.options["bootstrap"])
+            return f"kafka:{dest.options['bootstrap']}"
+        except Exception:
+            fallback = f"{dest.path or '/tmp/reader_spark_out'}/{table}"
+            sinks.write_file_fallback(env, fallback)
+            return fallback
+    out = f"{dest.path}/{table}"
+    env.write.mode("append").parquet(out)
+    return out
+
+
+def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
+    """Execute one configured job; returns {table: destination}."""
+    src = settings.source
+    if src.streaming:
+        return _run_streaming(spark, settings)
+    results: dict[str, str] = {}
+    for table in src.tables:
+        df = _read_table(spark, src, table)
+        pk = _pk_cols(src, table, df)
+        df = project_columns(
+            df,
+            pk,
+            include=table.include_columns or None,
+            exclude=table.exclude_columns or None,
+        )
+        env = snapshot_envelope(
+            df,
+            pk_cols=pk,
+            db=src.database or "db",
+            schema=table.schema,
+            table=table.name,
+            topic_prefix=settings.destination.topic_prefix,
+            dialect=_DIALECT.get(src.kind, "mysql"),
+            ts_col=F.lit(src.options.get("snapshot_ts", 0)).cast("long"),
+        )
+        results[table.name] = _publish(env, settings, table.name)
+    return results
+
+
+def _run_streaming(spark: SparkSession, settings: Settings) -> dict[str, str]:
+    """Streaming job: the composed binlog pipeline. options.log_dir is
+    the tail directory (production: the binlog-shipper landing zone);
+    destination `transfer` merges into current table state, anything
+    else lands the envelope log."""
+    from reader_spark.plans.cdc_mysql import run_pipeline, run_pipeline_merge
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    src = settings.source
+    dest = settings.destination
+    log_dir = src.options["log_dir"]
+    ck = src.options.get("checkpoint_dir", f"{dest.path}/_checkpoint")
+    tables = [t.name for t in src.tables]
+    adapter = SchemaAdapter()
+    history = src.options.get("history_path")
+    if dest.kind == "transfer":
+        q = run_pipeline_merge(
+            spark, log_dir, dest.path, ck, src.database, tables,
+            adapter, history_path=history,
+            n_buckets=int(dest.options.get("n_buckets", 16)),
+        )
+    else:
+        q = run_pipeline(
+            spark, log_dir, dest.path, ck, src.database, tables,
+            adapter, history_path=history,
+        )
+    q.awaitTermination(int(src.options.get("timeout_sec", 300)))
+    return {t: f"{dest.path}/{t}" for t in tables}
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from reader_spark.config import load_settings
+    from reader_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(prog="reader_spark")
+    ap.add_argument("--config", required=True, help="Settings YAML path")
+    args = ap.parse_args(argv)
+    settings = load_settings(args.config)
+    spark = get_spark("reader_spark_job")
+    for table, where in run_job(spark, settings).items():
+        print(f"{table}\t{where}")

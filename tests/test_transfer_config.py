@@ -215,3 +215,81 @@ def test_schema_drift_census(spark):
     ])
     out = {r["column"]: r["status"] for r in schema_drift(src, snk)}
     assert out == {"id": "ok", "a": "missing", "b": "retyped", "c": "added"}
+
+
+def test_job_runner_snapshot_yaml_to_parquet(spark, tmp_path):
+    """The reference binary's flow: config YAML -> snapshot -> envelope
+    -> destination, via run_job."""
+    import json
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    cfg = f"""
+source:
+  kind: parquet
+  database: tpch
+  options:
+    path: /root/testdata/sf0.001
+  tables:
+    - name: nation
+    - name: region
+      exclude_columns: [r_comment]
+destination:
+  kind: parquet
+  topic_prefix: snap
+  path: {tmp_path}/out
+"""
+    out = run_job(spark, load_settings(cfg))
+    assert set(out) == {"nation", "region"}
+    env = spark.read.parquet(f"{tmp_path}/out/nation")
+    rows = env.collect()
+    assert len(rows) == 25
+    assert rows[0]["topic"] == "snap.tpch.nation"
+    payload = json.loads(rows[0]["value"])["payload"]
+    assert payload["op"] == "r" and payload["source"]["db"] == "tpch"
+    assert spark.read.parquet(f"{tmp_path}/out/region").count() == 5
+
+
+def test_job_runner_streaming_merge_yaml(spark, tmp_path):
+    import json
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    log = tmp_path / "log"
+    log.mkdir()
+    recs = [
+        {"seq": "1", "ts_ms": "1000", "db": "app", "tbl": "users",
+         "kind": "ddl", "op": None, "gtid_sid": "s", "gtid_tx": "1",
+         "statement": "CREATE TABLE users (id int, name text)",
+         "before": None, "after": None},
+        {"seq": "2", "ts_ms": "2000", "db": "app", "tbl": "users",
+         "kind": "dml", "op": "c", "gtid_sid": "s", "gtid_tx": "2",
+         "statement": None, "before": None,
+         "after": '{"id": 1, "name": "ada"}'},
+    ]
+    with open(log / "shard0.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    cfg = f"""
+source:
+  kind: mysql
+  database: app
+  streaming: true
+  options:
+    log_dir: {log}
+    checkpoint_dir: {tmp_path}/ck
+    timeout_sec: 90
+  tables:
+    - name: users
+destination:
+  kind: transfer
+  path: {tmp_path}/dest
+  options:
+    n_buckets: 4
+"""
+    out = run_job(spark, load_settings(cfg))
+    state = {r["id"]: r["name"]
+             for r in spark.read.parquet(out["users"]).collect()}
+    assert state == {"1": "ada"}

@@ -336,10 +336,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # decimal value is exact and engine-identical, while a
             # final decimal->double cast can differ by 1 ulp between
             # engines (observed at sf0.001 on sum_disc_price).
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (one - disc)).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(price * (one - disc) * (one + tax)).cast("decimal(38,10)").alias("sum_charge"),
+            F.sum(qty).cast("decimal(38,2)").cast("string").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("decimal(38,6)").cast("string").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("decimal(38,10)").cast("string").alias("sum_charge"),
             (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -382,6 +382,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+        # edge canonicalization AFTER the numeric order-by (a string
+        # sort would reorder the top-10) — see _dec_edge note
+        .withColumn("revenue", F.col("revenue").cast("string"))
     )
 
 
@@ -1558,7 +1561,11 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treats each document's utf-8 bytes as an opaque media payload
     and runs the mapInPandas feature-extraction plumbing end-to-end
-    (schema, Arrow batching, partition-preserving decode)."""
+    (schema, Arrow batching, partition-preserving decode). The edge
+    scalarizes `feat array<double>` into feat_0..feat_7 doubles —
+    no array/map/struct may reach a catalog edge (the driver's pandas
+    canonicalizer cannot sort/hash list cells; test_plans enforces
+    this catalog-wide)."""
     from reader_spark.operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
@@ -1574,16 +1581,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
-    return MM.extract_features(media, dim=8)
+    feats = MM.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        *[F.col("feat")[i].alias(f"feat_{i}") for i in range(8)],
+    )
 
 
 MULTIMODAL_SQL = """
 SELECT doc_id AS media_id, 'image' AS kind,
        strlen(text)::BIGINT AS n_bytes,
        sha256(text) AS sha256,
-       list_transform(generate_series(0, 7),
-         i -> ('0x' || substr(sha256(text), 8*i + 1, 8))::BIGINT::DOUBLE
-              / 4294967296.0) AS feat
+       ('0x' || substr(sha256(text), 1, 8))::BIGINT::DOUBLE / 4294967296.0 AS feat_0,
+       ('0x' || substr(sha256(text), 9, 8))::BIGINT::DOUBLE / 4294967296.0 AS feat_1,
+       ('0x' || substr(sha256(text), 17, 8))::BIGINT::DOUBLE / 4294967296.0 AS feat_2,
+       ('0x' || substr(sha256(text), 25, 8))::BIGINT::DOUBLE / 4294967296.0 AS feat_3,
+       ('0x' || substr(sha256(text), 33, 8))::BIGINT::DOUBLE / 4294967296.0 AS feat_4,
+       ('0x' || substr(sha256(text), 41, 8))::BIGINT::DOUBLE / 4294967296.0 AS feat_5,
+       ('0x' || substr(sha256(text), 49, 8))::BIGINT::DOUBLE / 4294967296.0 AS feat_6,
+       ('0x' || substr(sha256(text), 57, 8))::BIGINT::DOUBLE / 4294967296.0 AS feat_7
 FROM documents
 """
 

@@ -18,16 +18,24 @@ def _plan(df) -> str:
 
 
 def test_no_cartesian_product_anywhere(spark):
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     for name, (fn, _sql) in CATALOG.items():
         df = fn(spark, SF_DIR)
         plan = _plan(df)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         # driver-hash contract: no DECIMAL reaches a query edge (r1's
-        # 16 hash-red rows were all decimal-edge canonicalization)
-        dec = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
-        assert not dec, f"{name} leaks decimal edge columns {dec}"
+        # 16 hash-red rows were all decimal-edge canonicalization),
+        # and no nested type either — the driver's pandas
+        # canonicalizer sort_values over all columns raises
+        # "unhashable type: 'list'" on array/map/struct cells (r2's
+        # one red row, multimodal_features).
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (DecimalType, ArrayType, MapType, StructType))
+        ]
+        assert not bad, f"{name} leaks non-scalar/decimal edge columns {bad}"
 
 
 def test_projection_prunes_scan_schema(spark):

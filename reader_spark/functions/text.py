@@ -124,24 +124,54 @@ def fingerprint(text: Column) -> Column:
 
 
 def shard_pack(
-    docs, budget_tokens: int, id_col: str = "doc_id", text_col: str = "text"
+    docs,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_bucket: int = 250_000,
 ):
     """Training-shard packing: assign documents to shards so each
     shard holds ~budget tokens — shard = floor(cumulative_tokens /
-    budget) over a deterministic doc order. One global cumulative-sum
-    window; Spark range-partitions the sort, so at 100 TB this is a
-    sort-shuffle of (id, n_tokens) pairs, never of the text. (A doc
-    larger than the budget gets its own shard; packing is streaming-
-    friendly because the order is the stable id order, not a bin-
-    packing search.)"""
+    budget) over the stable numeric id order. (A doc larger than the
+    budget gets its own shard; packing is deterministic because the
+    order is the id order, not a bin-packing search.)
+
+    Scale shape — two-phase distributed prefix sum, NEVER a global
+    unpartitioned window (which would funnel every row through one
+    task): the id space is cut into order-preserving range buckets,
+    per-bucket token subtotals are collected to the driver (one row
+    per bucket — thousands at 100 TB, not billions), turned into
+    exclusive prefix offsets, broadcast back, and each bucket computes
+    its local running sum under a window PARTITIONED by bucket. The
+    two prefix passes scan only (id, n_tokens) — column pruning keeps
+    the text out of every shuffle."""
     from pyspark.sql import Window as W
 
-    n = token_count_ws(F.col(text_col))
-    w = W.orderBy(F.col(id_col)).rowsBetween(W.unboundedPreceding, -1)
-    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    toks = docs.select(
+        F.col(id_col), token_count_ws(F.col(text_col)).alias("n_tokens")
+    )
+    lo, hi, cnt = toks.agg(
+        F.min(id_col), F.max(id_col), F.count(F.lit(1))
+    ).first()
+    if not cnt:
+        return toks.withColumn("shard_id", F.lit(0).cast("long"))
+    width = max(1, (int(hi) - int(lo)) // max(1, cnt // docs_per_bucket + 1) + 1)
+    bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width)).cast("long")
+    b = toks.withColumn("_b", bucket)
+    subs = b.groupBy("_b").agg(F.sum("n_tokens").alias("_t")).collect()
+    offsets, run = [], 0
+    for r in sorted(subs, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], run))
+        run += int(r["_t"])
+    off = docs.sparkSession.createDataFrame(offsets, "_b long, _off long")
+    w = W.partitionBy("_b").orderBy(F.col(id_col)).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_off")
     return (
-        docs.select(F.col(id_col), n.alias("n_tokens"))
+        b.join(F.broadcast(off), "_b")
         .withColumn("shard_id", F.floor(prior / F.lit(budget_tokens)).cast("long"))
+        .select(id_col, "n_tokens", "shard_id")
     )
 
 

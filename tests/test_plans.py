@@ -144,6 +144,19 @@ def test_clean_corpus_is_two_stage(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_shard_pack_has_no_single_partition_window(spark):
+    # The prefix sum must be the two-phase form: per-bucket windows
+    # (Exchange hashpartitioning) plus a broadcast of the tiny offset
+    # table — never a global unpartitioned window, which would move
+    # every row through ONE task ("Exchange SinglePartition" feeding a
+    # Window with an empty partition spec).
+    fn, _ = CATALOG["text_shard_pack"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q18_preaggregates_below_join(spark):
     # The HAVING aggregate must shrink lineitem BEFORE any join: the
     # first (innermost) operator consuming the lineitem scan is an

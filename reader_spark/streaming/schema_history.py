@@ -12,8 +12,9 @@ schema active at an event's timestamp" is an AS-OF JOIN — broadcast
 the history, window-max over versions with ts <= event_ts. DDL is
 parsed by the per-spec regex dispatcher below, covering the statement
 shapes the reference's ANTLR grammar extracts events from
-(CREATE / DROP / RENAME TABLE; ALTER specs ADD / DROP / RENAME /
-MODIFY / CHANGE incl. FIRST/AFTER positions — alter_table.go:19-93):
+(CREATE / CREATE ... LIKE / DROP / RENAME TABLE; ALTER specs ADD /
+DROP / RENAME / MODIFY / CHANGE incl. FIRST/AFTER positions —
+alter_table.go:19-93, create_table.go:106-122):
 parsing tech is an implementation detail, the event semantics are
 the spec."""
 
@@ -39,6 +40,17 @@ DDL_SKIP_RE = re.compile(
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s*\((.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+# CREATE TABLE new LIKE src — the clone DDL (CopyTableEvent,
+# lib/antlr/types.go:75-88, create_table.go:106-122). MySQL accepts
+# both the bare and the parenthesized form; names may be db-qualified.
+# MUST be tested before _CREATE_RE: "CREATE TABLE t (LIKE s)" also
+# matches the column-list shape and would mis-parse as a column "LIKE".
+_CREATE_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s*"
+    r"\(?\s*LIKE\s+(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+(.*)$", re.IGNORECASE | re.DOTALL
@@ -94,6 +106,16 @@ class SchemaAdapter:
         """Returns True if the statement mutated the schema."""
         if DDL_SKIP_RE.search(statement):
             return False
+        m = _CREATE_LIKE_RE.match(statement)
+        if m:
+            # Clone the source table's column list (the reference
+            # errors on an unknown source — ddl.go:79-91; the
+            # dispatcher's tolerant convention is to not mutate).
+            if m.group(2) not in self.tables:
+                return False
+            self.tables[m.group(1)] = list(self.tables[m.group(2)])
+            self._record(unix_ts, statement)
+            return True
         m = _CREATE_RE.match(statement)
         if m:
             cols = []

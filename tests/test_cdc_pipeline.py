@@ -74,6 +74,54 @@ def test_cdc_pipeline_with_schema_evolution(spark, tmp_path):
     assert adapter2.tables["users"] == ["id", "name", "email"]
 
 
+def test_create_table_like_mid_stream_decodes_clone_dml(spark, tmp_path):
+    """A CREATE TABLE ... LIKE arriving mid-stream must register the
+    clone (CopyTableEvent semantics, ddl.go:79-91) so that subsequent
+    DML on the clone decodes; the clone survives JSONL history replay
+    across a restart."""
+    log = tmp_path / "log"
+    log.mkdir()
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    hist = str(tmp_path / "history.jsonl")
+
+    _append(log / "binlog.jsonl", [
+        rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+        rec(2, "dml", op="c", after='{"id": 1, "name": "ada"}'),
+        rec(3, "ddl", statement="CREATE TABLE users_copy LIKE users"),
+        rec(4, "dml", tbl="users_copy", op="c",
+            after='{"id": 7, "name": "zoe"}'),
+    ])
+    adapter = SchemaAdapter()
+    q = run_pipeline(spark, str(log), sink, ck, "app",
+                     ["users", "users_copy"], adapter, history_path=hist)
+    q.awaitTermination(90)
+
+    assert adapter.tables["users_copy"] == ["id", "name"]
+    clone = [
+        json.loads(r["value"])["payload"]
+        for r in spark.read.parquet(f"{sink}/users_copy").collect()
+    ]
+    assert len(clone) == 1
+    assert clone[0]["after"] == {"id": "7", "name": "zoe"}
+
+    # restart: the clone's registration replays from the JSONL history
+    _append(log / "binlog.jsonl", [
+        rec(5, "dml", tbl="users_copy", op="c",
+            after='{"id": 8, "name": "kai"}'),
+    ])
+    adapter2 = SchemaAdapter.replay(hist)
+    assert adapter2.tables["users_copy"] == ["id", "name"]
+    q2 = run_pipeline(spark, str(log), sink, ck, "app",
+                      ["users", "users_copy"], adapter2, history_path=hist)
+    q2.awaitTermination(90)
+    names = {
+        json.loads(r["value"])["payload"]["after"]["name"]
+        for r in spark.read.parquet(f"{sink}/users_copy").collect()
+    }
+    assert names == {"zoe", "kai"}
+
+
 def test_merge_then_reconcile_closes_the_loop(spark):
     """K3 + K5: apply a change batch with MERGE semantics, then prove
     the audit sees a clean sink vs the expected state — and detects

@@ -163,6 +163,40 @@ def test_schema_adapter_modify_change_columns(tmp_path):
     assert len(sa2.history) == 7
 
 
+def test_schema_adapter_create_table_like(tmp_path):
+    # CREATE TABLE ... LIKE clones the source's column list into a new
+    # adapter (CopyTableEvent, lib/antlr/types.go:75-88 applied at
+    # ddl.go:79-91; parse forms create_table_test.go:19-42). A LIKE
+    # mid-stream that was silently ignored would corrupt every later
+    # positional decode of the clone.
+    sa = SchemaAdapter()
+    assert sa.apply_ddl("CREATE TABLE src (id int, v text, w int)", 100)
+    # bare form
+    assert sa.apply_ddl("CREATE TABLE c1 LIKE src", 200)
+    assert sa.tables["c1"] == ["id", "v", "w"]
+    # parenthesized form must NOT mis-parse as a column list
+    assert sa.apply_ddl("CREATE TABLE c2 (LIKE src)", 300)
+    assert sa.tables["c2"] == ["id", "v", "w"]
+    # db-qualified + IF NOT EXISTS + backticks + trailing semicolon
+    assert sa.apply_ddl(
+        "CREATE TABLE IF NOT EXISTS `db`.`c3` LIKE `db`.`src`;", 400
+    )
+    assert sa.tables["c3"] == ["id", "v", "w"]
+    # the clone is independent state: evolving it leaves src alone
+    assert sa.apply_ddl("ALTER TABLE c1 ADD COLUMN z int", 500)
+    assert sa.tables["c1"] == ["id", "v", "w", "z"]
+    assert sa.tables["src"] == ["id", "v", "w"]
+    # unknown source mutates nothing (reference errors; tolerant here)
+    assert not sa.apply_ddl("CREATE TABLE c4 LIKE missing", 600)
+    assert "c4" not in sa.tables
+    # JSONL replay reproduces the clone
+    path = str(tmp_path / "history.jsonl")
+    sa.dump(path)
+    sa2 = SchemaAdapter.replay(path)
+    assert sa2.tables["c2"] == ["id", "v", "w"]
+    assert len(sa2.history) == 5
+
+
 def test_modify_change_versions_resolve_asof(spark, tmp_path):
     # the history versions cut by MODIFY/CHANGE resolve through the
     # as-of join like any other schema version

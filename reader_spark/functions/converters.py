@@ -88,6 +88,41 @@ def time_micros(c: Column) -> Column:
     )
 
 
+def time_millis(c: Column) -> Column:
+    """time -> int32 MILLIS past midnight (TimeConverter,
+    time.go:13-35; wire type int32)."""
+    return F.floor(time_micros(c) / 1_000).cast("int")
+
+
+def nano_time(c: Column) -> Column:
+    """time(7) -> int64 NANOS past midnight (NanoTimeConverter,
+    time.go:61-77). Spark timestamps carry microseconds only, so the
+    sub-microsecond digits (MSSQL time(7)'s 100 ns unit) are recovered
+    from the original string representation when present — a
+    '.1234567' fraction contributes 123456700 ns, digit-exact."""
+    ts = c.cast("timestamp")
+    micros = (
+        F.hour(ts).cast("long") * 3_600_000_000
+        + F.minute(ts).cast("long") * 60_000_000
+        + F.second(ts).cast("long") * 1_000_000
+        + (F.unix_micros(ts) % 1_000_000)
+    )
+    frac = F.regexp_extract(c.cast("string"), r"\.(\d+)$", 1)
+    sub = F.when(
+        F.length(frac) > 6,
+        F.rpad(F.substring(frac, 7, 3), 3, "0").cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return micros * 1_000 + sub
+
+
+def nano_timestamp(c: Column) -> Column:
+    """timestamp -> int64 epoch nanos, MICRO-truncated then x1000:
+    the reference emits UnixMicro()*1_000 (NanoTimestampConverter,
+    time.go:163-179), dropping sub-micro digits — its golden vector
+    pins 12:34:56.1234567 -> ...123456000 (time_test.go:255-268)."""
+    return F.unix_micros(c.cast("timestamp")) * 1_000
+
+
 def zoned_timestamp(c: Column) -> Column:
     """timestamptz -> UTC `2006-01-02T15:04:05.999999Z` (time.go:181-209).
 
@@ -377,6 +412,9 @@ CONVERTERS: dict[str, Converter] = {
     "milli_timestamp": Converter("milli_timestamp", milli_timestamp, T.LongType()),
     "epoch_days": Converter("epoch_days", epoch_days, T.IntegerType()),
     "time_micros": Converter("time_micros", time_micros, T.LongType()),
+    "time_millis": Converter("time_millis", time_millis, T.IntegerType()),
+    "nano_time": Converter("nano_time", nano_time, T.LongType()),
+    "nano_timestamp": Converter("nano_timestamp", nano_timestamp, T.LongType()),
     "zoned_timestamp": Converter("zoned_timestamp", zoned_timestamp, T.StringType()),
     "year": Converter("year", year_int, T.IntegerType()),
     "timetz": Converter("timetz", timetz_utc_string, T.StringType()),
@@ -418,3 +456,28 @@ def money_converter(scale: int = 2) -> Converter:
     """money: decimal scale 2 (PG) / 4 (MSSQL)
     (lib/debezium/converters/money.go:12-60)."""
     return decimal_converter(19, scale)
+
+
+def mssql_time_converter(datetime_precision: int) -> Converter:
+    """MSSQL time(p) bucket selection by DATETIME_PRECISION
+    (lib/mssql/schema/schema.go:122-137): 0-3 -> Time (int32 ms),
+    4-6 -> TimeMicro, 7 -> TimeNano."""
+    if datetime_precision <= 3:
+        return CONVERTERS["time_millis"]
+    if datetime_precision <= 6:
+        return CONVERTERS["time_micros"]
+    if datetime_precision == 7:
+        return CONVERTERS["nano_time"]
+    raise ValueError(f"invalid datetime precision: {datetime_precision}")
+
+
+def mssql_datetime2_converter(datetime_precision: int) -> Converter:
+    """MSSQL datetime2(p) bucket selection (schema.go:141-157):
+    0-3 -> Datetime2 (ms), 4-6 -> Datetime2Micro, 7 -> Datetime2Nano."""
+    if datetime_precision <= 3:
+        return CONVERTERS["milli_timestamp"]
+    if datetime_precision <= 6:
+        return CONVERTERS["micro_timestamp"]
+    if datetime_precision == 7:
+        return CONVERTERS["nano_timestamp"]
+    raise ValueError(f"invalid datetime precision: {datetime_precision}")

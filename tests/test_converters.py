@@ -34,6 +34,61 @@ def test_time_micros_past_midnight(spark):
     )
 
 
+def test_time_millis_past_midnight(spark):
+    # TimeConverter (time.go:13-35): int32 ms, truncated
+    ts = datetime.datetime(1970, 1, 1, 1, 2, 3, 456789)
+    assert one(spark, ts, C.time_millis) == (
+        1 * 3_600_000 + 2 * 60_000 + 3 * 1_000 + 456
+    )
+
+
+def test_nano_time_golden_vectors(spark):
+    # NanoTimeConverter golden vectors (time_test.go:89-108):
+    # midnight -> 0; 01:00:00 -> 3_600_000_000_000 ns
+    assert one(spark, datetime.datetime(2023, 5, 3, 0, 0, 0), C.nano_time) == 0
+    assert (
+        one(spark, datetime.datetime(2023, 5, 3, 1, 0, 0), C.nano_time)
+        == 3_600_000_000_000
+    )
+    # MSSQL time(7): the 100 ns digit survives via the string form
+    assert one(spark, "1970-01-01 01:02:03.1234567", C.nano_time) == (
+        (1 * 3600 + 2 * 60 + 3) * 1_000_000_000 + 123_456_700
+    )
+    # 6-digit (micro) strings take the fast path: no sub-micro tail
+    assert one(spark, "1970-01-01 00:00:00.123456", C.nano_time) == 123_456_000
+
+
+def test_nano_timestamp_golden_vector(spark):
+    # NanoTimestampConverter (time_test.go:255-268): UnixMicro()*1000,
+    # sub-micro digits DROPPED — 2024-05-16 12:34:56.1234567 ->
+    # 1715862896123456000
+    assert (
+        one(spark, "2024-05-16 12:34:56.1234567", C.nano_timestamp)
+        == 1_715_862_896_123_456_000
+    )
+    ts = datetime.datetime(2024, 5, 16, 12, 34, 56, 123456)
+    assert one(spark, ts, C.nano_timestamp) == 1_715_862_896_123_456_000
+
+
+def test_mssql_precision_buckets():
+    # schema.go:122-157 bucket selection
+    assert C.mssql_time_converter(0).name == "time_millis"
+    assert C.mssql_time_converter(3).name == "time_millis"
+    assert C.mssql_time_converter(4).name == "time_micros"
+    assert C.mssql_time_converter(6).name == "time_micros"
+    assert C.mssql_time_converter(7).name == "nano_time"
+    assert C.mssql_datetime2_converter(0).name == "milli_timestamp"
+    assert C.mssql_datetime2_converter(3).name == "milli_timestamp"
+    assert C.mssql_datetime2_converter(6).name == "micro_timestamp"
+    assert C.mssql_datetime2_converter(7).name == "nano_timestamp"
+    import pytest
+
+    with pytest.raises(ValueError):
+        C.mssql_time_converter(8)
+    with pytest.raises(ValueError):
+        C.mssql_datetime2_converter(8)
+
+
 def test_zoned_timestamp_format(spark):
     ts = datetime.datetime(2021, 3, 4, 5, 6, 7, 120000)
     assert one(spark, ts, C.zoned_timestamp) == "2021-03-04T05:06:07.120000Z"

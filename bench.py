@@ -110,6 +110,9 @@ def main() -> None:
                 "query_set_version": QUERY_SET_VERSION,
                 "repeats": repeats,
                 "calib_hash_agg_2e8_sec": round(calib, 3),
+                # total / calib: unitless, comparable across rounds
+                # despite the +-35% VM drift (r2 verdict task 7).
+                "value_calib_normalized": round(sum(timings.values()) / calib, 2),
             }
         )
     )

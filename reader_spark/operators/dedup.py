@@ -431,23 +431,41 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 30,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Dedup CLUSTER assignment: connected components over the
-    near-dup pair graph by min-label propagation — (node, label) with
-    label = the component's minimum id, i.e. the canonical
-    representative a keep-one dedup policy retains.
+    near-dup pair graph — (node, label) with label = the component's
+    minimum id, i.e. the canonical representative a keep-one dedup
+    policy retains.
 
-    Per iteration: one equi-join of edges to labels (propagate) and
-    one map-side-combinable groupBy-min (reduce) — 2 shuffles, both on
-    uniform id keys. Iterations = graph diameter; near-dup graphs are
-    dense cliques stitched by hubs, so convergence is fast (observed
-    ≤ 4 rounds on the fixture corpus). Lineage is truncated per round
-    with localCheckpoint — without it the iterated join plan grows
-    exponentially and analysis dominates. At the extreme-scale tier
-    swap the propagation body for large-star/small-star (Kiveris et
-    al.) — same join/agg primitives, provably O(log n) rounds; and use
-    reliable checkpointing (localCheckpoint trades fault-tolerance for
-    speed)."""
+    Two bodies behind the `algorithm` flag (identical results,
+    property-tested against each other in test_dedup_similarity.py):
+
+    * "propagation" (default): min-label propagation. Per iteration:
+      one equi-join of edges to labels (propagate) and one map-side-
+      combinable groupBy-min (reduce) — 2 shuffles, both on uniform id
+      keys. Iterations = graph DIAMETER; near-dup graphs are dense
+      cliques stitched by hubs, so convergence is fast (observed ≤ 4
+      rounds on the fixture corpus). The right default below ~1 B
+      edges.
+    * "star": alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) — the
+      extreme-scale tier. Each round REWRITES the edge set toward
+      star graphs rooted at component minima; rounds are O(log n) in
+      the worst case regardless of diameter, and the edge set shrinks
+      monotonically toward one edge per node, so late rounds get
+      cheaper — unlike propagation, whose per-round cost is constant.
+      Pick this when the pair graph has long chains (diameter >> 10)
+      or when edges >> nodes.
+
+    Lineage is truncated per round with localCheckpoint — without it
+    the iterated join plan grows exponentially and analysis dominates.
+    On a real cluster use reliable checkpointing (localCheckpoint
+    trades fault-tolerance for speed)."""
+    if algorithm == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -488,6 +506,103 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., SoCC'14).
+
+    Edge-rewriting formulation, no per-node neighbor collection (a
+    collect_set would OOM on hub nodes — every step is groupBy-min +
+    equi-join, both map-side-combinable on uniform id keys):
+
+    * large-star: for each node u, m(u) = min(Γ(u) ∪ {u}); every
+      neighbor v > u is re-attached to m(u). Strictly-larger guard
+      keeps the rewrite acyclic.
+    * small-star: orient each edge (hi, lo); for each hi,
+      m = min(Γ_lo(hi)); every lo-neighbor AND hi itself attach to m.
+
+    Both phases preserve connectivity exactly; at the fixpoint the
+    edge set IS the answer — stars (node → component min). Convergence
+    is detected by edge-set equality (count + order-independent
+    bit_xor checksum: O(1) driver data, no subtract shuffle).
+    """
+    edges = (
+        pairs.filter(F.col(id_a) != F.col(id_b))
+        .select(
+            F.least(id_a, id_b).alias("lo"), F.greatest(id_a, id_b).alias("hi")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    singletons = (
+        pairs.filter(F.col(id_a) == F.col(id_b))
+        .select(F.col(id_a).alias("node"))
+        .distinct()
+    )
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("lo", "hi")), F.lit(0)
+            ).alias("sig"),
+        ).collect()[0]
+        return row["n"], row["sig"]
+
+    sig = signature(edges)
+    for _ in range(max_iter):
+        # large-star over the symmetric view
+        sym = edges.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionByName(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        edges = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # small-star on the (hi, lo) orientation
+        m2 = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+        attached = (
+            edges.join(m2, "hi")
+            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+        )
+        roots = m2.select(F.col("m").alias("lo"), F.col("hi"))
+        edges = (
+            attached.unionByName(roots)
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # Fixpoint edges are stars (lo = component min). Labels: leaves
+    # point at their root; roots and singleton self-pairs label
+    # themselves.
+    leaves = edges.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+    roots_self = edges.select(F.col("lo").alias("node")).unionByName(singletons)
+    self_labels = roots_self.distinct().withColumn("label", F.col("node"))
+    return (
+        leaves.unionByName(self_labels)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
 
 
 def lsh_candidate_pairs_capped(

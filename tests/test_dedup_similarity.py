@@ -192,6 +192,69 @@ def test_connected_components_long_chain_converges(spark):
     assert set(out.values()) == {0} and len(out) == 12
 
 
+def test_connected_components_star_matches_propagation(spark):
+    # large-star/small-star (Kiveris et al.) is the extreme-scale
+    # body; both algorithms must produce identical (node, label) maps.
+    # Mixed shapes: long path (worst case for propagation), star hub,
+    # triangle, bridged cliques, self-pair singleton, isolated edge.
+    edges = (
+        [(i, i + 1) for i in range(20, 35)]  # 16-node path
+        + [(50, v) for v in (51, 52, 53, 54)]  # star
+        + [(60, 61), (61, 62), (62, 60)]  # triangle
+        + [(70, 71), (71, 72), (72, 70), (72, 80), (80, 81), (81, 82)]
+        + [(90, 90)]  # self-pair singleton
+        + [(95, 96)]
+    )
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    prop = {r["node"]: r["label"] for r in DD.connected_components(pairs).collect()}
+    star = {
+        r["node"]: r["label"]
+        for r in DD.connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == prop
+    assert star[35] == 20 and star[82] == 70 and star[90] == 90
+
+
+def test_connected_components_star_random_graphs(spark):
+    # randomized equivalence: 5 seeded Erdos-Renyi-ish graphs, star vs
+    # propagation vs a driver-side union-find ground truth
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        truth = {}
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {v for e in edges for v in e}
+        for v in nodes:
+            truth[v] = find(v)
+        # union-find roots are component minima because we always
+        # parent the larger root under the smaller
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        star = {
+            r["node"]: r["label"]
+            for r in DD.connected_components(pairs, algorithm="star").collect()
+        }
+        prop = {
+            r["node"]: r["label"] for r in DD.connected_components(pairs).collect()
+        }
+        assert star == truth == prop, f"seed={seed}"
+
+
 def test_lsh_capped_drops_hot_buckets_keeps_cold_pairs(spark):
     # 40 identical boilerplate docs (one hot bucket per band) + one
     # genuine near-dup pair: with max_bucket below the boilerplate

@@ -15,12 +15,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# FROZEN headline set (query_set_version 1): exactly the 29 queries
-# benchmarked in BENCH_r01.json, in the same order — per-query deltas
-# are computable round-over-round as long as this list and the SF stay
-# fixed. Add new queries by bumping query_set_version and appending
-# (never reordering/removing), so old keys remain comparable.
-QUERY_SET_VERSION = 1
+# FROZEN headline set: version 1 is exactly the 29 queries
+# benchmarked in BENCH_r01..r03, in the same order — per-query deltas
+# are computable round-over-round as long as the prefix and the SF
+# stay fixed. Version 2 (r4) APPENDS the five corpus-curation
+# operators; the v1 keys keep their positions so old comparisons
+# still hold. Add new queries only by bumping the version and
+# appending (never reordering/removing).
+QUERY_SET_VERSION = 2
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -52,6 +54,16 @@ HEADLINE = [
     "range_join_bands",
     "text_quality",
     "text_fingerprint",
+    # -- appended in query_set_version 2 (r4): corpus curation +
+    # retrieval + PII scrubbing
+    "quality_repetition",
+    "contamination_check",
+    "stratified_sample",
+    "temperature_resample",
+    "semantic_dedup",
+    "knn_sq8",
+    "text_bm25",
+    "pii_scrub",
 ]
 
 

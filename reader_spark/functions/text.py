@@ -196,3 +196,37 @@ def weighted_sample(
     )
     p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight * F.lit(rate)))
     return docs.filter(u < p)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (RE2-compatible patterns — no lookaround/backrefs, so
+# the DuckDB oracle's regex engine matches the JVM's byte-for-byte on
+# these classes)
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace emails, dotted-quad IPs, and NNN-NNN-NNNN phone
+    numbers with typed placeholder tags. Order matters: emails first
+    (an email can contain digit runs a later pass would misread),
+    then phones, then IPs. Pure JVM regexp_replace — map-only,
+    whole-stage codegen, no UDF."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return out
+
+
+def tag_count(scrubbed: Column, tag: str) -> Column:
+    """Count placeholder tags via length arithmetic (identical in
+    both engines — avoids regexp_count dialect drift)."""
+    return (
+        (
+            F.length(scrubbed)
+            - F.length(F.replace(scrubbed, F.lit(tag), F.lit("")))
+        )
+        / len(tag)
+    ).cast("long")

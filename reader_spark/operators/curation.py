@@ -1,0 +1,306 @@
+"""Corpus curation operators for LLM training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star), the selection /
+filtering layer that sits between dedup and shard packing:
+
+  * repetition_metrics  — Gopher-style per-document repetition
+    signals (top-token fraction, duplicate-bigram fraction, distinct
+    token ratio) used as quality filters.
+  * ngram_contamination — benchmark-contamination screen: fraction of
+    a document's distinct word n-grams that appear anywhere in a
+    held-out benchmark corpus.
+  * stratified_sample   — deterministic per-stratum cap sampling
+    (hash-uniform, no RNG state, reproducible on any cluster size).
+  * temperature_resample— inverse-frequency (temperature) source
+    rebalancing: rate_s = (min_n / n_s)^(1 - alpha).
+  * semantic_dedup      — SemDeDup-shaped embedding dedup: sign-LSH
+    (random hyperplane) buckets bound the candidate set, then a
+    within-bucket cosine dominance test keeps the minimum id.
+
+Scale design (100 TB):
+  * repetition_metrics shuffles once on (doc_id, token) with map-side
+    partial counts — uniform keys, no skew; everything else about the
+    document stays in the scan stage.
+  * ngram_contamination joins the corpus' exploded distinct n-gram
+    hashes against the (much smaller) benchmark n-gram set — the
+    benchmark side is broadcast when Catalyst's size estimate allows
+    (maybe_broadcast), else it stays a shuffle join on uniform
+    60-bit hashes.
+  * stratified_sample / temperature_resample need one tiny aggregate
+    (per-stratum counts — cardinality bounded by the stratum space,
+    not the corpus) broadcast back; the keep decision is a map-only
+    hash comparison. No global sort, no window over the corpus.
+  * semantic_dedup's only corpus-sized shuffle is the equi-join on
+    the LSH bucket key. With P planes the expected bucket occupancy
+    is n / 2^P — P tunes candidate-pair volume the same way LSH bands
+    do in dedup.py; hot buckets (embedding-space boilerplate) can be
+    dropped with the same skew guard as skewed_lsh.
+
+All hashes/weights derive from md5 so the DuckDB oracle reproduces
+them bit-for-bit; dot products fold left-to-right (see
+similarity.dot) for float bit-reproducibility.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reader_spark.operators import dedup as DD
+from reader_spark.operators import similarity as SIM
+
+# ---------------------------------------------------------------------------
+# repetition / quality
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (Gopher-rule shape).
+
+    Returns one row per document: token count, distinct-token ratio,
+    most-frequent-token fraction, duplicate-bigram fraction. The only
+    shuffle is the (doc_id, token) count — uniform composite key,
+    partial aggregation map-side; the array-local metrics (distinct
+    ratio, bigram dup ratio) never leave the scan stage.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = DD.shingle_set(F.col(text_col), 2)
+    base = DD.ensure_parallelism(docs).select(
+        "doc_id",
+        toks.alias("ws"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        # shingle_set is DISTINCT bigrams; total bigram count is n-1
+        F.size(grams).alias("n_distinct_bigrams"),
+        F.greatest(F.size(toks) - 1, F.lit(0)).alias("n_bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return (
+        base.drop("ws")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.when(F.col("n_bigrams") > 0,
+                   F.round((F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                           / F.col("n_bigrams"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fraction of each document's distinct word n-grams that occur
+    anywhere in `benchmark` — the train/test contamination screen run
+    before a corpus ships.
+
+    The benchmark n-gram set is deduplicated once and broadcast when
+    small (maybe_broadcast — Catalyst size estimate, same gate as the
+    dedup joins); the corpus side explodes distinct n-grams and
+    LEFT-joins on a 60-bit md5 hash, so totals AND hits come out of
+    ONE conditional aggregate over the same exploded pass — the text
+    is shingled exactly once and nothing is persisted (a leaked
+    persist would tax every later query's planning with cache-manager
+    plan matching).
+    """
+    def sh(df: DataFrame) -> DataFrame:
+        return DD.ensure_parallelism(df).select(
+            "doc_id",
+            F.explode(DD.shingle_set(F.col(text_col), n)).alias("g"),
+        ).select("doc_id", DD.md5_hash64(F.col("g"), "cg").alias("gh"))
+
+    bench_set = DD.maybe_broadcast(
+        sh(benchmark).select("gh").distinct().withColumn("hit", F.lit(1))
+    )
+    return (
+        sh(docs)
+        .join(bench_set, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling
+
+
+def _hash_unit(c: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1): md5-derived 32-bit value mod
+    1e6, over 1e6 — identical arithmetic in the DuckDB oracle."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    ) / 1_000_000.0
+
+
+def stratified_sample(
+    docs: DataFrame, strata: list[str], cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-stratum downsampling to ~`cap` docs.
+
+    rate_s = min(1, cap / n_s); a document is kept iff its hash-unit
+    draw < rate_s. Expected kept per stratum = cap; the decision is
+    reproducible under any partitioning (no RNG, no order
+    dependence). The stratum-count aggregate is bounded by the
+    stratum space (not the corpus) — genuinely tiny, broadcast
+    unconditionally.
+    """
+    counts = docs.groupBy(*strata).agg(F.count("*").alias("n_s"))
+    rate = F.round(
+        F.least(F.lit(1.0), F.lit(float(cap)) / F.col("n_s")), 6
+    ).alias("rate")
+    return (
+        docs.join(F.broadcast(counts.select(*strata, rate)), strata)
+        .filter(_hash_unit(F.col(id_col), "strat") < F.col("rate"))
+        .select(id_col, *strata, "rate")
+    )
+
+
+def temperature_resample(
+    docs: DataFrame, group: str, alpha: float = 0.3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverse-frequency (temperature) rebalancing across `group`
+    (source/domain/language): rate_s = (min_n / n_s)^(1 - alpha).
+
+    alpha = 1 keeps the natural distribution; alpha = 0 downsamples
+    every group to the smallest one. The per-group count table is
+    tiny (bounded by group cardinality) and broadcast; the keep
+    decision is map-only.
+    """
+    counts = docs.groupBy(group).agg(F.count("*").alias("n_s"))
+    min_n = counts.agg(F.min("n_s").alias("min_n"))
+    rate = F.round(
+        F.pow(F.col("min_n") / F.col("n_s"), F.lit(1.0 - alpha)), 6
+    ).alias("rate")
+    rates = counts.crossJoin(F.broadcast(min_n)).select(group, rate)
+    return (
+        docs.join(F.broadcast(rates), group)
+        .filter(_hash_unit(F.col(id_col), "temp") < F.col("rate"))
+        .select(id_col, group, "rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding) dedup
+
+
+def hyperplane(p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane p: each component is an
+    md5-derived integer in [-1000, 1000] scaled to [-1, 1]. Inlined
+    as literals on BOTH engines, so there is no float-generation
+    drift to reconcile."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"sem:{p}:{j}".encode()).hexdigest()
+        out.append((int(h[:8], 16) % 2001 - 1000) / 1000.0)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit p = (vec . plane_p >= 0), packed into
+    an integer. Map-only column expression."""
+    bucket = F.lit(0).cast("long")
+    for p, w in enumerate(planes):
+        d = SIM.dot(vec, F.array(*[F.lit(x) for x in w]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shaped embedding dedup with a deterministic quantizer.
+
+    Vectors land in sign-LSH buckets (expected occupancy n / 2^P);
+    within a bucket, a vector is DROPPED iff some smaller-id vector
+    in the same bucket has cosine similarity >= threshold (keep-min
+    policy, same convention as dedup_components). The candidate join
+    is an equi-join on the bucket key — never all-pairs; raising
+    n_planes shrinks buckets for denser corpora. Bucket skew
+    (boilerplate clusters in embedding space) takes the same
+    hot-bucket guard as skewed_lsh in dedup.py.
+    """
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    vecs = DD.ensure_parallelism(
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+    ).select(
+        "vid",
+        "vec",
+        lsh_bucket(F.col("vec"), planes).alias("bucket"),
+        F.sqrt(SIM.dot(F.col("vec"), F.col("vec"))).alias("nrm"),
+    )
+    # vecs is deliberately NOT persisted: the bucket/norm map pass is
+    # recomputed per use (scan-bound, cheap) — a persisted frame with
+    # this plan's 8x64 literal hyperplanes would tax every subsequent
+    # query's planning via cache-manager plan matching. In a job
+    # script, persist + unpersist around the action instead.
+    a = vecs.alias("a")
+    b = DD.maybe_broadcast(vecs.alias("b"))
+    cos = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") > F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vid"), F.round(cos, 6).alias("cs"))
+    )
+    dropped = cand.filter(F.col("cs") >= threshold).select("vid").distinct()
+    return (
+        vecs.join(dropped.withColumn("dropped", F.lit(1)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "bucket",
+            F.when(F.col("dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_kept"),
+        )
+    )

@@ -324,3 +324,122 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1_000) -> DataFrame:
             ).alias("sample_ms"),
         )
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, decoded boolean, in_w int, in_h int, "
+    "out_w int, out_h int, payload binary"
+)
+
+
+def encode_ppm(img) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6). The inverse of decode_ppm,
+    stdlib only."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor image resize over mapInPandas (numpy
+    index arithmetic — no PIL). Decodable rasters (PPM / 24-bit BMP)
+    come back re-encoded as PPM at (out_w, out_h); undecodable
+    payloads yield decoded=false rows instead of failing the batch.
+
+    Scale shape: identical to extract_media_stats — blobs transform
+    on the scan partitioning and never shuffle; the output payload is
+    bounded by out_w*out_h*3 regardless of input size, so a
+    downstream shuffle of resized thumbnails is safe where one of
+    raw scans is not."""
+    import numpy as np
+
+    def one(media_id, kind, payload):
+        row = {
+            "media_id": media_id, "decoded": False, "in_w": None,
+            "in_h": None, "out_w": out_w, "out_h": out_h, "payload": None,
+        }
+        if payload is None or kind != "image":
+            return row
+        try:
+            img = _decode_image(bytes(payload))
+        except (NotImplementedError, ValueError):
+            return row
+        h, w, _ = img.shape
+        # nearest-neighbor: center-of-pixel sampling grid
+        ys = np.minimum(
+            ((np.arange(out_h) + 0.5) * h / out_h).astype("int64"), h - 1
+        )
+        xs = np.minimum(
+            ((np.arange(out_w) + 0.5) * w / out_w).astype("int64"), w - 1
+        )
+        resized = img[ys][:, xs]
+        row.update(
+            decoded=True, in_w=w, in_h=h,
+            payload=bytearray(encode_ppm(np.ascontiguousarray(resized))),
+        )
+        return row
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    one(m, k, p)
+                    for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])
+                ]
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+SPECTRUM_SCHEMA = (
+    "media_id long, decoded boolean, sample_rate int, "
+    "dominant_hz double, spectral_centroid double"
+)
+
+
+def audio_spectrum(media: DataFrame) -> DataFrame:
+    """REAL spectral features for PCM WAV over mapInPandas: mono-mix
+    the channels, rFFT (numpy), and emit the dominant frequency (max
+    magnitude bin above DC) and the spectral centroid in Hz.
+    Undecodable/empty audio yields decoded=false. Blobs never
+    shuffle; two doubles per clip do."""
+    import numpy as np
+
+    def one(media_id, kind, payload):
+        row = {
+            "media_id": media_id, "decoded": False,
+            "sample_rate": None, "dominant_hz": None,
+            "spectral_centroid": None,
+        }
+        if payload is None or kind != "audio":
+            return row
+        try:
+            au = _decode_audio(bytes(payload))
+        except (NotImplementedError, ValueError):
+            return row
+        pcm = au["pcm"].astype("float64").mean(axis=1)
+        if pcm.size < 2:
+            return row
+        mag = np.abs(np.fft.rfft(pcm))
+        freqs = np.fft.rfftfreq(pcm.size, d=1.0 / au["sample_rate"])
+        dom = 1 + int(np.argmax(mag[1:]))  # skip the DC bin
+        total = float(mag.sum())
+        row.update(
+            decoded=True,
+            sample_rate=au["sample_rate"],
+            dominant_hz=float(freqs[dom]),
+            spectral_centroid=(
+                float((freqs * mag).sum() / total) if total > 0 else 0.0
+            ),
+        )
+        return row
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    one(m, k, p)
+                    for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])
+                ]
+            )
+
+    return media.mapInPandas(op, schema=SPECTRUM_SCHEMA)

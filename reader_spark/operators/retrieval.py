@@ -1,0 +1,154 @@
+"""Full-text retrieval over the corpus: inverted document-frequency
+statistics and BM25 top-k ranking.
+
+Beyond-reference surface (BASELINE.json north star): the retrieval
+primitives a training-data pipeline uses for corpus inspection
+(which documents match a probe query), contamination forensics
+(rank benchmark passages against the corpus), and quality-weighted
+selection (retrieval score as a curation signal).
+
+Scale design (100 TB):
+  * `term_stats` is one corpus-sized shuffle on the TERM key —
+    uniform (vocabulary) keys, map-side partial aggregation. The
+    output is vocabulary-sized, orders of magnitude smaller than the
+    corpus.
+  * `bm25_topk` joins the exploded (doc, term, tf) frame against the
+    query-term table — genuinely tiny (|queries| x |terms/query|
+    rows), broadcast unconditionally. Per-(query, doc) partial
+    scores aggregate with map-side combine; the final top-k window
+    partitions by query_id (|Q| partitions is fine: the heavy
+    reduction happened in the aggregate, the window sees at most
+    one row per (query, matching doc)). For huge match sets the
+    same map-side bounded top-k used by knn_bruteforce applies.
+  * Global scalars (N docs, average doc length) are one-row
+    aggregates, broadcast via crossJoin.
+
+Every formula is engine-reproducible: identical operand order in the
+DuckDB oracle, ln/division on IEEE doubles, rounded to 6 dp at the
+edge (absorbs the <=1-ulp libm drift between JVM Math.log and
+DuckDB's libm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reader_spark.operators import dedup as DD
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, dl): whitespace term frequencies plus the
+    document length, one explode + one uniform (doc_id, term)
+    aggregate."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        DD.ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def term_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-term document frequency over the corpus — the inverted
+    index's statistics page. Vocabulary-sized output."""
+    return (
+        doc_terms(docs, text_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking of the corpus against a probe-query set.
+
+    score(d, q) = sum over query terms t of
+        ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Only documents sharing at least one term with the query are
+    scored (the join is the selection); top `k` per query emitted
+    with deterministic (score desc, doc_id asc) tie-breaks.
+    """
+    from pyspark.sql import Window as W
+
+    spark = docs.sparkSession
+    # Corpus scalars straight off the scan — one single-row aggregate
+    # (needs ALL documents, matching or not, so it cannot come from
+    # the restricted postings frame).
+    scalars = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    )
+
+    qrows = [
+        (qid, term)
+        for qid, qtext in queries
+        for term in qtext.split(" ")
+    ]
+    qterms = (
+        spark.createDataFrame(qrows, "query_id long, term string")
+        .distinct()
+    )
+    # Semi-restrict to query terms BEFORE any aggregate: the broadcast
+    # join drops non-matching tokens in the scan stage, so the tf
+    # shuffle carries |matching postings| rows, not the whole
+    # tokenized corpus.
+    toks = F.split(F.col(text_col), " ")
+    matches = (
+        DD.ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    # Document frequency WITHOUT a second pass over the corpus: after
+    # the tf aggregate, (query_id, term) partitions hold exactly one
+    # row per matching document, so a window COUNT(*) over
+    # (query_id, term) IS df_t. One shuffle of the (small) postings
+    # frame replaces a re-aggregation + broadcast join — and nothing
+    # is persisted, so the corpus pass runs exactly once.
+    wdf = W.partitionBy("query_id", "term")
+    matches = matches.withColumn("df", F.count("*").over(wdf))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = F.col("tf") / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matches.crossJoin(F.broadcast(scalars))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * tf_norm).alias("s"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("s"), 6).alias("score"),
+        )
+    )

@@ -22,8 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reader_spark.functions import text as TX
+from reader_spark.operators import curation as CU
 from reader_spark.operators import dedup as DD
 from reader_spark.operators import joins as JO
+from reader_spark.operators import retrieval as RT
 from reader_spark.operators import similarity as SIM
 from reader_spark.plans import snapshot as SNAP
 
@@ -3002,6 +3004,397 @@ WHERE o_orderkey < 500 AND NOT (o_orderkey >= 100 AND o_orderkey < 150)
 
 
 # ---------------------------------------------------------------------------
+# corpus curation (operators/curation.py): the selection/filtering
+# layer between dedup and shard packing in a training-data pipeline
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token ratio, most-frequent-token fraction, duplicate-
+    bigram fraction. One uniform (doc_id, token) shuffle with
+    map-side partials; array-local metrics stay in the scan stage."""
+    return CU.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+  GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS top_cnt FROM wc GROUP BY 1
+), m AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         len(list_distinct(ws)) AS n_distinct,
+         CASE WHEN len(ws) >= 2 THEN len(list_distinct(list_transform(
+           generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])))
+           ELSE 0 END AS n_distinct_bigrams,
+         greatest(len(ws) - 1, 0) AS n_bigrams
+  FROM base
+)
+SELECT m.doc_id AS doc_id, n_tokens,
+       round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+       round(top_cnt::DOUBLE / n_tokens, 6) AS top_token_frac,
+       CASE WHEN n_bigrams > 0
+            THEN round((n_bigrams - n_distinct_bigrams)::DOUBLE / n_bigrams, 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM m JOIN top ON top.doc_id = m.doc_id
+"""
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: docs from source 'src0' act as
+    the held-out benchmark; every other document reports the fraction
+    of its distinct word 3-grams that appear anywhere in the
+    benchmark. Benchmark n-gram set broadcast when small (gated)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+
+
+CONTAMINATION_SQL = """
+WITH g AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('cg:' || gram), 1, 15))::BIGINT AS gh
+  FROM (
+    SELECT doc_id, source,
+           unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+             generate_series(1, len(ws) - 2),
+             i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+             ELSE []::VARCHAR[] END) AS gram
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+  )
+), bench AS (
+  SELECT DISTINCT gh FROM g WHERE source = 'src0'
+), corp AS (
+  SELECT doc_id, gh FROM g WHERE source <> 'src0'
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1
+), hit AS (
+  SELECT doc_id, count(*) AS n_hit FROM corp JOIN bench USING (gh) GROUP BY 1
+)
+SELECT tot.doc_id AS doc_id, n_grams,
+       coalesce(n_hit, 0) AS n_hit,
+       round(coalesce(n_hit, 0)::DOUBLE / n_grams, 6) AS contamination
+FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(lang, source) stratum downsampling to ~8
+    docs each: rate = min(1, 8/n), keep iff md5-unit(doc_id) < rate.
+    Reproducible under any partitioning — no RNG state."""
+    return CU.stratified_sample(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], cap=8
+    )
+
+
+STRATIFIED_SQL = """
+WITH c AS (
+  SELECT lang, source, count(*) AS n_s FROM documents GROUP BY 1, 2
+), r AS (
+  SELECT lang, source, round(least(1.0, 8.0 / n_s), 6) AS rate FROM c
+)
+SELECT doc_id, d.lang AS lang, d.source AS source, rate
+FROM documents d JOIN r ON d.lang = r.lang AND d.source = r.source
+WHERE (('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       % 1000000) / 1000000.0 < rate
+"""
+
+
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency language rebalancing (temperature alpha=0.3):
+    rate_l = (min_n / n_l)^0.7 — the multilingual-corpus rebalance
+    that downsamples the dominant language toward balance. Map-only
+    keep decision."""
+    return CU.temperature_resample(
+        _t(spark, sf_dir, "documents"), "lang", alpha=0.3
+    )
+
+
+TEMPERATURE_SQL = """
+WITH c AS (
+  SELECT lang, count(*) AS n_s FROM documents GROUP BY 1
+), m AS (
+  SELECT min(n_s) AS min_n FROM c
+), r AS (
+  SELECT lang, round(pow(min_n::DOUBLE / n_s, 0.7), 6) AS rate FROM c, m
+)
+SELECT doc_id, d.lang AS lang, rate
+FROM documents d JOIN r USING (lang)
+WHERE (('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       % 1000000) / 1000000.0 < rate
+"""
+
+
+_SEM_PLANES = [CU.hyperplane(p, 64) for p in range(8)]
+_SEM_TAU = 0.2
+
+
+def _sem_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, 64),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _sem_plane_lit(p: int) -> str:
+    return "[" + ", ".join(str(w) for w in _SEM_PLANES[p]) + "]::DOUBLE[]"
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped embedding dedup: sign-LSH (8 deterministic
+    md5-derived hyperplanes) buckets candidates, then a within-bucket
+    cosine dominance test (>= 0.2 to a smaller id drops the vector).
+    The only corpus-sized shuffle is the bucket equi-join."""
+    return CU.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        n_planes=8,
+        dim=64,
+        threshold=_SEM_TAU,
+    )
+
+
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact rescoring: approximate
+    pass over mid-rise dequantized codes (8x less scan bandwidth than
+    full doubles), top-10 per query rescored with exact cosine, top-5
+    emitted. Deterministic quantizer -> full DuckDB oracle (unlike
+    trained-KMeans ANN)."""
+    return SIM.knn_sq8_rescore(
+        _t(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=5, rerank=10, dim=64
+    )
+
+
+_SQ8_MN = "[" + ", ".join(f"min(e[{i + 1}])" for i in range(64)) + "]"
+_SQ8_MX = "[" + ", ".join(f"max(e[{i + 1}])" for i in range(64)) + "]"
+
+KNN_SQ8_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), st AS (
+  SELECT {_SQ8_MN} AS mn, {_SQ8_MX} AS mx FROM v
+), coded AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), i ->
+           CASE WHEN mx[i] > mn[i]
+                THEN least(255, floor((e[i] - mn[i]) / (mx[i] - mn[i]) * 256))::BIGINT
+                ELSE 0 END) AS codes
+  FROM v, st
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10
+), approx AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, 64), i ->
+           qe[i] * (mn[i] + (codes[i] + 0.5) * (mx[i] - mn[i]) / 256)),
+           (x, y) -> x + y) AS approx_dot
+  FROM coded c, q, st
+  WHERE c.vec_id <> query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dot DESC, neighbor_id) AS arank
+    FROM approx
+  ) WHERE arank <= 10
+), nrm AS (
+  SELECT vec_id, e,
+         list_reduce(list_transform(generate_series(1, 64), i -> e[i] * e[i]),
+                     (x, y) -> x + y) AS nv
+  FROM v
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank,
+         cos_sim
+  FROM (
+    SELECT cand.query_id AS query_id, cand.neighbor_id AS neighbor_id,
+           round(
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> nq.e[i] * nn.e[i]), (x, y) -> x + y)
+             / (sqrt(nq.nv) * sqrt(nn.nv)), 6) AS cos_sim
+    FROM cand
+    JOIN nrm nn ON nn.vec_id = cand.neighbor_id
+    JOIN nrm nq ON nq.vec_id = cand.query_id
+  )
+) WHERE rank <= 5
+"""
+
+
+SEMANTIC_DEDUP_SQL = (
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),\n"
+    "b AS (\n  SELECT vec_id, e,\n    ("
+    + " + ".join(
+        "CASE WHEN {d} >= 0 THEN {v} ELSE 0 END".format(
+            d=_sem_dot_sql("e", f"({_sem_plane_lit(p)})"), v=1 << p
+        )
+        for p in range(8)
+    )
+    + ")::BIGINT AS bucket,\n"
+    + f"    sqrt({_sem_dot_sql('e', 'e')}) AS nrm\n  FROM v\n),\n"
+    + "dropped AS (\n"
+    + "  SELECT DISTINCT a.vec_id AS vid\n"
+    + "  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id > b2.vec_id\n"
+    + f"  WHERE round({_sem_dot_sql('a.e', 'b2.e')} / (a.nrm * b2.nrm), 6)"
+    + f" >= {_SEM_TAU}\n)\n"
+    + "SELECT b.vec_id AS vec_id, bucket,\n"
+    + "       CASE WHEN dropped.vid IS NULL THEN 1 ELSE 0 END AS is_kept\n"
+    + "FROM b LEFT JOIN dropped ON dropped.vid = b.vec_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# retrieval (operators/retrieval.py): BM25 probe-query ranking — the
+# corpus-inspection / contamination-forensics verb
+
+
+_BM25_QUERIES = [
+    (0, "table scan filter"),
+    (1, "spark join shuffle"),
+    (2, "window agg batch"),
+]
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for three probe queries. The query-term
+    table broadcasts; the token explode is semi-restricted to query
+    terms before any aggregate, so the tf shuffle carries matching
+    postings only."""
+    return RT.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
+BM25_SQL = """
+WITH q(query_id, term) AS (
+  VALUES (0, 'table'), (0, 'scan'), (0, 'filter'),
+         (1, 'spark'), (1, 'join'), (1, 'shuffle'),
+         (2, 'window'), (2, 'agg'), (2, 'batch')
+), s AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+), tok AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+), m AS (
+  SELECT query_id, doc_id, term, dl, count(*) AS tf
+  FROM tok JOIN q USING (term)
+  GROUP BY 1, 2, 3, 4
+), st AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY 1
+), sc AS (
+  SELECT query_id, doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s_
+  FROM m JOIN st USING (term), s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank, round(s_, 6) AS score FROM (
+  SELECT query_id, doc_id, s_,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s_ DESC, doc_id) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
+
+
+def term_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics page: per-term document frequency
+    and collection frequency. One corpus-sized shuffle on uniform
+    vocabulary keys, map-side combined; output is vocabulary-sized."""
+    return RT.term_stats(_t(spark, sf_dir, "documents")).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
+TERM_STATS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY 1
+"""
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing battery: deterministically augment each document
+    with synthetic PII (the fixture corpus has none), scrub it with
+    the typed-tag regex passes, and emit per-kind counts plus the
+    scrubbed-text hash. Map-only, whole-stage codegen, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 < 2,
+            F.concat(
+                F.lit(" contact doc"), did.cast("string"),
+                F.lit("@mail.example"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" tel 555-010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" ip 10.0."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+        F.lit(" end"),
+    )
+    scrubbed = TX.pii_scrub(aug)
+    return docs.select(
+        "doc_id",
+        TX.tag_count(scrubbed, "<EMAIL>").alias("n_emails"),
+        TX.tag_count(scrubbed, "<PHONE>").alias("n_phones"),
+        TX.tag_count(scrubbed, "<IP>").alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 < 2
+            THEN ' contact doc' || doc_id::VARCHAR || '@mail.example'
+            ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' tel 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END
+    || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.'
+    || ((doc_id * 7) % 256)::VARCHAR || ' end' AS t
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS sc
+  FROM aug
+)
+SELECT doc_id,
+  ((len(sc) - len(replace(sc, '<EMAIL>', ''))) / 7)::BIGINT AS n_emails,
+  ((len(sc) - len(replace(sc, '<PHONE>', ''))) / 7)::BIGINT AS n_phones,
+  ((len(sc) - len(replace(sc, '<IP>', ''))) / 4)::BIGINT AS n_ips,
+  md5(sc) AS scrub_hash
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -3033,6 +3426,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_tokens": (text_tokens, TOKENS_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),
+    "term_stats": (term_stats_q, TERM_STATS_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     # temporal / range / CDC audit
     "asof_join_orders": (asof_join_orders, ASOF_SQL),
@@ -3044,17 +3438,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q9_product_profit": (q9_product_profit, Q9_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q11_important_parts": (q11_important_parts, Q11_SQL),
-    "q12_ship_priority": (q12_ship_priority, Q12_SQL),
-    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q18_large_volume": (q18_large_volume, Q18_SQL),
-    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q22_global_sales": (q22_global_sales, Q22_SQL),
     "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
     # analytics first entering the window
@@ -3068,6 +3453,19 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "array_functions": (array_functions, ARRAY_FUNCS_SQL),
     "text_shard_pack": (text_shard_pack, SHARD_PACK_SQL),
     "text_weighted_sample": (text_weighted_sample, WEIGHTED_SAMPLE_SQL),
+    # r4 additions: corpus-curation layer (operators/curation.py) —
+    # new this round, so they enter the window immediately; rotated
+    # out are q8/q9/q10/q11/q12 (r3 hash-green, code untouched).
+    "quality_repetition": (quality_repetition, REPETITION_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SQL),
+    "temperature_resample": (temperature_resample, TEMPERATURE_SQL),
+    "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "knn_sq8": (knn_sq8, KNN_SQ8_SQL),
+    # r4 additions: retrieval + PII scrubbing (rotated out to make
+    # room: q6/q15/q19 — two rounds hash-green, code untouched)
+    "text_bm25": (text_bm25, BM25_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "s2_pk_bounds": (s2_pk_bounds, S2_SQL),
     "b1_chunked_scan": (b1_chunked_scan, B1_SQL),
@@ -3076,6 +3474,15 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "p7_ddl_filter": (p7_ddl_filter, P7_SQL),
     "q2_min_supplier": (q2_min_supplier, Q2_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_ship_priority": (q12_ship_priority, Q12_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q16_supplier_count": (q16_supplier_count, Q16_SQL),
     "q20_excess_supply": (q20_excess_supply, Q20_SQL),

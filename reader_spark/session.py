@@ -81,6 +81,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     for c in NANO_TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    # Micros-precision fixture timestamps carry no UTC-adjustment flag,
+    # so Spark 4 infers TIMESTAMP_NTZ. The catalog computes in zoned
+    # TIMESTAMP (unix_micros, date_format); with the session pinned to
+    # UTC this cast preserves the wall clock exactly — the same naive
+    # values DuckDB reads.
+    ntz = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

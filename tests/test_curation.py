@@ -1,0 +1,137 @@
+"""Corpus-curation operator tests (operators/curation.py):
+repetition metrics, contamination screen, deterministic samplers,
+and the sign-LSH semantic dedup invariants."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from reader_spark.operators import curation as CU
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_metrics_known_values(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a a b"),          # top=3/4, bigrams: aa,aa,ab -> dup 1/3
+            (2, "x y z"),            # all distinct
+            (3, "w"),                # single token, zero bigrams
+        ],
+    )
+    out = {r["doc_id"]: r for r in CU.repetition_metrics(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_token_frac"] == 0.75
+    assert out[1]["distinct_ratio"] == 0.5
+    assert abs(out[1]["dup_bigram_frac"] - round(1 / 3, 6)) < 1e-9
+    assert out[2]["top_token_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_ngram_contamination_hits(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox sleeps"),  # shares 2 of 3 grams
+            (2, "totally different words here now"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in CU.ngram_contamination(docs, bench, n=3).collect()}
+    assert out[1]["n_grams"] == 3
+    assert out[1]["n_hit"] == 2
+    assert abs(out[1]["contamination"] - round(2 / 3, 6)) < 1e-9
+    assert out[2]["n_hit"] == 0 and out[2]["contamination"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    from reader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = CU.stratified_sample(docs, ["lang", "source"], cap=5)
+    kept1 = sorted(r["doc_id"] for r in a.collect())
+    kept2 = sorted(
+        r["doc_id"]
+        for r in CU.stratified_sample(
+            docs.repartition(13), ["lang", "source"], cap=5
+        ).collect()
+    )
+    # identical under any partitioning (hash decision, no RNG)
+    assert kept1 == kept2
+    assert 0 < len(kept1) < docs.count()
+    # every stratum's keep rate respects min(1, cap/n)
+    rates = CU.stratified_sample(docs, ["lang", "source"], cap=5).select(
+        "rate"
+    ).distinct().collect()
+    assert all(0 < r["rate"] <= 1.0 for r in rates)
+
+
+def test_temperature_resample_rates_monotonic(spark, sf_dir):
+    from reader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = CU.temperature_resample(docs, "lang", alpha=0.3)
+    rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # bigger groups get strictly smaller keep rates; smallest keeps all
+    ordered = sorted(counts, key=counts.get)
+    assert rates[ordered[0]] == 1.0
+    for lo, hi in zip(ordered, ordered[1:]):
+        if counts[hi] > counts[lo]:
+            assert rates[hi] < rates[lo]
+    # rate law: (min_n / n)^0.7
+    mn = min(counts.values())
+    for lang, n in counts.items():
+        assert abs(rates[lang] - round(math.pow(mn / n, 0.7), 6)) < 1e-9
+
+
+def test_hyperplane_deterministic():
+    a = CU.hyperplane(3, 64)
+    b = CU.hyperplane(3, 64)
+    assert a == b and len(a) == 64
+    assert all(-1.0 <= x <= 1.0 for x in a)
+    assert CU.hyperplane(4, 64) != a
+
+
+def test_semantic_dedup_keep_min_invariants(spark, sf_dir):
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = CU.semantic_dedup(emb, n_planes=8, dim=64, threshold=0.2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # the minimum id in every bucket is always kept
+    for members in by_bucket.values():
+        smallest = min(members, key=lambda r: r["vec_id"])
+        assert smallest["is_kept"] == 1
+    # dropped implies a smaller-id neighbor in the same bucket with
+    # cosine >= threshold (verified brute-force on the collected set)
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    dropped = [r for r in rows if r["is_kept"] == 0]
+    assert dropped, "threshold should drop at least one vector on fixtures"
+    for r in dropped[:50]:
+        peers = [
+            m for m in by_bucket[r["bucket"]] if m["vec_id"] < r["vec_id"]
+        ]
+        assert any(
+            round(cos(vecs[r["vec_id"]], vecs[m["vec_id"]]), 6) >= 0.2
+            for m in peers
+        ), f"vec {r['vec_id']} dropped without a dominating neighbor"

@@ -130,3 +130,62 @@ def test_extract_media_stats_mixed_corpus(spark):
     assert out[3]["duration_ms"] == 10 and abs(out[3]["rms"] - 100.0) < 1e-9
     assert not out[4]["decoded"] and out[4]["width"] is None
     assert not out[5]["decoded"]
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import math
+
+    from reader_spark.operators import multimodal as MM
+
+    # 4x2 image with distinct quadrant colors; downsample to 2x1
+    pix = [
+        [(255, 0, 0), (255, 0, 0), (0, 255, 0), (0, 255, 0)],
+        [(255, 0, 0), (255, 0, 0), (0, 255, 0), (0, 255, 0)],
+    ]
+    flat = [c for row in pix for p in row for c in p]
+    rows = [
+        (1, "image", "image/x-ppm", bytearray(_ppm_bytes(4, 2, flat)), None),
+        (2, "image", "image/jpeg", bytearray(b"\xff\xd8junk"), None),
+        (3, "audio", "audio/wav", bytearray(b"RIFFjunk"), None),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.resize_images(df, 2, 1).collect()}
+    assert out[1]["decoded"] and (out[1]["in_w"], out[1]["in_h"]) == (4, 2)
+    resized = MM.decode_ppm(bytes(out[1]["payload"]))
+    assert resized.shape == (1, 2, 3)
+    assert tuple(resized[0, 0]) == (255, 0, 0)   # left half -> red
+    assert tuple(resized[0, 1]) == (0, 255, 0)   # right half -> green
+    assert not out[2]["decoded"] and out[2]["payload"] is None
+    assert not out[3]["decoded"]  # wrong kind never decodes
+    # upsample keeps content: 1x1 -> 3x3 all the same pixel
+    one = [[(9, 8, 7)]]
+    df2 = spark.createDataFrame(
+        [(9, "image", "image/x-ppm",
+          bytearray(_ppm_bytes(1, 1, [9, 8, 7])), None)],
+        MM.MEDIA_SCHEMA,
+    )
+    up = MM.resize_images(df2, 3, 3).collect()[0]
+    img = MM.decode_ppm(bytes(up["payload"]))
+    assert img.shape == (3, 3, 3) and (img == [9, 8, 7]).all()
+
+
+def test_audio_spectrum_dominant_frequency(spark):
+    import math
+
+    from reader_spark.operators import multimodal as MM
+
+    sr, n, f0 = 8000, 800, 440.0
+    samples = [
+        int(10000 * math.sin(2 * math.pi * f0 * i / sr)) for i in range(n)
+    ]
+    rows = [
+        (1, "audio", "audio/wav", bytearray(_wav_bytes(sr, samples)), None),
+        (2, "audio", "audio/mp3", bytearray(b"ID3junk"), None),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.audio_spectrum(df).collect()}
+    assert out[1]["decoded"] and out[1]["sample_rate"] == sr
+    # bin resolution is sr/n = 10 Hz; 440 lands on a bin exactly
+    assert abs(out[1]["dominant_hz"] - f0) < 10.0
+    assert out[1]["spectral_centroid"] > 0
+    assert not out[2]["decoded"]

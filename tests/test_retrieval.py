@@ -1,0 +1,89 @@
+"""BM25 retrieval and PII-scrub tests (operators/retrieval.py,
+functions/text.py pii section)."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from reader_spark.functions import text as TX
+from reader_spark.operators import retrieval as RT
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_known_values(spark):
+    # 3 docs, query = single term "cat": df(cat)=2, N=3, dl=2 each.
+    docs = _docs(spark, [(1, "cat dog"), (2, "cat cat"), (3, "fish dog")])
+    out = {
+        (r["query_id"], r["doc_id"]): r
+        for r in RT.bm25_topk(docs, [(0, "cat")], k=10).collect()
+    }
+    n, df, k1, b, avgdl = 3, 2, 1.2, 0.75, 2.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def score(tf, dl):
+        return round(idf * (tf / (tf + k1 * (1 - b + b * dl / avgdl))), 6)
+
+    assert set(out) == {(0, 1), (0, 2)}  # doc 3 has no query term
+    assert out[(0, 1)]["score"] == score(1, 2)
+    assert out[(0, 2)]["score"] == score(2, 2)
+    # tf=2 scores above tf=1 at equal length
+    assert out[(0, 2)]["rank"] == 1 and out[(0, 1)]["rank"] == 2
+
+
+def test_bm25_multi_term_sums_and_k_bound(spark):
+    docs = _docs(
+        spark,
+        [(i, "alpha beta " + ("gamma " * (i % 3)).strip()) for i in range(1, 30)],
+    )
+    out = RT.bm25_topk(docs, [(7, "alpha gamma")], k=5).collect()
+    assert len(out) == 5
+    assert all(r["query_id"] == 7 for r in out)
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    # scores non-increasing with rank
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    for a, b2 in zip(by_rank, by_rank[1:]):
+        assert a["score"] >= b2["score"]
+
+
+def test_bm25_absent_term_contributes_nothing(spark):
+    docs = _docs(spark, [(1, "only these words")])
+    out = RT.bm25_topk(docs, [(0, "only zzznope")], k=10).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1
+    # score equals the single-term score (absent term adds 0)
+    solo = RT.bm25_topk(docs, [(0, "only")], k=10).collect()
+    assert out[0]["score"] == solo[0]["score"]
+
+
+def test_pii_scrub_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org now"),
+            (2, "call 555-123-4567 or visit 192.168.0.1 today"),
+            (3, "no pii here"),
+            (4, "edge 999.999.999.999 and x@y.io"),
+        ],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: r["sc"]
+        for r in df.select("id", TX.pii_scrub(F.col("t")).alias("sc")).collect()
+    }
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "call <PHONE> or visit <IP> today"
+    assert out[3] == "no pii here"
+    # dotted-quad shape is scrubbed even when out of range (screen, not
+    # validator), and short emails match
+    assert out[4] == "edge <IP> and <EMAIL>"
+
+
+def test_pii_tag_count(spark):
+    df = spark.createDataFrame([(1, "<IP> x <IP> y <EMAIL>")], "id long, sc string")
+    row = df.select(
+        TX.tag_count(F.col("sc"), "<IP>").alias("ips"),
+        TX.tag_count(F.col("sc"), "<EMAIL>").alias("emails"),
+        TX.tag_count(F.col("sc"), "<PHONE>").alias("phones"),
+    ).collect()[0]
+    assert (row["ips"], row["emails"], row["phones"]) == (2, 1, 0)

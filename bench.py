@@ -64,6 +64,10 @@ HEADLINE = [
     "knn_sq8",
     "text_bm25",
     "pii_scrub",
+    "passage_dedup",
+    "unigram_logprob",
+    "multimodal_resize",
+    "audio_spectrum",
 ]
 
 

@@ -304,3 +304,92 @@ def semantic_dedup(
             .alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup
+
+
+def passage_stats(
+    docs: DataFrame, width: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Passage-level duplication profile: chunk each document into
+    non-overlapping `width`-word passages, hash each, count every
+    passage's corpus-wide occurrences, and report per document how
+    many of its passages are duplicated anywhere in the corpus (the
+    span-level analogue of exact dedup — boilerplate headers, license
+    blocks, and templated paragraphs repeat across documents whose
+    full texts are unique).
+
+    Scale: the chunking is array arithmetic in the scan stage; the
+    occurrence count and the join back are both keyed on the uniform
+    60-bit passage hash, so the two shuffles are skew-free and
+    map-side combinable. Output is one row per document.
+    """
+    toks = F.split(F.col(text_col), " ")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(toks) - 1) / width).cast("int")
+        ),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * width + 1, width)
+        ),
+    )
+    exploded = DD.ensure_parallelism(docs).select(
+        "doc_id", F.explode(chunks).alias("p")
+    ).select("doc_id", DD.md5_hash64(F.col("p"), "ps").alias("ph"))
+    counts = exploded.groupBy("ph").agg(F.count("*").alias("cnt"))
+    return (
+        exploded.join(counts, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_passages"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus'
+    own unigram distribution — the classic perplexity-proxy quality
+    filter (documents of rare-token soup score low; documents of
+    common tokens score high).
+
+    avg_logprob(d) = sum_{t in d} ln(cf_t / total_tokens) / |d|
+
+    Scale: one (term) aggregate builds the vocabulary (output is
+    vocabulary-sized), broadcast back when small (maybe_broadcast);
+    the per-document aggregate shuffles on doc_id. The token explode
+    runs twice rather than persisting it — a leaked persist would tax
+    all later planning; in a job script persist + unpersist instead.
+    """
+    tok = DD.ensure_parallelism(docs).select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cf"))
+    total = vocab.agg(F.sum("cf").alias("total_tokens"))
+    return (
+        tok.join(DD.maybe_broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("cf") / F.col("total_tokens")))
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

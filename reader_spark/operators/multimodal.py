@@ -443,3 +443,76 @@ def audio_spectrum(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=SPECTRUM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture-media synthesis (drives the oracle-checked
+# decode/resize/spectrum catalog queries — the fixture tables carry no
+# real blobs, so media derives reproducibly from doc ids)
+
+
+def synthesize_images(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic P6 PPM per id: w = 4 + id % 5, h = 2 + id % 3,
+    pixel(y, x, c) = (id*7 + y*13 + x*17 + c*29) % 256. Pure integer
+    arithmetic, so a SQL oracle can reproduce any pixel (and anything
+    derived from it) without a codec. mapInPandas keeps blobs on the
+    scan partitioning."""
+    import numpy as np
+
+    def one(mid: int) -> dict:
+        w, h = 4 + mid % 5, 2 + mid % 3
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        img = ((mid * 7 + y * 13 + x * 17 + c * 29) % 256).astype("uint8")
+        return {
+            "media_id": mid,
+            "kind": "image",
+            "payload": bytearray(encode_ppm(np.ascontiguousarray(img))),
+        }
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([one(int(m)) for m in pdf[id_col]])
+
+    return ids.mapInPandas(
+        op, schema="media_id long, kind string, payload binary"
+    )
+
+
+def synthesize_wavs(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    sample_rate: int = 8000,
+    n_samples: int = 64,
+) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV per id: sample_i =
+    ((id*31 + i*i*7) % 2001) - 1000 — integer pseudo-noise whose DFT
+    a SQL oracle can recompute term-by-term."""
+    import struct
+
+    def one(mid: int) -> dict:
+        samples = [
+            ((mid * 31 + i * i * 7) % 2001) - 1000 for i in range(n_samples)
+        ]
+        data = struct.pack(f"<{n_samples}h", *samples)
+        hdr = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                          sample_rate * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+        )
+        return {
+            "media_id": mid,
+            "kind": "audio",
+            "payload": bytearray(hdr + data),
+        }
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([one(int(m)) for m in pdf[id_col]])
+
+    return ids.mapInPandas(
+        op, schema="media_id long, kind string, payload binary"
+    )

@@ -3394,6 +3394,171 @@ FROM s
 """
 
 
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication profile: non-overlapping 8-word
+    chunks hashed and counted corpus-wide; per document, the fraction
+    of its passages duplicated anywhere in the corpus. The span-level
+    dedup signal (license blocks, boilerplate) that document-level
+    exact dedup misses."""
+    return CU.passage_stats(_t(spark, sf_dir, "documents"), width=8)
+
+
+PASSAGE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), px AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ps:' ||
+           array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ')), 1, 15)
+         )::BIGINT AS ph
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(0, (len(ws) - 1) // 8)) AS i
+    FROM base
+  )
+), counts AS (
+  SELECT ph, count(*) AS cnt FROM px GROUP BY 1
+)
+SELECT doc_id, count(*)::BIGINT AS n_passages,
+       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dup_frac
+FROM px JOIN counts USING (ph)
+GROUP BY 1
+"""
+
+
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus'
+    own unigram LM — the perplexity-proxy quality score (rare-token
+    soup scores low)."""
+    return CU.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+UNIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), vocab AS (
+  SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1
+), tot AS (
+  SELECT sum(cf)::BIGINT AS total_tokens FROM vocab
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(ln(cf::DOUBLE / total_tokens)) / count(*), 6)
+         AS avg_logprob
+FROM tok JOIN vocab USING (term), tot
+GROUP BY 1
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle-checked image path: deterministic PPM per
+    doc id (pixel = integer formula of id/x/y/c), REAL nearest-
+    neighbor resize to 3x2 through the binary codec (encode ->
+    decode -> index-sample -> re-encode), then REAL decode again for
+    channel means. The DuckDB oracle reproduces the sampled pixels
+    with pure arithmetic — any codec/indexing bug breaks the hash.
+    Blobs stay on the scan partitioning; only 6-pixel stats rows
+    leave the stage."""
+    from reader_spark.operators import multimodal as MM
+
+    ids = DD.ensure_parallelism(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
+    )
+    resized = MM.resize_images(MM.synthesize_images(ids), 3, 2)
+    stats = MM.extract_media_stats(
+        resized.select("media_id", F.lit("image").alias("kind"), "payload")
+    )
+    return stats.filter(F.col("decoded")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_r"), 6).alias("mean_r"),
+        F.round(F.col("mean_g"), 6).alias("mean_g"),
+        F.round(F.col("mean_b"), 6).alias("mean_b"),
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS in_w, 2 + doc_id % 3 AS in_h
+  FROM documents
+), px AS (
+  SELECT media_id, c.c AS c,
+         (media_id * 7
+          + least(CAST(floor((y.y + 0.5) * in_h / 2) AS BIGINT),
+                  in_h - 1) * 13
+          + least(CAST(floor((x.x + 0.5) * in_w / 3) AS BIGINT),
+                  in_w - 1) * 17
+          + c.c * 29) % 256 AS v
+  FROM d,
+       (SELECT unnest(generate_series(0, 1)) AS y) y,
+       (SELECT unnest(generate_series(0, 2)) AS x) x,
+       (SELECT unnest(generate_series(0, 2)) AS c) c
+)
+SELECT media_id, 3 AS width, 2 AS height,
+       round(sum(CASE WHEN c = 0 THEN v END)::DOUBLE / 6, 6) AS mean_r,
+       round(sum(CASE WHEN c = 1 THEN v END)::DOUBLE / 6, 6) AS mean_g,
+       round(sum(CASE WHEN c = 2 THEN v END)::DOUBLE / 6, 6) AS mean_b
+FROM px GROUP BY 1
+"""
+
+
+def audio_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle-checked audio path: deterministic 64-sample
+    PCM16 WAV per doc id, REAL decode + rFFT spectral features
+    (dominant bin, spectral centroid). The oracle recomputes the DFT
+    term-by-term in SQL; FFT-vs-naive-DFT float drift is ~1e-13
+    relative, absorbed by the 3 dp edge rounding."""
+    from reader_spark.operators import multimodal as MM
+
+    ids = DD.ensure_parallelism(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
+    )
+    sp = MM.audio_spectrum(MM.synthesize_wavs(ids))
+    return sp.filter(F.col("decoded")).select(
+        "media_id",
+        "sample_rate",
+        F.round(F.col("dominant_hz"), 3).alias("dominant_hz"),
+        F.round(F.col("spectral_centroid"), 3).alias("spectral_centroid"),
+    )
+
+
+AUDIO_SPECTRUM_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id FROM documents
+), sp AS (
+  SELECT media_id, k.k AS k,
+         sqrt(
+           pow(list_reduce(list_transform(generate_series(0, 63),
+             i -> (((media_id * 31 + i * i * 7) % 2001) - 1000)
+                  * cos(2 * pi() * k.k * i / 64)), (a, b) -> a + b), 2)
+         + pow(list_reduce(list_transform(generate_series(0, 63),
+             i -> (((media_id * 31 + i * i * 7) % 2001) - 1000)
+                  * sin(2 * pi() * k.k * i / 64)), (a, b) -> a + b), 2)
+         ) AS mag
+  FROM m, (SELECT unnest(generate_series(0, 32)) AS k) k
+), dom AS (
+  SELECT media_id, k AS dk FROM (
+    SELECT media_id, k,
+           row_number() OVER (PARTITION BY media_id
+                              ORDER BY mag DESC, k) AS rn
+    FROM sp WHERE k >= 1
+  ) WHERE rn = 1
+), cen AS (
+  SELECT media_id, sum(k * 125.0 * mag) / sum(mag) AS c FROM sp GROUP BY 1
+)
+SELECT m.media_id AS media_id, 8000 AS sample_rate,
+       round(dk * 125.0, 3) AS dominant_hz,
+       round(c, 3) AS spectral_centroid
+FROM m JOIN dom USING (media_id) JOIN cen USING (media_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -3438,12 +3603,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
-    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
-    "q18_large_volume": (q18_large_volume, Q18_SQL),
-    "q22_global_sales": (q22_global_sales, Q22_SQL),
     "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
     # analytics first entering the window
-    "events_cube": (events_cube, CUBE_SQL),
     "window_frames": (window_frames, WINDOW_FRAMES_SQL),
     # r4 rotation: the five catalog entries that had never had a
     # driver verdict enter the window (r2 verdict task 2); rotated out
@@ -3466,6 +3627,14 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # room: q6/q15/q19 — two rounds hash-green, code untouched)
     "text_bm25": (text_bm25, BM25_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    # r4 additions: passage dedup, unigram LM scoring, and the
+    # oracle-checked multimodal decode/resize/spectrum paths
+    # (rotated out: q7/q18/q22/events_cube - two rounds hash-green,
+    # code untouched)
+    "passage_dedup": (passage_dedup, PASSAGE_SQL),
+    "unigram_logprob": (unigram_logprob_q, UNIGRAM_SQL),
+    "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "audio_spectrum": (audio_spectrum_q, AUDIO_SPECTRUM_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "s2_pk_bounds": (s2_pk_bounds, S2_SQL),
     "b1_chunked_scan": (b1_chunked_scan, B1_SQL),
@@ -3475,6 +3644,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q2_min_supplier": (q2_min_supplier, Q2_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q18_large_volume": (q18_large_volume, Q18_SQL),
+    "q22_global_sales": (q22_global_sales, Q22_SQL),
+    "events_cube": (events_cube, CUBE_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),

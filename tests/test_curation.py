@@ -135,3 +135,49 @@ def test_semantic_dedup_keep_min_invariants(spark, sf_dir):
             round(cos(vecs[r["vec_id"]], vecs[m["vec_id"]]), 6) >= 0.2
             for m in peers
         ), f"vec {r['vec_id']} dropped without a dominating neighbor"
+
+
+def test_passage_stats_duplicated_spans(spark):
+    from reader_spark.operators import curation as CU
+
+    # doc 1 and 2 share their first 8-word passage exactly; doc 3 is
+    # unique; doc 4 is a short doc (< width) duplicated verbatim in 5
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " tail one x y z w q r"),
+        (2, shared + " tail two k l m n o p"),
+        (3, "entirely unique words here that repeat nowhere else at all"),
+        (4, "tiny doc"),
+        (5, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CU.passage_stats(docs, width=8).collect()}
+    # 16 tokens -> 2 passages each for docs 1/2
+    assert out[1]["n_passages"] == 2 and out[2]["n_passages"] == 2
+    assert out[1]["n_dup"] == 1 and out[2]["n_dup"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert out[3]["n_dup"] == 0
+    # sub-width docs form one passage; verbatim copies count as dups
+    assert out[4] and out[4]["n_passages"] == 1 and out[4]["n_dup"] == 1
+    assert out[5]["n_dup"] == 1
+
+
+def test_unigram_logprob_orders_by_rarity(spark):
+    import math
+
+    from reader_spark.operators import curation as CU
+
+    # "common" appears 8x, each rare word once: doc 1 (all common)
+    # must outscore doc 2 (all rare)
+    rows = [
+        (1, "common common common common"),
+        (2, "rare1 rare2 rare3 rare4"),
+        (3, "common common common common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CU.unigram_logprob(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    # exact value: total=12 tokens, cf(common)=8 -> ln(8/12)
+    assert abs(out[1]["avg_logprob"] - round(math.log(8 / 12), 6)) < 1e-9
+    assert abs(out[2]["avg_logprob"] - round(math.log(1 / 12), 6)) < 1e-9

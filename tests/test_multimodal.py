@@ -189,3 +189,33 @@ def test_audio_spectrum_dominant_frequency(spark):
     assert abs(out[1]["dominant_hz"] - f0) < 10.0
     assert out[1]["spectral_centroid"] > 0
     assert not out[2]["decoded"]
+
+
+def test_synthesize_and_resize_pipeline(spark):
+    from reader_spark.operators import multimodal as MM
+
+    ids = spark.createDataFrame([(7,), (42,)], "media_id long")
+    media = {r["media_id"]: r for r in MM.synthesize_images(ids).collect()}
+    img42 = MM.decode_ppm(bytes(media[42]["payload"]))
+    # w = 4 + 42%5 = 6, h = 2 + 42%3 = 2
+    assert img42.shape == (2, 6, 3)
+    assert img42[1, 2, 1] == (42 * 7 + 1 * 13 + 2 * 17 + 1 * 29) % 256
+    out = {
+        r["media_id"]: r
+        for r in MM.resize_images(MM.synthesize_images(ids), 3, 2).collect()
+    }
+    assert out[42]["decoded"] and (out[42]["out_w"], out[42]["out_h"]) == (3, 2)
+    resized = MM.decode_ppm(bytes(out[42]["payload"]))
+    # nearest-neighbor source row/col per the documented center grid
+    assert resized[0, 0, 0] == img42[0, 1, 0]
+
+
+def test_synthesize_wav_spectrum(spark):
+    from reader_spark.operators import multimodal as MM
+
+    ids = spark.createDataFrame([(5,)], "media_id long")
+    out = MM.audio_spectrum(MM.synthesize_wavs(ids)).collect()[0]
+    assert out["decoded"] and out["sample_rate"] == 8000
+    # dominant bin is a multiple of sr/n = 125 Hz
+    assert out["dominant_hz"] % 125.0 == 0.0
+    assert out["spectral_centroid"] > 0

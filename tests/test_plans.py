@@ -166,3 +166,62 @@ def test_q18_preaggregates_below_join(spark):
     li_scans = [l for l in plan.splitlines() if "lineitem.parquet" in l]
     assert len(li_scans) == 1
     assert "HashAggregate" in plan
+
+
+def test_bm25_restricts_before_aggregating(spark):
+    # The query-term table must broadcast (never shuffle the corpus
+    # against a 9-row table), and the posting restriction happens in
+    # the same stage as the explode — so at most the two intended
+    # scans of `documents` (postings + corpus scalars) appear.
+    fn, _ = CATALOG["text_bm25"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) <= 2, f"bm25 re-scans the corpus: {len(scans)} scans"
+
+
+def test_contamination_single_conditional_aggregate(spark):
+    # totals and hits come from ONE aggregate over the exploded
+    # n-gram pass: exactly one left outer join, no second
+    # corpus-sized aggregation feeding a doc_id join back.
+    fn, _ = CATALOG["contamination_check"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert plan.count("LeftOuter") == 1
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) <= 2  # corpus side + benchmark side
+
+
+def test_knn_sq8_broadcasts_queries_only(spark):
+    # The approx pass streams the coded corpus against BROADCAST
+    # queries; the corpus itself must never sit on a broadcast
+    # exchange's build side in the initial plan.
+    fn, _ = CATALOG["knn_sq8"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # id != query_id, Q rows built
+    # the one-row min/max stats frame broadcasts; that's the only
+    # other exchange allowed to carry the full corpus' derivation
+    assert "CartesianProduct" not in plan
+
+
+def test_media_pipeline_stays_on_scan_partitioning(spark):
+    # synth -> resize -> stats are three chained MapInPandas ops; the
+    # only exchange is the ensure_parallelism round-robin of the tiny
+    # id column — blobs themselves never shuffle.
+    fn, _ = CATALOG["multimodal_resize"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 3
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+
+
+def test_passage_dedup_joins_on_uniform_hash(spark):
+    # the occurrence-count join is keyed on the 60-bit passage hash —
+    # a plain shuffled equi-join on uniform keys (broadcast-gated at
+    # toy scale is fine); no cartesian, no corpus re-scan beyond the
+    # two uses of the exploded frame.
+    fn, _ = CATALOG["passage_dedup"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) <= 2

@@ -3687,3 +3687,35 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # full second plan analysis per query (measured 1-2 s on lambda-heavy
 # plans, bench r2). `tests/test_plans.py` enforces the contract
 # catalog-wide at test time, where the analysis is free.
+
+
+def _fresh_entry(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Drop the PREVIOUS catalog query's persisted frames on entry.
+
+    Every `persist()` registers its analyzed plan in the session's
+    CacheManager, and planning of each later query walks those
+    entries for subtree matches. Across a 50-query driver session the
+    leaked entries compound: the window loop measured 245 s with the
+    leaks vs 56 s cleared (SCALE.md round-4 probe). Catalog entries
+    are self-contained, so whatever the previous entry cached is dead
+    weight by the time the next one is built — clearing here keeps
+    the intra-query persist wins (shared dedup passes) without the
+    cross-query planning tax. Unlike the retired `_canon_entry`, this
+    triggers no plan analysis — `clearCache()` is a catalog op,
+    O(live cache entries)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # pragma: no cover - foreign session quirk
+            pass
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+CATALOG = {k: (_fresh_entry(fn), sql) for k, (fn, sql) in CATALOG.items()}

@@ -68,6 +68,8 @@ HEADLINE = [
     "unigram_logprob",
     "multimodal_resize",
     "audio_spectrum",
+    "dedup_containment",
+    "shard_pack_concat",
 ]
 
 

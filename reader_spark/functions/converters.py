@@ -26,6 +26,7 @@ Wire encodings mirror SURVEY.md §1.2 / lib/debezium/converters/*:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Callable
 
@@ -452,10 +453,44 @@ def decimal_converter(precision: int, scale: int) -> Converter:
     return Converter(f"decimal({precision},{scale})", _identity(t), t)
 
 
+def money_string(
+    c: Column, currency_symbol: str = "$", strip_commas: bool = True,
+    scale: int = 2,
+) -> Column:
+    """PG money arrives as its display string ("$1,234.56"): trim the
+    currency symbol, optionally strip group commas, parse to
+    decimal(19, scale) (lib/debezium/converters/money.go:39-60 —
+    StripCommas / CurrencySymbol / ScaleOverride knobs). Unparseable
+    residue nulls (the P4 invalid-value contract) rather than failing
+    the batch."""
+    cleaned = F.trim(c)
+    if currency_symbol:
+        # Trim from both ends, mirroring strings.Trim (cutset trim)
+        sym = re.escape(currency_symbol)
+        cleaned = F.regexp_replace(cleaned, f"^[{sym}]+|[{sym}]+$", "")
+    if strip_commas:
+        cleaned = F.replace(cleaned, F.lit(","), F.lit(""))
+    # try_cast, not cast: ANSI mode (Spark 4 default) throws on bad
+    # numeric strings; the invalid-value contract nulls them instead
+    return cleaned.try_cast(T.DecimalType(19, scale))
+
+
 def money_converter(scale: int = 2) -> Converter:
     """money: decimal scale 2 (PG) / 4 (MSSQL)
     (lib/debezium/converters/money.go:12-60)."""
     return decimal_converter(19, scale)
+
+
+def json_array(c: Column, element_type: T.DataType) -> Column:
+    """PG array columns pass through as arrays; when the ELEMENT type
+    is json/jsonb, non-string elements are marshaled to their JSON
+    text (lib/debezium/converters/array.go:24-70). In the typed
+    DataFrame world the element type is static: string elements are
+    already JSON text, anything structured gets to_json per
+    element."""
+    if isinstance(element_type, T.StringType):
+        return c
+    return F.transform(c, lambda el: F.to_json(el))
 
 
 def mssql_time_converter(datetime_precision: int) -> Converter:

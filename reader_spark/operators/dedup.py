@@ -669,3 +669,71 @@ def lsh_candidate_pairs_capped(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (doc-inside-doc)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.5,
+    max_gram_df: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rare-gram containment: pairs where most of doc A's distinct
+    word n-grams also occur in doc B — the ASYMMETRIC near-dup
+    relation (quote blocks, doc-inside-doc, extended re-posts) that
+    Jaccard misses when |B| >> |A|.
+
+    containment_lb(A -> B) =
+        |rare-grams(A) ∩ grams(B)| / |grams(A)|
+
+    The intersection is computed over grams with document frequency
+    <= `max_gram_df` (prefix filtering): dropping corpus-common grams
+    bounds the self-join fan-out at sum_g df_g^2 <= max_gram_df x
+    |postings| — the standard cap that keeps an all-pairs-by-gram
+    join from quadratic blowup on boilerplate. The denominator stays
+    the UNfiltered gram count, so the score is a deterministic lower
+    bound of true containment (exact whenever A shares no
+    over-common grams with the corpus).
+
+    Scale: one (gram-hash) aggregate for df, one equi-join on the
+    uniform 60-bit hash with bounded fan-out, one (A, B) count
+    aggregate. No cartesian, no global window.
+    """
+    g = (
+        ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            F.explode(shingle_set(F.col(text_col), n)).alias("gr"),
+        )
+        .select("doc_id", md5_hash64(F.col("gr"), "ct").alias("gh"))
+    )
+    dfreq = g.groupBy("gh").agg(F.count("*").alias("df"))
+    rare = g.join(
+        dfreq.filter(F.col("df") <= max_gram_df).select("gh"), "gh"
+    )
+    inter = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    tot = g.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    return (
+        inter.join(tot.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn(
+            "containment", F.round(F.col("inter") / F.col("n_a"), 6)
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("doc_a", "doc_b", "inter", "n_a", "containment")
+    )

@@ -3559,6 +3559,90 @@ FROM m JOIN dom USING (media_id) JOIN cen USING (media_id)
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup.py::
+    containment_pairs): docs whose rare 3-grams are >= 50% contained
+    in another doc — the doc-inside-doc relation Jaccard misses.
+    Prefix-filtered at gram df <= 100 to bound the join fan-out."""
+    return DD.containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        min_containment=0.5,
+        max_gram_df=100,
+    )
+
+
+CONTAINMENT_PAIRS_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ct:' || gram), 1, 15))::BIGINT AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+             generate_series(1, len(ws) - 2),
+             i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+             ELSE []::VARCHAR[] END) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+), dfreq AS (
+  SELECT gh, count(*) AS df FROM g GROUP BY 1
+), rare AS (
+  SELECT doc_id, g.gh FROM g JOIN dfreq USING (gh) WHERE df <= 100
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM rare a JOIN rare b ON a.gh = b.gh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id AS doc_a, count(*)::BIGINT AS n_a FROM g GROUP BY 1
+)
+SELECT doc_a, doc_b, inter, n_a,
+       round(inter::DOUBLE / n_a, 6) AS containment
+FROM inter JOIN tot USING (doc_a)
+WHERE round(inter::DOUBLE / n_a, 6) >= 0.5
+"""
+
+
+def shard_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training shards: the shard_pack assignment joined
+    back to the text, each shard's documents concatenated IN id ORDER
+    (array_sort over (doc_id, text) structs -> the deterministic
+    ordered aggregation DuckDB expresses as string_agg ... ORDER BY).
+    Per-shard state is bounded by the token budget, so the
+    collect_list never exceeds ~budget tokens — safe at any corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    shards = TX.shard_pack(docs, budget_tokens=4000)
+    joined = shards.join(docs.select("doc_id", "text"), "doc_id")
+    packed = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"],
+    )
+    return joined.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.md5(F.concat_ws(" ", packed)).alias("pack_hash"),
+    )
+
+
+SHARD_CONCAT_SQL = """
+WITH p AS (
+  SELECT doc_id, n_tokens,
+         coalesce((sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 4000),
+            0)::BIGINT AS shard_id
+  FROM (SELECT doc_id,
+               length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                 AS n_tokens
+        FROM documents)
+)
+SELECT shard_id, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       md5(string_agg(text, ' ' ORDER BY doc_id)) AS pack_hash
+FROM p JOIN documents USING (doc_id)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -3603,9 +3687,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
-    "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
     # analytics first entering the window
-    "window_frames": (window_frames, WINDOW_FRAMES_SQL),
     # r4 rotation: the five catalog entries that had never had a
     # driver verdict enter the window (r2 verdict task 2); rotated out
     # are s2/b1/p1/p4/p7 — two rounds hash-green, code untouched.
@@ -3635,6 +3717,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unigram_logprob": (unigram_logprob_q, UNIGRAM_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "audio_spectrum": (audio_spectrum_q, AUDIO_SPECTRUM_SQL),
+    # r4 additions: containment dedup + materialized shard packs
+    # (rotated out: events_rollup_multigrain / window_frames - two
+    # rounds hash-green, code untouched)
+    "dedup_containment": (dedup_containment, CONTAINMENT_PAIRS_SQL),
+    "shard_pack_concat": (shard_pack_concat, SHARD_CONCAT_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "s2_pk_bounds": (s2_pk_bounds, S2_SQL),
     "b1_chunked_scan": (b1_chunked_scan, B1_SQL),
@@ -3648,6 +3735,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q18_large_volume": (q18_large_volume, Q18_SQL),
     "q22_global_sales": (q22_global_sales, Q22_SQL),
     "events_cube": (events_cube, CUBE_SQL),
+    "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
+    "window_frames": (window_frames, WINDOW_FRAMES_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),

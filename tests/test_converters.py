@@ -238,3 +238,54 @@ def test_registry_field_factories():
     d = C.decimal_converter(10, 2)
     assert d.spark_type.precision == 10 and d.spark_type.scale == 2
     assert C.money_converter(4).spark_type.scale == 4
+
+
+def test_money_string_parses_display_format(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from reader_spark.functions import converters as CV
+
+    rows = [("$1,234.56",), ("$0.99",), ("12.30",), ("garbage",), (None,)]
+    df = spark.createDataFrame(rows, "m string").select(
+        CV.money_string(F.col("m")).alias("v")
+    )
+    out = [r["v"] for r in df.collect()]
+    assert out[0] == Decimal("1234.56")
+    assert out[1] == Decimal("0.99")
+    assert out[2] == Decimal("12.30")
+    assert out[3] is None  # invalid residue nulls, never throws
+    assert out[4] is None
+    # MSSQL smallmoney scale-4 override
+    df4 = spark.createDataFrame([("$5.1234",)], "m string").select(
+        CV.money_string(F.col("m"), scale=4).alias("v")
+    )
+    assert df4.collect()[0]["v"] == Decimal("5.1234")
+
+
+def test_json_array_marshals_non_string_elements(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from reader_spark.functions import converters as CV
+
+    # jsonb[] read as array<string>: passthrough, no double-encoding
+    df = spark.createDataFrame(
+        [(['{"a": 1}', '"x"'],)], "arr array<string>"
+    ).select(CV.json_array(F.col("arr"), T.StringType()).alias("v"))
+    assert df.collect()[0]["v"] == ['{"a": 1}', '"x"']
+    # structured elements marshal to their JSON text per element
+    df2 = spark.createDataFrame(
+        [([(1, "p"), (2, "q")],)],
+        "arr array<struct<id:int,name:string>>",
+    ).select(
+        CV.json_array(
+            F.col("arr"),
+            T.StructType([
+                T.StructField("id", T.IntegerType()),
+                T.StructField("name", T.StringType()),
+            ]),
+        ).alias("v")
+    )
+    assert df2.collect()[0]["v"] == ['{"id":1,"name":"p"}', '{"id":2,"name":"q"}']

@@ -278,3 +278,41 @@ def test_lsh_capped_drops_hot_buckets_keeps_cold_pairs(spark):
     )
     n = uncapped.filter("doc_a < 40 AND doc_b < 40").count()
     assert n == 40 * 39 // 2
+
+
+def test_containment_pairs_asymmetric(spark):
+    from reader_spark.operators import dedup as DD
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " eta theta iota kappa " + "x y z w " * 8
+    rows = [
+        (1, small),                      # fully contained in 2
+        (2, big),
+        (3, "totally different words with no overlap here at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in DD.containment_pairs(
+            docs, n=3, min_containment=0.5, max_gram_df=100
+        ).collect()
+    }
+    # 1 -> 2 contained (all of 1's 4 trigrams appear in 2)
+    assert (1, 2) in out and out[(1, 2)]["containment"] == 1.0
+    # asymmetry: 2's grams are mostly NOT in 1
+    assert (2, 1) not in out
+    assert not any(3 in k for k in out)
+
+
+def test_containment_prefix_filter_drops_common_grams(spark):
+    from reader_spark.operators import dedup as DD
+
+    # a gram shared by every doc is dropped by max_gram_df=2, so
+    # docs sharing ONLY that boilerplate never pair
+    boiler = "the quick brown"
+    rows = [(i, boiler + f" unique{i} only{i} words{i}") for i in range(1, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.containment_pairs(
+        docs, n=3, min_containment=0.1, max_gram_df=2
+    ).collect()
+    assert out == []

@@ -712,9 +712,15 @@ def containment_pairs(
         .select("doc_id", md5_hash64(F.col("gr"), "ct").alias("gh"))
     )
     dfreq = g.groupBy("gh").agg(F.count("*").alias("df"))
+    # persist: both sides of the self-join read the SAME filtered
+    # postings — without it Catalyst inlines the df-count aggregate
+    # twice (no exchange reuse across the asymmetrically-planned
+    # sides, measured). The catalog's _fresh_entry clears it at the
+    # next entry, so the cache-manager tax stays bounded; at the
+    # 10^8-doc tier swap the persist for a bucketed write.
     rare = g.join(
         dfreq.filter(F.col("df") <= max_gram_df).select("gh"), "gh"
-    )
+    ).persist()
     inter = (
         rare.alias("a")
         .join(
@@ -728,9 +734,14 @@ def containment_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
-    tot = g.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    # denominator straight off the scan: |distinct grams| is an array
+    # expression, no explode/shuffle needed for the per-doc total
+    tot = ensure_parallelism(docs).select(
+        F.col("doc_id").alias("doc_a"),
+        F.size(shingle_set(F.col(text_col), n)).cast("long").alias("n_a"),
+    )
     return (
-        inter.join(tot.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        inter.join(tot, "doc_a")
         .withColumn(
             "containment", F.round(F.col("inter") / F.col("n_a"), 6)
         )

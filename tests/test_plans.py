@@ -225,3 +225,26 @@ def test_passage_dedup_joins_on_uniform_hash(spark):
     assert "CartesianProduct" not in plan
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scans) <= 2
+
+
+def test_containment_reuses_filtered_postings(spark):
+    # both sides of the pair self-join read the SAME persisted
+    # prefix-filtered postings (two InMemoryTableScans) — the df-count
+    # aggregate runs once, not once per side; the denominator is an
+    # array expression on the scan (no explode+aggregate); and the
+    # pair join is an equi-join, never a cartesian.
+    fn, _ = CATALOG["dedup_containment"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_shard_concat_groups_on_shard_only(spark):
+    # the ordered concatenation aggregates on shard_id (bounded
+    # groups), with the two-phase prefix sum's bucket window upstream
+    # — no global single-partition window (SinglePartition exchange)
+    # anywhere.
+    fn, _ = CATALOG["shard_pack_concat"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

@@ -200,3 +200,101 @@ def test_mysql_point_encode_decode_round_trip(spark, x, y, srid):
     )
     assert pystruct.pack("<d", out["x"]) == pystruct.pack("<d", x)
     assert pystruct.pack("<d", out["y"]) == pystruct.pack("<d", y)
+
+
+# --- curation invariants ---------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.sampled_from(["en", "fr", "de"]),
+            st.text("abcdef ", min_size=1, max_size=40),
+        ),
+        min_size=1, max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    cap=st.integers(1, 10),
+)
+@SET
+def test_stratified_sample_is_subset_and_deterministic(spark, docs, cap):
+    from reader_spark.operators import curation as CU
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out1 = CU.stratified_sample(df, ["lang"], cap=cap).collect()
+    out2 = CU.stratified_sample(df, ["lang"], cap=cap).collect()
+    ids = {r["doc_id"] for r in out1}
+    # deterministic under re-execution, subset of the input, and the
+    # advertised keep-rate never exceeds 1
+    assert ids == {r["doc_id"] for r in out2}
+    assert ids <= {d[0] for d in docs}
+    assert all(0.0 <= r["rate"] <= 1.0 for r in out1)
+    # a stratum at-or-under the cap keeps everything (rate == 1)
+    from collections import Counter
+    sizes = Counter(d[1] for d in docs)
+    for r in out1:
+        if sizes[r["lang"]] <= cap:
+            assert r["rate"] == 1.0
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.text("abcd efg ", min_size=1, max_size=60),
+        ),
+        min_size=1, max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    width=st.integers(2, 9),
+)
+@SET
+def test_passage_stats_bounds(spark, docs, width):
+    import math
+
+    from reader_spark.operators import curation as CU
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CU.passage_stats(df, width=width).collect()}
+    assert set(out) == {d[0] for d in docs}
+    for did, text in docs:
+        r = out[did]
+        n_toks = len(text.split(" "))
+        assert r["n_passages"] == math.ceil(n_toks / width)
+        assert 0 <= r["n_dup"] <= r["n_passages"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["en", "fr", "de"])),
+        min_size=2, max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    alpha=st.floats(0.05, 0.95),
+)
+@SET
+def test_temperature_rates_invert_frequency(spark, docs, alpha):
+    from collections import Counter
+
+    from reader_spark.operators import curation as CU
+
+    df = spark.createDataFrame(
+        [(i, g, "w") for i, g in docs], "doc_id long, lang string, text string"
+    )
+    rates = {
+        r["lang"]: r["rate"]
+        for r in CU.temperature_resample(df, "lang", alpha=alpha).collect()
+    }
+    sizes = Counter(g for _, g in docs)
+    # smaller groups never get a lower keep-rate than bigger ones,
+    # and the smallest group's rate is exactly 1
+    if rates:
+        for a in rates:
+            for b in rates:
+                if sizes[a] <= sizes[b]:
+                    assert rates[a] >= rates[b]
+        smallest = min(sizes, key=lambda g: sizes[g])
+        if smallest in rates:
+            assert rates[smallest] == 1.0

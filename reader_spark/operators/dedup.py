@@ -703,6 +703,8 @@ def containment_pairs(
     uniform 60-bit hash with bounded fan-out, one (A, B) count
     aggregate. No cartesian, no global window.
     """
+    from pyspark.sql import Window as W
+
     g = (
         ensure_parallelism(docs)
         .select(
@@ -711,16 +713,22 @@ def containment_pairs(
         )
         .select("doc_id", md5_hash64(F.col("gr"), "ct").alias("gh"))
     )
-    dfreq = g.groupBy("gh").agg(F.count("*").alias("df"))
-    # persist: both sides of the self-join read the SAME filtered
-    # postings — without it Catalyst inlines the df-count aggregate
-    # twice (no exchange reuse across the asymmetrically-planned
-    # sides, measured). The catalog's _fresh_entry clears it at the
-    # next entry, so the cache-manager tax stays bounded; at the
-    # 10^8-doc tier swap the persist for a bucketed write.
-    rare = g.join(
-        dfreq.filter(F.col("df") <= max_gram_df).select("gh"), "gh"
-    ).persist()
+    # Gram df via a COUNT window over the postings (grams are distinct
+    # per doc, so the gh partition size IS the document frequency):
+    # one shuffle of the postings replaces a df aggregate + join back,
+    # and the corpus is shingled exactly once. persist: both sides of
+    # the self-join read the SAME filtered postings — without it
+    # Catalyst inlines the whole chain twice (no exchange reuse across
+    # the asymmetrically-planned sides, measured). The catalog's
+    # _fresh_entry clears it at the next entry, bounding the
+    # cache-manager tax; at the 10^8-doc tier swap the persist for a
+    # bucketed write.
+    rare = (
+        g.withColumn("df", F.count("*").over(W.partitionBy("gh")))
+        .filter(F.col("df") <= max_gram_df)
+        .select("doc_id", "gh")
+        .persist()
+    )
     inter = (
         rare.alias("a")
         .join(

@@ -70,6 +70,7 @@ HEADLINE = [
     "audio_spectrum",
     "dedup_containment",
     "shard_pack_concat",
+    "source_quality_report",
 ]
 
 

@@ -251,6 +251,7 @@ def semantic_dedup(
     threshold: float = 0.2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped embedding dedup with a deterministic quantizer.
 
@@ -259,9 +260,18 @@ def semantic_dedup(
     in the same bucket has cosine similarity >= threshold (keep-min
     policy, same convention as dedup_components). The candidate join
     is an equi-join on the bucket key — never all-pairs; raising
-    n_planes shrinks buckets for denser corpora. Bucket skew
-    (boilerplate clusters in embedding space) takes the same
-    hot-bucket guard as skewed_lsh in dedup.py.
+    n_planes shrinks buckets for denser corpora.
+
+    max_bucket — the hot-bucket skew guard (same contract as
+    skewed_lsh in dedup.py): a bucket of k members emits O(k^2)
+    candidate pairs, and embedding-space boilerplate (near-identical
+    template documents) concentrates in one bucket. With the guard
+    on, buckets larger than `max_bucket` are excluded from the
+    dominance self-join BEFORE it runs (one COUNT window over the
+    bucket key — a single shuffle), and their members pass through
+    kept. Documented recall tradeoff: boilerplate clusters are better
+    handled by exact/MinHash dedup upstream; this operator then never
+    builds their quadratic pair list.
     """
     planes = [hyperplane(p, dim) for p in range(n_planes)]
     vecs = DD.ensure_parallelism(
@@ -280,8 +290,19 @@ def semantic_dedup(
     # this plan's 8x64 literal hyperplanes would tax every subsequent
     # query's planning via cache-manager plan matching. In a job
     # script, persist + unpersist around the action instead.
-    a = vecs.alias("a")
-    b = DD.maybe_broadcast(vecs.alias("b"))
+    joinable = vecs
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        joinable = (
+            vecs.withColumn(
+                "_bsz", F.count("*").over(W.partitionBy("bucket"))
+            )
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    a = joinable.alias("a")
+    b = DD.maybe_broadcast(joinable.alias("b"))
     cos = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )

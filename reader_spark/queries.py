@@ -3643,6 +3643,67 @@ GROUP BY 1
 """
 
 
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report — the dashboard a corpus owner
+    reads before mixing sources: doc count, mean quality score, token
+    distribution (mean / exact p50 / p95), and the exact-duplicate
+    fraction (md5 window count > 1). One uniform-hash window shuffle
+    plus one tiny source aggregate; the approximate-percentile
+    variant (percentile_approx) is the 100 TB swap, exact is the
+    oracle-checkable baseline."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.token_count_ws(F.col("text")).alias("toks"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    dup = per.withColumn("copies", F.count("*").over(W.partitionBy("h")))
+    return dup.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(F.avg("toks"), 6).alias("avg_tokens"),
+        F.round(F.expr("percentile(toks, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(toks, 0.95)"), 6).alias("p95_tokens"),
+        F.round(
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+SOURCE_REPORT_SQL = f"""
+WITH p0 AS (
+  SELECT source, text, ' ' || lower(text) || ' ' AS p FROM documents
+), b AS (
+  SELECT source,
+         -- quality_score rounds per doc (its cross-engine contract),
+         -- so the report averages the same 6 dp grid on both engines
+         round(
+         0.4 * least(1.0, length(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE / 100.0)
+       + 0.4 * least(1.0, 8.0 * ({_STOP_SUM})::DOUBLE
+           / length(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE)
+       + 0.2 * (1.0 - least(1.0, 4.0
+           * (length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g')))::DOUBLE
+           / length(text)::DOUBLE)), 6) AS q,
+         length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS toks,
+         count(*) OVER (PARTITION BY md5(text)) AS copies
+  FROM p0
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(q), 6) AS avg_quality,
+       round(avg(toks), 6) AS avg_tokens,
+       round(quantile_cont(toks, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(toks, 0.95), 6) AS p95_tokens,
+       round(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dup_frac
+FROM b GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -3673,7 +3734,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "text_tokens": (text_tokens, TOKENS_SQL),
-    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),
     "term_stats": (term_stats_q, TERM_STATS_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
@@ -3722,6 +3782,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # rounds hash-green, code untouched)
     "dedup_containment": (dedup_containment, CONTAINMENT_PAIRS_SQL),
     "shard_pack_concat": (shard_pack_concat, SHARD_CONCAT_SQL),
+    # r4 addition: per-source curation report (rotated out:
+    # text_fingerprint - two rounds hash-green, function untouched)
+    "source_quality_report": (source_quality_report, SOURCE_REPORT_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "s2_pk_bounds": (s2_pk_bounds, S2_SQL),
     "b1_chunked_scan": (b1_chunked_scan, B1_SQL),
@@ -3735,6 +3798,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q18_large_volume": (q18_large_volume, Q18_SQL),
     "q22_global_sales": (q22_global_sales, Q22_SQL),
     "events_cube": (events_cube, CUBE_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
     "window_frames": (window_frames, WINDOW_FRAMES_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),

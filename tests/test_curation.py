@@ -181,3 +181,28 @@ def test_unigram_logprob_orders_by_rarity(spark):
     # exact value: total=12 tokens, cf(common)=8 -> ln(8/12)
     assert abs(out[1]["avg_logprob"] - round(math.log(8 / 12), 6)) < 1e-9
     assert abs(out[2]["avg_logprob"] - round(math.log(1 / 12), 6)) < 1e-9
+
+
+def test_semantic_dedup_hot_bucket_guard(spark):
+    from reader_spark.operators import curation as CU
+
+    # 12 identical vectors (one hot bucket, pairwise cosine 1.0) plus
+    # two loners orthogonal-ish to them
+    base = [1.0] + [0.0] * 63
+    other = [0.0] * 32 + [1.0] + [0.0] * 31
+    rows = [(i, base) for i in range(12)] + [(100, other), (101, [
+        -x for x in other])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # unguarded: the hot bucket collapses to its minimum id
+    out = {r["vec_id"]: r["is_kept"] for r in CU.semantic_dedup(emb).collect()}
+    assert out[0] == 1 and all(out[i] == 0 for i in range(1, 12))
+    # guarded at max_bucket=4: the 12-member bucket never enters the
+    # dominance join — every member passes through kept, loners
+    # unaffected
+    guarded = {
+        r["vec_id"]: r["is_kept"]
+        for r in CU.semantic_dedup(emb, max_bucket=4).collect()
+    }
+    assert all(guarded[i] == 1 for i in range(12))
+    assert guarded[100] == 1 and guarded[101] == 1
+    assert len(guarded) == 14

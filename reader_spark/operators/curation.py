@@ -127,10 +127,15 @@ def ngram_contamination(
     plan matching).
     """
     def sh(df: DataFrame) -> DataFrame:
-        return DD.ensure_parallelism(df).select(
-            "doc_id",
-            F.explode(DD.shingle_set(F.col(text_col), n)).alias("g"),
-        ).select("doc_id", DD.md5_hash64(F.col("g"), "cg").alias("gh"))
+        return (
+            DD.ensure_parallelism(df)
+            .select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+            .select(
+                "doc_id",
+                F.explode(DD.shingles_from(F.col("ws"), n)).alias("g"),
+            )
+            .select("doc_id", DD.md5_hash64(F.col("g"), "cg").alias("gh"))
+        )
 
     bench_set = DD.maybe_broadcast(
         sh(benchmark).select("gh").distinct().withColumn("hit", F.lit(1))
@@ -347,18 +352,23 @@ def passage_stats(
     60-bit passage hash, so the two shuffles are skew-free and
     map-side combinable. Output is one row per document.
     """
-    toks = F.split(F.col(text_col), " ")
+    ws = F.col("ws")
     chunks = F.transform(
         F.sequence(
-            F.lit(0), F.floor((F.size(toks) - 1) / width).cast("int")
+            F.lit(0), F.floor((F.size(ws) - 1) / width).cast("int")
         ),
         lambda i: F.concat_ws(
-            " ", F.slice(toks, i * width + 1, width)
+            " ", F.slice(ws, i * width + 1, width)
         ),
     )
-    exploded = DD.ensure_parallelism(docs).select(
-        "doc_id", F.explode(chunks).alias("p")
-    ).select("doc_id", DD.md5_hash64(F.col("p"), "ps").alias("ph"))
+    # staged split (see shingles_from): ONE split in the plan instead
+    # of one per size/floor/slice reference
+    exploded = (
+        DD.ensure_parallelism(docs)
+        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+        .select("doc_id", F.explode(chunks).alias("p"))
+        .select("doc_id", DD.md5_hash64(F.col("p"), "ps").alias("ph"))
+    )
     counts = exploded.groupBy("ph").agg(F.count("*").alias("cnt"))
     return (
         exploded.join(counts, "ph")

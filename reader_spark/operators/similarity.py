@@ -413,7 +413,7 @@ def knn_sq8_rescore(
         embeddings.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
         )
-    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    )
     stats = sq8_stats(vecs, dim)
     # Dequantize ONCE per corpus row (mid-rise reconstruction), not
     # once per (row, query) pair: the per-pair work is then a plain
@@ -451,19 +451,25 @@ def knn_sq8_rescore(
         .filter(F.col("arank") <= rerank)
         .select("query_id", "neighbor_id")
     )
+    # Norms ONLY for what the rescore touches: unlike knn_bruteforce
+    # (which scores every corpus row and amortizes a one-pass norm),
+    # the rescore reads Q x rerank candidates — norming the whole
+    # corpus would be a wasted 10^9-row fold at scale. The neighbor
+    # norm is therefore computed ABOVE the candidate join (a
+    # projection on the nbr side would run corpus-wide below it).
     nbr = vecs.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("vec").alias("nvec"),
-        F.col("nv").alias("nn"),
     )
     qv = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
-        F.col("nv").alias("nq"),
+        dot(F.col("vec"), F.col("vec")).alias("nq"),
     )
     exact = (
         cand.join(nbr, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
+        .withColumn("nn", dot(F.col("nvec"), F.col("nvec")))
         .select(
             "query_id",
             "neighbor_id",

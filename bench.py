@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_containment",
     "shard_pack_concat",
     "source_quality_report",
+    "dedup_incremental",
 ]
 
 

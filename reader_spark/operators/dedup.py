@@ -772,3 +772,74 @@ def containment_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("doc_a", "doc_b", "inter", "n_a", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta-vs-corpus) dedup — the batch shape of
+# streaming/dedup_stream.py, md5-banded so a SQL oracle reproduces it
+
+
+def md5_band_rows(
+    sigs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Melt a signature frame to (id, band_id, band_key) rows with
+    md5 band keys (same construction as the oracle CTE:
+    md5(h0 || '_' || h1)). One row per (doc, band); no shuffle."""
+    assert num_hashes % band_size == 0
+    parts = []
+    for band in range(num_hashes // band_size):
+        cols = [
+            F.col(f"h{j}")
+            for j in range(band * band_size, (band + 1) * band_size)
+        ]
+        parts.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(band).alias("band_id"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def band_index(
+    existing_sigs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DISTINCT (band_id, band_key) bucket set of an existing corpus —
+    the persisted artifact an ingestion pipeline refreshes offline.
+    |corpus| x n_bands rows upper bound, far smaller than the text."""
+    return md5_band_rows(
+        existing_sigs, num_hashes, band_size, id_col
+    ).select("band_id", "band_key").distinct()
+
+
+def incremental_dedup_filter(
+    incoming_sigs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep only incoming docs with NO band-bucket hit in the index —
+    any-band-full-match semantics, identical to the streaming filter
+    (streaming/dedup_stream.py::stream_dedup_filter) but expressed as
+    two batch joins: a semi-join marks hit docs, an anti-join drops
+    them. Both joins are keyed on the uniform (band_id, band_key) —
+    broadcast-eligible when the index fits (maybe_broadcast), shuffle
+    otherwise; never a cartesian."""
+    bands = md5_band_rows(incoming_sigs, num_hashes, band_size, id_col)
+    hits = (
+        bands.join(maybe_broadcast(index), ["band_id", "band_key"], "semi")
+        .select(id_col)
+        .distinct()
+    )
+    return incoming_sigs.join(hits, id_col, "anti")

@@ -3704,6 +3704,43 @@ FROM b GROUP BY 1
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus dedup — the batch shape of the streaming
+    ingest filter (streaming/dedup_stream.py), md5-banded so it has a
+    full oracle: docs with doc_id % 10 >= 8 play the incoming delta,
+    the rest are the existing corpus whose DISTINCT band buckets form
+    the index; an incoming doc survives iff every band misses. At
+    scale the index is the refreshed offline artifact; the delta-side
+    joins are uniform-key and index-size-gated."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    index = DD.band_index(
+        DD.minhash_signature(existing, num_hashes=_MH_K),
+        num_hashes=_MH_K,
+        band_size=_MH_BAND,
+    )
+    survivors = DD.incremental_dedup_filter(
+        DD.minhash_signature(incoming, num_hashes=_MH_K),
+        index,
+        num_hashes=_MH_K,
+        band_size=_MH_BAND,
+    )
+    return survivors.select("doc_id")
+
+
+INCREMENTAL_SQL = _MH_CTE + """
+, hit AS (
+  SELECT DISTINCT i.doc_id
+  FROM bands i JOIN bands e
+    ON i.band_id = e.band_id AND i.band_key = e.band_key
+  WHERE i.doc_id % 10 >= 8 AND e.doc_id % 10 < 8
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 10 >= 8 AND doc_id NOT IN (SELECT doc_id FROM hit)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -3731,7 +3768,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "knn_bruteforce": (knn_bruteforce, KNN_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
-    "text_lang_id": (text_lang_id, LANG_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "text_tokens": (text_tokens, TOKENS_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),
@@ -3785,6 +3821,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # r4 addition: per-source curation report (rotated out:
     # text_fingerprint - two rounds hash-green, function untouched)
     "source_quality_report": (source_quality_report, SOURCE_REPORT_SQL),
+    # r4 addition: delta-vs-corpus incremental dedup (rotated out:
+    # text_lang_id - two rounds hash-green, function untouched)
+    "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "s2_pk_bounds": (s2_pk_bounds, S2_SQL),
     "b1_chunked_scan": (b1_chunked_scan, B1_SQL),
@@ -3798,6 +3837,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q18_large_volume": (q18_large_volume, Q18_SQL),
     "q22_global_sales": (q22_global_sales, Q22_SQL),
     "events_cube": (events_cube, CUBE_SQL),
+    "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "events_rollup_multigrain": (events_rollup_multigrain, ROLLUP_MULTI_SQL),
     "window_frames": (window_frames, WINDOW_FRAMES_SQL),

@@ -333,6 +333,144 @@ def semantic_dedup(
 
 
 # ---------------------------------------------------------------------------
+# context-window chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    width: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping `width`-token context
+    windows advancing by `width - overlap` tokens — the chunking pass
+    that precedes embedding / retrieval-index builds and fixed-window
+    training. A document with n <= width tokens yields exactly one
+    chunk; otherwise ceil((n - width) / stride) + 1 chunks, the last
+    one truncated to the document end (never padded).
+
+    Scale: pure array arithmetic in the scan stage — split once,
+    `sequence` over chunk ordinals, `slice` per chunk, one explode.
+    No shuffle at all; output partitioning inherits the scan. The
+    emitted chunk is hashed (md5) next to its token count so the
+    downstream chunk-level dedup/index joins never carry the text.
+    """
+    stride = width - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than width")
+    ws = F.col("ws")
+    n = F.size(ws)
+    n_chunks = (
+        F.when(n <= width, F.lit(1))
+        .otherwise(F.ceil((n - width) / F.lit(float(stride))) + 1)
+        .cast("int")
+    )
+    chunk_text = F.concat_ws(
+        " ", F.slice(ws, F.col("chunk_id") * stride + 1, width)
+    )
+    return (
+        DD.ensure_parallelism(docs)
+        .select(id_col, F.split(F.col(text_col), " ").alias("ws"))
+        .select(
+            id_col,
+            "ws",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(F.slice(ws, F.col("chunk_id") * stride + 1, width)).alias(
+                "n_chunk_tokens"
+            ),
+            F.md5(chunk_text).alias("chunk_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture planning
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Source-mixture planning: given target mixture weights and a
+    total token budget, compute per-source available tokens, needed
+    tokens, the sampling rate (>1 means the source repeats), and the
+    epoch count ceil(rate) a shard writer must plan for.
+
+    Scale: ONE tiny aggregate (per-source token sums — cardinality is
+    the source space, not the corpus); everything after is driver-free
+    literal arithmetic on that aggregate. Sources absent from
+    `weights` get weight 0 (dropped from the mix).
+    """
+    from reader_spark.functions.text import token_count_ws
+
+    w = F.lit(0.0)
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(group) == k, F.lit(float(v))).otherwise(w)
+    have = docs.groupBy(group).agg(
+        F.sum(token_count_ws(F.col(text_col))).alias("tokens_have")
+    )
+    need = F.round(w * budget_tokens).cast("long").alias("tokens_needed")
+    rate = F.round(
+        F.round(w * budget_tokens) / F.col("tokens_have"), 6
+    ).alias("rate")
+    return have.select(
+        group,
+        "tokens_have",
+        need,
+        rate,
+        F.ceil(F.round(w * budget_tokens) / F.col("tokens_have"))
+        .cast("long")
+        .alias("n_epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_shards: int = 16,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training-shard writing: every
+    document gets an md5 draw keyed by (epoch, id), its shard is the
+    draw mod n_shards, and its position within the shard is the rank
+    of the draw — a different, reproducible permutation per epoch
+    with no RNG state and no global sort.
+
+    Scale: the ONLY shuffle is the per-shard rank window, and it is
+    PARTITIONED by shard — at 100 TB you size n_shards so a shard is
+    a few GB (100k+ shards), which simultaneously bounds the window
+    partition and matches the shard files a data loader wants. The
+    hash is uniform, so shards are balanced by construction (no skew
+    guard needed).
+    """
+    from pyspark.sql import Window as W
+
+    h = DD.md5_hash64(
+        F.concat(F.lit(f"ep{epoch}:"), F.col(id_col).cast("string")), "shuf"
+    )
+    w = W.partitionBy("shard").orderBy("draw", id_col)
+    return (
+        DD.ensure_parallelism(docs)
+        .select(id_col, h.alias("draw"))
+        .withColumn("shard", F.pmod(F.col("draw"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # passage-level dedup
 
 

@@ -67,6 +67,69 @@ def term_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase mining via pointwise mutual information over adjacent
+    token pairs: pmi(a, b) = ln(c_ab * n_tokens / (c_a * c_b)) for
+    every adjacent bigram occurring at least `min_count` times —
+    the collocation detector (word2phrase shape) that feeds
+    tokenizer-vocabulary and template-boilerplate analyses.
+
+    Scale: bigrams come from zipping the token array against its
+    shift — array arithmetic in the scan stage, one explode. Both
+    aggregates key on vocabulary-sized terms (uniform, map-side
+    combinable) and OUTPUT vocabulary-sized frames; the two unigram
+    lookups join the (min_count-thresholded, hence small) bigram
+    table against the unigram table — broadcast when the size
+    estimate allows. Nothing corpus-sized survives the first
+    aggregate.
+    """
+    ws = F.col("ws")
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
+        F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+    )
+    tok = DD.ensure_parallelism(docs).select(
+        F.split(F.col(text_col), " ").alias("ws")
+    )
+    uni = (
+        tok.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    bi = (
+        tok.filter(F.size(ws) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bi.join(DD.maybe_broadcast(ua), "w1")
+        .join(DD.maybe_broadcast(ub), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab")
+                    * F.col("n_tokens")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[int, str]],

@@ -377,6 +377,117 @@ def sq8_encode(vecs: DataFrame, stats: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def knn_ivf_sq8(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    rerank: int = 10,
+    dim: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF cell restriction x int8 scalar quantization — the two ANN
+    scale levers composed, as a production index would run them:
+    the coarse quantizer prunes WHICH vectors are scored (equi-join on
+    the cluster key, ~n_clusters/nprobe-fold fewer candidates) and
+    SQ8 prunes HOW MUCH is read per scored vector (64 B codes instead
+    of 512 B doubles); the top `rerank` survivors per query are then
+    rescored with exact cosine and the top `k` emitted.
+
+    Everything is deterministic (label-seeded Lloyd centroids,
+    mid-rise dequantization, fixed fold order), so the composed
+    pipeline has a full DuckDB oracle — the property the trained
+    KMeans variant gives up.
+
+    100 TB: the only corpus-sized shuffles are the single-assignment
+    struct-min aggregate (map-side combinable) and the probed
+    equi-join, whose per-row payload is the int8 code array; full
+    vectors are touched only for Q x rerank rescore rows.
+    """
+    from pyspark.sql import Window as W
+
+    from reader_spark.operators.dedup import ensure_parallelism
+
+    vecs = ensure_parallelism(
+        embeddings.select(
+            F.col(id_col),
+            F.col(cluster_col).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    cents = label_seeded_centroids(vecs).persist()
+    corpus = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
+    probes = nearest_clusters(
+        vecs.drop("cluster").filter(F.col(id_col).isin(query_ids)),
+        cents,
+        nprobe,
+        id_col,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("cl").alias("qcl"),
+    )
+    stats = sq8_stats(vecs, dim)
+    recon = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.col("mn")[i]
+        + (F.col("codes")[i] + F.lit(0.5))
+        * (F.col("mx")[i] - F.col("mn")[i])
+        / 256,
+    )
+    coded = sq8_encode(
+        corpus.select(id_col, "cl", "vec"), stats, dim
+    ).select(id_col, "cl", recon.alias("recon"))
+    approx = coded.join(
+        F.broadcast(probes),
+        (F.col("cl") == F.col("qcl")) & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot(F.col("qvec"), F.col("recon")).alias("approx_dot"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    nbr = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("nvec")
+    )
+    qv = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nv").alias("nq"),
+    )
+    exact = (
+        cand.join(nbr, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("nn", dot(F.col("nvec"), F.col("nvec")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nn"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def knn_sq8_rescore(
     embeddings: DataFrame,
     query_ids: list[int],

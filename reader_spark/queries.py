@@ -3742,6 +3742,337 @@ WHERE doc_id % 10 >= 8 AND doc_id NOT IN (SELECT doc_id FROM hit)
 
 
 # ---------------------------------------------------------------------------
+# round-4: context chunking, mixture planning, epoch shuffle,
+# quality-aware canonical selection, phrase mining, sliding windows,
+# composed IVF x SQ8 ANN
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (width 24, overlap 8):
+    the pass that precedes embedding/retrieval-index builds. Pure
+    scan-stage array arithmetic — split once, sequence over chunk
+    ordinals, slice + hash per chunk; NO shuffle in the plan."""
+    return CU.chunk_documents(
+        _t(spark, sf_dir, "documents"), width=24, overlap=8
+    )
+
+
+CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), n AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) <= 24 THEN 1
+              ELSE ceil((len(ws) - 24) / 16.0)::BIGINT + 1 END AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM n
+)
+SELECT doc_id, chunk_id,
+       len(list_slice(ws, chunk_id * 16 + 1, chunk_id * 16 + 24)) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(ws, chunk_id * 16 + 1, chunk_id * 16 + 24), ' ')) AS chunk_hash
+FROM e
+"""
+
+
+def canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection — the step AFTER cluster
+    assignment that picks which document each near-dup cluster keeps:
+    highest quality_score wins, ties to the smallest doc_id. One
+    struct-max aggregate over the component map (max(struct(quality,
+    -doc_id)) == ORDER BY quality DESC, doc_id ASC, but it
+    partial-aggregates map-side where a rank window could not)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = DD.token_hashes(docs).persist()
+    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    comp = DD.connected_components(verified)
+    q = docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    members = q.join(comp, q.doc_id == comp.node, "left").select(
+        "doc_id",
+        "quality",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("component_id"),
+    )
+    best = members.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b"),
+    )
+    return best.select(
+        "component_id",
+        (-F.col("b.neg_id")).cast("long").alias("kept_doc_id"),
+        "n_members",
+        F.col("b.quality").alias("best_quality"),
+    )
+
+
+_COMP_CTES = DEDUP_COMPONENTS_SQL.split("SELECT docs.doc_id")[0]
+
+CANONICAL_SQL = _COMP_CTES + f"""
+, qual AS (
+  SELECT doc_id,
+         round(
+         0.4 * least(1.0, length(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE / 100.0)
+       + 0.4 * least(1.0, 8.0 * ({_STOP_SUM})::DOUBLE
+           / length(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE)
+       + 0.2 * (1.0 - least(1.0, 4.0
+           * (length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g')))::DOUBLE
+           / length(text)::DOUBLE)), 6) AS quality
+  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents)
+), compmap AS (
+  SELECT docs.doc_id, coalesce(mr.comp, docs.doc_id) AS component_id
+  FROM documents docs
+  LEFT JOIN (SELECT n, min(m) AS comp FROM reach GROUP BY n) mr
+    ON mr.n = docs.doc_id
+), ranked AS (
+  SELECT component_id, cm.doc_id, quality,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY quality DESC, cm.doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY component_id) AS n_members
+  FROM compmap cm JOIN qual ON qual.doc_id = cm.doc_id
+)
+SELECT component_id, doc_id AS kept_doc_id, n_members, quality AS best_quality
+FROM ranked WHERE r = 1
+"""
+
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+_MIX_BUDGET = 100_000
+
+
+def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture planning: per-language available tokens vs the
+    target mixture at a 100k-token budget — sampling rate (>1 means
+    the source repeats) and the epoch count the shard writer plans
+    for. One tiny per-language aggregate; map-free afterwards."""
+    return CU.mixture_plan(
+        _t(spark, sf_dir, "documents"),
+        _MIX_WEIGHTS,
+        _MIX_BUDGET,
+        group="lang",
+    )
+
+
+_MIX_W_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items())
+) + " ELSE 0.0 END"
+
+MIXTURE_SQL = f"""
+WITH have AS (
+  SELECT lang,
+         sum(length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT) AS tokens_have
+  FROM documents GROUP BY 1
+)
+SELECT lang, tokens_have,
+       round(({_MIX_W_SQL}) * {_MIX_BUDGET})::BIGINT AS tokens_needed,
+       round(round(({_MIX_W_SQL}) * {_MIX_BUDGET}) / tokens_have, 6) AS rate,
+       ceil(round(({_MIX_W_SQL}) * {_MIX_BUDGET}) / tokens_have)::BIGINT AS n_epochs
+FROM have
+"""
+
+
+def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 global shuffle into 16 training shards:
+    md5 draw keyed by (epoch, doc_id) -> shard = draw mod 16, position
+    = rank of the draw within the shard. The only shuffle is the
+    PER-SHARD rank window (at 100 TB, n_shards is sized so one shard
+    is a few GB — the window partition is bounded by construction)."""
+    return CU.epoch_shuffle(
+        _t(spark, sf_dir, "documents"), n_shards=16, epoch=1
+    )
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuf:ep1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS draw
+  FROM documents
+)
+SELECT doc_id, (draw % 16)::INT AS shard,
+       row_number() OVER (PARTITION BY draw % 16 ORDER BY draw, doc_id) AS pos
+FROM h
+"""
+
+
+def pmi_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI over adjacent token pairs occurring
+    >= 5 times (word2phrase shape). Bigrams come from zipping the
+    token array against its shift — scan-stage arithmetic; both
+    aggregates and the final joins are vocabulary-sized. Double math
+    throughout the PMI ratio so counts never overflow at corpus
+    scale."""
+    return RT.pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+PMI_SQL = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), uc AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n_tokens FROM uc
+), bc AS (
+  SELECT pr['w1'] AS w1, pr['w2'] AS w2, count(*) AS c_ab FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                  i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS pr
+    FROM t WHERE len(ws) >= 2
+  ) GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT w1, w2, c_ab,
+       round(ln(c_ab::DOUBLE * n_tokens::DOUBLE
+                / (ua.c::DOUBLE * ub.c::DOUBLE)), 6) AS pmi
+FROM bc
+JOIN uc ua ON ua.w = bc.w1
+JOIN uc ub ON ub.w = bc.w2
+CROSS JOIN tot
+"""
+
+
+def sliding_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window trending: top-3 event types per 1-hour window
+    advancing every 30 minutes (the batch form of the streaming
+    sliding-window agg — each event lands in exactly 2 windows).
+    Window starts render as strings at the edge."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("w_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+SLIDING_SQL = """
+WITH e AS (
+  SELECT ts, event_type FROM events
+), w AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS ws,
+         ts, event_type
+  FROM e
+), f AS (
+  SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type
+  FROM w WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+), c AS (
+  SELECT w_start, event_type, count(*) AS n_events FROM f GROUP BY 1, 2
+)
+SELECT w_start, event_type, n_events, rank FROM (
+  SELECT w_start, event_type, n_events,
+         row_number() OVER (PARTITION BY w_start
+                            ORDER BY n_events DESC, event_type) AS rank
+  FROM c
+) WHERE rank <= 3
+"""
+
+
+def knn_ivf_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell restriction x int8 scalar quantization composed, with
+    exact top-5 rescore — both ANN scale levers in one deterministic,
+    fully oracle-checked pipeline (operators/similarity.py::
+    knn_ivf_sq8)."""
+    return SIM.knn_ivf_sq8(
+        _t(spark, sf_dir, "embeddings"),
+        _KNN_QUERY_IDS,
+        k=5,
+        rerank=10,
+        dim=64,
+        nprobe=2,
+    )
+
+
+KNN_IVF_SQ8_SQL = f"""
+WITH v0 AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), v AS (
+  SELECT vec_id, label, e,
+         list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nv
+  FROM v0
+), cent0 AS (
+  SELECT label AS cl, list(e ORDER BY vec_id) AS vs FROM v GROUP BY label
+), cent AS (
+  SELECT cl,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(generate_series(1, len(a)), i -> a[i] + b[i])),
+           x -> x / len(vs)) AS c
+  FROM cent0
+), centn AS (
+  SELECT cl, c, list_reduce(list_transform(c, x -> x * x), (x, y) -> x + y) AS nc FROM cent
+), assign AS (
+  SELECT vec_id, e, cl FROM (
+    SELECT v.vec_id, v.e, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nv - 2 * list_reduce(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.c[i]), (x, y) -> x + y) + c.nc) ASC,
+             c.cl ASC) AS r
+    FROM v, centn c
+  ) WHERE r = 1
+), probe AS (
+  SELECT vec_id AS query_id, e AS qe, cl AS qcl FROM (
+    SELECT v.vec_id, v.e, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nv - 2 * list_reduce(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.c[i]), (x, y) -> x + y) + c.nc) ASC,
+             c.cl ASC) AS r
+    FROM v, centn c WHERE v.vec_id < 10
+  ) WHERE r <= 2
+), st AS (
+  SELECT {_SQ8_MN} AS mn, {_SQ8_MX} AS mx FROM v
+), coded AS (
+  SELECT vec_id, cl,
+         list_transform(generate_series(1, 64), i ->
+           CASE WHEN mx[i] > mn[i]
+                THEN least(255, floor((e[i] - mn[i]) / (mx[i] - mn[i]) * 256))::BIGINT
+                ELSE 0 END) AS codes
+  FROM assign, st
+), approx AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, 64), i ->
+           qe[i] * (mn[i] + (codes[i] + 0.5) * (mx[i] - mn[i]) / 256)),
+           (x, y) -> x + y) AS approx_dot
+  FROM st, probe p JOIN coded c ON c.cl = p.qcl AND c.vec_id <> p.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dot DESC, neighbor_id) AS arank
+    FROM approx
+  ) WHERE arank <= 10
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         round(dp / (sqrt(nq) * sqrt(nn)), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dp / (sqrt(nq) * sqrt(nn)), 6) DESC, neighbor_id) AS rank
+  FROM (
+    SELECT cand.query_id AS query_id, cand.neighbor_id AS neighbor_id,
+           list_reduce(list_transform(generate_series(1, 64), i -> q.e[i] * n.e[i]), (x, y) -> x + y) AS dp,
+           q.nv AS nq, n.nv AS nn
+    FROM cand
+    JOIN v n ON n.vec_id = cand.neighbor_id
+    JOIN v q ON q.vec_id = cand.query_id
+  )
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # catalog
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -3758,23 +4089,28 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "p2_value_parse": (p2_value_parse, P2_SQL),
     "p3_wire_converters": (p3_wire_converters, P3_SQL),
     # LLM-data-pipeline
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_ngram": (dedup_ngram, NGRAM_SQL),
-    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
-    "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
-    "knn_bruteforce": (knn_bruteforce, KNN_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
-    "text_quality": (text_quality, QUALITY_SQL),
-    "text_tokens": (text_tokens, TOKENS_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),
     "term_stats": (term_stats_q, TERM_STATS_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+    # r5 rotation: the round-4 additions enter the window immediately
+    # (never driver-checked); rotated out are dedup_exact /
+    # dedup_simhash / dedup_simhash_pairs / knn_bruteforce /
+    # text_quality / text_tokens / asof_join_orders — r3 hash-green,
+    # code untouched this round.
+    "doc_chunks": (doc_chunks, CHUNKS_SQL),
+    "canonical_docs": (canonical_docs, CANONICAL_SQL),
+    "mixture_plan": (mixture_plan_q, MIXTURE_SQL),
+    "epoch_shuffle": (epoch_shuffle_q, EPOCH_SHUFFLE_SQL),
+    "pmi_bigrams": (pmi_bigrams_q, PMI_SQL),
+    "sliding_trending": (sliding_trending, SLIDING_SQL),
+    "knn_ivf_sq8": (knn_ivf_sq8_q, KNN_IVF_SQ8_SQL),
     # temporal / range / CDC audit
-    "asof_join_orders": (asof_join_orders, ASOF_SQL),
     "range_join_bands": (range_join_bands, RANGE_SQL),
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
@@ -3825,6 +4161,13 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # text_lang_id - two rounds hash-green, function untouched)
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
+    "knn_bruteforce": (knn_bruteforce, KNN_SQL),
+    "text_quality": (text_quality, QUALITY_SQL),
+    "text_tokens": (text_tokens, TOKENS_SQL),
+    "asof_join_orders": (asof_join_orders, ASOF_SQL),
     "s2_pk_bounds": (s2_pk_bounds, S2_SQL),
     "b1_chunked_scan": (b1_chunked_scan, B1_SQL),
     "p1_projection": (p1_projection, P1_SQL),

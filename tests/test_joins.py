@@ -68,3 +68,64 @@ def test_range_bin_join_no_duplicates_on_bin_edges(spark):
     out = JO.range_bin_join(points, intervals, "v", "lo", "hi", bin_width=30.0)
     rows = out.collect()
     assert len(rows) == 1 and rows[0].v == 30.0  # hi exclusive, lo inclusive, no dups
+
+
+def test_asof_join_forward_strict_and_nulls(spark):
+    import pyspark.sql.functions as F
+    from reader_spark.operators.joins import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (1, 30, "c")], "k long, rts long, v string"
+    )
+    out = {
+        (r["k"], r["lts"]): r["v"]
+        for r in asof_join_forward(
+            left, right, "k", "k", "lts", "rts"
+        ).collect()
+    }
+    # strictly after: the rts=10 row is NOT visible to lts=10
+    assert out[(1, 10)] == "b"
+    assert out[(1, 20)] == "c"
+    assert out[(2, 5)] is None  # key with no right rows
+
+
+def test_funnel_steps_horizon_and_ordering(spark):
+    import datetime as dt
+
+    from reader_spark.operators.joins import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: full funnel within horizon
+        (1, ts(0), "view"),
+        (1, ts(10), "click"),
+        (1, ts(20), "purchase"),
+        # user 2: click outside the 30-min horizon -> chain broken,
+        # later purchase must NOT count either
+        (2, ts(0), "view"),
+        (2, ts(40), "click"),
+        (2, ts(45), "purchase"),
+        # user 3: purchase BEFORE the click does not convert
+        (3, ts(0), "view"),
+        (3, ts(5), "purchase"),
+        (3, ts(10), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], horizon_s=1800
+        ).collect()
+    }
+    assert out[1]["ts_1"] is not None and out[1]["ts_2"] is not None
+    assert out[2]["ts_1"] is None and out[2]["ts_2"] is None
+    assert out[3]["ts_1"] is not None and out[3]["ts_2"] is None

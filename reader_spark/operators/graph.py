@@ -1,0 +1,112 @@
+"""Graph centrality over document-similarity graphs.
+
+Beyond-reference surface: after near-dup detection builds a graph
+(pairs -> `dedup.connected_components` clusters), PageRank ranks the
+documents INSIDE the duplication neighborhood — a centrality-based
+alternative to min-id / best-quality canonical selection (the most
+"linked-to" template variant is often the canonical one), and the
+standard importance measure when the edges are citations/links
+instead of near-dup relations.
+
+Determinism contract (the property that buys a DuckDB oracle): float
+summation order is pinned. Per-node incoming contributions are
+collected, SORTED by source id, and folded sequentially — exactly
+DuckDB's `list_reduce(list(x ORDER BY src), ...)` — so every
+iteration's doubles are bit-identical across engines (same playbook
+as similarity.label_seeded_centroids).
+
+Scale (100 TB):
+  * Each iteration is ONE equi-join (edges x current ranks on the
+    source key) and ONE aggregate (on the destination key) — 2
+    shuffles, partial-aggregation-friendly sizes, no global state.
+  * The sorted-fold keeps per-node state bounded by IN-degree. A
+    celebrity node (huge in-degree) makes the fold list long: at that
+    point swap the fold for a plain `sum()` and accept last-ulp
+    nondeterminism, or salt the aggregate into per-bucket partial
+    folds merged in bucket order (deterministic AND bounded).
+  * Driver-side state is two bounded scalars (node count, iteration
+    counter); lineage is truncated per iteration with localCheckpoint
+    exactly like connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def _sorted_fold(src_col: str, val_col: str):
+    """Sequential sum of `val_col` in `src_col` order — the
+    order-pinned aggregate both engines reproduce bit-for-bit."""
+    sorted_vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(src_col).alias("i"), F.col(val_col).alias("v"))
+            )
+        ),
+        lambda s: s.getField("v"),
+    )
+    return F.aggregate(
+        F.slice(sorted_vals, 2, 2_000_000_000),
+        F.get(sorted_vals, 0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pagerank(
+    pairs: DataFrame,
+    iterations: int = 4,
+    damping: float = DAMPING,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """PageRank over an undirected pair list (each pair contributes
+    both directions), restricted to nodes that appear in an edge (so
+    every node has degree >= 1 — no dangling-mass redistribution
+    term). Fixed iteration count; uniform 1/N start.
+
+        pr_{t+1}(v) = (1 - d)/N + d * sum_{(u,v) in E} pr_t(u)/deg(u)
+
+    Returns (node, pr) after `iterations` rounds, unrounded — callers
+    round at their edge.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    # control-plane scalar, bounded: the graph's node count
+    n = ed.select("src").distinct().count()
+    if n == 0:
+        return spark.createDataFrame([], "node long, pr double")
+    pr = ed.select(F.col("src").alias("node")).distinct().withColumn(
+        "pr", F.lit(1.0 / n)
+    )
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = ed.join(pr, ed.src == pr.node).select(
+            "dst", "src", (F.col("pr") / F.col("deg")).alias("c")
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(
+                (F.lit(base) + F.lit(damping) * _sorted_fold("src", "c")).alias(
+                    "pr"
+                )
+            )
+            .select(F.col("dst").alias("node"), "pr")
+            .localCheckpoint(eager=False)
+        )
+    return pr

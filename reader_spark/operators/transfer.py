@@ -280,3 +280,46 @@ def reconcile(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> dict:
+    """Materialize an epoch's training shards: the deterministic
+    epoch_shuffle assignment, written as parquet partitioned by
+    shard, rows ordered by their in-shard position — the layout a
+    sequential data loader streams without any further shuffling.
+
+    Scale shape: `repartition(n_shards, shard)` puts each shard's
+    rows on one writer task; `sortWithinPartitions(shard, pos)` is a
+    PER-PARTITION sort (never a global orderBy — no single-partition
+    exchange, no range-exchange sampling pass); partitionBy("shard")
+    then writes one directory per shard. n_shards is chosen so a
+    shard is a few GB; `maxRecordsPerFile` caps file size within a
+    shard. Returns a tiny manifest dict (driver-side, bounded by
+    n_shards) for the job log.
+    """
+    from reader_spark.operators.curation import epoch_shuffle
+
+    assigned = epoch_shuffle(docs, n_shards=n_shards, epoch=epoch, id_col=id_col)
+    rows = docs.join(assigned, id_col)
+    (
+        rows.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    spark = docs.sparkSession
+    manifest = (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    return {int(r["shard"]): int(r["n_docs"]) for r in manifest}

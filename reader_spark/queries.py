@@ -4118,6 +4118,55 @@ FROM s2m GROUP BY 1
 """
 
 
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified near-dup graph (4 fixed
+    iterations, damping 0.85) — the importance-based alternative to
+    min-id/best-quality canonical selection. Bit-reproducible across
+    engines: per-node contributions fold in source-id order
+    (operators/graph.py), so even the iterated doubles agree."""
+    from reader_spark.operators import graph as GR
+
+    docs = _t(spark, sf_dir, "documents")
+    base = DD.token_hashes(docs).persist()
+    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    pr = GR.pagerank(verified.select("doc_a", "doc_b"), iterations=4)
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+def _pagerank_sql(iterations: int) -> str:
+    head = DEDUP_COMPONENTS_SQL.split(", e AS (")[0] + """
+, e AS (
+  SELECT doc_a AS s, doc_b AS d FROM vp
+  UNION ALL
+  SELECT doc_b, doc_a FROM vp
+), deg AS (
+  SELECT s, count(*) AS dg FROM e GROUP BY 1
+), nn AS (
+  SELECT count(DISTINCT s) AS n FROM e
+), pr0 AS (
+  SELECT s AS node, 1.0 / n AS pr FROM (SELECT DISTINCT s FROM e), nn
+)"""
+    step = """
+, pr{i} AS (
+  SELECT e.d AS node,
+         (1.0 - 0.85) / nn.n
+           + 0.85 * list_reduce(list(p.pr / dg.dg ORDER BY e.s),
+                                (x, y) -> x + y) AS pr
+  FROM e
+  JOIN pr{j} p ON p.node = e.s
+  JOIN deg dg ON dg.s = e.s
+  CROSS JOIN nn
+  GROUP BY e.d, nn.n
+)"""
+    body = "".join(step.format(i=i, j=i - 1) for i in range(1, iterations + 1))
+    return head + body + f"\nSELECT node, round(pr, 6) AS pr FROM pr{iterations}"
+
+
+PAGERANK_SQL = _pagerank_sql(4)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -4142,8 +4191,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),
-    "term_stats": (term_stats_q, TERM_STATS_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+    # (pagerank_neardup replaces term_stats in the window —
+    # term_stats is r3 hash-green with untouched code)
+    "pagerank_neardup": (pagerank_neardup, PAGERANK_SQL),
     # r5 rotation: the round-4 additions enter the window immediately
     # (never driver-checked); rotated out are dedup_exact /
     # dedup_simhash / dedup_simhash_pairs / knn_bruteforce /
@@ -4217,6 +4268,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_tokens": (text_tokens, TOKENS_SQL),
     "asof_join_orders": (asof_join_orders, ASOF_SQL),
     "range_join_bands": (range_join_bands, RANGE_SQL),
+    "term_stats": (term_stats_q, TERM_STATS_SQL),
     "s2_pk_bounds": (s2_pk_bounds, S2_SQL),
     "b1_chunked_scan": (b1_chunked_scan, B1_SQL),
     "p1_projection": (p1_projection, P1_SQL),

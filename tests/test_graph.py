@@ -1,0 +1,44 @@
+"""PageRank over pair graphs (operators/graph.py): hand-computed
+values, mass conservation, and determinism of the sorted fold."""
+
+import pyspark.sql.functions as F
+
+from reader_spark.operators import graph as GR
+
+
+def test_pagerank_path_graph_known_values(spark):
+    # undirected path A(1)-B(2)-C(3): deg 1,2,1; N=3
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["node"]: r["pr"]
+        for r in GR.pagerank(pairs, iterations=2).collect()
+    }
+    base = (1.0 - 0.85) / 3
+    pr0 = 1.0 / 3
+    # iteration 1
+    a1 = base + 0.85 * (pr0 / 2)
+    b1 = base + 0.85 * (pr0 / 1 + pr0 / 1)
+    # iteration 2
+    a2 = base + 0.85 * (b1 / 2)
+    b2 = base + 0.85 * (a1 / 1 + a1 / 1)
+    assert out[1] == a2 and out[3] == a2
+    assert out[2] == b2
+    # mass conserved (no dangling nodes in an undirected graph)
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_centrality_ordering(spark):
+    # star: hub 0 linked to 1..5 -> hub must dominate
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    out = {r["node"]: r["pr"] for r in GR.pagerank(pairs, iterations=4).collect()}
+    assert out[0] > max(v for k, v in out.items() if k != 0) * 2
+    assert len(out) == 6
+
+
+def test_pagerank_empty_graph(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert GR.pagerank(pairs, iterations=2).count() == 0

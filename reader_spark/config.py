@@ -65,9 +65,29 @@ class DestinationCfg:
 
 
 @dataclass
+class CurateCfg:
+    """Corpus-curation job: gates -> dedup -> epoch-shuffled shards.
+    The LLM-pipeline analogue of the snapshot run loop — one YAML
+    block instead of a hand-written driver script."""
+
+    lang: str = ""
+    min_chars: int = 0
+    max_chars: int = 0
+    min_quality: float = 0.0
+    dedup: str = "exact"             # exact | minhash | none
+    n_shards: int = 16
+    epoch: int = 0
+
+    def __post_init__(self) -> None:
+        if self.dedup not in ("exact", "minhash", "none"):
+            raise ValueError(f"unknown dedup mode {self.dedup!r}")
+
+
+@dataclass
 class Settings:
     source: SourceCfg
     destination: DestinationCfg
+    curate: CurateCfg | None = None
 
 
 def load_settings(path_or_str: str) -> Settings:
@@ -86,4 +106,5 @@ def load_settings(path_or_str: str) -> Settings:
     ]
     source = SourceCfg(tables=tables, **src)
     destination = DestinationCfg(**raw["destination"])
-    return Settings(source=source, destination=destination)
+    curate = CurateCfg(**raw["curate"]) if raw.get("curate") else None
+    return Settings(source=source, destination=destination, curate=curate)

@@ -85,6 +85,8 @@ def _publish(env: DataFrame, settings: Settings, table: str) -> str:
 def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
     """Execute one configured job; returns {table: destination}."""
     src = settings.source
+    if settings.curate is not None:
+        return _run_curate(spark, settings)
     if src.streaming:
         return _run_streaming(spark, settings)
     results: dict[str, str] = {}
@@ -154,3 +156,69 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("reader_spark_job")
     for table, where in run_job(spark, settings).items():
         print(f"{table}\t{where}")
+
+
+def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
+    """Curation job: gates -> dedup -> epoch-shuffled training shards.
+
+    One declarative plan per stage: the gates are pushed-down
+    filters; exact dedup is a single content-hash aggregate keeping
+    the minimum id; minhash dedup keeps each near-dup component's
+    minimum id (LSH + Jaccard verify + connected components — no
+    all-pairs anywhere); the shard write is partitionBy(shard) with a
+    per-partition sort. Returns {table: out_path} plus a per-shard
+    doc-count manifest under the 'manifest:<table>' key.
+    """
+    from reader_spark.functions.text import quality_score
+    from reader_spark.operators import dedup as DD
+    from reader_spark.operators.transfer import write_training_shards
+
+    cfg = settings.curate
+    src = settings.source
+    results: dict[str, str] = {}
+    for table in src.tables:
+        docs = _read_table(spark, src, table)
+        if cfg.lang:
+            docs = docs.filter(F.col("lang") == cfg.lang)
+        if cfg.min_chars:
+            docs = docs.filter(F.length("text") >= cfg.min_chars)
+        if cfg.max_chars:
+            docs = docs.filter(F.length("text") <= cfg.max_chars)
+        if cfg.min_quality:
+            docs = docs.filter(
+                quality_score(F.col("text")) >= cfg.min_quality
+            )
+        if cfg.dedup == "exact":
+            keep = (
+                docs.groupBy(F.md5("text").alias("__h"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            docs = docs.join(keep, "doc_id")
+        elif cfg.dedup == "minhash":
+            base = DD.token_hashes(docs).persist()
+            sigs = DD.minhash_signature(
+                base, num_hashes=16, hashes_col="toks"
+            ).persist()
+            pairs = DD.lsh_candidate_pairs(sigs, num_hashes=16, band_size=8)
+            verified = DD.jaccard_verify(
+                pairs, docs, threshold=0.8, toks=base
+            )
+            comp = DD.connected_components(verified)
+            # keep each component's minimum id; isolated docs keep
+            # themselves (label is null after the left join)
+            docs = (
+                docs.join(comp, docs.doc_id == comp.node, "left")
+                .filter(
+                    F.col("label").isNull()
+                    | (F.col("label") == F.col("doc_id"))
+                )
+                .drop("node", "label")
+            )
+        out = f"{settings.destination.path}/{table.name}"
+        manifest = write_training_shards(
+            docs, out, n_shards=cfg.n_shards, epoch=cfg.epoch
+        )
+        results[table.name] = out
+        results[f"manifest:{table.name}"] = str(sum(manifest.values()))
+    return results

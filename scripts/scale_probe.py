@@ -105,9 +105,85 @@ def tpch_mode(copies: int) -> None:
         print(f"{name}: {time.perf_counter() - t0:.2f}s")
 
 
+def build_emb(copies: int) -> str:
+    """embeddings x copies: disjoint vec_ids, labels preserved —
+    identical vectors per copy (timing probe, not a recall probe)."""
+    out = os.path.join(TMP, f"embeddings_x{copies}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(TMP, exist_ok=True)
+    sql = " UNION ALL ".join(
+        f"""SELECT vec_id + {i * 1_000_000} AS vec_id, embedding, label
+           FROM read_parquet('{SF_BASE}/embeddings.parquet')"""
+        for i in range(copies)
+    )
+    duckdb.sql(f"COPY ({sql}) TO '{out}' (FORMAT parquet, ROW_GROUP_SIZE 65536)")
+    return out
+
+
+def r4_mode(copies: int) -> None:
+    """Round-4 operators at Nx: chunking, epoch shuffle, PMI, funnel,
+    composed IVFxSQ8 ANN, PageRank over the Nx near-dup graph."""
+    docs_path = build(copies)
+    emb_path = build_emb(copies)
+    d = build_dir(copies)  # events x copies for the funnel
+
+    from reader_spark import queries as Q
+    from reader_spark.operators import curation as CU
+    from reader_spark.operators import dedup as DD
+    from reader_spark.operators import graph as GR
+    from reader_spark.operators import joins as JO
+    from reader_spark.operators import retrieval as RT
+    from reader_spark.operators import similarity as SIM
+    from reader_spark.session import get_spark, read_table
+
+    import pyspark.sql.functions as F
+
+    spark = get_spark("scale_r4")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+
+    def timed(name, df):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"{name}: {time.perf_counter() - t0:.2f}s")
+
+    timed("chunk_documents", CU.chunk_documents(docs, width=24, overlap=8))
+    timed("epoch_shuffle", CU.epoch_shuffle(docs, n_shards=64, epoch=0))
+    timed("pmi_bigrams", RT.pmi_bigrams(docs, min_count=5))
+    ev = read_table(spark, d, "events")
+    timed(
+        "funnel_steps",
+        JO.funnel_steps(ev, ["view", "click", "purchase"], horizon_s=7200),
+    )
+    timed(
+        "knn_ivf_sq8",
+        SIM.knn_ivf_sq8(emb, list(range(10)), k=5, rerank=10, dim=64),
+    )
+    # PageRank over the Nx near-dup graph (pair volume grows
+    # linearly with copies; 2 iterations bound the probe)
+    base = DD.token_hashes(docs).persist()
+    sigs = DD.minhash_signature(base, num_hashes=Q._MH_K, hashes_col="toks").persist()
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=Q._MH_K, band_size=Q._MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base).select(
+        "doc_a", "doc_b"
+    ).persist()
+    t0 = time.perf_counter()
+    nv = verified.count()
+    print(f"verified-pair graph build: {time.perf_counter() - t0:.2f}s ({nv} pairs)")
+    t0 = time.perf_counter()
+    GR.pagerank(verified, iterations=2).write.format("noop").mode("overwrite").save()
+    print(f"pagerank x2 iters: {time.perf_counter() - t0:.2f}s")
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "tpch":
         tpch_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r4":
+        r4_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     path = build(copies)

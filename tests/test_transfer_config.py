@@ -314,3 +314,68 @@ def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
     one = spark.read.parquet(f"{out}/shard=0").collect()
     poss = [r["pos"] for r in one]
     assert poss == sorted(poss)
+
+
+def test_curate_job_end_to_end(spark, sf_dir, tmp_path):
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "curated")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  lang: en
+  min_chars: 50
+  min_quality: 0.3
+  dedup: exact
+  n_shards: 4
+"""
+    settings = load_settings(cfg)
+    assert settings.curate is not None and settings.curate.dedup == "exact"
+    res = run_job(spark, settings)
+    assert res["documents"] == f"{out}/documents"
+    back = spark.read.parquet(f"{out}/documents")
+    rows = back.collect()
+    assert len(rows) == int(res["manifest:documents"]) > 0
+    import pyspark.sql.functions as F
+
+    # gates held
+    assert back.filter(F.col("lang") != "en").count() == 0
+    assert back.filter(F.length("text") < 50).count() == 0
+    # exact dedup held: no duplicate texts survive
+    n_texts = back.select("text").distinct().count()
+    assert n_texts == len(rows)
+    # shard layout
+    assert back.select("shard").distinct().count() <= 4
+
+
+def test_curate_job_minhash_mode(spark, sf_dir, tmp_path):
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "curated_mh")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  dedup: minhash
+  n_shards: 2
+"""
+    res = run_job(spark, load_settings(cfg))
+    back = spark.read.parquet(f"{out}/documents")
+    # minhash keep-min: strictly fewer docs than input (the fixture
+    # corpus is near-dup dense), and no exact duplicates either
+    n = back.count()
+    assert 0 < n < 500
+    assert back.select("text").distinct().count() == n

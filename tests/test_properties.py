@@ -298,3 +298,110 @@ def test_temperature_rates_invert_frequency(spark, docs, alpha):
         smallest = min(sizes, key=lambda g: sizes[g])
         if smallest in rates:
             assert rates[smallest] == 1.0
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+                 min_size=1, max_size=40).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    width=st.integers(2, 10),
+    overlap=st.integers(0, 8),
+)
+@SET
+def test_chunk_documents_covers_exactly(spark, texts, width, overlap):
+    """Chunking invariants for any (width, overlap): chunk ordinals
+    are dense from 0; every chunk holds 1..width tokens; total token
+    instances = n + overlap * (n_chunks - 1) (i.e. consecutive chunks
+    share exactly `overlap` tokens, nothing dropped or padded)."""
+    from reader_spark.operators.curation import chunk_documents
+
+    if overlap >= width:
+        return
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, width=width, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["n_chunk_tokens"]
+    for i, t in rows:
+        n = len(t.split(" "))
+        chunks = by_doc[i]
+        k = len(chunks)
+        assert sorted(chunks) == list(range(k))
+        assert all(1 <= v <= width for v in chunks.values())
+        assert sum(chunks.values()) == n + overlap * (k - 1)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    n_shards=st.integers(1, 9),
+    epoch=st.integers(0, 3),
+)
+@SET
+def test_epoch_shuffle_always_a_partition(spark, ids, n_shards, epoch):
+    """For any id set / shard count / epoch: output is a permutation
+    (each id exactly once), shards in range, positions dense per
+    shard."""
+    from reader_spark.operators.curation import epoch_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = epoch_shuffle(docs, n_shards=n_shards, epoch=epoch).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    shards = {}
+    for r in out:
+        assert 0 <= r["shard"] < n_shards
+        shards.setdefault(r["shard"], []).append(r["pos"])
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),                      # user
+            st.integers(0, 120),                    # minute
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1, max_size=40,
+    ),
+    horizon_min=st.integers(1, 60),
+)
+@SET
+def test_funnel_matches_naive_reference(spark, events, horizon_min):
+    """funnel_steps == the obvious quadratic reference computation,
+    for any event soup and horizon (incl. simultaneous timestamps:
+    strictly-after semantics)."""
+    import datetime as dt
+
+    from reader_spark.operators.joins import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=m), k) for (u, m, k) in events
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r["user_id"], r["ts_0"]): (r["ts_1"], r["ts_2"])
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], horizon_s=horizon_min * 60
+        ).collect()
+    }
+    h = dt.timedelta(minutes=horizon_min)
+    views = [(u, t) for (u, t, k) in rows if k == "view"]
+    assert len(got) == len(set(views)) or len(got) == len(views)
+    for u, vt in views:
+        clicks = [t for (uu, t, k) in rows if uu == u and k == "click" and t > vt]
+        ct = min(clicks) if clicks else None
+        if ct is None or ct - vt > h:
+            ct = None
+        pt = None
+        if ct is not None:
+            purchases = [
+                t for (uu, t, k) in rows if uu == u and k == "purchase" and t > ct
+            ]
+            pt = min(purchases) if purchases else None
+            if pt is not None and pt - ct > h:
+                pt = None
+        assert got[(u, vt)] == (ct, pt), (u, vt)

@@ -135,13 +135,22 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming windowed aggregation with late-data watermark —
     the semantics the reference lacks (§2.7) but a Spark-native
-    engine provides: event-time tumbling counts."""
+    engine provides: event-time counts, tumbling by default or
+    SLIDING when `slide` < `window` (each event then lands in
+    window/slide concurrent windows; state per key grows by the same
+    factor, and the watermark still bounds it)."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .groupBy(win, F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),

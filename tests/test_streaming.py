@@ -339,3 +339,37 @@ def test_stream_dedupe_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect())
     assert ids == [0, 1, 2, 3, 4]
+
+
+def test_sliding_window_counts_stream(spark, tmp_path):
+    # 10-min window sliding every 5: each event must appear in
+    # exactly 2 windows; counts per window reflect overlap
+    rows = [
+        {"ts": "2024-01-01T00:01:00", "event_type": "a", "value": 1.0},
+        {"ts": "2024-01-01T00:06:00", "event_type": "a", "value": 1.0},
+    ]
+    p = tmp_path / "ev_slide"
+    p.mkdir()
+    with open(p / "e.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(p))
+    agg = cdc.windowed_event_counts(
+        stream, window="10 minutes", slide="5 minutes"
+    )
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("slide_out").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_slide")).start())
+    q.awaitTermination(60)
+    out = spark.sql(
+        "SELECT window_start, n FROM slide_out ORDER BY window_start"
+    ).collect()
+    # windows: 23:55-00:05 (ev1), 00:00-00:10 (both), 00:05-00:15 (ev2)
+    assert [r["n"] for r in out] == [1, 2, 1]
+    total = sum(r["n"] for r in out)
+    assert total == 2 * len(rows)  # every event in exactly 2 windows

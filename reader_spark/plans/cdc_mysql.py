@@ -36,19 +36,42 @@ BINLOG_SCHEMA = (
 )
 
 
-def open_stream(spark: SparkSession, path: str) -> DataFrame:
+def open_stream(
+    spark: SparkSession, path: str, start_offsets: dict | None = None
+) -> DataFrame:
     from reader_spark.streaming.log_source import LogTailDataSource
 
     try:
         spark.dataSource.register(LogTailDataSource)
     except Exception:
         pass  # already registered
-    return (
+    reader = (
         spark.readStream.format("logtail")
         .schema(BINLOG_SCHEMA)
         .option("path", path)
-        .load()
     )
+    if start_offsets:
+        import json as _json
+
+        reader = reader.option("startoffsets", _json.dumps(start_offsets))
+    return reader.load()
+
+
+def log_position(log_dir: str) -> dict:
+    """Current end-of-log position {file: n_records} — what the
+    reference records as Position when a snapshot is cut
+    (sources/mysql/streaming/offset.go:12-79). A stream started from
+    this position sees exactly the events AFTER the snapshot."""
+    import os as _os
+
+    pos = {}
+    if _os.path.isdir(log_dir):
+        for name in sorted(_os.listdir(log_dir)):
+            fp = _os.path.join(log_dir, name)
+            if name.endswith((".json", ".jsonl")) and _os.path.isfile(fp):
+                with open(fp) as f:
+                    pos[name] = sum(1 for _ in f)
+    return pos
 
 
 def process_batch(
@@ -182,6 +205,7 @@ def run_pipeline_merge(
     adapter: SchemaAdapter | None = None,
     history_path: str | None = None,
     n_buckets: int = 16,
+    start_offsets: dict | None = None,
 ):
     """Streaming CDC straight into MERGED table state: each micro-batch
     flows logtail -> decode -> `TransferWriter.upsert_bucketed`, so the
@@ -193,7 +217,7 @@ def run_pipeline_merge(
 
     adapter = adapter or SchemaAdapter()
     writer = TransferWriter(spark, dest_dir)
-    stream = open_stream(spark, log_dir)
+    stream = open_stream(spark, log_dir, start_offsets=start_offsets)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         for table, changes in decoded_changes(
@@ -239,4 +263,65 @@ def run_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def snapshot_then_stream(
+    spark: SparkSession,
+    snapshots: dict[str, DataFrame],
+    log_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    db: str,
+    adapter: SchemaAdapter,
+    history_path: str | None = None,
+    n_buckets: int = 16,
+):
+    """The reference's core operational flow composed: lock-free
+    snapshot, then CDC continuation from the position the snapshot
+    was cut at (main.go: snapshot Run -> streaming Run; offset
+    semantics offset.go:12-79).
+
+    1. Record the current log position (the consistent point).
+    2. Seed the transfer destination with the snapshot rows (op="r",
+       seq=0 — the Debezium snapshot op), bucket-partitioned so the
+       later incremental merges stay narrow.
+    3. Start the merge pipeline with `start_offsets` = the recorded
+       position: the stream sees exactly the events AFTER the
+       snapshot — no gap (position captured before the seed read) and
+       no replay of pre-snapshot history against the seeded state
+       (which a blind PK merge could not absorb).
+
+    Returns the streaming query; tables = snapshots.keys().
+    """
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators.transfer import TransferWriter
+
+    pos = log_position(log_dir)
+    writer = TransferWriter(spark, dest_dir)
+    for table, df in snapshots.items():
+        # Seed in the WIRE shape `decoded_changes` emits (every column
+        # string): the bucket key is pmod(xxhash64(pk), n) and
+        # xxhash64 of int 3 != xxhash64 of string "3" — a typed seed
+        # would scatter the same logical keys across different
+        # buckets than the stream's merges touch. Typed columns are
+        # the converter layer's (P3) job downstream of the transfer
+        # table, exactly as in the reference.
+        seed = df.select(
+            *[F.col(c).cast("string").alias(c) for c in df.columns]
+        ).withColumn("op", F.lit("r")).withColumn("seq", F.lit(0))
+        pk = adapter.tables[table][0]
+        writer.upsert_bucketed(table, seed, [pk], "seq", n_buckets=n_buckets)
+    return run_pipeline_merge(
+        spark,
+        log_dir,
+        dest_dir,
+        checkpoint_dir,
+        db,
+        list(snapshots),
+        adapter,
+        history_path=history_path,
+        n_buckets=n_buckets,
+        start_offsets=pos,
     )

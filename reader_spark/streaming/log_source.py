@@ -46,11 +46,18 @@ class LogTailStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("logtail source requires option 'path'")
         self.fields = schema.fieldNames()
+        # Resume position (reference Position{File, Pos}: a snapshot
+        # records the log position it was cut at, and the stream
+        # starts THERE — the snapshot->CDC handoff contract). JSON
+        # {file: records_already_consumed}; only consulted when no
+        # checkpoint exists, exactly like the reference's offset YAML
+        # vs a fresh boot.
+        self.start = json.loads(options.get("startoffsets", "{}"))
 
     # -- offset management (engine checkpoints these dicts) --
 
     def initialOffset(self) -> dict:
-        return {}
+        return dict(self.start)
 
     def latestOffset(self) -> dict:
         offsets = {}

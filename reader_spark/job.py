@@ -128,7 +128,29 @@ def _run_streaming(spark: SparkSession, settings: Settings) -> dict[str, str]:
     tables = [t.name for t in src.tables]
     adapter = SchemaAdapter()
     history = src.options.get("history_path")
-    if dest.kind == "transfer":
+    snap_path = src.options.get("snapshot_path")
+    if dest.kind == "transfer" and snap_path:
+        # reference main flow: snapshot first, then CDC from the
+        # position the snapshot was cut at (plans/cdc_mysql.py::
+        # snapshot_then_stream). snapshot_path points at the
+        # consistent per-table parquet the scanner produced; DDL for
+        # the tables must be bootstrapped (history replay or
+        # bootstrap_ddl list), mirroring SHOW CREATE TABLE.
+        from reader_spark.plans.cdc_mysql import snapshot_then_stream
+
+        for stmt in src.options.get("bootstrap_ddl", []):
+            adapter.apply_ddl(stmt, 0)
+        snaps = {
+            t.name: spark.read.parquet(f"{snap_path}/{t.name}.parquet")
+            for t in src.tables
+        }
+        q = snapshot_then_stream(
+            spark, snaps, log_dir, dest.path, ck, src.database, adapter,
+            history_path=history,
+            n_buckets=int(dest.options.get("n_buckets", 16)),
+            snapshot_position=src.options.get("snapshot_position"),
+        )
+    elif dest.kind == "transfer":
         q = run_pipeline_merge(
             spark, log_dir, dest.path, ck, src.database, tables,
             adapter, history_path=history,

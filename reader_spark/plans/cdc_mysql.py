@@ -276,13 +276,17 @@ def snapshot_then_stream(
     adapter: SchemaAdapter,
     history_path: str | None = None,
     n_buckets: int = 16,
+    snapshot_position: dict | None = None,
 ):
     """The reference's core operational flow composed: lock-free
     snapshot, then CDC continuation from the position the snapshot
     was cut at (main.go: snapshot Run -> streaming Run; offset
     semantics offset.go:12-79).
 
-    1. Record the current log position (the consistent point).
+    1. Use the position recorded WHEN THE SNAPSHOT WAS CUT
+       (`snapshot_position`, the Position the reference persists next
+       to its snapshot); when the snapshot is being cut right now,
+       omit it and the current end of log is recorded.
     2. Seed the transfer destination with the snapshot rows (op="r",
        seq=0 — the Debezium snapshot op), bucket-partitioned so the
        later incremental merges stay narrow.
@@ -298,7 +302,7 @@ def snapshot_then_stream(
 
     from reader_spark.operators.transfer import TransferWriter
 
-    pos = log_position(log_dir)
+    pos = snapshot_position if snapshot_position is not None else log_position(log_dir)
     writer = TransferWriter(spark, dest_dir)
     for table, df in snapshots.items():
         # Seed in the WIRE shape `decoded_changes` emits (every column

@@ -3727,15 +3727,19 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the index is the refreshed offline artifact; the delta-side
     joins are uniform-key and index-size-gated."""
     docs = _t(spark, sf_dir, "documents")
-    existing = docs.filter(F.col("doc_id") % 10 < 8)
-    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    # ONE signature pass over the whole corpus, split by id afterward
+    # (narrow persisted frame, same contract as the other dedup
+    # queries): separate minhash calls on existing/incoming would
+    # tokenize+hash the corpus twice. Measured 1.25x at sf0.1; at
+    # scale it halves the dominant md5 scan.
+    sigs = DD.minhash_signature(docs, num_hashes=_MH_K).persist()
     index = DD.band_index(
-        DD.minhash_signature(existing, num_hashes=_MH_K),
+        sigs.filter(F.col("doc_id") % 10 < 8),
         num_hashes=_MH_K,
         band_size=_MH_BAND,
     )
     survivors = DD.incremental_dedup_filter(
-        DD.minhash_signature(incoming, num_hashes=_MH_K),
+        sigs.filter(F.col("doc_id") % 10 >= 8),
         index,
         num_hashes=_MH_K,
         band_size=_MH_BAND,

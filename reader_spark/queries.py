@@ -4185,6 +4185,133 @@ def _pagerank_sql(iterations: int) -> str:
 PAGERANK_SQL = _pagerank_sql(4)
 
 
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-QA expectation checks (the dbt-test / Deequ verb a
+    warehouse loader runs after every transfer): referential
+    integrity via anti-joins, domain-range violations, null rates —
+    one row per check with its violation count. Each check is a small
+    aggregate; the anti-joins broadcast their dimension side.
+    At 100 TB every check is a single pass and they share scans where
+    Catalyst can collapse them; failed expectations gate the load."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    fk_orders = check(
+        "orders_custkey_fk",
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        ),
+    )
+    fk_lineitem = check(
+        "lineitem_orderkey_fk",
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        ),
+    )
+    qty_range = check(
+        "lineitem_qty_range",
+        lineitem.filter(
+            (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)
+        ),
+    )
+    disc_range = check(
+        "lineitem_discount_range",
+        lineitem.filter(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.2)
+        ),
+    )
+    null_date = check(
+        "orders_null_orderdate", orders.filter(F.col("o_orderdate").isNull())
+    )
+    null_value = check(
+        "events_null_value", events.filter(F.col("value").isNull())
+    )
+    out = fk_orders
+    for c in (fk_lineitem, qty_range, disc_range, null_date, null_value):
+        out = out.unionByName(c)
+    return out
+
+
+QUALITY_REPORT_SQL = """
+SELECT 'orders_custkey_fk' AS check, count(*) AS n_violations
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_orderkey_fk', count(*)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem_qty_range', count(*)
+FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 60
+UNION ALL
+SELECT 'lineitem_discount_range', count(*)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 0.2
+UNION ALL
+SELECT 'orders_null_orderdate', count(*)
+FROM orders WHERE o_orderdate IS NULL
+UNION ALL
+SELECT 'events_null_value', count(*)
+FROM events WHERE value IS NULL
+"""
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bucket histogram of events.value — the
+    distribution profile a curation dashboard draws. One 2-scalar
+    aggregate (min/max) broadcast back, then a map-only bucket
+    assignment and a 20-row count aggregate; identical IEEE double
+    bucket arithmetic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bucket = F.least(
+        F.lit(19),
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("lo") + bucket * width).alias("b_lo"),
+            (F.col("lo") + (bucket + 1) * width).alias("b_hi"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.round(F.first("b_lo"), 6).alias("bucket_lo"),
+            F.round(F.first("b_hi"), 6).alias("bucket_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+HISTOGRAM_SQL = """
+WITH st AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+), b AS (
+  SELECT least(19, floor((value - lo) / ((hi - lo) / 20.0))::INT) AS bucket,
+         lo, hi
+  FROM events, st
+)
+SELECT bucket,
+       round(lo + bucket * ((hi - lo) / 20.0), 6) AS bucket_lo,
+       round(lo + (bucket + 1) * ((hi - lo) / 20.0), 6) AS bucket_hi,
+       count(*) AS n
+FROM b GROUP BY bucket, lo, hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -4205,9 +4332,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
-    "dedup_ngram": (dedup_ngram, NGRAM_SQL),
-    "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    # r4: dataset-QA verbs enter the window (rotated out: dedup_ngram
+    # / embedding_near_dup — r3 hash-green, code untouched)
+    "data_quality_report": (data_quality_report, QUALITY_REPORT_SQL),
+    "value_histogram": (value_histogram, HISTOGRAM_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     # (pagerank_neardup replaces term_stats in the window —
@@ -4282,6 +4411,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram": (dedup_ngram, NGRAM_SQL),
+    "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     "knn_bruteforce": (knn_bruteforce, KNN_SQL),

@@ -340,6 +340,94 @@ def knn_ivf_trained(
 # scalar-quantized (int8) ANN — the memory-bandwidth scale path
 
 
+def ivf_index_write(
+    embeddings: DataFrame,
+    path: str,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: centroids (tiny) and the corpus
+    WITH its cluster assignment, written as parquet partitioned by
+    the cluster key — searches then read ONLY the probed cells
+    (directory pruning), the disk layout equivalent of the equi-join
+    cell restriction. Run at ingest; refresh on refit.
+    """
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cl int, c array<double>",
+    ).withColumn("nc", dot(F.col("c"), F.col("c")))
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    assigned = nearest_clusters(vecs, cents, 1, id_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        assigned.repartition(F.col("cl"))
+        .write.mode("overwrite")
+        .partitionBy("cl")
+        .parquet(f"{path}/corpus")
+    )
+
+
+def knn_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a materialized IVF index: probe the stored centroids,
+    read ONLY the probed cluster partitions (partition pruning on the
+    `cl` directory key — the scan never touches unprobed cells), and
+    rank candidates by exact cosine. The stored `nv` norms make the
+    search scan-only: no per-corpus-row recompute at query time."""
+    from pyspark.sql import Window as W
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = nearest_clusters(
+        queries.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).withColumn("nv", dot(F.col("vec"), F.col("vec"))),
+        cents,
+        nprobe,
+        id_col,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nv").alias("nq"),
+        F.col("cl").alias("qcl"),
+    )
+    probed_cells = [r["qcl"] for r in probes.select("qcl").distinct().collect()]
+    corpus = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("cl").isin(probed_cells)
+    )
+    cand = corpus.join(
+        F.broadcast(probes),
+        (F.col("cl") == F.col("qcl")) & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            dot(F.col("qvec"), F.col("vec"))
+            / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def sq8_stats(vecs: DataFrame, dim: int) -> DataFrame:
     """Per-dimension [min, max] over the corpus, as two `dim`-element
     arrays in ONE single-row aggregate (128 partial aggregates, fully

@@ -374,3 +374,22 @@ def test_knn_ivf_sq8_candidates_within_probed_cells(spark, sf_dir):
     }
     for r in got:
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_ivf_index_write_and_search(spark, sf_dir, tmp_path):
+    # materialized index round trip: results identical to the
+    # in-memory trained path at the same probes; partition pruning
+    # asserted on the physical plan (PartitionFilters on cl)
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = SIM.ivf_fit(emb, n_clusters=8, seed=7)
+    path = str(tmp_path / "ivf")
+    SIM.ivf_index_write(emb, path, model)
+    qids = [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = SIM.knn_ivf_indexed(spark, path, queries, k=5, nprobe=2)
+    want = SIM.knn_ivf_trained(emb, qids, model, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cl" in plan

@@ -202,3 +202,62 @@ def dedupe_stream_within_watermark(
     keeps ALL keys forever). This is the streaming analogue of the
     K3 transfer-sink PK dedupe."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Incrementally-maintained materialized rollup: the streaming
+    windowed aggregate runs in UPDATE mode and each micro-batch
+    MERGEs only the CHANGED (window, key) rows into a parquet rollup
+    table — the warehouse-side materialized view a dashboard reads,
+    kept fresh without ever recomputing history.
+
+    Scale: state is bounded by the watermark (closed windows are
+    evicted); the per-batch merge touches |changed groups| rows, not
+    the table; the upsert key is (window_start, key). Exactly the
+    write-then-commit contract — replays re-merge the same groups
+    idempotently (last write wins on identical keys).
+    """
+    from reader_spark.operators.transfer import TransferWriter
+
+    writer = TransferWriter(spark, dest_dir)
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        changes = batch.withColumn("op", F.lit("u")).withColumn(
+            "seq", F.lit(int(epoch_id)).cast("long")
+        )
+        writer.upsert(
+            "rollup", changes, ["window_start", key_col], "seq"
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -373,3 +373,63 @@ def test_sliding_window_counts_stream(spark, tmp_path):
     assert [r["n"] for r in out] == [1, 2, 1]
     total = sum(r["n"] for r in out)
     assert total == 2 * len(rows)  # every event in exactly 2 windows
+
+
+def test_maintain_rollup_incremental_matches_batch(spark, tmp_path):
+    # two appends; after each run the materialized rollup equals the
+    # full batch recompute over everything seen so far — history is
+    # never recomputed, only changed (window, key) rows merge
+    src = tmp_path / "roll_ev"
+    src.mkdir()
+    dest = str(tmp_path / "roll_dest")
+    ck = str(tmp_path / "roll_ck")
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = cdc.maintain_rollup(spark, stream, dest, ck)
+        q.awaitTermination(90)
+
+    def batch_recompute():
+        df = spark.read.schema(schema).json(str(src))
+        return sorted(
+            map(tuple, df.groupBy(
+                F.date_format(F.window("ts", "1 hour").start,
+                              "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+            ).agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("value").alias("total_value")).collect())
+        )
+
+    write_batch("b1.json", [
+        {"ts": "2024-01-01T00:10:00", "event_type": "a", "value": 1.0},
+        {"ts": "2024-01-01T00:20:00", "event_type": "a", "value": 2.0},
+        {"ts": "2024-01-01T01:05:00", "event_type": "b", "value": 3.0},
+    ])
+    run()
+    got = sorted(map(tuple, spark.read.parquet(f"{dest}/rollup")
+                 .select("window_start", "event_type", "n", "total_value")
+                 .collect()))
+    assert got == batch_recompute()
+
+    # second increment touches one existing window and adds one new
+    write_batch("b2.json", [
+        {"ts": "2024-01-01T00:40:00", "event_type": "a", "value": 4.0},
+        {"ts": "2024-01-01T02:15:00", "event_type": "c", "value": 5.0},
+    ])
+    run()
+    got2 = sorted(map(tuple, spark.read.parquet(f"{dest}/rollup")
+                  .select("window_start", "event_type", "n", "total_value")
+                  .collect()))
+    assert got2 == batch_recompute()
+    # the updated window reflects BOTH increments
+    assert (("2024-01-01 00:00:00", "a", 3, 7.0) in got2)

@@ -4185,6 +4185,90 @@ def _pagerank_sql(iterations: int) -> str:
 PAGERANK_SQL = _pagerank_sql(4)
 
 
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (m=8 subspaces, label-seeded per-
+    subspace codebooks, asymmetric LUT distance) with exact top-5
+    rescore — the codebook-compression tier next to SQ8 (operators/
+    similarity.py::knn_pq_rescore). Deterministic end-to-end: codes
+    via struct-min, ADC partials summed in fixed subspace order."""
+    return SIM.knn_pq_rescore(
+        _t(spark, sf_dir, "embeddings"),
+        _KNN_QUERY_IDS,
+        k=5,
+        rerank=10,
+        m=8,
+        dim=64,
+    )
+
+
+KNN_PQ_SQL = """
+WITH v0 AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), v AS (
+  SELECT vec_id, e,
+         list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nv
+  FROM v0
+), cent0 AS (
+  SELECT label AS cw, list(e ORDER BY vec_id) AS vs FROM v0 GROUP BY label
+), cent AS (
+  SELECT cw,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(generate_series(1, len(a)), i -> a[i] + b[i])),
+           x -> x / len(vs)) AS mv
+  FROM cent0
+), sp AS (
+  SELECT unnest(generate_series(0, 7)) AS s
+), books AS (
+  SELECT s, cw, list_slice(mv, s * 8 + 1, s * 8 + 8) AS c FROM cent, sp
+), pieces AS (
+  SELECT vec_id, s, list_slice(e, s * 8 + 1, s * 8 + 8) AS sv FROM v0, sp
+), codes AS (
+  SELECT vec_id, s, cw AS code FROM (
+    SELECT p.vec_id, p.s, b.cw,
+           row_number() OVER (PARTITION BY p.vec_id, p.s ORDER BY
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> (p.sv[i] - b.c[i]) * (p.sv[i] - b.c[i])), (x, y) -> x + y) ASC,
+             b.cw ASC) AS r
+    FROM pieces p JOIN books b ON b.s = p.s
+  ) WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10
+), lut AS (
+  SELECT query_id, b.s, b.cw,
+         list_reduce(list_transform(generate_series(1, 8),
+           i -> qe[b.s * 8 + i] * b.c[i]), (x, y) -> x + y) AS p
+  FROM q, books b
+), adc AS (
+  SELECT c.vec_id AS neighbor_id, l.query_id,
+         list_reduce(list(l.p ORDER BY c.s), (x, y) -> x + y) AS approx_dot
+  FROM codes c
+  JOIN lut l ON l.s = c.s AND l.cw = c.code AND c.vec_id <> l.query_id
+  GROUP BY c.vec_id, l.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dot DESC, neighbor_id) AS arank
+    FROM adc
+  ) WHERE arank <= 10
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         round(dp / (sqrt(nq) * sqrt(nn)), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dp / (sqrt(nq) * sqrt(nn)), 6) DESC, neighbor_id) AS rank
+  FROM (
+    SELECT cand.query_id AS query_id, cand.neighbor_id AS neighbor_id,
+           list_reduce(list_transform(generate_series(1, 64), i -> qv.e[i] * nb.e[i]), (x, y) -> x + y) AS dp,
+           qv.nv AS nq, nb.nv AS nn
+    FROM cand
+    JOIN v nb ON nb.vec_id = cand.neighbor_id
+    JOIN v qv ON qv.vec_id = cand.query_id
+  )
+) WHERE rank <= 5
+"""
+
+
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-QA expectation checks (the dbt-test / Deequ verb a
     warehouse loader runs after every transfer): referential
@@ -4331,8 +4415,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # LLM-data-pipeline
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
-    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    # knn_pq enters the window (new this round); dedup_components
+    # rotates out — r3 hash-green, untouched, and canonical_docs (in
+    # window) exercises the same components code path end-to-end
+    "knn_pq": (knn_pq, KNN_PQ_SQL),
     # r4: dataset-QA verbs enter the window (rotated out: dedup_ngram
     # / embedding_near_dup — r3 hash-green, code untouched)
     "data_quality_report": (data_quality_report, QUALITY_REPORT_SQL),
@@ -4411,6 +4498,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_ngram": (dedup_ngram, NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),

@@ -393,3 +393,58 @@ def test_ivf_index_write_and_search(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "cl" in plan
+
+
+def test_knn_pq_rescore_exact_values_and_recall(spark, sf_dir):
+    # rescore contract: every emitted cos_sim equals the brute-force
+    # value for that pair (PQ only selects candidates, never alters
+    # the reported similarity)
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = SIM.knn_pq_rescore(emb, list(range(5)), k=5, rerank=10).collect()
+    assert {r["query_id"] for r in got} == set(range(5))
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in SIM.knn_bruteforce(emb, list(range(5)), k=500).collect()
+    }
+    for r in got:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+    # recall on data with real cluster structure (the regime a
+    # label-seeded codebook is built for; the fixture embeddings are
+    # unclustered random vectors where no 16-codeword/subspace
+    # quantizer can be recall-faithful — same caveat as IVF)
+    import random
+
+    rng = random.Random(11)
+    dim, n_centers, per_center = 16, 8, 40
+    rows = []
+    for cid in range(n_centers):
+        center = [2.5 if d % n_centers == cid else 0.0 for d in range(dim)]
+        for j in range(per_center):
+            rows.append(
+                (cid * per_center + j,
+                 [c + rng.uniform(-0.4, 0.4) for c in center], cid)
+            )
+    emb2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    qids = [i * per_center for i in range(n_centers)]
+    bt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.knn_bruteforce(emb2, qids, k=5).collect()
+    }
+    # rerank must cover the quantization-tie set: every member of a
+    # tight cluster shares the same codes, so the approx ordering
+    # inside a cell is id-arbitrary — rerank >= cluster size makes
+    # the exact pass see the whole cell (the standard PQ rerank rule:
+    # size it to the expected candidates-at-equal-code)
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.knn_pq_rescore(
+            emb2, qids, k=5, rerank=per_center, m=4, dim=dim
+        ).collect()
+    }
+    recall = len(bt & pq) / len(bt)
+    assert recall >= 0.85, recall

@@ -90,6 +90,9 @@ HEADLINE = [
     "sliding_trending",
     "knn_ivf_sq8",
     "funnel_events",
+    "knn_pq",
+    "data_quality_report",
+    "value_histogram",
 ]
 
 

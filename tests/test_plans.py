@@ -268,3 +268,21 @@ def test_epoch_shuffle_partitions_by_shard_only(spark):
     plan = _plan(fn(spark, SF_DIR))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_knn_pq_lut_joins_are_broadcast(spark):
+    # the ADC pass joins corpus codes against the tiny LUT / codebook
+    # frames: those must be broadcast joins, never a sort-merge of the
+    # corpus against a 128-row table
+    fn, _ = CATALOG["knn_pq"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_report_fk_checks_broadcast_anti(spark):
+    fn, _ = CATALOG["data_quality_report"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    ), plan

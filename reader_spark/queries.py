@@ -4282,13 +4282,33 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     events = _t(spark, sf_dir, "events")
 
-    def check(name: str, df: DataFrame) -> DataFrame:
+    def count_check(name: str, df: DataFrame) -> DataFrame:
         return df.select(
             F.lit(name).alias("check"),
             F.count(F.lit(1)).alias("n_violations"),
         )
 
-    fk_orders = check(
+    def local_checks(df: DataFrame, conds: list[tuple[str, F.Column]]) -> DataFrame:
+        # every scalar expectation on one table comes out of a SINGLE
+        # scan: conditional sums, unpivoted to (check, n) rows — never
+        # one filter+count pass per rule
+        agg = df.agg(
+            *[
+                F.sum(F.when(c, 1).otherwise(0)).alias(n)
+                for n, c in conds
+            ]
+        )
+        pairs = F.array(
+            *[
+                F.struct(F.lit(n).alias("check"), F.col(n).alias("n_violations"))
+                for n, _ in conds
+            ]
+        )
+        return agg.select(F.explode(pairs).alias("e")).select(
+            "e.check", "e.n_violations"
+        )
+
+    fk_orders = count_check(
         "orders_custkey_fk",
         orders.join(
             F.broadcast(customer.select("c_custkey")),
@@ -4296,7 +4316,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         ),
     )
-    fk_lineitem = check(
+    fk_lineitem = count_check(
         "lineitem_orderkey_fk",
         lineitem.join(
             orders.select("o_orderkey"),
@@ -4304,26 +4324,20 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         ),
     )
-    qty_range = check(
-        "lineitem_qty_range",
-        lineitem.filter(
-            (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)
-        ),
-    )
-    disc_range = check(
-        "lineitem_discount_range",
-        lineitem.filter(
-            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.2)
-        ),
-    )
-    null_date = check(
-        "orders_null_orderdate", orders.filter(F.col("o_orderdate").isNull())
-    )
-    null_value = check(
-        "events_null_value", events.filter(F.col("value").isNull())
-    )
+    li_local = local_checks(lineitem, [
+        ("lineitem_qty_range",
+         (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)),
+        ("lineitem_discount_range",
+         (F.col("l_discount") < 0) | (F.col("l_discount") > 0.2)),
+    ])
+    orders_local = local_checks(orders, [
+        ("orders_null_orderdate", F.col("o_orderdate").isNull()),
+    ])
+    events_local = local_checks(events, [
+        ("events_null_value", F.col("value").isNull()),
+    ])
     out = fk_orders
-    for c in (fk_lineitem, qty_range, disc_range, null_date, null_value):
+    for c in (fk_lineitem, li_local, orders_local, events_local):
         out = out.unionByName(c)
     return out
 

@@ -140,3 +140,149 @@ def test_full_type_golden_envelope(spark):
     assert got.topic == "cdc.db1.types"
     assert got.key == '{"id":1}'
     assert got.value == expected_value
+
+
+def test_mysql_golden_envelope(spark):
+    """MySQL-flavored golden payload (reference
+    /root/reference/integration_tests/mysql/main.go:625-677): point
+    WKB bit-decode, zero-date nulling, datetime micros, enum/set,
+    blob — wire values hand-computed independently of Spark."""
+    import struct
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("dt", T.TimestampType()),
+            T.StructField("zero_date", T.StringType()),
+            T.StructField("pt_wkb", T.BinaryType()),
+            T.StructField("en", T.IntegerType()),
+            T.StructField("st", T.IntegerType()),
+            T.StructField("yr", T.IntegerType()),
+            T.StructField("bl", T.BinaryType()),
+        ]
+    )
+    ts = dt.datetime(2024, 3, 1, 8, 30, 15, 250000)
+    # MySQL internal point: 4-byte SRID LE + WKB(1-byte LE marker,
+    # 4-byte type=1, two LE doubles)
+    wkb = (
+        struct.pack("<I", 0)
+        + b"\x01"
+        + struct.pack("<I", 1)
+        + struct.pack("<d", 3.25)
+        + struct.pack("<d", -4.5)
+    )
+    df = spark.createDataFrame(
+        [(7, ts, "0000-00-00", wkb, 1, 0b110, 2024, b"\xff\x00")], raw_schema
+    )
+    conv = df.select(
+        "id",
+        C.CONVERTERS["micro_timestamp"].convert(F.col("dt")).alias("dt"),
+        C.CONVERTERS["epoch_days"]
+        .convert(C.null_invalid_date(F.col("zero_date")).cast("date"))
+        .alias("zero_date"),
+        C.mysql_point_struct(F.col("pt_wkb")).alias("pt"),
+        C.mysql_enum_decode(F.col("en"), ["sm", "md", "lg"]).alias("en"),
+        C.mysql_set_decode(F.col("st"), ["x", "y", "z"]).alias("st"),
+        C.CONVERTERS["year"].convert(F.col("yr")).alias("yr"),
+        C.CONVERTERS["bytes"].convert(F.col("bl")).alias("bl"),
+    )
+    env = E.snapshot_envelope(
+        conv, pk_cols=["id"], db="appdb", schema="", table="my_types",
+        topic_prefix="cdc", ts_col=F.lit(1709281815250), wire_schema=False,
+        dialect="mysql",
+    )
+    got = env.collect()[0]
+    micros = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+    after = {
+        "id": 7,
+        "dt": micros,
+        "zero_date": None,              # 0000-00-00 -> NULL (P4)
+        "pt": {"x": 3.25, "y": -4.5},   # IEEE-754 bit decode
+        "en": "sm",                      # 1-based enum index
+        "st": "y,z",                     # bitset members
+        "yr": 2024,
+        "bl": base64.b64encode(b"\xff\x00").decode(),
+    }
+    expected_value = json.dumps(
+        {
+            "before": None,
+            "after": after,
+            "source": {
+                "db": "appdb", "schema": "", "table": "my_types",
+                "ts_ms": 1709281815250,
+            },
+            "op": "r",
+        },
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+    assert got.key == '{"id":7}'
+    assert got.value == expected_value
+
+
+def test_mssql_golden_envelope(spark):
+    """MSSQL-flavored golden payload (reference
+    /root/reference/integration_tests/mssql/main.go:175-227): money
+    scale 4, DATETIME_PRECISION bucket selection down to the nano
+    converters, datetimeoffset as UTC string, uniqueidentifier."""
+    raw_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("mny", T.StringType()),
+            T.StructField("dt2_7", T.TimestampType()),
+            T.StructField("t_7", T.TimestampType()),
+            T.StructField("t_3", T.TimestampType()),
+            T.StructField("dto", T.TimestampType()),
+            T.StructField("uid", T.StringType()),
+        ]
+    )
+    ts = dt.datetime(2024, 6, 30, 23, 59, 58, 123456)
+    df = spark.createDataFrame(
+        [(3, "$12,345.6789", ts, ts, ts, ts,
+          "E0C9C4F1-0000-0000-0000-000000000001")],
+        raw_schema,
+    )
+    conv = df.select(
+        "id",
+        C.money_converter(4).convert(
+            C.money_string(F.col("mny"), scale=4)
+        ).alias("mny"),
+        # DATETIME_PRECISION buckets pick the converter
+        C.mssql_datetime2_converter(7).convert(F.col("dt2_7")).alias("dt2_7"),
+        C.mssql_time_converter(7).convert(F.col("t_7")).alias("t_7"),
+        C.mssql_time_converter(3).convert(F.col("t_3")).alias("t_3"),
+        C.CONVERTERS["zoned_timestamp"].convert(F.col("dto")).alias("dto"),
+        C.CONVERTERS["uuid"].convert(F.col("uid")).alias("uid"),
+    )
+    env = E.snapshot_envelope(
+        conv, pk_cols=["id"], db="mssqldb", schema="dbo", table="ms_types",
+        topic_prefix="cdc", ts_col=F.lit(1719791998123), wire_schema=False,
+        dialect="mssql",
+    )
+    got = env.collect()[0]
+    micros = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+    tod_micros = ((23 * 60 + 59) * 60 + 58) * 1_000_000 + 123456
+    after = {
+        "id": 3,
+        "mny": 12345.6789,
+        "dt2_7": micros * 1_000,          # Datetime2Nano: int64 ns
+        "t_7": tod_micros * 1_000,        # TimeNano: ns past midnight
+        "t_3": tod_micros // 1_000,       # Time: int32 ms past midnight
+        "dto": "2024-06-30T23:59:58.123456Z",
+        "uid": "E0C9C4F1-0000-0000-0000-000000000001",
+    }
+    expected_value = json.dumps(
+        {
+            "before": None,
+            "after": after,
+            "source": {
+                "db": "mssqldb", "schema": "dbo", "table": "ms_types",
+                "ts_ms": 1719791998123,
+            },
+            "op": "r",
+        },
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+    assert got.key == '{"id":3}'
+    assert got.value == expected_value

@@ -105,3 +105,140 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel — multi-step state machine per key
+
+FUNNEL_SCHEMA = (
+    "user_id long, ts_0 timestamp, ts_1 timestamp, ts_2 timestamp"
+)
+# open chains: [(t0_us, t1_us or -1), ...]
+FUNNEL_STATE_SCHEMA = "t0s array<long>, t1s array<long>"
+
+
+def make_funnel(steps: tuple, horizon_s: int):
+    """Per-user funnel state machine (first-touch, same semantics as
+    joins.funnel_steps): a step-0 event opens a chain; the first
+    step-1 event strictly after it within the horizon advances it;
+    the first step-2 event after that completes it. Rows emit as soon
+    as their outcome is PROVEN — completion on the closing event, or
+    failure when the first following event is beyond the horizon or
+    the watermark passes the deadline (event-time timeout).
+
+    Events are processed in event-time order within each batch;
+    cross-batch ordering is assumed per key (the binlog/app-log
+    case). Exactly-once emission per opened chain; state = open
+    chains per user, evicted by completion or timeout.
+    """
+    horizon_us = horizon_s * US
+    s0, s1, s2 = steps
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out: list[tuple] = []  # (t0, t1 or None, t2 or None)
+        if state.exists:
+            t0s, t1s = state.get
+            chains = [[a, b] for a, b in zip(t0s, t1s)]
+        else:
+            chains = []
+
+        def expire(wm_us: int) -> None:
+            keep = []
+            for t0, t1 in chains:
+                if t1 < 0 and wm_us > t0 + horizon_us:
+                    out.append((t0, None, None))
+                elif t1 >= 0 and wm_us > t1 + horizon_us:
+                    out.append((t0, t1, None))
+                else:
+                    keep.append([t0, t1])
+            chains[:] = keep
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if state.hasTimedOut:
+            expire(wm_us)
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            ev = sorted(
+                zip(_micros(rows["ts"]), rows["event_type"]),
+                key=lambda p: p[0],
+            )
+            for t, kind in ev:
+                if kind == s0:
+                    chains.append([t, -1])
+                elif kind == s1:
+                    for c in chains:
+                        if c[1] < 0 and t > c[0]:
+                            if t - c[0] <= horizon_us:
+                                c[1] = t
+                            else:
+                                # first step-1 after t0 proves failure
+                                out.append((c[0], None, None))
+                                c[0] = -2  # mark emitted
+                    chains[:] = [c for c in chains if c[0] != -2]
+                elif kind == s2:
+                    for c in chains:
+                        if c[1] >= 0 and t > c[1]:
+                            if t - c[1] <= horizon_us:
+                                out.append((c[0], c[1], t))
+                            else:
+                                out.append((c[0], c[1], None))
+                            c[0] = -2
+                    chains[:] = [c for c in chains if c[0] != -2]
+            expire(wm_us)
+
+        if chains:
+            state.update((
+                [c[0] for c in chains], [c[1] for c in chains],
+            ))
+            deadline_us = min(
+                (c[0] if c[1] < 0 else c[1]) + horizon_us for c in chains
+            )
+            # timeout must sit beyond the current watermark
+            state.setTimeoutTimestamp(max(deadline_us // 1000, wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "ts_0": pd.to_datetime([o[0] for o in out], unit="us"),
+                    "ts_1": pd.to_datetime(
+                        [o[1] for o in out], unit="us", errors="coerce"
+                    ),
+                    "ts_2": pd.to_datetime(
+                        [o[2] for o in out], unit="us", errors="coerce"
+                    ),
+                }
+            )
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    horizon_s: int = 7200,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Append-mode streaming funnel: one output row per opened chain,
+    emitted exactly once when its outcome is proven (the streaming
+    form of joins.funnel_steps). One shuffle on the user key; state =
+    open chains per user, watermark-evicted."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            make_funnel(steps, horizon_s),
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -66,3 +66,73 @@ def test_sessionize_gap_and_timeout(spark, tmp_path):
         assert (1, "2024-01-01T12:00:00", 1) in rows  # closed by timeout
     finally:
         q.stop()
+
+
+def test_funnel_stream_completions_and_expiry(spark, tmp_path):
+    import json
+
+    import pyspark.sql.types as T
+
+    from reader_spark.streaming import stateful
+
+    src = tmp_path / "fev"
+    src.mkdir()
+    ck = str(tmp_path / "fck")
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # batch 1: user 1 completes; user 2's first click is beyond the
+    # 30-min horizon (failure proven immediately); user 3 opens a
+    # chain that never advances
+    write("b1.json", [
+        {"ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "view"},
+        {"ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "click"},
+        {"ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "purchase"},
+        {"ts": "2024-01-01T00:00:00", "user_id": 2, "event_type": "view"},
+        {"ts": "2024-01-01T00:40:00", "user_id": 2, "event_type": "click"},
+        {"ts": "2024-01-01T00:00:00", "user_id": 3, "event_type": "view"},
+    ])
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+
+    out_dir = str(tmp_path / "fout")
+
+    def run(name):
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (stateful.funnel_stream(stream, horizon_s=1800)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination(90)
+        return {
+            (r["user_id"], r["ts_0"]): (r["ts_1"], r["ts_2"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got = run("funnel1")
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    assert got[(1, t0)] == (
+        t0 + dt.timedelta(minutes=10), t0 + dt.timedelta(minutes=20)
+    )
+    assert got[(2, t0)] == (None, None)   # out-of-horizon click
+    # user 3: availableNow's trailing batch advances the watermark to
+    # 00:40 (max seen ts, 0s delay) which is past the 00:30 deadline —
+    # the open chain expires as a proven failure in the same run
+    assert got[(3, t0)] == (None, None)
+
+    # batch 2: nothing new is provable (user 9's chain stays open) and
+    # NOTHING re-emits — exactly-once per opened chain across restarts
+    write("b2.json", [
+        {"ts": "2024-01-01T03:00:00", "user_id": 9, "event_type": "view"},
+    ])
+    got2 = run("funnel2")
+    assert got2 == got  # accumulated output unchanged: no re-emission

@@ -136,3 +136,77 @@ def test_funnel_stream_completions_and_expiry(spark, tmp_path):
     ])
     got2 = run("funnel2")
     assert got2 == got  # accumulated output unchanged: no re-emission
+
+
+def test_funnel_stream_equals_batch_on_random_soup(spark, tmp_path):
+    """With a far-future sentinel forcing every chain to a proven
+    outcome, the streaming funnel's emitted rows must equal the batch
+    funnel_steps result row-for-row on a random event soup."""
+    import datetime as dt
+    import json
+    import random
+
+    import pyspark.sql.types as T
+
+    from reader_spark.operators.joins import funnel_steps
+    from reader_spark.streaming import stateful
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for _ in range(120):
+        rows.append((
+            rng.randint(1, 6),
+            t0 + dt.timedelta(minutes=rng.randint(0, 180)),
+            rng.choice(["view", "click", "purchase"]),
+        ))
+    # distinct timestamps per user (the batch operator's right side
+    # should be unique per (key, ts); random soup may collide — dedup)
+    seen = set()
+    uniq = []
+    for u, ts, k in sorted(rows, key=lambda r: (r[0], r[1])):
+        if (u, ts) in seen:
+            continue
+        seen.add((u, ts))
+        uniq.append((u, ts, k))
+
+    src = tmp_path / "eqev"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for u, ts, k in uniq:
+            f.write(json.dumps(
+                {"user_id": u, "ts": ts.isoformat(), "event_type": k}) + "\n")
+        # sentinel far past every deadline
+        f.write(json.dumps(
+            {"user_id": 999, "ts": "2024-02-01T00:00:00",
+             "event_type": "click"}) + "\n")
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    out_dir = str(tmp_path / "eqout")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (stateful.funnel_stream(stream, horizon_s=1800)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir).trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "eqck")).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["ts_0"], r["ts_1"], r["ts_2"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] != 999
+    )
+
+    ev = spark.createDataFrame(
+        [(u, ts, k) for u, ts, k in uniq],
+        "user_id long, ts timestamp, event_type string",
+    )
+    want = sorted(
+        (r["user_id"], r["ts_0"], r["ts_1"], r["ts_2"])
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], horizon_s=1800
+        ).collect()
+    )
+    assert got == want

@@ -223,6 +223,49 @@ def temperature_resample(
     )
 
 
+def reservoir_sample(
+    docs: DataFrame,
+    strata: list[str],
+    k: int,
+    weight: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-k per-stratum sampling (the rate-based samplers above
+    give ~cap in expectation; this gives exactly min(k, n_s)) —
+    uniform when `weight` is None, weighted by the A-ES scheme
+    (Efraimidis-Spirtes: key = u^(1/w), keep the k largest keys —
+    inclusion probability proportional to weight) otherwise. The
+    draw u is md5-uniform per id: deterministic, partitioning-
+    independent, reproducible.
+
+    Keys are rounded to 9 dp before ranking (ties then break on id):
+    raw pow() may differ by an ulp between engines/libms, and a
+    rank-boundary decision must never hinge on that.
+
+    Scale: one rank window PARTITIONED by the strata — parallel
+    across strata. A single giant stratum makes a hot partition; the
+    swap is the same map-side bounded top-k knn_bruteforce uses
+    (truncate to k per input partition before the shuffle — top-k is
+    a semigroup).
+    """
+    from pyspark.sql import Window as W
+
+    u = _hash_unit(F.col(id_col), "res")
+    if weight is None:
+        key = F.round(u, 9)
+    else:
+        key = F.round(
+            F.pow(u, F.lit(1.0) / F.greatest(weight, F.lit(1e-6))), 9
+        )
+    w = W.partitionBy(*strata).orderBy(F.col("__key").desc(), F.col(id_col))
+    return (
+        docs.withColumn("__key", key)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(id_col, *strata, F.col("__key").alias("sample_key"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic (embedding) dedup
 

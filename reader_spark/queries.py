@@ -4269,6 +4269,47 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 """
 
 
+def reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted reservoir per language (A-ES keys
+    u^(1/quality), k=5): quality-proportional inclusion with an
+    exact per-stratum sample size — one rank window partitioned by
+    the stratum (operators/curation.py::reservoir_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.reservoir_sample(
+        docs, ["lang"], k=5, weight=TX.quality_score(F.col("text"))
+    )
+
+
+RESERVOIR_SQL = f"""
+WITH p0 AS (
+  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents
+), q AS (
+  SELECT doc_id, lang,
+         round(
+         0.4 * least(1.0, length(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE / 100.0)
+       + 0.4 * least(1.0, 8.0 * ({_STOP_SUM})::DOUBLE
+           / length(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE)
+       + 0.2 * (1.0 - least(1.0, 4.0
+           * (length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g')))::DOUBLE
+           / length(text)::DOUBLE)), 6) AS quality
+  FROM p0
+), keyed AS (
+  SELECT doc_id, lang,
+         round(pow(
+           (('0x' || substr(md5('res:' || doc_id::VARCHAR), 1, 8))::BIGINT
+            % 1000000) / 1000000.0,
+           1.0 / greatest(quality, 0.000001)), 9) AS sample_key
+  FROM q
+)
+SELECT doc_id, lang, sample_key FROM (
+  SELECT doc_id, lang, sample_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY sample_key DESC, doc_id) AS r
+  FROM keyed
+) WHERE r <= 5
+"""
+
+
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-QA expectation checks (the dbt-test / Deequ verb a
     warehouse loader runs after every transfer): referential
@@ -4438,7 +4479,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # / embedding_near_dup — r3 hash-green, code untouched)
     "data_quality_report": (data_quality_report, QUALITY_REPORT_SQL),
     "value_histogram": (value_histogram, HISTOGRAM_SQL),
-    "text_winnowing": (text_winnowing, WINNOW_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     # (pagerank_neardup replaces term_stats in the window —
     # term_stats is r3 hash-green with untouched code)
@@ -4484,6 +4524,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_repetition": (quality_repetition, REPETITION_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SQL),
+    # reservoir_sample (exact-k A-ES) enters the window — new this
+    # round; rotated out: text_winnowing (r3 hash-green, untouched)
+    "reservoir_sample": (reservoir_sample_q, RESERVOIR_SQL),
     "temperature_resample": (temperature_resample, TEMPERATURE_SQL),
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
     "knn_sq8": (knn_sq8, KNN_SQ8_SQL),
@@ -4512,6 +4555,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "text_winnowing": (text_winnowing, WINNOW_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_ngram": (dedup_ngram, NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),

@@ -303,3 +303,36 @@ def test_quality_classifier_learns_weak_labels(spark, sf_dir):
     assert agree / len(joined) >= 0.85, agree / len(joined)
     # scores are calibrated probabilities
     assert all(0.0 <= r["p_quality"] <= 1.0 for r in joined)
+
+
+def test_reservoir_sample_exact_k_and_weight_bias(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(i, "s" + str(i % 3)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = CU.reservoir_sample(docs, ["source"], k=7).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert set(by) == {"s0", "s1", "s2"}
+    assert all(len(v) == 7 for v in by.values())  # exact k
+    # deterministic
+    again = CU.reservoir_sample(docs, ["source"], k=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # small strata yield min(k, n)
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, source string")
+    assert CU.reservoir_sample(tiny, ["source"], k=7).count() == 2
+
+    # weighted: heavy weights must be sampled far above their share
+    wdocs = spark.createDataFrame(
+        [(i, "x", 10.0 if i < 30 else 0.1) for i in range(300)],
+        "doc_id long, source string, wgt double",
+    )
+    picked = [
+        r["doc_id"]
+        for r in CU.reservoir_sample(
+            wdocs, ["source"], k=20, weight=F.col("wgt")
+        ).collect()
+    ]
+    heavy = sum(1 for d in picked if d < 30)
+    assert heavy >= 15, heavy  # 10% of ids, ~100x weight -> dominate

@@ -516,3 +516,119 @@ def synthesize_wavs(
     return ids.mapInPandas(
         op, schema="media_id long, kind string, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# video: uncompressed frame container (real end-to-end path)
+
+# Toy-but-real container for the video pipeline: b"PPMV" + u32be
+# n_frames + u32be fps_milli + concatenated P6 PPM frames. Compressed
+# codecs still require PyAV/ffmpeg (stubbed, _decode_video); this
+# container is what the pipeline uses to exercise REAL frame
+# extraction end-to-end — parse, seek, per-frame decode, sampling —
+# with stdlib+numpy only. The schema/partitioning/UDF shape is
+# identical for an ffmpeg-backed decoder.
+
+PPMV_MAGIC = b"PPMV"
+
+
+def encode_ppmv(frames, fps_milli: int = 1000) -> bytes:
+    """frames: list of (h, w, 3) uint8 arrays -> PPMV blob."""
+    out = [PPMV_MAGIC, len(frames).to_bytes(4, "big"),
+           int(fps_milli).to_bytes(4, "big")]
+    out += [encode_ppm(f) for f in frames]
+    return b"".join(out)
+
+
+def decode_ppmv(payload: bytes):
+    """PPMV blob -> (fps_milli, [frame arrays]). Frames are parsed
+    sequentially (each PPM header carries its own length)."""
+    if not payload.startswith(PPMV_MAGIC):
+        raise ValueError("not a PPMV container")
+    n = int.from_bytes(payload[4:8], "big")
+    fps_milli = int.from_bytes(payload[8:12], "big")
+    frames = []
+    off = 12
+    for _ in range(n):
+        img = decode_ppm(payload[off:])
+        h, w, _ = img.shape
+        header = f"P6\n{w} {h}\n255\n".encode()
+        off += len(header) + w * h * 3
+        frames.append(img)
+    return fps_milli, frames
+
+
+def synthesize_videos(
+    ids: DataFrame, id_col: str = "media_id", n_frames_base: int = 3
+) -> DataFrame:
+    """Deterministic PPMV per id: 3 + id % 3 frames of the
+    synthesize_images pixel formula shifted per frame."""
+    import numpy as np
+
+    def one(mid: int) -> dict:
+        n = n_frames_base + mid % 3
+        frames = []
+        for f in range(n):
+            w, h = 4 + mid % 5, 2 + mid % 3
+            y, x, c = np.ogrid[0:h, 0:w, 0:3]
+            img = ((mid * 7 + f * 41 + y * 13 + x * 17 + c * 29) % 256).astype(
+                "uint8"
+            )
+            frames.append(np.ascontiguousarray(img))
+        return {
+            "media_id": mid,
+            "kind": "video",
+            "payload": bytearray(encode_ppmv(frames, fps_milli=2000)),
+        }
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([one(int(m)) for m in pdf[id_col]])
+
+    return ids.mapInPandas(
+        op, schema="media_id long, kind string, payload binary"
+    )
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_id int, ts_ms long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame extraction: parse the container, decode every
+    `every_n`-th frame, emit one small stat row per sampled frame
+    (ordinal, timestamp from the container fps, dims, channel means).
+    Blobs never shuffle — the explode happens inside the Arrow batch
+    and only stat rows leave the scan stage; at 100 TB this is the
+    map-only pass that feeds frame-level dedup/embedding jobs.
+    Undecodable payloads are skipped (mixed-corpus contract, same as
+    extract_media_stats)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    fps_milli, frames = decode_ppmv(bytes(payload))
+                except Exception:
+                    continue
+                frame_ms = 1_000_000 // max(fps_milli, 1)
+                for i in range(0, len(frames), every_n):
+                    img = frames[i]
+                    h, w, _ = img.shape
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (int(mid), i, i * frame_ms, w, h,
+                         float(means[0]), float(means[1]), float(means[2]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_id", "ts_ms", "width",
+                         "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)

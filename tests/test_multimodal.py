@@ -219,3 +219,53 @@ def test_synthesize_wav_spectrum(spark):
     # dominant bin is a multiple of sr/n = 125 Hz
     assert out["dominant_hz"] % 125.0 == 0.0
     assert out["spectral_centroid"] > 0
+
+
+def test_video_frame_extraction_end_to_end(spark):
+    import numpy as np
+
+    from reader_spark.operators import multimodal as MM
+
+    ids = spark.range(0, 6).selectExpr("id AS media_id")
+    vids = MM.synthesize_videos(ids)
+    out = MM.extract_frames(vids).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], []).append(r)
+    for mid in range(6):
+        rows = sorted(by[mid], key=lambda r: r["frame_id"])
+        assert len(rows) == 3 + mid % 3
+        # independent per-frame recomputation of dims and means
+        for f, r in enumerate(rows):
+            w, h = 4 + mid % 5, 2 + mid % 3
+            assert (r["width"], r["height"]) == (w, h)
+            y, x, c = np.ogrid[0:h, 0:w, 0:3]
+            img = (mid * 7 + f * 41 + y * 13 + x * 17 + c * 29) % 256
+            means = img.reshape(-1, 3).mean(axis=0)
+            assert abs(r["mean_r"] - means[0]) < 1e-9
+            assert abs(r["mean_b"] - means[2]) < 1e-9
+            assert r["ts_ms"] == f * 500  # 2 fps container
+    # sampling: every 2nd frame only
+    sampled = MM.extract_frames(vids, every_n=2).collect()
+    assert {r["frame_id"] for r in sampled} <= {0, 2, 4}
+    # corrupt payload is skipped, not fatal
+    bad = spark.createDataFrame(
+        [(99, "video", bytearray(b"nope"))],
+        "media_id long, kind string, payload binary",
+    )
+    assert MM.extract_frames(bad).count() == 0
+
+
+def test_ppmv_roundtrip():
+    import numpy as np
+
+    from reader_spark.operators import multimodal as MM
+
+    frames = [
+        np.arange(24, dtype=np.uint8).reshape(2, 4, 3),
+        np.full((2, 4, 3), 7, dtype=np.uint8),
+    ]
+    blob = MM.encode_ppmv(frames, fps_milli=5000)
+    fps, back = MM.decode_ppmv(blob)
+    assert fps == 5000 and len(back) == 2
+    assert (back[0] == frames[0]).all() and (back[1] == frames[1]).all()

@@ -4310,6 +4310,57 @@ SELECT doc_id, lang, sample_key FROM (
 """
 
 
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle-checked video path: deterministic PPMV
+    containers (3 + id%3 frames of the pixel formula, 2 fps), REAL
+    parse + per-frame decode + stat extraction in mapInPandas
+    (operators/multimodal.py::extract_frames); the oracle reproduces
+    every frame's channel means from the pixel formula in SQL."""
+    from reader_spark.operators import multimodal as MM
+
+    ids = DD.ensure_parallelism(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    fr = MM.extract_frames(MM.synthesize_videos(ids))
+    return fr.select(
+        "media_id",
+        "frame_id",
+        "ts_ms",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+VIDEO_FRAMES_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+         3 + doc_id % 3 AS n_frames
+  FROM documents WHERE doc_id < 100
+), px AS (
+  SELECT media_id, f.f AS frame_id, w, h, c.c AS ch,
+         (media_id * 7 + f.f * 41 + y.y * 13 + x.x * 17 + c.c * 29) % 256 AS v
+  FROM d,
+       (SELECT unnest(generate_series(0, 4)) AS f) f,
+       (SELECT unnest(generate_series(0, 3)) AS y) y,
+       (SELECT unnest(generate_series(0, 7)) AS x) x,
+       (SELECT unnest(generate_series(0, 2)) AS c) c
+  WHERE f.f < n_frames AND y.y < h AND x.x < w
+)
+SELECT media_id, frame_id::INT AS frame_id,
+       (frame_id * 500)::BIGINT AS ts_ms,
+       max(w)::INT AS width, max(h)::INT AS height,
+       round(sum(CASE WHEN ch = 0 THEN v END)::DOUBLE / (max(w) * max(h)), 6) AS mean_r,
+       round(sum(CASE WHEN ch = 1 THEN v END)::DOUBLE / (max(w) * max(h)), 6) AS mean_g,
+       round(sum(CASE WHEN ch = 2 THEN v END)::DOUBLE / (max(w) * max(h)), 6) AS mean_b
+FROM px GROUP BY media_id, frame_id
+"""
+
+
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-QA expectation checks (the dbt-test / Deequ verb a
     warehouse loader runs after every transfer): referential
@@ -4468,8 +4519,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "p2_value_parse": (p2_value_parse, P2_SQL),
     "p3_wire_converters": (p3_wire_converters, P3_SQL),
     # LLM-data-pipeline
-    "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
+    # video_frames (real PPMV frame extraction, new) enters the
+    # window; dedup_minhash_lsh rotates out (r1+r3 hash-green,
+    # untouched; near_dup exercises the same LSH path in-window)
+    "video_frames": (video_frames, VIDEO_FRAMES_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
     # knn_pq enters the window (new this round); dedup_components
     # rotates out — r3 hash-green, untouched, and canonical_docs (in
@@ -4555,6 +4609,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_ngram": (dedup_ngram, NGRAM_SQL),

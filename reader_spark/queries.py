@@ -4361,6 +4361,58 @@ FROM px GROUP BY media_id, frame_id
 """
 
 
+def source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF signature terms: tf within the source x
+    ln(n_sources / source-df), top-3 per source — the "what is this
+    source about" fingerprint a corpus dashboard shows. Vocabulary-
+    sized aggregates throughout; the rank window partitions by
+    source. Scores rank on their 6 dp rounding so a boundary never
+    hinges on libm's last ulp."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = DD.ensure_parallelism(docs).select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("sdf"))
+    n_sources = docs.select("source").distinct().count()
+    from pyspark.sql import Window as W
+
+    score = F.round(
+        F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("sdf")), 6
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        tf.join(DD.maybe_broadcast(df), "term")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "term", "tf", "score", "rank")
+    )
+
+
+SOURCE_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), sdf AS (
+  SELECT term, count(*) AS sdf FROM tf GROUP BY 1
+), ns AS (
+  SELECT count(DISTINCT source) AS n FROM documents
+)
+SELECT source, term, tf, score, rank FROM (
+  SELECT source, term, tf,
+         round(tf * ln(n::DOUBLE / sdf), 6) AS score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY round(tf * ln(n::DOUBLE / sdf), 6) DESC,
+                                     term) AS rank
+  FROM tf JOIN sdf USING (term) CROSS JOIN ns
+) WHERE rank <= 3
+"""
+
+
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-QA expectation checks (the dbt-test / Deequ verb a
     warehouse loader runs after every transfer): referential
@@ -4556,8 +4608,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
     "cdc_e2e_pipeline": (cdc_e2e_pipeline, CDC_E2E_SQL),
+    # source_top_terms (new) enters the window; q1 rotates out
+    # (hash-green r2+r3, code untouched — entry() still smokes it
+    # at sf0.001 every round)
+    "source_top_terms": (source_top_terms, SOURCE_TOP_TERMS_SQL),
     # analytics with canonicalized edges (r1 hash-red, now string/bigint)
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     # q21 re-enters the window (its aggregation was restructured this
     # round — two-stage rollup); q5 rotates out (r1-r3 hash-green,
@@ -4631,6 +4686,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q18_large_volume": (q18_large_volume, Q18_SQL),
     "q22_global_sales": (q22_global_sales, Q22_SQL),

@@ -93,6 +93,9 @@ HEADLINE = [
     "knn_pq",
     "data_quality_report",
     "value_histogram",
+    "reservoir_sample",
+    "video_frames",
+    "source_top_terms",
 ]
 
 

@@ -47,6 +47,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from reader_spark.operators import dedup as DD
 from reader_spark.operators import similarity as SIM
@@ -668,3 +669,147 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram language-model scoring
+
+
+def bigram_logprob(
+    docs: DataFrame, lam: float = 0.7, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram
+    LM trained on the corpus itself:
+
+        score(d) = mean_{i>=2} ln( lam * c(w_{i-1} w_i)/c(w_{i-1})
+                                 + (1-lam) * c(w_i)/N )
+
+    — the next quality-filter rung above `unigram_logprob`: documents
+    whose word ORDER is unusual (shuffled/garbled text, keyword
+    stuffing) score low even when their unigram mix looks normal.
+    Interpolation with the unigram term means unseen bigrams degrade
+    smoothly instead of to -inf.
+
+    Scale: the LM tables are vocabulary-sized (one unigram + one
+    bigram aggregate, both map-side combinable); the scoring pass
+    explodes adjacent pairs in the scan stage (one split, two shifted
+    slices zipped — the pmi_bigrams shape), joins the two tables
+    (broadcast when the size estimate allows), and aggregates per
+    doc_id. Nothing corpus-sized survives any stage except the
+    per-position pair stream, which is the input's own size.
+    """
+    ws = F.split(F.col(text_col), " ")
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
+        F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+    )
+    base = DD.ensure_parallelism(docs).select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        DD.ensure_parallelism(docs)
+        .select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    bi = base.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    share_uni = DD.should_broadcast(uni)
+    u1 = F.broadcast(uni) if share_uni else uni
+    p_bi = F.col("c_ab") / F.col("c1")
+    p_uni = F.col("c2") / F.col("n_tokens")
+    return (
+        base.join(DD.maybe_broadcast(bi), ["w1", "w2"])
+        .join(u1.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(u1.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni))
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-context sequence packing (sample packing)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Next-fit packing of whole documents into fixed-length training
+    sequences: each doc lands in a deterministic hash bucket; within
+    the bucket, docs are taken in id order and appended to the
+    current sequence until the next doc would overflow `seq_len`,
+    which starts a new sequence. Emits (doc, bucket, seq index
+    within bucket, token offset within the sequence) — the layout a
+    no-cross-document-attention trainer consumes. Docs longer than
+    `seq_len` get a sequence of their own (the trainer truncates).
+
+    Packing is inherently sequential per bin stream — the recurrence
+    (fill state) can't be expressed as a window function — so it runs
+    as `applyInPandas` per bucket: a plain O(rows) Python loop over
+    each bucket's id-sorted docs. Determinism: bucket = md5(id) mod
+    n_buckets and in-bucket order is (id), so the output is
+    partition-layout-invariant and reproducible.
+
+    Scale: ONE shuffle (the groupBy(bucket) exchange); per-task state
+    is one integer fill counter; size n_buckets so a bucket is a few
+    hundred MB (at 100 TB that is ~10^5-10^6 buckets, which also
+    matches the shard files a loader wants). Packing quality loses
+    nothing measurable vs a global next-fit: both are first-come
+    streams, and the md5 bucketing is a uniform random permutation of
+    the same corpus.
+    """
+    import pandas as pd
+
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    sized = DD.ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tok"),
+        F.pmod(
+            DD.md5_hash64(F.col(id_col).cast("string"), "packbkt"),
+            F.lit(n_buckets),
+        ).cast("int").alias("bucket"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("seq_idx", T.LongType()),
+            T.StructField("seq_off", T.LongType()),
+            T.StructField("n_tok", T.LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq, fill = 0, 0
+        seqs, offs = [], []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if fill > 0 and fill + n > seq_len:
+                seq, fill = seq + 1, 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += n
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "bucket": pdf["bucket"],
+                "seq_idx": seqs,
+                "seq_off": offs,
+                "n_tok": pdf["n_tok"],
+            }
+        )
+
+    return sized.groupBy("bucket").applyInPandas(pack, schema=schema)

@@ -1,0 +1,122 @@
+"""Frequency-sketch operators: exact heavy hitters without a
+full-vocabulary shuffle.
+
+The reference has no sketch layer (its aggregates are row-level CDC
+ops); this module is part of the beyond-reference training-data
+toolkit (BASELINE.json north star): finding the dominant tokens /
+n-grams / URLs / boilerplate phrases of a web-scale corpus is the
+first step of tokenizer design, boilerplate stripping, and template
+dedup — and the naive `groupBy(term).count()` shuffles the ENTIRE
+long tail (billions of distinct n-grams at 100 TB) to answer a
+question about the top handful.
+
+`heavy_hitters` is the classic two-pass exact algorithm:
+
+1. **Candidate pass** — a Misra-Gries summary of size k per
+   partition (`mapInPandas`, state local to the partition iterator).
+   MG guarantees every item with local frequency > n_p/(k+1) survives
+   its partition summary; summing the guarantee over partitions,
+   every item with GLOBAL frequency > n/(k+1) (and a fortiori every
+   item with freq*k > n) appears in at least one partition's
+   candidate set. Candidate volume leaving the stage is <= P*k rows
+   regardless of corpus or vocabulary size.
+2. **Exact recount** — the corpus is re-tokenized, broadcast-semi-
+   restricted to the candidate set, and counted. The shuffle after
+   the map-side combine carries at most P*k rows. The final
+   `cnt * k > total` filter makes the OUTPUT exact and
+   partition-layout-invariant: candidates vary with how the scan is
+   split, the answer never does.
+
+Scale: no stage materializes anything vocabulary-sized; both corpus
+passes are scan + narrow ops; the only shuffles move O(P*k) rows.
+The second pass re-reads the corpus rather than persisting the
+tokenized frame — at 100 TB the rescan is cheaper than caching a
+corpus-sized intermediate, and the scan stays whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reader_spark.operators import dedup as DD
+
+_CAND_SCHEMA = T.StructType([T.StructField("term", T.StringType())])
+
+
+def _ngram_terms(text_col: str, n: int) -> Column:
+    """Whitespace n-gram terms of `text_col` as an array column —
+    built from one split, shifted slices zipped in the scan stage
+    (the pmi_bigrams shape, generalized)."""
+    ws = F.split(F.col(text_col), " ")
+    if n == 1:
+        return ws
+    parts = [F.slice(ws, i + 1, F.size(ws) - (n - 1)) for i in range(n)]
+    zipped = F.arrays_zip(*[p.alias(f"g{i}") for i, p in enumerate(parts)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(n)])
+    )
+
+
+def misra_gries_candidates(tok: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of size k over a `term`
+    column; output is the union of every partition's surviving keys
+    (<= P*k rows). Plain Python dict arithmetic over Arrow batches —
+    the state is O(k) per partition no matter how large the
+    partition's term stream is."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    return tok.mapInPandas(op, schema=_CAND_SCHEMA)
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 50,
+    ngram: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT phi-frequent terms: every whitespace `ngram`-gram whose
+    corpus count satisfies cnt * k > total_terms, with its exact
+    count and share — computed with two corpus scans and O(P*k)
+    shuffle rows (never a vocabulary-wide shuffle). See the module
+    docstring for the guarantee."""
+    terms = DD.ensure_parallelism(docs).select(
+        F.explode(_ngram_terms(text_col, ngram)).alias("term")
+    )
+    cands = misra_gries_candidates(terms, k).distinct()
+    total = terms.agg(F.count("*").alias("total_terms"))
+    return (
+        terms.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("total_terms"))
+        .select(
+            "term",
+            "cnt",
+            "total_terms",
+            F.round(F.col("cnt") / F.col("total_terms"), 6).alias("share"),
+        )
+    )

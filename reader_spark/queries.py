@@ -4554,6 +4554,207 @@ FROM b GROUP BY bucket, lo, hi
 """
 
 
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens (cnt * k > total) via per-partition
+    Misra-Gries candidate summaries + an exact broadcast-restricted
+    recount — O(P*k) shuffle rows, never a vocabulary-wide shuffle;
+    the output is partition-layout-invariant (operators/sketches.py).
+    The eviction path (vocab >> k) is pytest-covered on a skewed
+    stream; the fixture vocabulary is small, so here the sketch is a
+    superset pass-through and the exactness contract is what's
+    checked."""
+    from reader_spark.operators import sketches as SK
+
+    return SK.heavy_hitters(
+        _t(spark, sf_dir, "documents"), k=40, ngram=1
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), tot AS (
+  SELECT count(*)::BIGINT AS total_terms FROM tok
+)
+SELECT term, count(*)::BIGINT AS cnt, total_terms,
+       round(count(*)::DOUBLE / total_terms, 6) AS share
+FROM tok, tot
+GROUP BY term, total_terms
+HAVING count(*) * 40 > total_terms
+"""
+
+
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-prob under an interpolated bigram LM
+    trained on the corpus itself — the word-ORDER quality filter
+    (shuffled/garbled text scores low even with a normal unigram
+    mix). LM tables are vocabulary-sized; scoring is one scan-stage
+    pair explode + two table joins (operators/curation.py)."""
+    return CU.bigram_logprob(_t(spark, sf_dir, "documents"), lam=0.75)
+
+
+BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pair AS (
+  SELECT doc_id,
+         unnest([{'w1': w[i], 'w2': w[i + 1]} FOR i IN range(1, len(w))],
+                recursive := true)
+  FROM t
+), uni AS (
+  SELECT wt AS w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(w) AS wt FROM t) GROUP BY 1
+), tot AS (
+  SELECT sum(c)::BIGINT AS n_tokens FROM uni
+), bi AS (
+  SELECT w1, w2, count(*)::BIGINT AS c_ab FROM pair GROUP BY 1, 2
+)
+SELECT doc_id, count(*)::BIGINT AS n_pairs,
+       round(sum(ln(0.75 * (c_ab::DOUBLE / c1)
+                  + 0.25 * (c2::DOUBLE / n_tokens))) / count(*), 6)
+         AS avg_logprob
+FROM pair
+JOIN bi USING (w1, w2)
+JOIN (SELECT w AS w1, c AS c1 FROM uni) USING (w1)
+JOIN (SELECT w AS w2, c AS c2 FROM uni) USING (w2)
+CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit packing of whole documents into fixed 128-token
+    training sequences inside md5 hash buckets — the sample-packing
+    layout (doc -> bucket, sequence index, token offset). Sequential
+    fill state runs as applyInPandas per bucket; ONE shuffle; the
+    oracle replays the same recurrence as a recursive CTE."""
+    return CU.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=128, n_buckets=8
+    )
+
+
+PACK_SEQ_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         (('0x' || substr(md5('packbkt:' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 8)::INT AS bucket
+  FROM documents
+), r AS (
+  SELECT doc_id, bucket, n_tok,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM d
+), s AS (
+  SELECT doc_id, bucket, n_tok, rn, 0::BIGINT AS seq_idx, 0::BIGINT AS seq_off
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.doc_id, r.bucket, r.n_tok, r.rn,
+         CASE WHEN s.seq_off + s.n_tok + r.n_tok > 128
+              THEN s.seq_idx + 1 ELSE s.seq_idx END,
+         CASE WHEN s.seq_off + s.n_tok + r.n_tok > 128
+              THEN 0 ELSE s.seq_off + s.n_tok END
+  FROM s JOIN r ON r.bucket = s.bucket AND r.rn = s.rn + 1
+)
+SELECT doc_id, bucket, seq_idx, seq_off, n_tok FROM s
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events: users grouped by their
+    first-activity week, distinct active users per (cohort week,
+    weeks-since-cohort). Two uniform-key aggregates and one join on
+    user_id (partitioning reused from the first agg); countDistinct
+    expands to the standard two-phase exact plan."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cw")
+    )
+    wk = F.date_trunc("week", F.col("ts"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(wk.cast("date"), F.col("cw").cast("date")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_SQL = """
+WITH cohort AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cw
+  FROM events GROUP BY 1
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       (datediff('day', cw::DATE, date_trunc('week', ts)::DATE) / 7)::INT
+         AS week_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close by (ts, event_id)
+    order, high/low/count/mean over the bar. The two row_number
+    windows and the final aggregate all key on (hour, event_type), so
+    one exchange serves all three — the window partitioning is reused
+    by the groupBy."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    pk = W.partitionBy("hour", "event_type")
+    ra = F.row_number().over(pk.orderBy("ts", "event_id"))
+    rd = F.row_number().over(pk.orderBy(F.desc("ts"), F.desc("event_id")))
+    return (
+        ev.withColumn("ra", ra)
+        .withColumn("rd", rd)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.sum(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+    )
+
+
+OHLC_SQL = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type, ts,
+         event_id, value
+  FROM events
+), w AS (
+  SELECT hour, event_type, value,
+         row_number() OVER (PARTITION BY hour, event_type
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY hour, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM e
+)
+SELECT hour, event_type,
+       sum(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       sum(CASE WHEN rd = 1 THEN value END) AS close,
+       count(*)::BIGINT AS n_events,
+       round(avg(value), 6) AS mean_value
+FROM w GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -4564,12 +4765,17 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # reference-surface ops, every LLM-pipeline/temporal/CDC operator that
     # had no r1 verdict, and the 16 queries whose decimal/hugeint edges
     # were canonicalized this round.
-    "s1_snapshot_scan": (s1_snapshot_scan, S1_SQL),
-    "p5_envelope": (p5_envelope, P5_SQL),
-    "c10_json_extract": (c10_json_extract, C10_SQL),
+    # r4 rotation: the round-4 additions (heavy hitters, bigram LM,
+    # sequence packing, cohort retention, OHLC bars) enter the window
+    # immediately (never driver-checked); rotated out are
+    # s1/p5/c10/p2/p3 — hash-green in r1, r2 AND r3 with code
+    # untouched since.
+    "heavy_hitters": (heavy_hitters_q, HEAVY_HITTERS_SQL),
+    "bigram_logprob": (bigram_logprob_q, BIGRAM_LM_SQL),
+    "pack_sequences": (pack_sequences_q, PACK_SEQ_SQL),
+    "cohort_retention": (cohort_retention, COHORT_SQL),
+    "ohlc_bars": (ohlc_bars, OHLC_SQL),
     "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),
-    "p2_value_parse": (p2_value_parse, P2_SQL),
-    "p3_wire_converters": (p3_wire_converters, P3_SQL),
     # LLM-data-pipeline
     "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
     # video_frames (real PPMV frame extraction, new) enters the
@@ -4663,6 +4869,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # text_lang_id - two rounds hash-green, function untouched)
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
+    "s1_snapshot_scan": (s1_snapshot_scan, S1_SQL),
+    "p5_envelope": (p5_envelope, P5_SQL),
+    "c10_json_extract": (c10_json_extract, C10_SQL),
+    "p2_value_parse": (p2_value_parse, P2_SQL),
+    "p3_wire_converters": (p3_wire_converters, P3_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),

@@ -336,3 +336,52 @@ def test_reservoir_sample_exact_k_and_weight_bias(spark):
     ]
     heavy = sum(1 for d in picked if d < 30)
     assert heavy >= 15, heavy  # 10% of ids, ~100x weight -> dominate
+
+
+# ---------------------------------------------------------------------------
+# round-4b additions: bigram LM scoring + sequence packing
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in CU.bigram_logprob(docs, lam=0.75).collect()}
+    # unigrams: a=3 b=2 c=1, N=6; bigrams: (a,b)=2, (a,c)=1
+    pab = 0.75 * (2 / 3) + 0.25 * (2 / 6)
+    pac = 0.75 * (1 / 3) + 0.25 * (1 / 6)
+    assert out[1]["n_pairs"] == 1
+    assert out[1]["avg_logprob"] == round(math.log(pab), 6)
+    assert out[3]["avg_logprob"] == round(math.log(pac), 6)
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, " ".join(["t"] * (5 + (i * 7) % 40))) for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CU.pack_sequences(docs, seq_len=64, n_buckets=4).collect()
+    assert len(out) == 80
+    fills = {}
+    for r in out:
+        key = (r["bucket"], r["seq_idx"])
+        fills.setdefault(key, []).append((r["seq_off"], r["n_tok"]))
+    for (bkt, seq), items in fills.items():
+        items.sort()
+        # offsets are contiguous within a sequence
+        pos = 0
+        for off, n in items:
+            assert off == pos
+            pos += n
+        # no sequence exceeds capacity unless it is a single long doc
+        assert pos <= 64 or len(items) == 1
+    # packing actually packs: sequences average > 1 doc
+    assert len(out) / len(fills) > 1.5
+
+
+def test_pack_sequences_layout_invariant(spark):
+    rows = [(i, " ".join(["t"] * (3 + i % 9))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, CU.pack_sequences(docs.repartition(2), 32, 4).collect()))
+    b = sorted(map(tuple, CU.pack_sequences(docs.repartition(11), 32, 4).collect()))
+    assert a == b

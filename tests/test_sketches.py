@@ -1,0 +1,86 @@
+"""Heavy-hitter sketch tests (operators/sketches.py): exactness of
+the two-pass Misra-Gries + recount pipeline, the candidate-volume
+bound when the vocabulary is much larger than the sketch, and
+invariance to the partition layout."""
+
+import pyspark.sql.functions as F
+
+from reader_spark.operators import sketches as SK
+
+
+def _skewed_docs(spark, n_rare=400, hot_repeats=60):
+    """A corpus whose vocabulary (~400 distinct rare tokens + 3 hot
+    ones) is far larger than the sketch size used in tests: 3 hot
+    tokens dominate, the long tail appears once each."""
+    rows = []
+    for i in range(n_rare):
+        hot = ["hot%d" % (i % 3)] * (hot_repeats // 20)
+        rows.append((i, " ".join(hot + ["rare%d" % i])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exact(spark_docs, k, ngram=1):
+    """Direct full-shuffle answer to compare against."""
+    tok = spark_docs.select(
+        F.explode(SK._ngram_terms("text", ngram)).alias("term")
+    )
+    total = tok.count()
+    return {
+        (r["term"], r["cnt"])
+        for r in tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * k > F.lit(total))
+        .collect()
+    }
+
+
+def test_heavy_hitters_exact_on_skewed_vocab(spark):
+    docs = _skewed_docs(spark)
+    k = 10  # sketch far smaller than the ~403-term vocabulary
+    got = {
+        (r["term"], r["cnt"])
+        for r in SK.heavy_hitters(docs, k=k).collect()
+    }
+    assert got == _exact(docs, k)
+    assert {t for t, _ in got} == {"hot0", "hot1", "hot2"}
+
+
+def test_candidate_volume_bounded_by_k_per_partition(spark):
+    docs = _skewed_docs(spark)
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    tok = tok.repartition(6)
+    cands = SK.misra_gries_candidates(tok, 10)
+    per_part = cands.withColumn(
+        "p", F.spark_partition_id()
+    ).groupBy("p").count().collect()
+    assert per_part, "no partitions produced candidates"
+    assert all(r["count"] <= 10 for r in per_part)
+    # the sketch really evicts: far fewer candidates than vocab terms
+    assert cands.count() < 100 < tok.select("term").distinct().count()
+
+
+def test_heavy_hitters_partition_layout_invariant(spark):
+    docs = _skewed_docs(spark)
+    a = {
+        (r["term"], r["cnt"])
+        for r in SK.heavy_hitters(docs.repartition(2), k=7).collect()
+    }
+    b = {
+        (r["term"], r["cnt"])
+        for r in SK.heavy_hitters(docs.repartition(13), k=7).collect()
+    }
+    assert a == b
+
+
+def test_heavy_hitters_bigrams(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["term"], r["cnt"])
+        for r in SK.heavy_hitters(docs, k=4, ngram=2).collect()
+    }
+    # bigrams: a b ×3 (doc1) + a b (doc2) = 4 of 10 total -> 4*4 > 10
+    assert ("a b", 4) in got
+    assert all(t == "a b" or c * 4 > 10 for t, c in got)

@@ -813,3 +813,48 @@ def pack_sequences(
         )
 
     return sized.groupBy("bucket").applyInPandas(pack, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV-rate scoring
+
+
+def vocab_coverage(
+    docs: DataFrame, vocab_size: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus' own
+    top-`vocab_size` word vocabulary (ties broken by term) — the
+    tokenizer-design companion metric: documents dominated by
+    out-of-vocab tokens either need vocab growth or are noise.
+
+    Scale: the vocabulary comes from one map-side-combinable term
+    aggregate followed by `orderBy(...).limit(V)` — Spark compiles
+    that to TakeOrderedAndProject (per-partition partial top-V, no
+    global sort materialization). The per-doc pass joins tokens
+    against the broadcast vocabulary and aggregates on doc_id.
+    """
+    tok = DD.ensure_parallelism(docs).select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

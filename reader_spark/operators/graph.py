@@ -110,3 +110,78 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected pair list —
+    the local clustering signal: near-dup neighborhoods that are
+    CLIQUES (every variant similar to every other) are template
+    families and safe to collapse hard; neighborhoods with many open
+    wedges but few triangles are chains of borderline matches where a
+    single verify threshold is doing too much work.
+
+    Algorithm (the MPC-standard degree orientation): orient each
+    edge from its (degree, id)-smaller endpoint to the larger; every
+    triangle then has exactly ONE node with two out-edges, so wedges
+    (u->v, u->w with v < w) joined against the canonical closing edge
+    (v, w) count each triangle exactly once.
+
+    Scale: orientation bounds out-degree by O(sqrt(m)) — a celebrity
+    node of degree d contributes wedges only from edges where it is
+    the SMALLER-degree endpoint, so the wedge join's fan-out is the
+    textbook m^{3/2} worst case rather than sum(d^2); the closing
+    check is a two-column equi-join against the edge list. Everything
+    shuffles on uniform id keys; the per-node count explode is 3 rows
+    per triangle.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        pairs.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    from reader_spark.operators.dedup import maybe_broadcast
+
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("dg"))
+    )
+    share_deg = maybe_broadcast(deg)
+    ed = (
+        e.join(share_deg.select(F.col("v").alias("a"), F.col("dg").alias("da")), "a")
+        .join(share_deg.select(F.col("v").alias("b"), F.col("dg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    wedges = (
+        o.alias("o1")
+        .join(o.alias("o2"), F.col("o1.u") == F.col("o2.u"))
+        .filter(F.col("o1.w") < F.col("o2.w"))
+        .select(
+            F.col("o1.u").alias("u"),
+            F.col("o1.w").alias("x"),
+            F.col("o2.w").alias("y"),
+        )
+    )
+    tris = wedges.join(
+        e, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b"))
+    ).select("u", "x", "y")
+    return (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )

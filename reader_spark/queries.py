@@ -4755,6 +4755,79 @@ FROM w GROUP BY 1, 2
 """
 
 
+def triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the verified near-dup graph —
+    the local-clustering signal that separates template-family
+    cliques (collapse hard) from chains of borderline matches.
+    Degree-ordered orientation bounds the wedge join's fan-out by
+    O(sqrt(m)) per node (operators/graph.py)."""
+    from reader_spark.operators import graph as GR
+
+    docs = _t(spark, sf_dir, "documents")
+    base = DD.token_hashes(docs).persist()
+    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    return GR.triangle_counts(verified.select("doc_a", "doc_b"))
+
+
+TRIANGLES_SQL = DEDUP_COMPONENTS_SQL.split(", e AS (")[0] + """
+, te AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+  FROM vp WHERE doc_a <> doc_b
+), dg AS (
+  SELECT v, count(*) AS dg
+  FROM (SELECT a AS v FROM te UNION ALL SELECT b FROM te) GROUP BY 1
+), o AS (
+  SELECT CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND a < b)
+              THEN a ELSE b END AS u,
+         CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND a < b)
+              THEN b ELSE a END AS w
+  FROM te
+  JOIN dg da ON da.v = te.a
+  JOIN dg db ON db.v = te.b
+), wedge AS (
+  SELECT o1.u AS u, o1.w AS x, o2.w AS y
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w
+), tri AS (
+  SELECT u, x, y FROM wedge JOIN te ON te.a = wedge.x AND te.b = wedge.y
+)
+SELECT node, count(*)::BIGINT AS n_tri
+FROM (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT x FROM tri
+  UNION ALL SELECT y FROM tri
+)
+GROUP BY 1
+"""
+
+
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus' own top-20 word
+    vocabulary — tokenizer-design metric. The vocabulary is a
+    TakeOrderedAndProject (partial top-V per partition, no global
+    sort); the scoring pass is one broadcast left join + doc_id
+    aggregate (operators/curation.py)."""
+    return CU.vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=20)
+
+
+VOCAB_COVERAGE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), vc AS (
+  SELECT term, count(*) AS cf FROM tok GROUP BY 1
+), vocab AS (
+  SELECT term FROM vc ORDER BY cf DESC, term LIMIT 20
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END)
+             / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v ON v.term = tok.term
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -4811,15 +4884,19 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # (funnel_events replaces range_join_bands in the window —
     # range_join_bands is r3 hash-green with untouched code)
     "funnel_events": (funnel_events, FUNNEL_SQL),
-    "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
     "cdc_e2e_pipeline": (cdc_e2e_pipeline, CDC_E2E_SQL),
     # source_top_terms (new) enters the window; q1 rotates out
     # (hash-green r2+r3, code untouched — entry() still smokes it
     # at sf0.001 every round)
     "source_top_terms": (source_top_terms, SOURCE_TOP_TERMS_SQL),
-    # analytics with canonicalized edges (r1 hash-red, now string/bigint)
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    # r4b: triangle counting + vocab coverage enter the window
+    # (new, never driver-checked); rotated out: q3_shipping_priority
+    # (green r1-r3, untouched) and c5_schema_asof (green r2+r3,
+    # untouched — cdc_e2e_pipeline exercises the same schema-history
+    # code path in-window)
+    "triangles_neardup": (triangles_neardup, TRIANGLES_SQL),
+    "vocab_coverage": (vocab_coverage_q, VOCAB_COVERAGE_SQL),
     # q21 re-enters the window (its aggregation was restructured this
     # round — two-stage rollup); q5 rotates out (r1-r3 hash-green,
     # code untouched)
@@ -4869,6 +4946,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # text_lang_id - two rounds hash-green, function untouched)
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "s1_snapshot_scan": (s1_snapshot_scan, S1_SQL),
     "p5_envelope": (p5_envelope, P5_SQL),
     "c10_json_extract": (c10_json_extract, C10_SQL),

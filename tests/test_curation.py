@@ -385,3 +385,15 @@ def test_pack_sequences_layout_invariant(spark):
     a = sorted(map(tuple, CU.pack_sequences(docs.repartition(2), 32, 4).collect()))
     b = sorted(map(tuple, CU.pack_sequences(docs.repartition(11), 32, 4).collect()))
     assert a == b
+
+
+def test_vocab_coverage_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "d d d")],
+        "doc_id long, text string",
+    )
+    # counts: a=3 d=3 b=1 c=1 -> top-2 vocab (count desc, term) = a, d
+    out = {r["doc_id"]: r for r in CU.vocab_coverage(docs, vocab_size=2).collect()}
+    assert (out[1]["n_oov"], out[1]["n_tokens"]) == (1, 3)
+    assert out[2]["n_oov"] == 1 and out[2]["oov_rate"] == 0.5
+    assert out[3]["n_oov"] == 0

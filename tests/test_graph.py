@@ -42,3 +42,33 @@ def test_pagerank_centrality_ordering(spark):
 def test_pagerank_empty_graph(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert GR.pagerank(pairs, iterations=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_triangle_counts_hand_graph(spark):
+    # triangle 1-2-3 plus a pendant edge 3-4: nodes 1,2,3 get one
+    # triangle each, node 4 none
+    pairs = _pairs(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r["node"]: r["n_tri"] for r in GR.triangle_counts(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_clique(spark):
+    # K5: C(4,2) = 6 triangles per node, 10 total triangles
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    got = {r["node"]: r["n_tri"] for r in GR.triangle_counts(_pairs(spark, edges)).collect()}
+    assert got == {n: 6 for n in range(5)}
+
+
+def test_triangle_counts_direction_and_dup_invariant(spark):
+    # reversed/duplicated pairs collapse to the same undirected graph
+    pairs = _pairs(spark, [(2, 1), (1, 2), (3, 2), (1, 3), (3, 1)])
+    got = {r["node"]: r["n_tri"] for r in GR.triangle_counts(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -4755,6 +4755,107 @@ FROM w GROUP BY 1, 2
 """
 
 
+def incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent (watermark-interleaved) snapshot merge, end-to-end:
+    the orders fixture becomes a chunked snapshot whose chunks are cut
+    at increasing log positions, a deterministic CDC edit script is
+    derived in-frame (updates straddling the cut boundaries, an
+    at-the-cut delete that must NOT win, always-later updates and
+    deletes, post-snapshot inserts), and
+    `plans/snapshot.py::interleaved_snapshot_merge` reconciles them —
+    events replay iff strictly PAST their row's chunk cut. The oracle
+    reproduces the rule with a window + full outer join; no
+    driver-side synthesis (everything is column logic)."""
+    from reader_spark.plans.snapshot import interleaved_snapshot_merge
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    key = F.col("o_orderkey")
+    cut = (F.lit(1000) + F.floor(key / 2500) * 10).cast("long")
+    chunks = o.select(
+        key.alias("pk"), "o_custkey", "o_orderstatus", cut.alias("chunk_pos")
+    )
+    ev = F.lit
+    e1 = o.filter(key % 7 == 1).select(
+        key.alias("pk"), ev("u").alias("op"),
+        (F.lit(995) + key % 30).cast("long").alias("pos"),
+        (F.col("o_custkey") + 100000).alias("o_custkey"),
+        F.col("o_orderstatus"),
+    )
+    e2 = o.filter(key % 11 == 0).select(
+        key.alias("pk"), ev("u").alias("op"),
+        F.lit(99999).cast("long").alias("pos"),
+        F.col("o_custkey"), ev("Z").alias("o_orderstatus"),
+    )
+    e3 = o.filter(key % 13 == 0).select(  # AT the cut: must be ignored
+        key.alias("pk"), ev("d").alias("op"), cut.alias("pos"),
+        F.col("o_custkey"), F.col("o_orderstatus"),
+    )
+    e4 = o.filter(key % 17 == 0).select(  # post-snapshot inserts
+        (key + 1000000).alias("pk"), ev("c").alias("op"),
+        F.lit(50).cast("long").alias("pos"),
+        (F.col("o_custkey") + 5).alias("o_custkey"),
+        ev("N").alias("o_orderstatus"),
+    )
+    e5 = o.filter(key % 19 == 0).select(  # late deletes (lose to e2)
+        key.alias("pk"), ev("d").alias("op"),
+        F.lit(99998).cast("long").alias("pos"),
+        F.col("o_custkey"), F.col("o_orderstatus"),
+    )
+    events = e1.union(e2).union(e3).union(e4).union(e5)
+    return interleaved_snapshot_merge(
+        chunks, events, "pk", ["o_custkey", "o_orderstatus"],
+        tiebreak_cols=["op"],
+    )
+
+
+INCR_SNAPSHOT_SQL = """
+WITH snap AS (
+  SELECT o_orderkey AS pk, o_custkey, o_orderstatus,
+         (1000 + (o_orderkey // 2500) * 10)::BIGINT AS cpos
+  FROM orders
+), ev AS (
+  SELECT o_orderkey AS pk, 'u' AS op,
+         (995 + o_orderkey % 30)::BIGINT AS pos,
+         o_custkey + 100000 AS o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT o_orderkey, 'u', 99999, o_custkey, 'Z'
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey, 'd', (1000 + (o_orderkey // 2500) * 10)::BIGINT,
+         o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000, 'c', 50, o_custkey + 5, 'N'
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey, 'd', 99998, o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 19 = 0
+), latest AS (
+  SELECT pk, op, pos, o_custkey, o_orderstatus FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY pos DESC, op) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+SELECT pk,
+       CASE WHEN win THEN e_ck ELSE s_ck END AS o_custkey,
+       CASE WHEN win THEN e_st ELSE s_st END AS o_orderstatus
+FROM (
+  SELECT coalesce(snap.pk, latest.pk) AS pk,
+         latest.pos IS NOT NULL
+           AND (snap.cpos IS NULL OR latest.pos > snap.cpos) AS win,
+         latest.op AS e_op, latest.o_custkey AS e_ck,
+         latest.o_orderstatus AS e_st,
+         snap.o_custkey AS s_ck, snap.o_orderstatus AS s_st,
+         snap.cpos
+  FROM snap FULL JOIN latest ON snap.pk = latest.pk
+)
+WHERE CASE WHEN win THEN e_op <> 'd' ELSE TRUE END
+"""
+
+
 def triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the verified near-dup graph —
     the local-clustering signal that separates template-family
@@ -4848,7 +4949,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (pack_sequences_q, PACK_SEQ_SQL),
     "cohort_retention": (cohort_retention, COHORT_SQL),
     "ohlc_bars": (ohlc_bars, OHLC_SQL),
-    "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),
+    # r4b: the concurrent-snapshot merge enters the window (new);
+    # rotated out: k3_transfer_dedupe (green r2+r3, untouched —
+    # cdc_e2e_pipeline exercises the same transfer MERGE in-window)
+    "incremental_snapshot": (incremental_snapshot, INCR_SNAPSHOT_SQL),
     # LLM-data-pipeline
     "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
     # video_frames (real PPMV frame extraction, new) enters the
@@ -4948,6 +5052,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- past the driver window: r1/r3-green, unchanged since
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
+    "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),
     "s1_snapshot_scan": (s1_snapshot_scan, S1_SQL),
     "p5_envelope": (p5_envelope, P5_SQL),
     "c10_json_extract": (c10_json_extract, C10_SQL),

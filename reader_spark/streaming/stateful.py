@@ -242,3 +242,89 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters (Misra-Gries state per hash bucket)
+
+HH_SCHEMA = "bucket int, term string, lb long"
+# state: parallel arrays (terms, counters)
+HH_STATE_SCHEMA = "terms array<string>, counts array<long>"
+
+
+def make_heavy_hitter_tracker(k: int):
+    """Per-bucket Misra-Gries tracker: state is at most k (term,
+    counter) pairs no matter how many events stream through the
+    bucket; every batch emits the bucket's CURRENT summary (term +
+    lower-bound count). Same guarantee as the batch sketch
+    (operators/sketches.py): any term with true bucket frequency
+    > n_bucket/(k+1) is present in the emitted summary."""
+
+    def fn(key, pdfs, state):
+        (bucket,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        counters: dict[str, int] = {}
+        if state.exists:
+            terms, counts = state.get
+            counters = dict(zip(terms, counts))
+        for pdf in pdfs:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key2 in counters:
+                        counters[key2] -= 1
+                        if counters[key2] == 0:
+                            dead.append(key2)
+                    for key2 in dead:
+                        del counters[key2]
+        state.update((list(counters.keys()), list(counters.values())))
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(counters),
+                "term": list(counters.keys()),
+                "lb": list(counters.values()),
+            }
+        )
+
+    return fn
+
+
+def heavy_hitters_stream(
+    events: DataFrame, k: int = 10, n_buckets: int = 8,
+    term_col: str = "term",
+) -> DataFrame:
+    """Streaming heavy hitters: terms are hash-bucketed (uniform md5,
+    so each bucket sees ~1/n_buckets of the stream) and each bucket
+    maintains a Misra-Gries summary of size k in the state store —
+    O(n_buckets * k) TOTAL state for an unbounded stream. Each
+    micro-batch emits every touched bucket's current summary; the
+    consumer unions bucket summaries (a term lives in exactly one
+    bucket, so no cross-bucket merge is needed) and, as in the batch
+    two-pass pipeline, can exact-recount the candidate set when exact
+    counts matter.
+
+    Update mode, no timeout: heavy-hitter state is the bounded
+    summary itself (eviction IS the algorithm), unlike sessionization
+    where the timeout bounds state.
+    """
+    from reader_spark.operators.dedup import md5_hash64
+
+    bucketed = events.select(
+        F.col(term_col).alias("term"),
+        F.pmod(md5_hash64(F.col(term_col), "hhb"), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        make_heavy_hitter_tracker(k),
+        outputStructType=HH_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

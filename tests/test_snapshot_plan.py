@@ -86,3 +86,72 @@ def test_transfer_dedupe_keeps_latest(spark):
         for r in transfer_dedupe(df, ["pk"], "updated_at").collect()
     }
     assert out == {1: "b", 2: "d"}
+
+
+# ---------------------------------------------------------------------------
+# concurrent (watermark-interleaved) snapshot merge
+
+
+def test_interleaved_snapshot_merge_rules(spark):
+    from reader_spark.plans.snapshot import interleaved_snapshot_merge
+
+    # chunks cut at different log positions: pk 1-3 read at pos 100,
+    # pk 4-6 read at pos 200
+    chunks = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100), (3, "c", 100),
+         (4, "d", 200), (5, "e", 200), (6, "f", 200)],
+        "pk long, v string, chunk_pos long",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "u", 50, "STALE"),    # before pk1's cut -> ignored
+            (2, "u", 150, "B2"),      # after pk2's cut -> wins
+            (3, "d", 100, "X"),       # AT the cut (not past) -> ignored
+            (4, "u", 150, "STALE"),   # before pk4's cut (200) -> ignored
+            (5, "d", 250, "X"),       # delete past the cut -> row gone
+            (5, "u", 240, "STALE"),   # older than the delete
+            (7, "c", 10, "NEW"),      # insert-only pk -> appears
+            (7, "u", 20, "NEW2"),     # latest event for pk 7
+        ],
+        "pk long, op string, pos long, v string",
+    )
+    got = {
+        r["pk"]: r["v"]
+        for r in interleaved_snapshot_merge(
+            chunks, events, "pk", ["v"]
+        ).collect()
+    }
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d", 6: "f", 7: "NEW2"}
+
+
+def test_interleaved_merge_equals_sequential_replay(spark):
+    """Property: when every chunk is cut at position 0 (snapshot fully
+    before the stream), the merge equals plain last-event-wins replay
+    over the snapshot."""
+    import random
+
+    from reader_spark.plans.snapshot import interleaved_snapshot_merge
+
+    rng = random.Random(7)
+    snap_rows = [(pk, f"s{pk}", 0) for pk in range(40)]
+    ev_rows = []
+    pos = 1
+    for _ in range(200):
+        pk = rng.randrange(50)
+        op = rng.choice(["u", "u", "c", "d"])
+        ev_rows.append((pk, op, pos, f"v{pos}"))
+        pos += 1
+    chunks = spark.createDataFrame(snap_rows, "pk long, v string, chunk_pos long")
+    events = spark.createDataFrame(ev_rows, "pk long, op string, pos long, v string")
+    got = {
+        r["pk"]: r["v"]
+        for r in interleaved_snapshot_merge(chunks, events, "pk", ["v"]).collect()
+    }
+    # reference replay
+    state = {pk: v for pk, v, _ in snap_rows}
+    for pk, op, pos, v in sorted(ev_rows, key=lambda r: r[2]):
+        if op == "d":
+            state.pop(pk, None)
+        else:
+            state[pk] = v
+    assert got == state

@@ -390,6 +390,66 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
+DHASH_SCHEMA = "media_id long, decoded boolean, dhash long"
+
+
+def image_dhash(
+    media: DataFrame, hash_w: int = 8, hash_h: int = 7
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode, integer
+    luma grayscale (g = (299r + 587g + 114b) // 1000 — integer
+    division so a SQL oracle reproduces every bit), nearest-neighbor
+    sample to a (hash_w+1) x hash_h grid with the same
+    center-of-pixel rule as `resize_images`, then one bit per
+    horizontal neighbor pair: bit (y*hash_w + x) set iff
+    g[y][x+1] > g[y][x]. Default 8x7 = 56 bits — fits a positive
+    int64 in both Spark and DuckDB (64 bits would need the sign
+    bit).
+
+    Scale shape: identical to `extract_media_stats` — blobs hash on
+    the scan partitioning and never shuffle; only (id, int64) rows
+    leave the stage. Downstream exact-dup clustering is a uniform
+    groupBy on the hash; near-dup pairing composes with
+    `dedup.simhash_candidate_pairs(bits=56)` (pigeonhole hamming
+    banding — tested in test_multimodal.py)."""
+    import numpy as np
+
+    def one(media_id, kind, payload):
+        row = {"media_id": media_id, "decoded": False, "dhash": None}
+        if payload is None or kind != "image":
+            return row
+        try:
+            img = _decode_image(bytes(payload))
+        except (NotImplementedError, ValueError):
+            return row
+        h, w, _ = img.shape
+        px = img.astype("int64")
+        gray = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+        ys = np.minimum(
+            ((np.arange(hash_h) + 0.5) * h / hash_h).astype("int64"), h - 1
+        )
+        xs = np.minimum(
+            ((np.arange(hash_w + 1) + 0.5) * w / (hash_w + 1)).astype("int64"),
+            w - 1,
+        )
+        g = gray[ys][:, xs]
+        bits = (g[:, 1:] > g[:, :-1]).astype("int64")
+        exps = np.arange(hash_h)[:, None] * hash_w + np.arange(hash_w)[None, :]
+        row.update(decoded=True, dhash=int((bits << exps).sum()))
+        return row
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    one(m, k, p)
+                    for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])
+                ]
+            )
+
+    return media.mapInPandas(op, schema=DHASH_SCHEMA)
+
+
 SPECTRUM_SCHEMA = (
     "media_id long, decoded boolean, sample_rate int, "
     "dominant_hz double, spectral_centroid double"

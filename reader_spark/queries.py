@@ -3573,6 +3573,77 @@ FROM m JOIN dom USING (media_id) JOIN cen USING (media_id)
 """
 
 
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle-checked image dedup: deterministic PPM per
+    doc id -> REAL decode -> integer-luma grayscale -> 9x7 nearest-
+    neighbor sample -> 56-bit perceptual difference-hash
+    (multimodal.image_dhash), then exact-hash bucket dedup: per
+    image its canonical representative (min id sharing the hash) and
+    cluster size. The DuckDB oracle reproduces every hash bit from
+    the pixel formula with pure arithmetic — any codec, grayscale,
+    sampling or bit-packing bug breaks the hash.
+
+    Scale: hashing is map-only on the scan partitioning (blobs never
+    shuffle); dedup is ONE uniform groupBy on the 56-bit key — the
+    shape CommonCrawl-scale image dedup actually uses (hamming
+    NEAR-dup composes via simhash_candidate_pairs(bits=56), covered
+    in test_multimodal.py — pair emission is quadratic in cluster
+    structure, so the catalog row stays with the linear bucket
+    form)."""
+    from pyspark.sql import Window as W
+    from reader_spark.operators import multimodal as MM
+
+    ids = DD.ensure_parallelism(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    )
+    hashes = MM.image_dhash(MM.synthesize_images(ids)).filter(F.col("decoded"))
+    w = W.partitionBy("dhash")
+    return hashes.select(
+        "media_id",
+        "dhash",
+        F.min("media_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+IMAGE_PHASH_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+  FROM documents
+), g AS (
+  SELECT media_id, y.y AS y, x.x AS x,
+    (((media_id * 7
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17)
+      % 256) * 299
+     + ((media_id * 7
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17
+       + 29) % 256) * 587
+     + ((media_id * 7
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17
+       + 58) % 256) * 114) // 1000 AS gv
+  FROM d,
+       (SELECT unnest(generate_series(0, 6)) AS y) y,
+       (SELECT unnest(generate_series(0, 8)) AS x) x
+), hashes AS (
+  SELECT a.media_id,
+         sum(CASE WHEN b.gv > a.gv
+                  THEN 1::BIGINT << (a.y * 8 + a.x) ELSE 0 END)::BIGINT
+           AS dhash
+  FROM g a JOIN g b
+    ON a.media_id = b.media_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+  GROUP BY 1
+)
+SELECT media_id, dhash,
+       min(media_id) OVER (PARTITION BY dhash) AS canonical_id,
+       count(*) OVER (PARTITION BY dhash) AS cluster_size
+FROM hashes
+"""
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (operators/dedup.py::
     containment_pairs): docs whose rare 3-grams are >= 50% contained
@@ -4968,7 +5039,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # / embedding_near_dup — r3 hash-green, code untouched)
     "data_quality_report": (data_quality_report, QUALITY_REPORT_SQL),
     "value_histogram": (value_histogram, HISTOGRAM_SQL),
-    "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+    # r4c: image perceptual-hash dedup enters the window (new);
+    # multimodal_features rotates out (r3 hash-green, untouched —
+    # image_phash_dedup exercises the same synthesize/decode path
+    # end-to-end and multimodal_resize stays in-window)
+    "image_phash_dedup": (image_phash_dedup, IMAGE_PHASH_SQL),
     # (pagerank_neardup replaces term_stats in the window —
     # term_stats is r3 hash-green with untouched code)
     "pagerank_neardup": (pagerank_neardup, PAGERANK_SQL),
@@ -5050,6 +5125,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # text_lang_id - two rounds hash-green, function untouched)
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
+    "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),

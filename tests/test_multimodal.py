@@ -269,3 +269,68 @@ def test_ppmv_roundtrip():
     fps, back = MM.decode_ppmv(blob)
     assert fps == 5000 and len(back) == 2
     assert (back[0] == frames[0]).all() and (back[1] == frames[1]).all()
+
+
+def test_image_dhash_exact_and_hamming_pairs(spark):
+    """dHash bits match an independent numpy recomputation, and the
+    56-bit hash composes with the pigeonhole hamming banding
+    (simhash_candidate_pairs) exactly — banding finds precisely the
+    brute-force pairs within the threshold."""
+    import numpy as np
+
+    from reader_spark.operators import dedup as DD
+    from reader_spark.operators import multimodal as MM
+
+    n = 40
+    ids = spark.createDataFrame([(i,) for i in range(n)], "media_id long")
+    hashes = MM.image_dhash(MM.synthesize_images(ids))
+    got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+
+    def ref_dhash(mid, HW=8, HH=7):
+        w, h = 4 + mid % 5, 2 + mid % 3
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        img = ((mid * 7 + y * 13 + x * 17 + c * 29) % 256).astype("int64")
+        gray = (img[:, :, 0] * 299 + img[:, :, 1] * 587 + img[:, :, 2] * 114) // 1000
+        ys = np.minimum(((np.arange(HH) + 0.5) * h / HH).astype("int64"), h - 1)
+        xs = np.minimum(
+            ((np.arange(HW + 1) + 0.5) * w / (HW + 1)).astype("int64"), w - 1
+        )
+        g = gray[ys][:, xs]
+        bits = (g[:, 1:] > g[:, :-1]).astype("int64")
+        exps = np.arange(HH)[:, None] * HW + np.arange(HW)[None, :]
+        return int((bits << exps).sum())
+
+    for mid in range(n):
+        assert got[mid] == ref_dhash(mid), mid
+        assert 0 <= got[mid] < 1 << 56
+
+    # near-dup composition: banding == brute force at hamming <= 3
+    pairs = DD.simhash_candidate_pairs(
+        hashes.select("media_id", F.col("dhash").alias("simhash")),
+        id_col="media_id",
+        bits=56,
+        n_bands=4,
+        max_hamming=3,
+    )
+    got_pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs.collect()
+    }
+    want = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            d = bin(got[a] ^ got[b]).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got_pairs == want
+
+
+def test_image_dhash_undecodable(spark):
+    from reader_spark.operators import multimodal as MM
+
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"JFIF...")), (2, "audio", bytearray(b"x"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in MM.image_dhash(bad).collect()}
+    assert not rows[1]["decoded"] and rows[1]["dhash"] is None
+    assert not rows[2]["decoded"]

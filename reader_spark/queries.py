@@ -3644,6 +3644,59 @@ FROM hashes
 """
 
 
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication with OVERLAPPING 8-token windows
+    + per-doc merged-span coverage (operators/curation.py::
+    duplicate_spans — the Lee et al. exact-substring dedup shape).
+    Catches duplicated passages that straddle fixed chunk
+    boundaries, which passage_dedup's non-overlapping chunks miss."""
+    return CU.duplicate_spans(_t(spark, sf_dir, "documents"), width=8)
+
+
+DUP_SPANS_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), lens AS (
+  SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM base
+), spans AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5('sp:' ||
+            array_to_string(ws[i + 1 : i + 8], ' ')), 1, 15))::BIGINT AS sh
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+    FROM base WHERE len(ws) >= 8
+  )
+), counts AS (
+  SELECT sh, count(*) AS cnt FROM spans GROUP BY 1
+), dup AS (
+  SELECT doc_id, i AS s FROM spans JOIN counts USING (sh) WHERE cnt > 1
+), isl AS (
+  SELECT doc_id, s,
+         CASE WHEN max(s + 8) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(s + 8) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM dup
+), isl2 AS (
+  SELECT doc_id, s,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM isl
+), cov AS (
+  SELECT doc_id, sum(span_tokens)::BIGINT AS dup_tokens FROM (
+    SELECT doc_id, island, max(s) + 8 - min(s) AS span_tokens
+    FROM isl2 GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT l.doc_id AS doc_id, n_tokens,
+       coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(coalesce(dup_tokens, 0)::DOUBLE / n_tokens, 6) AS dup_frac
+FROM lens l LEFT JOIN cov ON l.doc_id = cov.doc_id
+"""
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (operators/dedup.py::
     containment_pairs): docs whose rare 3-grams are >= 50% contained
@@ -5030,7 +5083,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # window; dedup_minhash_lsh rotates out (r1+r3 hash-green,
     # untouched; near_dup exercises the same LSH path in-window)
     "video_frames": (video_frames, VIDEO_FRAMES_SQL),
-    "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    # r4c: overlapping-window exact-substring dedup enters the
+    # window (new); knn_ivf rotates out (r3 hash-green, untouched —
+    # knn_ivf_sq8 / knn_pq / knn_sq8 keep the ANN tier in-window)
+    "duplicate_spans": (duplicate_spans_q, DUP_SPANS_SQL),
     # knn_pq enters the window (new this round); dedup_components
     # rotates out — r3 hash-green, untouched, and canonical_docs (in
     # window) exercises the same components code path end-to-end
@@ -5126,6 +5182,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
     # -- past the driver window: r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+    "knn_ivf": (knn_ivf, KNN_IVF_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),

@@ -397,3 +397,61 @@ def test_vocab_coverage_hand_computed(spark):
     assert (out[1]["n_oov"], out[1]["n_tokens"]) == (1, 3)
     assert out[2]["n_oov"] == 1 and out[2]["oov_rate"] == 0.5
     assert out[3]["n_oov"] == 0
+
+
+def test_duplicate_spans_hand_case(spark):
+    """Hand-checkable span merging: two docs share an 8-token run
+    that straddles a doc-A chunk boundary; overlapping windows find
+    it and the merged interval covers exactly the shared tokens."""
+    from reader_spark.operators import curation as CU
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 1: 4 unique tokens, then the shared run, then 3 unique
+            (1, "a b c d " + shared + " x y z"),
+            # doc 2: the shared run alone
+            (2, shared),
+            # doc 3: fully unique, longer than width
+            (3, " ".join(f"u{i}" for i in range(12))),
+            # doc 4: shorter than width -> no spans
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.duplicate_spans(docs, width=8).collect()}
+    # doc 2: windows at s=0,1,2 all duplicated (they appear inside
+    # doc 1); merged interval [0, 10) -> all 10 tokens covered
+    assert out[2]["n_tokens"] == 10 and out[2]["dup_tokens"] == 10
+    assert out[2]["dup_frac"] == 1.0
+    # doc 1: duplicated windows are exactly the shared run's three
+    # 8-grams at s=4,5,6 -> merged [4, 14) = 10 tokens of 17
+    assert out[1]["n_tokens"] == 17 and out[1]["dup_tokens"] == 10
+    # unique and too-short docs report zero
+    assert out[3]["dup_tokens"] == 0 and out[4]["dup_tokens"] == 0
+    # non-overlapping chunking misses the straddled run in doc 1:
+    # its chunks are [0,8) and [8,16) + tail, neither equal to a
+    # doc-2 chunk
+    ps = {r["doc_id"]: r for r in CU.passage_stats(docs, width=8).collect()}
+    assert ps[1]["n_dup"] == 0 and out[1]["dup_tokens"] == 10
+
+
+def test_duplicate_spans_islands_disjoint_runs(spark):
+    """Two disjoint duplicated runs in one doc stay separate islands
+    and their token coverage adds."""
+    from reader_spark.operators import curation as CU
+
+    run_a = " ".join(f"a{i}" for i in range(8))
+    run_b = " ".join(f"b{i}" for i in range(8))
+    filler = " ".join(f"f{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (1, run_a + " " + filler + " " + run_b),
+            (2, run_a),
+            (3, run_b),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.duplicate_spans(docs, width=8).collect()}
+    assert out[1]["n_tokens"] == 21
+    assert out[1]["dup_tokens"] == 16  # 8 + 8, filler not covered

@@ -215,3 +215,105 @@ def bm25_topk(
             F.round(F.col("s"), 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# materialized inverted index (the 100 TB path: index once, search many)
+
+
+def bm25_index_write(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index to parquet, postings
+    partitioned by term hash-bucket: `bucket = pmod(xxhash64(term),
+    n_buckets)`. Per-term document frequency is computed ONCE at
+    index time and stored inline with each posting, so a search
+    needs no df aggregate/window at all. Corpus scalars (N, avgdl)
+    land in a one-row side table.
+
+    Scale: the analogue of `ivf_index_write` for text — a search
+    for q query terms reads at most q bucket DIRECTORIES
+    (PartitionFilters prune the rest; plan-asserted in
+    test_retrieval.py), i.e. ~q/n_buckets of the index bytes
+    instead of re-tokenizing the corpus per query. The
+    `repartition(n_buckets, bucket)` before `partitionBy` keeps the
+    write at one file per bucket instead of tasks x buckets
+    (measured 11x on the transfer seed, SCALE.md)."""
+    postings = doc_terms(docs, text_col)
+    tstats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    full = postings.join(tstats, "term").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    (
+        full.repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{path}/scalars")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 top-k against a materialized index: identical scores to
+    `bm25_topk`, but the corpus is never touched — only the probed
+    term buckets are read. The bucket list is derived from the query
+    terms with one tiny Spark job (|query terms| rows collected:
+    control-plane, like the DDL-event collects) and pushed as a
+    partition filter."""
+    from pyspark.sql import Window as W
+
+    qrows = [
+        (qid, term) for qid, qtext in queries for term in qtext.split(" ")
+    ]
+    qterms = spark.createDataFrame(
+        qrows, "query_id long, term string"
+    ).distinct()
+    buckets = [
+        r["b"]
+        for r in qterms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets)
+    )
+    matches = postings.join(F.broadcast(qterms), "term")
+    scalars = spark.read.parquet(f"{path}/scalars")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = F.col("tf") / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matches.crossJoin(F.broadcast(scalars))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * tf_norm).alias("s"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("s"), 6).alias("score"),
+        )
+    )

@@ -3317,6 +3317,20 @@ SELECT query_id, doc_id, rank, round(s_, 6) AS score FROM (
 """
 
 
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 through the MATERIALIZED inverted index
+    (operators/retrieval.py::bm25_index_write / bm25_topk_indexed):
+    postings partitioned by term hash-bucket with df stored inline,
+    searches read only the probed buckets (PartitionFilters,
+    plan-asserted in test_retrieval.py). Same oracle as text_bm25 —
+    the index round-trip must not change a single score."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bm25_idx_")
+    RT.bm25_index_write(_t(spark, sf_dir, "documents"), work, n_buckets=16)
+    return RT.bm25_topk_indexed(spark, work, _BM25_QUERIES, k=10, n_buckets=16)
+
+
 def term_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index statistics page: per-term document frequency
     and collection frequency. One corpus-sized shuffle on uniform
@@ -5119,7 +5133,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # (funnel_events replaces range_join_bands in the window —
     # range_join_bands is r3 hash-green with untouched code)
     "funnel_events": (funnel_events, FUNNEL_SQL),
-    "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
+    # r4c: the materialized-inverted-index search enters the window
+    # (new); cdc_reconcile rotates out (hash-green r1+r2+r3,
+    # untouched — cdc_e2e_pipeline keeps the CDC sink path in-window)
+    "text_bm25_indexed": (text_bm25_indexed, BM25_SQL),
     "cdc_e2e_pipeline": (cdc_e2e_pipeline, CDC_E2E_SQL),
     # source_top_terms (new) enters the window; q1 rotates out
     # (hash-green r2+r3, code untouched — entry() still smokes it
@@ -5183,6 +5200,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- past the driver window: r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),

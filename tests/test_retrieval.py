@@ -112,3 +112,42 @@ def test_pmi_bigrams_known_values(spark):
     )
     # below min_count is filtered
     assert len(out) == 2
+
+
+def test_bm25_indexed_roundtrip_and_pruning(spark, tmp_path):
+    """The materialized-index search returns EXACTLY the scores of
+    the direct corpus search, and its postings scan carries a
+    partition filter on the probed term buckets (reads q buckets,
+    not the whole index)."""
+    from reader_spark.operators import retrieval as RT
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(
+                ["spark", "join"][: 1 + i % 2]
+                + [f"w{j}" for j in range(i % 7)]
+                + (["shuffle"] if i % 3 == 0 else [])
+            ))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    queries = [(0, "spark shuffle"), (1, "join w1")]
+    path = str(tmp_path / "bm25idx")
+    RT.bm25_index_write(docs, path, n_buckets=8)
+    direct = RT.bm25_topk(docs, queries, k=5)
+    indexed = RT.bm25_topk_indexed(spark, path, queries, k=5, n_buckets=8)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan.replace("#", " #").replace(
+        "bucket#", "bucket"
+    ) or "bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+    # bucket directories on disk: searches must not list all of them
+    import os
+
+    n_dirs = len(
+        [d for d in os.listdir(f"{path}/postings") if d.startswith("bucket=")]
+    )
+    assert n_dirs > 3  # the filter has something to prune

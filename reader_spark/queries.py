@@ -500,6 +500,57 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE `session_window` aggregation — the state-store
+    sessionizer the streaming path uses (same expression runs under
+    a watermark in test_streaming.py). Semantics probed and matched
+    in the oracle: events exactly `gap` apart MERGE (new session only
+    when the gap is strictly greater), session end = last event +
+    gap. At scale this replaces the lag+cumsum window pair with one
+    session-merging aggregate — map-side partial merging included,
+    which the window formulation cannot do."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+SESSION_NATIVE_SQL = """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 SESSION_SQL = """
 WITH m AS (
   SELECT user_id, event_id, ts,
@@ -5137,7 +5188,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # (new); cdc_reconcile rotates out (hash-green r1+r2+r3,
     # untouched — cdc_e2e_pipeline keeps the CDC sink path in-window)
     "text_bm25_indexed": (text_bm25_indexed, BM25_SQL),
-    "cdc_e2e_pipeline": (cdc_e2e_pipeline, CDC_E2E_SQL),
+    # r4c: the native session_window aggregate enters the window
+    # (new); cdc_e2e_pipeline rotates out (hash-green r2+r3,
+    # untouched this round)
+    "session_window_native": (session_window_native, SESSION_NATIVE_SQL),
     # source_top_terms (new) enters the window; q1 rotates out
     # (hash-green r2+r3, code untouched — entry() still smokes it
     # at sf0.001 every round)
@@ -5201,6 +5255,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
     "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
+    "cdc_e2e_pipeline": (cdc_e2e_pipeline, CDC_E2E_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),

@@ -162,6 +162,40 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization with Spark's NATIVE `session_window`
+    — the state-store-backed merging-session aggregate. Sessions
+    close (and emit, in append mode) once the watermark passes their
+    end; events exactly `gap` apart merge (boundary semantics probed
+    in queries.session_window_native, whose batch form shares this
+    expression shape).
+
+    This is the production counterpart of
+    `stateful.sessionize_stream`: identical gap semantics, but state
+    merging runs in the JVM state store with map-side partial
+    merging — reach for the applyInPandasWithState form only when
+    the per-session state is genuinely custom (non-mergeable)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap).alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -92,3 +92,47 @@ def test_salted_join_outer_preserves_unmatched(spark, sf_dir):
     out = PT.salted_join(li, supp, "skey", salt_source="l_orderkey", how="left")
     assert out.count() == li.count()
     assert out.filter(F.col("s_name").isNotNull()).count() == 0
+
+
+def test_zorder_write_locality(spark, tmp_path):
+    """Z-order clustering bounds per-file ranges on BOTH dimensions:
+    a selective filter on either column intersects only a minority
+    of files, while a single-column sort leaves the other dimension
+    unpruned (every file intersects)."""
+    from reader_spark.operators import partitioning as P
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 139).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    P.zorder_write(df, zpath, ["x", "y"], n_files=16)
+
+    # naive baseline: range-sorted by x only
+    npath = str(tmp_path / "naive")
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(npath))
+
+    def files_intersecting(path, col, lo, hi):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .collect()
+        )
+        hit = sum(1 for r in stats if r["mx"] >= lo and r["mn"] <= hi)
+        return hit, len(stats)
+
+    # ~10% slice of each dimension
+    zx, ztot = files_intersecting(zpath, "x", 0, 13)
+    zy, _ = files_intersecting(zpath, "y", 0, 13)
+    nx, ntot = files_intersecting(npath, "x", 0, 13)
+    ny, _ = files_intersecting(npath, "y", 0, 13)
+    assert ztot == 16 and ntot == 16
+    # naive prunes its own sort column hard but reads EVERY file for y
+    assert nx <= 3 and ny == 16
+    # z-order prunes BOTH dimensions to a minority of files
+    assert zx <= 8 and zy <= 8
+    # and the clustered write loses no rows
+    assert spark.read.parquet(zpath).count() == n

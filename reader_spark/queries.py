@@ -964,6 +964,57 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: verified near-dup pairs
+    (same LSH + Jaccard >= 0.8 pipeline as dedup_near_dup) labeled
+    with each end's source and counted per unordered source pair —
+    the provenance forensics a corpus audit runs before mixing
+    sources ("how much of src A is already in src B?"). The diagonal
+    (source_a == source_b) is intra-source duplication.
+
+    Scale: everything up to the pair list is the near-dup pipeline;
+    the source labeling is two broadcast joins of a (doc_id, source)
+    projection, and the final aggregate is source-pair-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    base = DD.token_hashes(docs).persist()
+    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        verified.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SOURCE_OVERLAP_SQL = _MH_CTE + """
+, vp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(ta.hs, tb.hs))::DOUBLE /
+           (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jac
+    FROM cand
+    JOIN hm ta ON ta.doc_id = doc_a
+    JOIN hm tb ON tb.doc_id = doc_b
+  ) WHERE jac >= 0.8
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM vp
+JOIN documents da ON da.doc_id = vp.doc_a
+JOIN documents db ON db.doc_id = vp.doc_b
+GROUP BY 1, 2
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment — the step between pair detection
     and the actual dedup decision: LSH+Jaccard pairs (>= 0.8) form an
@@ -5143,7 +5194,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # cdc_e2e_pipeline exercises the same transfer MERGE in-window)
     "incremental_snapshot": (incremental_snapshot, INCR_SNAPSHOT_SQL),
     # LLM-data-pipeline
-    "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
+    # r4c: the cross-source contamination matrix enters the window
+    # (new — it runs the whole dedup_near_dup pipeline and then
+    # labels/aggregates, so the LSH+Jaccard path stays driver-
+    # checked); dedup_near_dup itself rotates out (r3 hash-green,
+    # untouched)
+    "source_overlap": (source_overlap, SOURCE_OVERLAP_SQL),
     # video_frames (real PPMV frame extraction, new) enters the
     # window; dedup_minhash_lsh rotates out (r1+r3 hash-green,
     # untouched; near_dup exercises the same LSH path in-window)
@@ -5256,6 +5312,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
     "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
     "cdc_e2e_pipeline": (cdc_e2e_pipeline, CDC_E2E_SQL),
+    "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "c5_schema_asof": (c5_schema_asof, C5_ASOF_SQL),
     "k3_transfer_dedupe": (k3_transfer_dedupe, K3_SQL),

@@ -25,9 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (value_v1_subset / value_v2_subset) so totals compare like-for-like
 # across rounds even as the set grows. Add new queries only by
 # bumping the version and appending (never reordering/removing).
-QUERY_SET_VERSION = 3
+QUERY_SET_VERSION = 4
 V1_LEN = 29
 V2_LEN = 45
+V3_LEN = 62
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -96,6 +97,28 @@ HEADLINE = [
     "reservoir_sample",
     "video_frames",
     "source_top_terms",
+    # -- appended in query_set_version 4 (r4): sketches, LM scoring,
+    # packing, snapshot merge, graph counts, image/substring dedup,
+    # the materialized BM25 index, native sessionization, and the
+    # cross-source contamination matrix. (pagerank_neardup stays
+    # excluded like dedup_components/canonical_docs — iterative
+    # fixpoints — and triangles_neardup joins them: exact triangle
+    # counts on the pathologically dense fixture graph are CUBIC in
+    # clique size by output definition, 87 s at sf0.1 — an input
+    # property, not a plan property; the plan is wedge-bounded and
+    # asserted in test_graph.py.)
+    "heavy_hitters",
+    "bigram_logprob",
+    "pack_sequences",
+    "cohort_retention",
+    "ohlc_bars",
+    "incremental_snapshot",
+    "vocab_coverage",
+    "image_phash_dedup",
+    "duplicate_spans",
+    "text_bm25_indexed",
+    "session_window_native",
+    "source_overlap",
 ]
 
 
@@ -163,6 +186,9 @@ def main() -> None:
                 ),
                 "value_v2_subset": round(
                     sum(timings.get(n, 0.0) for n in HEADLINE[:V2_LEN]), 3
+                ),
+                "value_v3_subset": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:V3_LEN]), 3
                 ),
             }
         )

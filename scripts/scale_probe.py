@@ -178,12 +178,84 @@ def r4_mode(copies: int) -> None:
     print(f"pagerank x2 iters: {time.perf_counter() - t0:.2f}s")
 
 
+def r4c_mode(copies: int) -> None:
+    """Round-4c operators at Nx: image dHash, overlapping-span
+    dedup, materialized BM25 index build + search, native session
+    windows, z-order write."""
+    docs_path = build(copies)
+    d = build_dir(copies)
+
+    import pyspark.sql.functions as F
+
+    from reader_spark.operators import curation as CU
+    from reader_spark.operators import multimodal as MM
+    from reader_spark.operators import partitioning as P
+    from reader_spark.operators import retrieval as RT
+    from reader_spark.session import get_spark, read_table
+
+    spark = get_spark("scale_r4c")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(docs_path)
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn()
+        print(f"{name}: {time.perf_counter() - t0:.2f}s")
+
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    timed(
+        "image_dhash (synthesize+decode+hash)",
+        lambda: MM.image_dhash(MM.synthesize_images(ids))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    timed(
+        "duplicate_spans",
+        lambda: CU.duplicate_spans(docs, width=8)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    idx = os.path.join(TMP, f"bm25_idx_x{copies}")
+    timed("bm25_index_write", lambda: RT.bm25_index_write(docs, idx, n_buckets=64))
+    qs = [(0, "table scan filter"), (1, "spark join shuffle")]
+    timed(
+        "bm25_topk_indexed",
+        lambda: RT.bm25_topk_indexed(spark, idx, qs, k=10, n_buckets=64)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    ev = read_table(spark, d, "events")
+    timed(
+        "session_window_native",
+        lambda: ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    li = read_table(spark, d, "lineitem")
+    zpath = os.path.join(TMP, f"zorder_x{copies}")
+    timed(
+        "zorder_write lineitem (partkey x suppkey)",
+        lambda: P.zorder_write(li, zpath, ["l_partkey", "l_suppkey"], n_files=64),
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "tpch":
         tpch_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "r4":
         r4_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r4c":
+        r4c_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     path = build(copies)

@@ -371,6 +371,58 @@ def ivf_index_write(
     )
 
 
+def ivf_index_update(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Incremental IVF maintenance: assign the NEW/CHANGED vectors
+    under the STORED centroids and rewrite ONLY their target cell
+    directories (dynamic partition overwrite) — existing rows whose
+    ids reappear in the delta are replaced (upsert), all other cells'
+    files are untouched. Returns the touched cell ids.
+
+    This is the ingest-path companion of `ivf_index_write`: the index
+    stays fresh per micro-batch without a corpus-wide rebuild, and a
+    search via `knn_ivf_indexed` sees results identical to a full
+    re-index under the same quantizer (asserted in
+    test_dedup_similarity.py). Quantizer REFIT (centroid drift)
+    remains a full `ivf_index_write` — updating assignments without
+    their centroids would silently degrade recall.
+
+    Scale: the delta assignment is delta-sized (broadcast centroids);
+    the rewrite reads + writes k touched cells of ~N/n_clusters rows
+    each, never the whole corpus — the same touched-bucket economics
+    as `transfer.upsert_bucketed` (SCALE.md: crossover ~1 GB). The
+    touched-cell list comes from the tiny delta frame (a delta-sized
+    distinct), not from the written frame — re-deriving it from the
+    full merged frame would re-run the merge (the measured 3x trap)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    vecs = new_embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    assigned = nearest_clusters(vecs, cents, 1, id_col)
+    touched = [r["cl"] for r in assigned.select("cl").distinct().collect()]
+    old = spark.read.parquet(f"{path}/corpus").filter(F.col("cl").isin(touched))
+    merged = old.join(
+        assigned.select(id_col), id_col, "left_anti"
+    ).unionByName(assigned.select(*old.columns))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(F.col("cl"))
+            .write.mode("overwrite")
+            .partitionBy("cl")
+            .parquet(f"{path}/corpus")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched
+
+
 def knn_ivf_indexed(
     spark,
     path: str,

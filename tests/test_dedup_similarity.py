@@ -448,3 +448,68 @@ def test_knn_pq_rescore_exact_values_and_recall(spark, sf_dir):
     }
     recall = len(bt & pq) / len(bt)
     assert recall >= 0.85, recall
+
+
+def test_ivf_index_incremental_update(spark, sf_dir, tmp_path):
+    """Incremental cell upsert == full rebuild under the same
+    quantizer; untouched cell directories keep their files
+    byte-identical."""
+    import os
+
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") < 400)
+    model = SIM.ivf_fit(seed, n_clusters=8, seed=7)
+    path = str(tmp_path / "ivf_inc")
+    SIM.ivf_index_write(seed, path, model)
+
+    def cell_files():
+        out = {}
+        corpus = os.path.join(path, "corpus")
+        for d in os.listdir(corpus):
+            if d.startswith("cl="):
+                full = os.path.join(corpus, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = cell_files()
+    # delta: 30 new vectors + 10 CHANGED ids (re-using ids 0..9 with
+    # different vectors — must replace, not duplicate)
+    delta = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 430)
+    ).unionByName(
+        emb.filter(F.col("vec_id") < 10).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> x * CAST(0.5 AS FLOAT))").alias(
+                "embedding"
+            ),
+            "label",
+        )
+    )
+    touched = SIM.ivf_index_update(spark, path, delta)
+    after = cell_files()
+    touched_dirs = {f"cl={c}" for c in touched}
+    # untouched cells: identical file lists and mtimes
+    for d, files in before.items():
+        if d not in touched_dirs:
+            assert after[d] == files, d
+    # no duplicated ids; changed ids carry the new vector
+    stored = spark.read.parquet(f"{path}/corpus")
+    assert stored.groupBy("vec_id").count().filter("count > 1").count() == 0
+    # search equivalence vs a full rebuild with the SAME model over
+    # the equivalent logical corpus
+    full_corpus = seed.join(
+        delta.select("vec_id"), "vec_id", "left_anti"
+    ).unionByName(delta)
+    path2 = str(tmp_path / "ivf_full")
+    SIM.ivf_index_write(full_corpus, path2, model)
+    qids = [0, 5, 411]
+    queries = full_corpus.filter(F.col("vec_id").isin(qids))
+    got = SIM.knn_ivf_indexed(spark, path, queries, k=5, nprobe=2)
+    want = SIM.knn_ivf_indexed(spark, path2, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -423,6 +423,29 @@ def ivf_index_update(
     return touched
 
 
+def ivf_index_maintainer(path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """`foreachBatch` body keeping a materialized IVF index fresh
+    from an embedding STREAM: each micro-batch is an
+    `ivf_index_update` delta (assign under stored centroids, rewrite
+    touched cells only). Pair with a checkpointed writeStream for
+    at-least-once; the per-id replace in `ivf_index_update` makes
+    replays idempotent — the same write-then-commit + idempotent-sink
+    contract as the CDC transfer path (K1/K3).
+
+        stream.writeStream.foreachBatch(ivf_index_maintainer(path))
+              .option("checkpointLocation", ckpt).start()
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_update(
+            batch_df.sparkSession, path, batch_df, id_col, vec_col
+        )
+
+    return body
+
+
 def knn_ivf_indexed(
     spark,
     path: str,

@@ -513,3 +513,51 @@ def test_ivf_index_incremental_update(spark, sf_dir, tmp_path):
     got = SIM.knn_ivf_indexed(spark, path, queries, k=5, nprobe=2)
     want = SIM.knn_ivf_indexed(spark, path2, queries, k=5, nprobe=2)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_index_stream_maintenance(spark, sf_dir, tmp_path):
+    """Embedding stream -> foreachBatch(ivf_index_update): after the
+    stream drains, the index equals a full rebuild over seed+delta."""
+    import json
+
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") < 400)
+    model = SIM.ivf_fit(seed, n_clusters=8, seed=7)
+    path = str(tmp_path / "ivf_s")
+    SIM.ivf_index_write(seed, path, model)
+
+    delta_rows = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 440)
+    ).collect()
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    with open(src / "d.json", "w") as f:
+        for r in delta_rows:
+            f.write(json.dumps({
+                "vec_id": r["vec_id"],
+                "embedding": [float(x) for x in r["embedding"]],
+                "label": r["label"],
+            }) + "\n")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(SIM.ivf_index_maintainer(path))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{path}/corpus").count() == 440
+    full = seed.unionByName(
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 440))
+    )
+    path2 = str(tmp_path / "ivf_s_full")
+    SIM.ivf_index_write(full, path2, model)
+    queries = full.filter(F.col("vec_id").isin([3, 405, 433]))
+    got = SIM.knn_ivf_indexed(spark, path, queries, k=5, nprobe=2)
+    want = SIM.knn_ivf_indexed(spark, path2, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -4995,6 +4995,104 @@ FROM w GROUP BY 1, 2
 """
 
 
+def time_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-decayed activity features (the feature-store
+    aggregation shape): recency-weighted value sum with a 7-day
+    half-life, weights anchored at the corpus max timestamp (one
+    1-row aggregate broadcast via crossJoin — deterministic, no
+    wall clock). Map-only weighting + one uniform user_id aggregate;
+    the float sum follows the unigram/bm25 parity pattern (IEEE
+    doubles, identical operand order, round 6 at the edge)."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    age_days = (F.col("t_max") - F.unix_micros("ts")) / F.lit(86_400_000_000.0)
+    w = F.pow(F.lit(0.5), age_days / F.lit(7.0))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * w), 6).alias("decayed_value"),
+            F.round(F.max(age_days), 6).alias("oldest_age_days"),
+        )
+    )
+
+
+TIME_DECAY_SQL = """
+WITH a AS (
+  SELECT max(epoch_us(ts)) AS t_max FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value * pow(0.5,
+             ((t_max - epoch_us(ts)) / 86400000000.0) / 7.0)), 6)
+         AS decayed_value,
+       round(max((t_max - epoch_us(ts)) / 86400000000.0), 6)
+         AS oldest_age_days
+FROM events, a
+GROUP BY 1
+"""
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly screen over the event stream: hourly counts
+    per event type z-scored against that type's own hourly
+    distribution; hours with |z| >= 2 flagged. The variance is
+    written out as explicit integer-sum arithmetic ((n*sum_sq -
+    sum^2) / (n * (n-1))) so both engines compute the identical
+    float chain — no engine var_samp/stddev internals in the hash
+    path. Two vocabulary-sized aggregates (hour x type, then type);
+    nothing corpus-sized leaves the first one."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_hours")
+    var = (
+        F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")
+    ) / (F.col("n_hours") * (F.col("n_hours") - 1))
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        hourly.join(DD.maybe_broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 2.0)
+        .select(
+            "hour",
+            "event_type",
+            F.col("cnt").alias("n_events"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, count(*)::BIGINT AS n_hours,
+         sum(cnt)::BIGINT AS s1, sum(cnt * cnt)::BIGINT AS s2
+  FROM hourly GROUP BY 1
+)
+SELECT hour, event_type, cnt AS n_events,
+       round((cnt - s1 / n_hours) /
+             sqrt((n_hours * s2 - s1 * s1)::DOUBLE
+                  / (n_hours * (n_hours - 1))), 6) AS zscore
+FROM hourly JOIN stats USING (event_type)
+WHERE abs((cnt - s1 / n_hours) /
+          sqrt((n_hours * s2 - s1 * s1)::DOUBLE
+               / (n_hours * (n_hours - 1)))) >= 2.0
+"""
+
+
 def incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrent (watermark-interleaved) snapshot merge, end-to-end:
     the orders fixture becomes a chunked snapshot whose chunks are cut
@@ -5307,7 +5405,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # r4 addition: delta-vs-corpus incremental dedup (rotated out:
     # text_lang_id - two rounds hash-green, function untouched)
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
-    # -- past the driver window: r1/r3-green, unchanged since
+    # -- past the driver window. First in line for the r5 rotation:
+    # new this round, locally oracle-checked, no window slot left
+    # (the r4 window is 100% never-driver-checked entries).
+    "time_decay_features": (time_decay_features, TIME_DECAY_SQL),
+    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
+    # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
     "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),

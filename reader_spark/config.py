@@ -84,10 +84,33 @@ class CurateCfg:
 
 
 @dataclass
+class IndexCfg:
+    """Index-build job: materialize a searchable index from a source
+    table — the retrieval analogue of the snapshot run loop. kind
+    'bm25' writes the bucket-partitioned inverted index
+    (retrieval.bm25_index_write); kind 'ivf' fits a KMeans coarse
+    quantizer and writes the cell-partitioned ANN index
+    (similarity.ivf_fit + ivf_index_write)."""
+
+    kind: str = "bm25"               # bm25 | ivf
+    n_buckets: int = 64              # bm25 term buckets
+    n_clusters: int = 16             # ivf cells
+    seed: int = 7
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    vector_column: str = "embedding"
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("bm25", "ivf"):
+            raise ValueError(f"unknown index kind {self.kind!r}")
+
+
+@dataclass
 class Settings:
     source: SourceCfg
     destination: DestinationCfg
     curate: CurateCfg | None = None
+    index: IndexCfg | None = None
 
 
 def load_settings(path_or_str: str) -> Settings:
@@ -107,4 +130,7 @@ def load_settings(path_or_str: str) -> Settings:
     source = SourceCfg(tables=tables, **src)
     destination = DestinationCfg(**raw["destination"])
     curate = CurateCfg(**raw["curate"]) if raw.get("curate") else None
-    return Settings(source=source, destination=destination, curate=curate)
+    index = IndexCfg(**raw["index"]) if raw.get("index") else None
+    return Settings(
+        source=source, destination=destination, curate=curate, index=index
+    )

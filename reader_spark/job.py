@@ -85,6 +85,8 @@ def _publish(env: DataFrame, settings: Settings, table: str) -> str:
 def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
     """Execute one configured job; returns {table: destination}."""
     src = settings.source
+    if settings.index is not None:
+        return _run_index(spark, settings)
     if settings.curate is not None:
         return _run_curate(spark, settings)
     if src.streaming:
@@ -99,6 +101,25 @@ def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
             include=table.include_columns or None,
             exclude=table.exclude_columns or None,
         )
+        zorder = settings.destination.options.get("zorder", {}).get(table.name)
+        if zorder and settings.destination.kind == "parquet":
+            # warehouse materialization clustered for multi-column
+            # data skipping: the RAW projected table (not the Kafka
+            # envelope) in Z-order — overwrite semantics, since a
+            # z-ordered layout is a whole-table property
+            from reader_spark.operators.partitioning import zorder_write
+
+            out = f"{settings.destination.path}/{table.name}"
+            zorder_write(
+                df,
+                out,
+                list(zorder),
+                n_files=int(
+                    settings.destination.options.get("zorder_files", 16)
+                ),
+            )
+            results[table.name] = out
+            continue
         env = snapshot_envelope(
             df,
             pk_cols=pk,
@@ -178,6 +199,49 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("reader_spark_job")
     for table, where in run_job(spark, settings).items():
         print(f"{table}\t{where}")
+
+
+def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
+    """Index-build job: per source table, materialize a searchable
+    index at destination.path/<table> — bm25 (bucket-partitioned
+    inverted index, df inline) or ivf (KMeans coarse quantizer +
+    cell-partitioned corpus). The retrieval analogue of the snapshot
+    run loop: one corpus pass at build time buys partition-pruned
+    searches forever after (SCALE.md r4c probes)."""
+    cfg = settings.index
+    src = settings.source
+    results: dict[str, str] = {}
+    for table in src.tables:
+        df = _read_table(spark, src, table)
+        out = f"{settings.destination.path}/{table.name}"
+        if cfg.kind == "bm25":
+            from reader_spark.operators.retrieval import bm25_index_write
+
+            bm25_index_write(
+                df.withColumnRenamed(cfg.id_column, "doc_id")
+                if cfg.id_column != "doc_id"
+                else df,
+                out,
+                n_buckets=cfg.n_buckets,
+                text_col=cfg.text_column,
+            )
+        else:
+            from reader_spark.operators.similarity import (
+                ivf_fit,
+                ivf_index_write,
+            )
+
+            model = ivf_fit(
+                df,
+                n_clusters=cfg.n_clusters,
+                seed=cfg.seed,
+                vec_col=cfg.vector_column,
+            )
+            ivf_index_write(
+                df, out, model, id_col=cfg.id_column, vec_col=cfg.vector_column
+            )
+        results[table.name] = out
+    return results
 
 
 def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:

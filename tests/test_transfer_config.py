@@ -442,3 +442,112 @@ destination:
     # pre-snapshot history (seqs 1-2) not replayed; post-cut delta
     # (seq 3) applied — no gap, no dupes
     assert rows == [("1", "ada"), ("2", "bob")]
+
+
+def test_index_job_bm25_and_search(spark, tmp_path, sf_dir):
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import retrieval as RT
+    from reader_spark.session import read_table
+
+    out = str(tmp_path / "idx")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+index:
+  kind: bm25
+  n_buckets: 16
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert res == {"documents": f"{out}/documents"}
+    qs = [(0, "table scan filter")]
+    docs = read_table(spark, sf_dir, "documents")
+    got = RT.bm25_topk_indexed(
+        spark, f"{out}/documents", qs, k=5, n_buckets=16
+    )
+    want = RT.bm25_topk(docs, qs, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_index_job_ivf_and_search(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import similarity as SIM
+    from reader_spark.session import read_table
+
+    out = str(tmp_path / "idx_ivf")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: embeddings}}]
+destination:
+  kind: parquet
+  path: {out}
+index:
+  kind: ivf
+  n_clusters: 8
+  id_column: vec_id
+  vector_column: embedding
+"""
+    res = run_job(spark, load_settings(cfg))
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    got = SIM.knn_ivf_indexed(
+        spark, res["embeddings"], queries, k=5, nprobe=2
+    )
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_snapshot_job_zorder_destination(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "zout")
+    cfg = f"""
+source:
+  kind: parquet
+  database: tpch
+  options:
+    path: /root/testdata/sf0.01
+  tables: [{{name: lineitem}}]
+destination:
+  kind: parquet
+  path: {out}
+  options:
+    zorder: {{lineitem: [l_partkey, l_suppkey]}}
+    zorder_files: 8
+"""
+    res = run_job(spark, load_settings(cfg))
+    back = spark.read.parquet(res["lineitem"])
+    assert back.count() == 60000
+    # raw table (not envelope) columns survive
+    assert "l_partkey" in back.columns and "topic" not in back.columns
+    # clustered: a narrow slice of either dim touches a minority of files
+    stats = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("l_partkey").alias("pmn"), F.max("l_partkey").alias("pmx"),
+            F.min("l_suppkey").alias("smn"), F.max("l_suppkey").alias("smx"),
+        )
+        .collect()
+    )
+    assert len(stats) == 8
+    pmax = max(r["pmx"] for r in stats)
+    smax = max(r["smx"] for r in stats)
+    phit = sum(1 for r in stats if r["pmx"] >= 0 and r["pmn"] <= pmax * 0.1)
+    shit = sum(1 for r in stats if r["smx"] >= 0 and r["smn"] <= smax * 0.1)
+    assert phit <= 4 and shit <= 4

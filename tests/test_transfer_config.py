@@ -550,4 +550,6 @@ destination:
     smax = max(r["smx"] for r in stats)
     phit = sum(1 for r in stats if r["pmx"] >= 0 and r["pmn"] <= pmax * 0.1)
     shit = sum(1 for r in stats if r["smx"] >= 0 and r["smn"] <= smax * 0.1)
-    assert phit <= 4 and shit <= 4
+    # both dims prune (a single-column sort leaves the other at 8/8);
+    # the exact count jitters +-1 with repartitionByRange's sampling
+    assert phit <= 5 and shit <= 5

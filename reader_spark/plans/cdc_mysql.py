@@ -245,10 +245,22 @@ def run_pipeline(
     tables: list[str],
     adapter: SchemaAdapter | None = None,
     history_path: str | None = None,
+    metrics_path: str | None = None,
 ):
     """End-to-end: logtail -> foreachBatch(process + parquet publish).
     Swap the parquet write for Kafka in production — the frame already
-    carries (topic, key, value)."""
+    carries (topic, key, value).
+
+    With `metrics_path`, each batch appends one JSONL progress line
+    per table — rows published + newest source event timestamp — the
+    reference's writer progress log + Kafka lag gauge
+    (writers/writer.go:62-72, lib/kafkalib/writer.go:131) as Spark
+    OBSERVATION metrics: `Dataset.observe` accumulates them on the
+    write action itself, no second pass over the batch (subtract
+    max_source_ts_ms from wall clock for the lag gauge — the log
+    keeps event time so replays stay byte-comparable)."""
+    import json
+
     adapter = adapter or SchemaAdapter()
     stream = open_stream(spark, log_dir)
 
@@ -256,7 +268,35 @@ def run_pipeline(
         for table, env in process_batch(
             batch, adapter, db, tables, history_path
         ).items():
+            obs = None
+            if metrics_path:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                env = env.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.max(
+                        F.get_json_object(
+                            "value", "$.payload.source.ts_ms"
+                        ).cast("long")
+                    ).alias("max_source_ts_ms"),
+                )
             env.write.mode("append").parquet(f"{sink_dir}/{table}")
+            if obs is not None:
+                m = obs.get
+                with open(metrics_path, "a") as f:
+                    f.write(
+                        json.dumps(
+                            {
+                                "epoch": epoch_id,
+                                "table": table,
+                                "rows": m["rows"],
+                                "max_source_ts_ms": m["max_source_ts_ms"],
+                            }
+                        )
+                        + "\n"
+                    )
 
     return (
         stream.writeStream.foreachBatch(handle)

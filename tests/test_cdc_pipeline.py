@@ -247,3 +247,29 @@ def test_snapshot_then_stream_handoff(spark, tmp_path):
     assert sorted((r["id"], r["name"]) for r in final.collect()) == [
         ("1", "ada2"), ("2", "bob2"), ("4", "dan"),
     ]
+
+
+def test_pipeline_progress_metrics(spark, tmp_path):
+    """Observation-metrics parity with the reference's writer
+    progress log + lag gauge: one JSONL line per (batch, table) with
+    rows published and the newest source event timestamp, measured
+    on the write action itself."""
+    log = tmp_path / "log_m"
+    log.mkdir()
+    sink = str(tmp_path / "sink_m")
+    ck = str(tmp_path / "ck_m")
+    metrics = str(tmp_path / "metrics.jsonl")
+
+    _append(log / "binlog.jsonl", [
+        rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+        rec(2, "dml", op="c", after='{"id": 1, "name": "ada"}'),
+        rec(3, "dml", op="c", after='{"id": 2, "name": "bob"}'),
+    ])
+    q = run_pipeline(spark, str(log), sink, ck, "app", ["users"],
+                     SchemaAdapter(), metrics_path=metrics)
+    q.awaitTermination(90)
+    lines = [json.loads(x) for x in open(metrics)]
+    assert len(lines) == 1
+    m = lines[0]
+    assert m["table"] == "users" and m["rows"] == 2
+    assert m["max_source_ts_ms"] == 300  # seq 3 * 100

@@ -200,6 +200,28 @@ def stratified_sample(
     )
 
 
+def dataset_split(
+    docs: DataFrame,
+    fractions: tuple[float, float] = (0.9, 0.95),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5-uniform draw
+    on the document ID buckets each doc at u < f_train -> train,
+    u < f_val -> val, else test. Map-only, reproducible under any
+    partitioning and any corpus growth (a doc's split never changes
+    when new docs arrive — the property random splits lose), and
+    leakage-safe when run AFTER dedup/canonical selection (split the
+    canonical ids, not raw near-dup families)."""
+    u = _hash_unit(F.col(id_col), "split")
+    return docs.select(
+        id_col,
+        F.when(u < fractions[0], F.lit("train"))
+        .when(u < fractions[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def temperature_resample(
     docs: DataFrame, group: str, alpha: float = 0.3, id_col: str = "doc_id"
 ) -> DataFrame:

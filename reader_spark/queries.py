@@ -5093,6 +5093,28 @@ WHERE abs((cnt - s1 / n_hours) /
 """
 
 
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) via the
+    md5-uniform draw — a doc's split never changes as the corpus
+    grows, and the assignment is identical under any partitioning
+    (operators/curation.py::dataset_split)."""
+    return CU.dataset_split(_t(spark, sf_dir, "documents"))
+
+
+DATASET_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 1000000) / 1000000.0 AS u
+  FROM documents
+)
+"""
+
+
 def incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrent (watermark-interleaved) snapshot merge, end-to-end:
     the orders fixture becomes a chunked snapshot whose chunks are cut
@@ -5410,6 +5432,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # (the r4 window is 100% never-driver-checked entries).
     "time_decay_features": (time_decay_features, TIME_DECAY_SQL),
     "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
+    "dataset_split": (dataset_split_q, DATASET_SPLIT_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

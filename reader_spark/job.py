@@ -301,6 +301,26 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 )
                 .drop("node", "label")
             )
+        if cfg.chunk_width:
+            # dedup first, chunk after: near-dup families are decided
+            # on whole documents, then survivors split into training
+            # windows. Chunk ids stay deterministic arithmetic
+            # (doc_id * 1e6 + ordinal — documents over 1e6 chunks
+            # would need a wider id, not a different scheme).
+            from reader_spark.operators.curation import chunk_documents
+
+            chunks = chunk_documents(
+                docs,
+                width=cfg.chunk_width,
+                overlap=cfg.chunk_overlap,
+                emit_text=True,
+            )
+            docs = chunks.select(
+                (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias(
+                    "doc_id"
+                ),
+                F.col("chunk_text").alias("text"),
+            )
         out = f"{settings.destination.path}/{table.name}"
         manifest = write_training_shards(
             docs, out, n_shards=cfg.n_shards, epoch=cfg.epoch

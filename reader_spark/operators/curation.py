@@ -408,6 +408,7 @@ def chunk_documents(
     overlap: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    emit_text: bool = False,
 ) -> DataFrame:
     """Split each document into overlapping `width`-token context
     windows advancing by `width - overlap` tokens — the chunking pass
@@ -450,6 +451,10 @@ def chunk_documents(
                 "n_chunk_tokens"
             ),
             F.md5(chunk_text).alias("chunk_hash"),
+            # emit_text carries the chunk body for shard writers; the
+            # default keeps chunks as (hash, count) so chunk-level
+            # joins never move text
+            *([chunk_text.alias("chunk_text")] if emit_text else []),
         )
     )
 

@@ -553,3 +553,42 @@ destination:
     # both dims prune (a single-column sort leaves the other at 8/8);
     # the exact count jitters +-1 with repartitionByRange's sampling
     assert phit <= 5 and shit <= 5
+
+
+def test_curate_job_with_chunking(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "curated_chunks")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  dedup: exact
+  chunk_width: 24
+  chunk_overlap: 8
+  n_shards: 4
+"""
+    res = run_job(spark, load_settings(cfg))
+    shards = spark.read.parquet(res["documents"])
+    # every emitted row is a chunk of <= 24 tokens and every doc id
+    # decodes back to (source doc, ordinal)
+    lens = shards.select(
+        F.size(F.split("text", " ")).alias("n"),
+        (F.col("doc_id") % 1_000_000).alias("ord"),
+    )
+    assert lens.filter(F.col("n") > 24).count() == 0
+    assert lens.filter(F.col("n") < 1).count() == 0
+    # chunk count exceeds the doc count (long docs split) and the
+    # manifest total matches
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_chunks = shards.count()
+    assert n_chunks > n_docs
+    assert int(res["manifest:documents"]) == n_chunks

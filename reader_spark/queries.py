@@ -884,6 +884,38 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
 
+
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-hash exact dedup (the CCNet-style first pass):
+    lowercase, strip non-alphanumerics to spaces, collapse runs,
+    trim — THEN hash-group. Catches trivially-reformatted copies
+    (case/punctuation/whitespace variants) that raw-byte md5 dedup
+    misses, at the identical uniform-groupBy cost. RE2-compatible
+    regex shared verbatim with the oracle."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        DD.ensure_parallelism(_t(spark, sf_dir, "documents"))
+        .groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_NORM_SQL = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
 _MH_K = 16
 _MH_BAND = 8
 
@@ -5433,6 +5465,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "time_decay_features": (time_decay_features, TIME_DECAY_SQL),
     "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
     "dataset_split": (dataset_split_q, DATASET_SPLIT_SQL),
+    "dedup_exact_normalized": (dedup_exact_normalized, DEDUP_EXACT_NORM_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -405,3 +405,49 @@ def test_funnel_matches_naive_reference(spark, events, horizon_min):
             if pt is not None and pt - ct > h:
                 pt = None
         assert got[(u, vt)] == (ct, pt), (u, vt)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=30).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.integers(2, 5),
+)
+@SET
+def test_duplicate_spans_matches_naive(spark, docs, width):
+    """Merged-span coverage equals a brute-force python recomputation
+    for any corpus: hash every stride-1 window, find corpus-wide
+    duplicates, merge intervals per doc."""
+    from collections import Counter
+
+    from reader_spark.operators import curation as CU
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in CU.duplicate_spans(df, width=width).collect()
+    }
+
+    toks = {i: t.split(" ") for i, t in enumerate(docs)}
+    counts = Counter()
+    spans = {}
+    for i, ws in toks.items():
+        spans[i] = []
+        for s in range(len(ws) - width + 1):
+            g = tuple(ws[s : s + width])
+            spans[i].append((s, g))
+            counts[g] += 1
+    for i, ws in toks.items():
+        dup = sorted(s for s, g in spans[i] if counts[g] > 1)
+        covered, end = 0, -1
+        for s in dup:
+            lo = max(s, end)
+            covered += max(0, s + width - lo)
+            end = max(end, s + width)
+        assert got[i] == (len(ws), covered), (i, docs[i])

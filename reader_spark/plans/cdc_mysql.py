@@ -82,6 +82,7 @@ def process_batch(
     history_path: str | None = None,
     topic_prefix: str = "cdc",
     gtid_highwater: dict[str, int] | None = None,
+    quarantine_path: str | None = None,
 ) -> dict[str, DataFrame]:
     """foreachBatch body (K1 Writer facade): apply DDL first (ordered
     by seq — control events are few and collected to the driver, as
@@ -119,14 +120,47 @@ def process_batch(
         row_schema = T.StructType(
             [T.StructField(c, T.StringType()) for c in cols]
         )
-        shaped = (
-            dml.filter(F.col("tbl") == table)
-            .select(
-                F.from_json("before", row_schema).alias("before"),
-                F.from_json("after", row_schema).alias("after"),
-                F.col("op"),
-                F.col("ts_ms").cast("long").alias("ts_ms"),
+        # Decode with an explicit corrupt-record column: PERMISSIVE
+        # from_json never returns a null struct for garbled input
+        # (it null-fills the fields), so malformed bytes are only
+        # detectable via columnNameOfCorruptRecord.
+        q_schema = T.StructType(
+            [*row_schema.fields, T.StructField("_corrupt", T.StringType())]
+        )
+        opts = {"columnNameOfCorruptRecord": "_corrupt"}
+        shaped = dml.filter(F.col("tbl") == table).select(
+            F.from_json("before", q_schema, opts).alias("before"),
+            F.from_json("after", q_schema, opts).alias("after"),
+            F.col("before").alias("before_raw"),
+            F.col("after").alias("after_raw"),
+            F.col("op"),
+            F.col("seq"),
+            F.col("ts_ms").cast("long").alias("ts_ms"),
+        )
+        # Dead-letter routing: garbled/truncated row images would
+        # otherwise publish change events with every field nulled —
+        # a silent data-loss class the reference surfaces as a
+        # decode error (the streaming DML decoder aborts the batch).
+        # Poison rows divert to a quarantine log (raw bytes +
+        # position, replayable after a fix); the healthy rest of the
+        # batch still publishes.
+        corrupt = F.col("before._corrupt").isNotNull() | F.col(
+            "after._corrupt"
+        ).isNotNull()
+        if quarantine_path:
+            (
+                shaped.filter(corrupt)
+                .select("seq", "ts_ms", "op", "before_raw", "after_raw")
+                .write.mode("append")
+                .json(f"{quarantine_path}/{table}")
             )
+            shaped = shaped.filter(~corrupt)
+        clean = lambda side: F.when(  # noqa: E731 - local reshape
+            F.col(side).isNotNull(),
+            F.struct(*[F.col(f"{side}.{c}").alias(c) for c in cols]),
+        ).alias(side)
+        shaped = shaped.select(
+            clean("before"), clean("after"), "op", "ts_ms"
         )
         out[table] = cdc_envelope(
             shaped,

@@ -273,3 +273,34 @@ def test_pipeline_progress_metrics(spark, tmp_path):
     m = lines[0]
     assert m["table"] == "users" and m["rows"] == 2
     assert m["max_source_ts_ms"] == 300  # seq 3 * 100
+
+
+def test_quarantine_routes_malformed_rows(spark, tmp_path):
+    """Poison rows (garbled JSON images) divert to the dead-letter
+    log with their position; the healthy rest of the batch still
+    publishes. Without a quarantine path behavior is unchanged."""
+    from reader_spark.plans.cdc_mysql import process_batch
+
+    qdir = str(tmp_path / "dlq")
+    batch = spark.createDataFrame(
+        [
+            rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+            rec(2, "dml", op="c", after='{"id": 1, "name": "ada"}'),
+            rec(3, "dml", op="c", after='{"id": 2, '),  # truncated JSON
+            rec(4, "dml", op="u",
+                before='GARBAGE',
+                after='{"id": 1, "name": "ada2"}'),
+        ]
+    )
+    adapter = SchemaAdapter()
+    out = process_batch(
+        batch, adapter, "app", ["users"], quarantine_path=qdir
+    )
+    good = [json.loads(r["value"])["payload"] for r in out["users"].collect()]
+    assert len(good) == 1 and good[0]["after"]["name"] == "ada"
+    bad = spark.read.json(f"{qdir}/users").collect()
+    assert {r["seq"] for r in bad} == {3, 4}
+    assert any(r["after_raw"] == '{"id": 2, ' for r in bad)
+    # no quarantine path: nothing filtered (nulled rows pass through)
+    out2 = process_batch(batch, SchemaAdapter(), "app", ["users"])
+    assert out2["users"].count() == 3

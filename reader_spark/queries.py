@@ -3465,6 +3465,109 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.bm25_topk_indexed(spark, work, _BM25_QUERIES, k=10, n_buckets=16)
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 text ranking fused with exact-cosine
+    vector ranking by reciprocal-rank fusion (rrf = sum over rankers
+    of 1/(60 + rank) — the standard k=60 form). Query q uses probe
+    text q AND probe vector q (documents and embeddings share ids),
+    the two top-20 lists full-outer join on (query, doc), fused
+    top-10 emitted. Deterministic end-to-end: both input rankings
+    carry doc-id tiebreaks, and the fused score is a two-term
+    rational sum — no float-order ambiguity.
+
+    Scale: each ranker is its own already-bounded pipeline (BM25:
+    broadcast-restricted postings; kNN: broadcast queries with
+    optional map-side top-k); the fusion joins two Q x 20 frames —
+    driver-free, broadcast-sized."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    t = RT.bm25_topk(docs, _BM25_QUERIES, k=20).select(
+        "query_id", "doc_id", F.col("rank").alias("rt")
+    )
+    v = SIM.knn_bruteforce(emb, [0, 1, 2], k=20).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rv"),
+    )
+    fused = t.join(v, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(1.0 / (60 + F.col("rt")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("rv")), F.lit(0.0)
+    )
+    w = W.partitionBy("query_id").orderBy(rrf.desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank", F.round(rrf, 6).alias("rrf"))
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH q(query_id, term) AS (
+  VALUES (0, 'table'), (0, 'scan'), (0, 'filter'),
+         (1, 'spark'), (1, 'join'), (1, 'shuffle'),
+         (2, 'window'), (2, 'agg'), (2, 'batch')
+), s AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+), tok AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+), m AS (
+  SELECT query_id, doc_id, term, dl, count(*) AS tf
+  FROM tok JOIN q USING (term)
+  GROUP BY 1, 2, 3, 4
+), st AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY 1
+), sc AS (
+  SELECT query_id, doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))) AS s_
+  FROM m JOIN st USING (term), s
+  GROUP BY 1, 2
+), tt AS (
+  SELECT query_id, doc_id, rt FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s_ DESC, doc_id) AS rt
+    FROM sc
+  ) WHERE rt <= 20
+), ve AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), qv AS (
+  SELECT vec_id AS query_id, e AS qe FROM ve WHERE vec_id IN (0, 1, 2)
+), pairs AS (
+  SELECT query_id, ve.vec_id AS neighbor_id,
+         {_KNN_DOT.format(a="qe", b="e")} AS dp,
+         {_KNN_DOT.format(a="qe", b="qe")} AS nq,
+         {_KNN_DOT.format(a="e", b="e")} AS nv
+  FROM qv, ve WHERE ve.vec_id != qv.query_id
+), vv AS (
+  SELECT query_id, doc_id, rv FROM (
+    SELECT query_id, neighbor_id AS doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dp / (sqrt(nq) * sqrt(nv)) DESC,
+                                       neighbor_id) AS rv
+    FROM pairs
+  ) WHERE rv <= 20
+), f AS (
+  SELECT coalesce(tt.query_id, vv.query_id) AS query_id,
+         coalesce(tt.doc_id, vv.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + rt), 0) + coalesce(1.0 / (60 + rv), 0) AS rrf
+  FROM tt FULL OUTER JOIN vv
+    ON tt.query_id = vv.query_id AND tt.doc_id = vv.doc_id
+)
+SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM f
+) WHERE rank <= 10
+"""
+
+
 def term_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index statistics page: per-term document frequency
     and collection frequency. One corpus-sized shuffle on uniform
@@ -5466,6 +5569,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
     "dataset_split": (dataset_split_q, DATASET_SPLIT_SQL),
     "dedup_exact_normalized": (dedup_exact_normalized, DEDUP_EXACT_NORM_SQL),
+    "hybrid_search_rrf": (hybrid_search_rrf, HYBRID_RRF_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -25,10 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (value_v1_subset / value_v2_subset) so totals compare like-for-like
 # across rounds even as the set grows. Add new queries only by
 # bumping the version and appending (never reordering/removing).
-QUERY_SET_VERSION = 4
+QUERY_SET_VERSION = 5
 V1_LEN = 29
 V2_LEN = 45
-V3_LEN = 62
+V3_LEN = 58
+V4_LEN = 70
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -119,6 +120,14 @@ HEADLINE = [
     "text_bm25_indexed",
     "session_window_native",
     "source_overlap",
+    # -- appended in query_set_version 5 (r4): decayed features,
+    # anomaly screen, dataset split, normalized exact dedup, hybrid
+    # BM25 x vector fusion
+    "time_decay_features",
+    "events_anomaly",
+    "dataset_split",
+    "dedup_exact_normalized",
+    "hybrid_search_rrf",
 ]
 
 
@@ -189,6 +198,9 @@ def main() -> None:
                 ),
                 "value_v3_subset": round(
                     sum(timings.get(n, 0.0) for n in HEADLINE[:V3_LEN]), 3
+                ),
+                "value_v4_subset": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:V4_LEN]), 3
                 ),
             }
         )

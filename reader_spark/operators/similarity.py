@@ -336,6 +336,46 @@ def knn_ivf_trained(
     return _topk_probed(corpus, probes, k, id_col)
 
 
+def pca_fit(embeddings: DataFrame, k: int = 16, vec_col: str = "embedding"):
+    """Production dimensionality reduction: pyspark.ml PCA fitted
+    ONCE over the corpus (the model is a dim x k loading matrix —
+    driver-tiny). At 100 TB the projection both shrinks every
+    downstream vector op (dot products, SQ8/PQ codes, index bytes)
+    by dim/k and runs as one JVM matrix-multiply per row at ingest.
+    Like ivf_fit/quality_classifier_fit, this is the trained-model
+    tier: no DuckDB oracle (SVD sign/rotation freedom), graded by
+    variance-capture and recall-preservation tests instead."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    return PCA(k=k, inputCol="features", outputCol="pca").fit(feats)
+
+
+def pca_project(
+    embeddings: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors through a fitted PCA model: (id, array<double>
+    of k components) — drop-in input for every ANN operator here
+    (they take any (id, vec) frame)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = embeddings.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    return model.transform(feats).select(
+        id_col, vector_to_array("pca").alias("embedding")
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar-quantized (int8) ANN — the memory-bandwidth scale path
 

@@ -561,3 +561,37 @@ def test_ivf_index_stream_maintenance(spark, sf_dir, tmp_path):
     got = SIM.knn_ivf_indexed(spark, path, queries, k=5, nprobe=2)
     want = SIM.knn_ivf_indexed(spark, path2, queries, k=5, nprobe=2)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_pca_projection_preserves_structure(spark):
+    """PCA tier: k components capture the planted variance and
+    nearest-neighbor structure survives projection — top-1 neighbors
+    computed in PCA space match full-dim space on a clustered
+    fixture (the regime dimensionality reduction exists for)."""
+    import random
+
+    rng = random.Random(5)
+    dim, n_centers, per_center = 32, 4, 30
+    rows = []
+    for cid in range(n_centers):
+        center = [3.0 if d % n_centers == cid else 0.0 for d in range(dim)]
+        for j in range(per_center):
+            vec = [c + rng.gauss(0, 0.3) for c in center]
+            rows.append((cid * per_center + j, vec, cid))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    model = SIM.pca_fit(emb, k=8)
+    assert sum(model.explainedVariance) > 0.7
+    proj = SIM.pca_project(emb, model)
+    assert proj.schema["embedding"].dataType.simpleString() == "array<double>"
+
+    qids = [0, 35, 70, 105]
+    full = {r["query_id"]: r["neighbor_id"]
+            for r in SIM.knn_bruteforce(emb, qids, k=1).collect()}
+    red = {r["query_id"]: r["neighbor_id"]
+           for r in SIM.knn_bruteforce(proj, qids, k=1).collect()}
+    same_cluster = sum(
+        1 for q in qids if red[q] // per_center == full[q] // per_center
+    )
+    assert same_cluster == len(qids)

@@ -5228,6 +5228,93 @@ WHERE abs((cnt - s1 / n_hours) /
 """
 
 
+def quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified mixture planning: corpus split into exact
+    quality QUARTILES (one 3-cut percentile aggregate, broadcast),
+    then per-bucket token budgets/sampling rates for an upweighted-
+    high-quality target mix (10/20/30/40% of a 500k-token budget) —
+    the DoReMi-flavoured counterpart of the source-keyed
+    mixture_plan. Quartile cuts are computed on ROUNDED quality
+    scores so both engines cut at identical doubles; everything
+    after the two tiny aggregates is literal arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    budget = 500_000
+    per = docs.select(
+        TX.quality_score(F.col("text")).alias("qs"),
+        TX.token_count_ws(F.col("text")).alias("toks"),
+    )
+    cuts = per.agg(
+        F.expr("percentile(qs, 0.25)").alias("q1"),
+        F.expr("percentile(qs, 0.5)").alias("q2"),
+        F.expr("percentile(qs, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("qs") < F.col("q1"), 0)
+        .when(F.col("qs") < F.col("q2"), 1)
+        .when(F.col("qs") < F.col("q3"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    have = (
+        per.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "toks")
+        .groupBy("bucket")
+        .agg(F.sum("toks").cast("long").alias("tokens_have"))
+    )
+    w = F.element_at(
+        F.array(F.lit(0.1), F.lit(0.2), F.lit(0.3), F.lit(0.4)),
+        F.col("bucket").cast("int") + 1,
+    )
+    need = F.round(w * budget)
+    return have.select(
+        "bucket",
+        "tokens_have",
+        need.cast("long").alias("tokens_needed"),
+        F.round(need / F.col("tokens_have"), 6).alias("rate"),
+        F.ceil(need / F.col("tokens_have")).cast("long").alias("n_epochs"),
+    )
+
+
+QUALITY_MIX_SQL = f"""
+WITH p0 AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+), b0 AS (
+  SELECT doc_id,
+         length(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         {{stop_sum}} AS stops,
+         length(text) - length(regexp_replace(text,
+             '[\\.\\,\\;\\:\\!\\?]', '', 'g')) AS puncts,
+         length(text) AS chars
+  FROM p0
+), q AS (
+  SELECT doc_id, toks,
+         round(0.4 * least(1.0, toks::DOUBLE / 100.0)
+             + 0.4 * least(1.0, 8.0 * stops::DOUBLE / toks::DOUBLE)
+             + 0.2 * (1.0 - least(1.0, 4.0 * puncts::DOUBLE / chars::DOUBLE)),
+               6) AS qs
+  FROM b0
+), c AS (
+  SELECT quantile_cont(qs, 0.25) AS q1, quantile_cont(qs, 0.5) AS q2,
+         quantile_cont(qs, 0.75) AS q3
+  FROM q
+), bk AS (
+  SELECT (CASE WHEN qs < q1 THEN 0 WHEN qs < q2 THEN 1
+               WHEN qs < q3 THEN 2 ELSE 3 END)::BIGINT AS bucket, toks
+  FROM q, c
+), h AS (
+  SELECT bucket, sum(toks)::BIGINT AS tokens_have FROM bk GROUP BY 1
+)
+SELECT bucket, tokens_have,
+       CAST(round(w * 500000) AS BIGINT) AS tokens_needed,
+       round(round(w * 500000) / tokens_have, 6) AS rate,
+       CAST(ceil(round(w * 500000) / tokens_have) AS BIGINT) AS n_epochs
+FROM (SELECT bucket, tokens_have,
+             CASE bucket WHEN 0 THEN 0.1 WHEN 1 THEN 0.2
+                         WHEN 2 THEN 0.3 ELSE 0.4 END AS w
+      FROM h)
+""".replace("{stop_sum}", _STOP_SUM)
+
+
 def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (90/5/5) via the
     md5-uniform draw — a doc's split never changes as the corpus
@@ -5570,6 +5657,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dataset_split": (dataset_split_q, DATASET_SPLIT_SQL),
     "dedup_exact_normalized": (dedup_exact_normalized, DEDUP_EXACT_NORM_SQL),
     "hybrid_search_rrf": (hybrid_search_rrf, HYBRID_RRF_SQL),
+    "quality_mixture": (quality_mixture, QUALITY_MIX_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

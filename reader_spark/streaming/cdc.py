@@ -238,6 +238,46 @@ def dedupe_stream_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def anomaly_alerts_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Streaming volume-anomaly alerting: hourly counts per key
+    (watermarked tumbling windows) stream-static joined against a
+    BASELINE stats frame (key, mean, std — e.g. the batch
+    events_anomaly aggregate refreshed daily) and only windows with
+    |z| >= threshold emitted. Append mode: an alert fires exactly
+    once, when the watermark closes its window.
+
+    Scale: the stream side is the windowed-count aggregate (state
+    bounded by watermark x key space); the baseline is a
+    key-space-sized broadcast. This is the standing-alert shape —
+    the batch query recomputes the baseline, the stream never
+    re-reads history."""
+    win = F.window(F.col(ts_col), window)
+    counts = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    z = (F.col("n_events") - F.col("mean")) / F.col("std")
+    return (
+        counts.join(F.broadcast(baseline), key_col)
+        .filter(F.abs(z) >= z_threshold)
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
 def maintain_rollup(
     spark: SparkSession,
     events: DataFrame,

@@ -128,6 +128,7 @@ HEADLINE = [
     "dataset_split",
     "dedup_exact_normalized",
     "hybrid_search_rrf",
+    "quality_mixture",
 ]
 
 

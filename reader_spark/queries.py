@@ -5228,6 +5228,63 @@ WHERE abs((cnt - s1 / n_hours) /
 """
 
 
+def price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen per group — the data-QA
+    verb that survives the outliers it hunts (mean/std z-scores get
+    dragged by the very tail they flag): per returnflag, median
+    price, MAD = median(|x - med|), outliers = |x - med| >
+    3 * 1.4826 * MAD. Two grouped exact-percentile aggregates with a
+    broadcast rejoin between them; the approximate-percentile swap
+    is the 100 TB path (same plan, percentile_approx)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("x")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    mad = j.groupBy("l_returnflag").agg(
+        F.expr("percentile(abs(x - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    j2 = li.join(F.broadcast(mad), "l_returnflag")
+    is_out = F.abs(F.col("x") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return j2.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.round(F.sum(is_out.cast("long")) / F.count(F.lit(1)), 6).alias(
+            "outlier_frac"
+        ),
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+    )
+
+
+PRICE_MAD_SQL = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY 1
+), mad AS (
+  SELECT l.l_returnflag,
+         quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad,
+         any_value(m.med) AS med
+  FROM lineitem l JOIN med m USING (l_returnflag)
+  GROUP BY 1
+)
+SELECT l.l_returnflag AS l_returnflag,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN abs(l.l_extendedprice - m.med) > 3 * 1.4826 * m.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(sum(CASE WHEN abs(l.l_extendedprice - m.med) > 3 * 1.4826 * m.mad
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS outlier_frac,
+       round(any_value(m.med), 6) AS med,
+       round(any_value(m.mad), 6) AS mad
+FROM lineitem l JOIN mad m USING (l_returnflag)
+GROUP BY 1
+"""
+
+
 def quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-stratified mixture planning: corpus split into exact
     quality QUARTILES (one 3-cut percentile aggregate, broadcast),
@@ -5658,6 +5715,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact_normalized": (dedup_exact_normalized, DEDUP_EXACT_NORM_SQL),
     "hybrid_search_rrf": (hybrid_search_rrf, HYBRID_RRF_SQL),
     "quality_mixture": (quality_mixture, QUALITY_MIX_SQL),
+    "price_outliers_mad": (price_outliers_mad, PRICE_MAD_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

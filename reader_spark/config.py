@@ -15,7 +15,10 @@ from typing import Any
 
 import yaml
 
-SOURCE_KINDS = {"postgresql", "mysql", "mssql", "mongodb", "dynamodb", "parquet"}
+SOURCE_KINDS = {
+    "postgresql", "mysql", "mssql", "mongodb", "dynamodb",
+    "parquet", "jsonl", "csv",
+}
 DESTINATION_KINDS = {"kafka", "transfer", "parquet"}
 
 

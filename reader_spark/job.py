@@ -34,6 +34,24 @@ def _read_table(spark: SparkSession, src: SourceCfg, table: TableCfg) -> DataFra
         if not root:
             raise ValueError("parquet source requires options.path")
         return spark.read.parquet(f"{root}/{table.name}.parquet")
+    if src.kind in ("jsonl", "csv"):
+        # file-corpus sources (curation/index jobs ingest raw dumps
+        # long before anything is parquet). Schema comes from config
+        # when provided — inference is a second full pass over the
+        # files at 100 TB, so production configs always pin it.
+        root = src.options.get("path")
+        if not root:
+            raise ValueError(f"{src.kind} source requires options.path")
+        schema = src.options.get("schemas", {}).get(table.name)
+        ext = "jsonl" if src.kind == "jsonl" else "csv"
+        path = f"{root}/{table.name}.{ext}"
+        if src.kind == "jsonl":
+            r = spark.read
+            return (r.schema(schema) if schema else r).json(path)
+        r = spark.read.option("header", "true")
+        if schema:
+            return r.schema(schema).csv(path)
+        return r.option("inferSchema", "true").csv(path)
     if src.kind in ("postgresql", "mysql", "mssql"):
         from reader_spark.sources import jdbc as J
 

@@ -592,3 +592,78 @@ curate:
     n_chunks = shards.count()
     assert n_chunks > n_docs
     assert int(res["manifest:documents"]) == n_chunks
+
+
+def test_curate_job_from_jsonl_source(spark, tmp_path, sf_dir):
+    """Raw-dump ingestion: a JSONL corpus drives the same curate
+    pipeline as parquet — pinned schema, no inference pass."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.session import read_table
+
+    src_dir = tmp_path / "raw"
+    src_dir.mkdir()
+    docs = read_table(spark, sf_dir, "documents").collect()
+    with open(src_dir / "documents.jsonl", "w") as f:
+        for r in docs:
+            f.write(_json.dumps({
+                "doc_id": r["doc_id"], "text": r["text"],
+                "lang": r["lang"], "source": r["source"],
+            }) + "\n")
+    out = str(tmp_path / "curated_jsonl")
+    cfg = f"""
+source:
+  kind: jsonl
+  options:
+    path: {src_dir}
+    schemas:
+      documents: "doc_id long, text string, lang string, source string"
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  dedup: exact
+  n_shards: 4
+"""
+    res = run_job(spark, load_settings(cfg))
+    shards = spark.read.parquet(res["documents"])
+    # exact dedup from the jsonl path == exact dedup from parquet
+    want = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+        .count()
+    )
+    assert shards.count() == want
+
+
+def test_snapshot_job_from_csv_source(spark, tmp_path):
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    src_dir = tmp_path / "csv_src"
+    src_dir.mkdir()
+    with open(src_dir / "users.csv", "w") as f:
+        f.write("id,name\n1,ada\n2,bob\n")
+    out = str(tmp_path / "csv_out")
+    cfg = f"""
+source:
+  kind: csv
+  database: app
+  options:
+    path: {src_dir}
+    schemas: {{users: "id long, name string"}}
+  tables: [{{name: users}}]
+destination:
+  kind: parquet
+  path: {out}
+"""
+    res = run_job(spark, load_settings(cfg))
+    env = spark.read.parquet(res["users"])
+    assert env.count() == 2
+    rows = {r["key"] for r in env.collect()}
+    assert any('"id":1' in k or '"id": 1' in k for k in rows)

@@ -1160,6 +1160,87 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 """
 
 
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the vector-DB staple): top-k cosine
+    neighbors restricted to a metadata predicate (label IN (1,2,3))
+    — pre-filter semantics, so every emitted neighbor satisfies the
+    predicate and k is exact within the filtered set. In Spark the
+    filter PUSHES INTO the corpus scan (Catalyst predicate pushdown
+    — the scan reads only matching row groups), which is precisely
+    what most ANN libraries bolt on afterwards as post-filtering
+    with recall loss; relational pre-filtering gets it for free.
+    Queries themselves are unfiltered vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label").isin(1, 2, 3))
+    from pyspark.sql import Window as W
+
+    from reader_spark.operators.similarity import dot
+
+    vecs = DD.ensure_parallelism(
+        corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        )
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    qv = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qvec"),
+        )
+        .withColumn("nq", dot(F.col("qvec"), F.col("qvec")))
+    )
+    pairs = vecs.join(
+        F.broadcast(qv), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot(F.col("qvec"), F.col("vec"))
+            / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nv")))
+        ).alias("cs_raw"),
+    )
+    # rank on the UNROUNDED similarity (matching the oracle), round
+    # only at the edge
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cs_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("cs_raw"), 6).alias("cos_sim"),
+        )
+    )
+
+
+KNN_FILTERED_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE label IN (1, 2, 3)
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5
+), pairs AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_KNN_DOT.format(a="qe", b="e")} AS dp,
+         {_KNN_DOT.format(a="qe", b="qe")} AS nq,
+         {_KNN_DOT.format(a="e", b="e")} AS nv
+  FROM q, v WHERE v.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         round(dp / (sqrt(nq) * sqrt(nv)), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dp / (sqrt(nq) * sqrt(nv)) DESC,
+                                     neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.knn_ivf(emb, _KNN_QUERY_IDS, k=5)
@@ -5716,6 +5797,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hybrid_search_rrf": (hybrid_search_rrf, HYBRID_RRF_SQL),
     "quality_mixture": (quality_mixture, QUALITY_MIX_SQL),
     "price_outliers_mad": (price_outliers_mad, PRICE_MAD_SQL),
+    "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

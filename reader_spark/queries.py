@@ -5309,6 +5309,81 @@ WHERE abs((cnt - s1 / n_hours) /
 """
 
 
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type:
+    keep the k = 64 smallest md5 hash values of the key; estimate =
+    (k - 1) / kth_min (hashes scaled to [0, 1)). Unlike HLL (whose
+    row is contract-graded), KMV on a deterministic hash is
+    bit-reproducible — the oracle computes the IDENTICAL estimate,
+    so the sketch itself is value-checked, plus the exact count and
+    relative error beside it.
+
+    Scale: the k-smallest selection is a per-group sort bounded by
+    the group's hash count — at 100 TB swap the window for a
+    map-side bounded min-k (same mapInPandas combine as
+    knn_bruteforce's _local_topk); KMV sketches MERGE by unioning
+    hash sets and re-truncating to k, which is why warehouses use
+    exactly this shape for mergeable distinct tiles."""
+    from pyspark.sql import Window as W
+
+    k = 64
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == k)
+        .select("event_type", F.col("h").alias("kth"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    scale = float(1 << 60)
+    est = F.round((k - 1) / (F.col("kth") / F.lit(scale)), 6)
+    # LEFT join: a group with < k distinct keys has no kth value —
+    # its sketch columns are null (at tiny SFs), never a dropped row
+    return exact.join(kth, "event_type", "left").select(
+        "event_type",
+        "exact_distinct",
+        est.alias("kmv_estimate"),
+        F.round(
+            F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_err"),
+    )
+
+
+KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), kth AS (
+  SELECT event_type, h AS kth FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM h
+  ) WHERE r = 64
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT event_type, exact_distinct,
+       round(63 / (kth / 1152921504606846976.0), 6) AS kmv_estimate,
+       round(abs(round(63 / (kth / 1152921504606846976.0), 6)
+                 - exact_distinct)::DOUBLE / exact_distinct, 6) AS rel_err
+FROM ex LEFT JOIN kth USING (event_type)
+"""
+
+
 def price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) outlier screen per group — the data-QA
     verb that survives the outliers it hunts (mean/std z-scores get
@@ -5798,6 +5873,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_mixture": (quality_mixture, QUALITY_MIX_SQL),
     "price_outliers_mad": (price_outliers_mad, PRICE_MAD_SQL),
     "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
+    "kmv_distinct": (kmv_distinct, KMV_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

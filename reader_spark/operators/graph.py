@@ -185,3 +185,61 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    rounds: int = 12,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Bounded k-core peel: iteratively remove nodes with degree < k
+    (degree recomputed within the surviving subgraph each round),
+    `rounds` times. Peeling is MONOTONE — once converged, further
+    rounds are no-ops — so a fixed round count is a deterministic,
+    engine-reproducible semantics: an oracle unrolling the same
+    rounds computes the identical set whether or not the true
+    fixpoint needs fewer. (If a graph needs more rounds than the
+    budget, both engines agree on the same partial peel; pytest
+    asserts the fixture converges well inside the budget.)
+
+    The k-core is the dedup-graph's "dense template neighborhood"
+    detector: nodes surviving k=30 peeling sit in near-clique
+    boilerplate families, a stronger signal than raw degree (which
+    single hub docs inflate).
+
+    Scale: each round is one equi-join of the (shrinking) edge set
+    against the alive set per endpoint + one degree aggregate — the
+    connected-components cost shape, with the same localCheckpoint
+    lineage truncation. Early-exits when a round removes nothing.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    alive_edges = edges
+    prev_n = -1
+    deg = None
+    for _ in range(rounds):
+        deg = alive_edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+        survivors = deg.filter(F.col("degree") >= k).select("s")
+        n = survivors.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        alive_edges = (
+            alive_edges.join(survivors, "s")
+            .join(survivors.select(F.col("s").alias("d")), "d")
+            .localCheckpoint()
+        )
+    final_deg = alive_edges.groupBy("s").agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+    return final_deg.filter(F.col("core_degree") >= k).select(
+        F.col("s").alias("node"), "core_degree"
+    )

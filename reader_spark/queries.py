@@ -5309,6 +5309,59 @@ WHERE abs((cnt - s1 / n_hours) /
 """
 
 
+def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the verified near-dup graph (k=30, 8-round bounded
+    peel): the dense-boilerplate detector — nodes surviving the peel
+    sit in near-clique template families, a stronger signal than raw
+    degree, which single hub documents inflate
+    (operators/graph.py::kcore; monotone peel, so the fixed round
+    budget is engine-reproducible semantics)."""
+    from reader_spark.operators import graph as GR
+
+    docs = _t(spark, sf_dir, "documents")
+    base = DD.token_hashes(docs).persist()
+    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    return GR.kcore(verified.select("doc_a", "doc_b"), k=30, rounds=8)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    # MATERIALIZED CTEs are load-bearing: each peel round references
+    # the previous round twice (degree + restriction), so DuckDB's
+    # default per-reference CTE inlining would expand the whole
+    # minhash pipeline 2^rounds times ("too many open files" on the
+    # parquet scans long before any work happens).
+    prefix = DEDUP_COMPONENTS_SQL.split(", e AS (")[0].replace(
+        ", vp AS (", ", vp AS MATERIALIZED (", 1
+    )
+    parts = [
+        """, ke0 AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS d FROM vp WHERE doc_a <> doc_b
+  UNION
+  SELECT doc_b, doc_a FROM vp WHERE doc_a <> doc_b
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""", kd{i} AS (
+  SELECT s, count(*) AS c FROM ke{i - 1} GROUP BY 1
+), ka{i} AS MATERIALIZED (
+  SELECT s FROM kd{i} WHERE c >= {k}
+), ke{i} AS MATERIALIZED (
+  SELECT e.s, e.d FROM ke{i - 1} e
+  JOIN ka{i} x ON e.s = x.s
+  JOIN ka{i} y ON e.d = y.s
+)""")
+    parts.append(f"""
+SELECT s AS node, count(*)::BIGINT AS core_degree
+FROM ke{rounds} GROUP BY 1 HAVING count(*) >= {k}
+""")
+    return prefix + "".join(parts)
+
+
+KCORE_SQL = _kcore_sql(30, 8)
+
+
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event type:
     keep the k = 64 smallest md5 hash values of the key; estimate =
@@ -5874,6 +5927,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "price_outliers_mad": (price_outliers_mad, PRICE_MAD_SQL),
     "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     "kmv_distinct": (kmv_distinct, KMV_SQL),
+    "kcore_neardup": (kcore_neardup, KCORE_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -72,3 +72,35 @@ def test_triangle_counts_direction_and_dup_invariant(spark):
     pairs = _pairs(spark, [(2, 1), (1, 2), (3, 2), (1, 3), (3, 1)])
     got = {r["node"]: r["n_tri"] for r in GR.triangle_counts(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_kcore_hand_graph(spark):
+    """K5 clique + pendant chain: at k=2 the chain peels away round
+    by round but the triangle-free cycle survives; at k=4 only the
+    K5 remains; k=5 empties the graph. Convergence well inside the
+    round budget."""
+    from reader_spark.operators import graph as GR
+
+    edges = []
+    # K5 on 0..4
+    for a in range(5):
+        for b in range(a + 1, 5):
+            edges.append((a, b))
+    # pendant chain 4-10-11-12
+    edges += [(4, 10), (10, 11), (11, 12)]
+    # 4-cycle 20-21-22-23 (every node degree 2)
+    edges += [(20, 21), (21, 22), (22, 23), (23, 20)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    k2 = {r["node"]: r["core_degree"] for r in GR.kcore(df, k=2).collect()}
+    # chain gone (12 has degree 1, peels; then 11; then 10), cycle
+    # and clique stay
+    assert set(k2) == {0, 1, 2, 3, 4, 20, 21, 22, 23}
+    assert k2[20] == 2 and k2[0] == 4
+
+    k4 = {r["node"] for r in GR.kcore(df, k=4).collect()}
+    assert k4 == {0, 1, 2, 3, 4}
+    assert GR.kcore(df, k=5).count() == 0
+
+    # a 3-round chain needs 3 peels: rounds budget honored
+    assert {r["node"] for r in GR.kcore(df, k=2, rounds=3).collect()} == set(k2)

@@ -5309,6 +5309,62 @@ WHERE abs((cnt - s1 / n_hours) /
 """
 
 
+def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: blocked fuzzy matching over the
+    customer table — block on a name prefix (bounding the quadratic
+    pairwise term to within-block), then exact Levenshtein <= 1 on
+    the full name plus an account-balance proximity score. The
+    blocking-then-verify economics are identical to LSH-then-Jaccard
+    (coarse key bounds the join fan-out, exact measure decides), and
+    levenshtein is engine-identical integer arithmetic, so the whole
+    match set has a value oracle.
+
+    Scale: the self-join keys on the uniform block prefix; per-block
+    pair count is bounded by block size squared — choose the prefix
+    length (here: all but the last digit) so blocks stay small, the
+    same knob as LSH band width."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.substring("c_name", 1, 17).alias("blk"),
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias(
+                "name_dist"
+            ),
+            F.round(
+                F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")), 2
+            ).alias("bal_diff"),
+        )
+    )
+
+
+RECORD_LINKAGE_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_acctbal, substr(c_name, 1, 17) AS blk
+  FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       levenshtein(a.c_name, b.c_name)::INT AS name_dist,
+       round(abs(a.c_acctbal - b.c_acctbal), 2) AS bal_diff
+FROM c a JOIN c b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the verified near-dup graph (k=30, 8-round bounded
     peel): the dense-boilerplate detector — nodes surviving the peel
@@ -5928,6 +5984,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     "kmv_distinct": (kmv_distinct, KMV_SQL),
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
+    "record_linkage": (record_linkage, RECORD_LINKAGE_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -120,3 +120,70 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("total_terms"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: deterministic + mergeable
+
+
+def kmv_hash(c: Column, salt: str = "kmv") -> Column:
+    """60-bit md5-derived hash in [0, 2^60) — deterministic, shared
+    with the DuckDB oracle (queries.kmv_distinct)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+
+
+def kmv_tiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-tile KMV sketch: for each key group, the sorted list of
+    its k smallest distinct hash values (shorter if the group has
+    fewer). The tile IS the mergeable state a warehouse stores per
+    (hour, dimension) cell.
+
+    Scale: one distinct + one groupBy whose per-group state is
+    bounded at k longs by `slice(array_sort(collect_set), 1, k)` —
+    at extreme group cardinality swap collect_set for the bounded
+    mapInPandas combine (misra_gries_candidates shape)."""
+    hashed = df.select(
+        *key_cols, kmv_hash(F.col(value_col)).alias("h")
+    ).distinct()
+    return hashed.groupBy(*key_cols).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmv")
+    )
+
+
+def kmv_merge(
+    tiles: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Merge KMV tiles up a hierarchy (hours -> day, cells -> total):
+    union the tiles' hash lists, keep the k smallest distinct,
+    estimate (k-1) / (kth/2^60). EXACT merge: the global k smallest
+    hashes are always contained in the union of per-tile k smallest,
+    so a merged estimate equals the directly-computed one —
+    property-asserted in test_sketches.py."""
+    exploded = tiles.select(*group_cols, F.explode("kmv").alias("h")).distinct()
+    merged = exploded.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmv")
+    )
+    kth = F.when(
+        F.size("kmv") >= k, F.element_at("kmv", k)
+    ).otherwise(F.lit(None))
+    scale = float(1 << 60)
+    return merged.select(
+        *group_cols,
+        F.size("kmv").alias("n_kept"),
+        F.round((k - 1) / (kth / F.lit(scale)), 6).alias("estimate"),
+    )

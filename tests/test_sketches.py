@@ -84,3 +84,40 @@ def test_heavy_hitters_bigrams(spark):
     # bigrams: a b ×3 (doc1) + a b (doc2) = 4 of 10 total -> 4*4 > 10
     assert ("a b", 4) in got
     assert all(t == "a b" or c * 4 > 10 for t, c in got)
+
+
+def test_kmv_tiles_merge_equals_direct(spark):
+    """Merging per-hour KMV tiles reproduces the direct whole-table
+    sketch EXACTLY (global k-min is contained in the union of tile
+    k-mins), and the estimate lands within the theoretical error
+    band of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import sketches as SK
+
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") % 24).alias("hour"),
+        # ~1700 distinct users spread over hours
+        ((F.col("id") * 7919) % 1700).alias("user_id"),
+        F.lit("ev").alias("kind"),
+    )
+    k = 64
+    tiles = SK.kmv_tiles(df, ["kind", "hour"], "user_id", k=k)
+    merged = SK.kmv_merge(tiles, ["kind"], k=k).collect()[0]
+    direct = SK.kmv_merge(
+        SK.kmv_tiles(df, ["kind"], "user_id", k=k), ["kind"], k=k
+    ).collect()[0]
+    assert merged["estimate"] == direct["estimate"]
+    assert merged["n_kept"] == k
+    true = df.select("user_id").distinct().count()
+    # KMV relative error ~ 1/sqrt(k-1) ≈ 12.6%; allow 3 sigma
+    assert abs(merged["estimate"] - true) / true < 0.4
+
+    # sparse groups (< k distinct) keep everything and estimate null
+    few = spark.range(10).select(
+        F.lit("x").alias("g"), F.col("id").alias("u")
+    )
+    t = SK.kmv_tiles(few, ["g"], "u", k=k)
+    out = SK.kmv_merge(t, ["g"], k=k).collect()[0]
+    assert out["n_kept"] == 10 and out["estimate"] is None

@@ -5971,9 +5971,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # r4 addition: delta-vs-corpus incremental dedup (rotated out:
     # text_lang_id - two rounds hash-green, function untouched)
     "dedup_incremental": (dedup_incremental, INCREMENTAL_SQL),
-    # -- past the driver window. First in line for the r5 rotation:
-    # new this round, locally oracle-checked, no window slot left
-    # (the r4 window is 100% never-driver-checked entries).
+    # -- past the driver window. First in line for the r5 rotation
+    # (with `term_stats`, the one pre-r4 entry still lacking a
+    # driver verdict): new this round, locally oracle-checked at
+    # sf0.01 AND sf0.001, no window slot left — the r4 window is
+    # 100% never-driver-checked entries.
     "time_decay_features": (time_decay_features, TIME_DECAY_SQL),
     "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
     "dataset_split": (dataset_split_q, DATASET_SPLIT_SQL),

@@ -77,14 +77,14 @@ class CurateCfg:
     min_chars: int = 0
     max_chars: int = 0
     min_quality: float = 0.0
-    dedup: str = "exact"             # exact | minhash | none
+    dedup: str = "exact"             # exact | normalized | minhash | none
     n_shards: int = 16
     epoch: int = 0
     chunk_width: int = 0             # 0 = no chunking
     chunk_overlap: int = 0
 
     def __post_init__(self) -> None:
-        if self.dedup not in ("exact", "minhash", "none"):
+        if self.dedup not in ("exact", "normalized", "minhash", "none"):
             raise ValueError(f"unknown dedup mode {self.dedup!r}")
         if self.chunk_width and self.chunk_overlap >= self.chunk_width:
             raise ValueError("chunk_overlap must be < chunk_width")

@@ -292,9 +292,24 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             docs = docs.filter(
                 quality_score(F.col("text")) >= cfg.min_quality
             )
-        if cfg.dedup == "exact":
+        if cfg.dedup in ("exact", "normalized"):
+            # "normalized" = the CCNet-style first pass: case/
+            # punctuation/whitespace-invariant content hash
+            content = (
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.lower(F.col("text")), "[^a-z0-9 ]", " "
+                        ),
+                        " +",
+                        " ",
+                    )
+                )
+                if cfg.dedup == "normalized"
+                else F.col("text")
+            )
             keep = (
-                docs.groupBy(F.md5("text").alias("__h"))
+                docs.groupBy(F.md5(content).alias("__h"))
                 .agg(F.min("doc_id").alias("doc_id"))
                 .select("doc_id")
             )

@@ -667,3 +667,42 @@ destination:
     assert env.count() == 2
     rows = {r["key"] for r in env.collect()}
     assert any('"id":1' in k or '"id": 1' in k for k in rows)
+
+
+def test_curate_job_normalized_dedup_mode(spark, tmp_path):
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    src_dir = tmp_path / "norm_src"
+    src_dir.mkdir()
+    import json as _json
+
+    rows = [
+        {"doc_id": 1, "text": "Hello, World!", "lang": "en", "source": "s"},
+        {"doc_id": 2, "text": "hello world", "lang": "en", "source": "s"},
+        {"doc_id": 3, "text": "different doc entirely", "lang": "en", "source": "s"},
+    ]
+    with open(src_dir / "documents.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    out = str(tmp_path / "norm_out")
+    cfg = f"""
+source:
+  kind: jsonl
+  options:
+    path: {src_dir}
+    schemas:
+      documents: "doc_id long, text string, lang string, source string"
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  dedup: normalized
+  n_shards: 1
+"""
+    res = run_job(spark, load_settings(cfg))
+    shards = spark.read.parquet(res["documents"])
+    kept = {r["doc_id"] for r in shards.collect()}
+    # "Hello, World!" and "hello world" collapse; min id kept
+    assert kept == {1, 3}

@@ -5309,6 +5309,70 @@ WHERE abs((cnt - s1 / n_hours) /
 """
 
 
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords: top-3 signature terms per doc
+    (tfidf = tf * ln(N / df), ties broken alphabetically) — the
+    per-DOCUMENT counterpart of source_top_terms' per-source
+    signatures, the labeling pass corpus browsers and weak-label
+    pipelines run. One explode + (doc, term) aggregate; df via a
+    window over the postings frame (one row per (doc, term), so
+    COUNT(*) over term partitions IS df — the bm25_topk trick, no
+    second corpus pass); top-k via per-doc window."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = F.split(F.col("text"), " ")
+    tf = (
+        DD.ensure_parallelism(docs)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wdf = W.partitionBy("term")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(wdf)).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "tfidf_raw"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            F.round(F.col("tfidf_raw"), 6).alias("tfidf"),
+        )
+    )
+
+
+DOC_KEYWORDS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), n AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term,
+         tf * ln(n_docs / (count(*) OVER (PARTITION BY term))) AS tfidf_raw
+  FROM tf, n
+)
+SELECT doc_id, rank, term, round(tfidf_raw, 6) AS tfidf FROM (
+  SELECT doc_id, term, tfidf_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_raw DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution shape: blocked fuzzy matching over the
     customer table — block on a name prefix (bounding the quadratic
@@ -5987,6 +6051,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmv_distinct": (kmv_distinct, KMV_SQL),
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
     "record_linkage": (record_linkage, RECORD_LINKAGE_SQL),
+    "doc_keywords": (doc_keywords, DOC_KEYWORDS_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -129,6 +129,14 @@ HEADLINE = [
     "dedup_exact_normalized",
     "hybrid_search_rrf",
     "quality_mixture",
+    "price_outliers_mad",
+    "knn_filtered",
+    "kmv_distinct",
+    "record_linkage",
+    "doc_keywords",
+    # (kcore_neardup stays out with the other near-dup-graph
+    # fixpoints: the pipeline + 8 peel rounds are dominated by the
+    # fixture graph's density, plan-asserted separately.)
 ]
 
 

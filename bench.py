@@ -134,6 +134,7 @@ HEADLINE = [
     "kmv_distinct",
     "record_linkage",
     "doc_keywords",
+    "doc_novelty",
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)

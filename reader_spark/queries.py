@@ -5309,6 +5309,70 @@ WHERE abs((cnt - s1 / n_hours) /
 """
 
 
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT
+    3-grams that appear in no other document — the
+    memorization-risk / freshness screen run before adding data to
+    an eval-adjacent training mix (low novelty = the doc is mostly
+    re-assembled from corpus-common spans; the complement of the
+    duplication family's signals). One explode to per-doc distinct
+    grams, document frequency on the uniform 60-bit gram key, one
+    per-doc aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    base = DD.ensure_parallelism(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    grams = (
+        base.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(DD.shingles_from(F.col("ws"), 3)).alias("g"),
+        )
+        .select("doc_id", DD.md5_hash64(F.col("g"), "nv").alias("gh"))
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    wdf = W.partitionBy("gh")
+    return (
+        grams.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+DOC_NOVELTY_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5('nv:' ||
+            array_to_string(ws[i + 1 : i + 3], ' ')), 1, 15))::BIGINT AS gh
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 3)) AS i
+    FROM base WHERE len(ws) >= 3
+  )
+), d AS (
+  SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS df FROM grams
+)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS novelty
+FROM d GROUP BY 1
+"""
+
+
 def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keywords: top-3 signature terms per doc
     (tfidf = tf * ln(N / df), ties broken alphabetically) — the
@@ -6052,6 +6116,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
     "record_linkage": (record_linkage, RECORD_LINKAGE_SQL),
     "doc_keywords": (doc_keywords, DOC_KEYWORDS_SQL),
+    "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

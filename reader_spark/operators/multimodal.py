@@ -450,6 +450,63 @@ def image_dhash(
     return media.mapInPandas(op, schema=DHASH_SCHEMA)
 
 
+FINGERPRINT_SCHEMA = "media_id long, decoded boolean, fingerprint long"
+
+
+def audio_fingerprint(
+    media: DataFrame, frame: int = 64, n_frames: int = 4
+) -> DataFrame:
+    """Constellation-style audio fingerprint (the Shazam landmark
+    idea reduced to its deterministic core): the clip is cut into
+    `n_frames` frames of `frame` samples, each frame's dominant
+    non-DC spectral bin (squared-magnitude argmax, ties to the lower
+    bin) is found, and the bin sequence packs into one int64
+    (6 bits/frame). Identical audio => identical fingerprint, so
+    downstream dedup is ONE uniform groupBy on the fingerprint —
+    the audio counterpart of image_dhash's exact-hash buckets.
+
+    Scale shape: decode + FFT run mapInPandas on the scan
+    partitioning; blobs never shuffle, one (id, int64) row leaves
+    per clip."""
+    import numpy as np
+
+    need = frame * n_frames
+
+    def one(media_id, kind, payload):
+        row = {"media_id": media_id, "decoded": False, "fingerprint": None}
+        if payload is None or kind != "audio":
+            return row
+        try:
+            au = _decode_audio(bytes(payload))
+        except (NotImplementedError, ValueError):
+            return row
+        pcm = au["pcm"].astype("float64").mean(axis=1)
+        if pcm.size < need:
+            return row
+        frames = pcm[:need].reshape(n_frames, frame)
+        spec = np.fft.rfft(frames, axis=1)
+        mag2 = spec.real**2 + spec.imag**2
+        # skip DC; argmax takes the FIRST (lowest) bin on ties —
+        # matching the oracle's ORDER BY mag2 DESC, k
+        bins = 1 + np.argmax(mag2[:, 1 : frame // 2 + 1], axis=1)
+        fp = 0
+        for f, b in enumerate(bins):
+            fp |= int(b) << (6 * f)
+        row.update(decoded=True, fingerprint=fp)
+        return row
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    one(m, k, p)
+                    for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])
+                ]
+            )
+
+    return media.mapInPandas(op, schema=FINGERPRINT_SCHEMA)
+
+
 SPECTRUM_SCHEMA = (
     "media_id long, decoded boolean, sample_rate int, "
     "dominant_hz double, spectral_centroid double"

@@ -3976,6 +3976,77 @@ FROM hashes
 """
 
 
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle-checked audio dedup: deterministic 256-
+    sample PCM WAV per doc id -> REAL decode -> per-frame rFFT ->
+    dominant-bin constellation fingerprint
+    (multimodal.audio_fingerprint) -> fingerprint buckets (canonical
+    min id + cluster size). Identical audio ALWAYS shares a bucket
+    (the signal formula has period 2001 in the id, so genuine
+    duplicate clips exist in-fixture); a coarse 4-bin constellation
+    also co-buckets spectrally-similar clips — the LSH-candidate
+    economics, with full-spectrum comparison as the verify stage
+    when exactness is needed. The DuckDB oracle recomputes every
+    DFT term from the sample formula — naive sequential sums vs
+    numpy's FFT butterflies differ in the last ulp, but the emitted
+    value is the ARGMAX BIN, stable for integer pseudo-noise (the
+    same robustness contract audio_spectrum's dominant_hz has held
+    across rounds)."""
+    from pyspark.sql import Window as W
+
+    from reader_spark.operators import multimodal as MM
+
+    ids = DD.ensure_parallelism(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    )
+    fp = MM.audio_fingerprint(
+        MM.synthesize_wavs(ids, n_samples=256)
+    ).filter(F.col("decoded"))
+    w = W.partitionBy("fingerprint")
+    return fp.select(
+        "media_id",
+        "fingerprint",
+        F.min("media_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+AUDIO_FP_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id FROM documents
+), sp AS (
+  SELECT media_id, f.f AS f, k.k AS k,
+         pow(list_reduce(list_transform(generate_series(0, 63),
+           i -> (((media_id * 31 + (f.f * 64 + i) * (f.f * 64 + i) * 7)
+                  % 2001) - 1000)
+                * cos(2 * pi() * k.k * i / 64)), (a, b) -> a + b), 2)
+       + pow(list_reduce(list_transform(generate_series(0, 63),
+           i -> (((media_id * 31 + (f.f * 64 + i) * (f.f * 64 + i) * 7)
+                  % 2001) - 1000)
+                * sin(2 * pi() * k.k * i / 64)), (a, b) -> a + b), 2)
+         AS mag2
+  FROM m,
+       (SELECT unnest(generate_series(0, 3)) AS f) f,
+       (SELECT unnest(generate_series(1, 32)) AS k) k
+), dom AS (
+  SELECT media_id, f, k AS bin FROM (
+    SELECT media_id, f, k,
+           row_number() OVER (PARTITION BY media_id, f
+                              ORDER BY mag2 DESC, k) AS rn
+    FROM sp
+  ) WHERE rn = 1
+), fp AS (
+  SELECT media_id,
+         sum(bin * (1::BIGINT << (6 * f)))::BIGINT AS fingerprint
+  FROM dom GROUP BY 1
+)
+SELECT media_id, fingerprint,
+       min(media_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+FROM fp
+"""
+
+
 def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication with OVERLAPPING 8-token windows
     + per-doc merged-span coverage (operators/curation.py::
@@ -6117,6 +6188,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "record_linkage": (record_linkage, RECORD_LINKAGE_SQL),
     "doc_keywords": (doc_keywords, DOC_KEYWORDS_SQL),
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
+    "audio_fingerprint_dedup": (audio_fingerprint_dedup, AUDIO_FP_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -135,6 +135,7 @@ HEADLINE = [
     "record_linkage",
     "doc_keywords",
     "doc_novelty",
+    "audio_fingerprint_dedup",
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)

@@ -334,3 +334,29 @@ def test_image_dhash_undecodable(spark):
     rows = {r["media_id"]: r for r in MM.image_dhash(bad).collect()}
     assert not rows[1]["decoded"] and rows[1]["dhash"] is None
     assert not rows[2]["decoded"]
+
+
+def test_audio_fingerprint_identity_and_robustness(spark):
+    from reader_spark.operators import multimodal as MM
+
+    ids = spark.createDataFrame(
+        [(5,), (5 + 2001,), (6,), (7,)], "media_id long"
+    )
+    fp = {
+        r["media_id"]: r["fingerprint"]
+        for r in MM.audio_fingerprint(
+            MM.synthesize_wavs(ids, n_samples=256)
+        ).collect()
+    }
+    # identical signals (period 2001 in the id) => identical prints
+    assert fp[5] == fp[5 + 2001]
+    # fingerprints are 24-bit packed bin sequences
+    assert all(0 <= v < 1 << 24 for v in fp.values())
+    # undecodable payloads degrade, never fail
+    bad = spark.createDataFrame(
+        [(1, "audio", bytearray(b"mp3junk")), (2, "image", bytearray(b"x"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in MM.audio_fingerprint(bad).collect()}
+    assert not rows[1]["decoded"] and rows[1]["fingerprint"] is None
+    assert not rows[2]["decoded"]

@@ -136,6 +136,7 @@ HEADLINE = [
     "doc_keywords",
     "doc_novelty",
     "audio_fingerprint_dedup",
+    "video_fingerprint_dedup",
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)

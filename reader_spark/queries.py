@@ -4047,6 +4047,93 @@ FROM fp
 """
 
 
+def video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle-checked video dedup: deterministic PPMV
+    container per doc id -> REAL parse + per-frame decode -> the
+    SAME 56-bit dHash as still images per frame
+    (multimodal.video_dhash) -> video fingerprint = md5 of the
+    frame-ordered hash sequence -> fingerprint buckets. Re-encoded
+    identical frame sequences share a bucket; temporal re-orderings
+    do not. The oracle reproduces every frame's hash bits from the
+    pixel formula and re-aggregates the sequence in SQL. Bounded to
+    the first 100 docs like video_frames (per-pixel SQL oracle
+    cost, not an engine property)."""
+    from pyspark.sql import Window as W
+
+    from reader_spark.operators import multimodal as MM
+
+    ids = DD.ensure_parallelism(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    fd = MM.video_dhash(MM.synthesize_videos(ids))
+    fp = fd.groupBy("media_id").agg(
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("frame_id", "dhash"))),
+                    lambda s: s["dhash"].cast("string"),
+                ),
+            )
+        ).alias("fingerprint")
+    )
+    w = W.partitionBy("fingerprint")
+    return fp.select(
+        "media_id",
+        "fingerprint",
+        F.min("media_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+VIDEO_FP_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+         3 + doc_id % 3 AS n_frames
+  FROM documents WHERE doc_id < 100
+), g AS (
+  SELECT media_id, f.f AS f, y.y AS y, x.x AS x,
+    (((media_id * 7 + f.f * 41
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17)
+      % 256) * 299
+     + ((media_id * 7 + f.f * 41
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17
+       + 29) % 256) * 587
+     + ((media_id * 7 + f.f * 41
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17
+       + 58) % 256) * 114) // 1000 AS gv
+  FROM d,
+       (SELECT unnest(generate_series(0, 4)) AS f) f,
+       (SELECT unnest(generate_series(0, 6)) AS y) y,
+       (SELECT unnest(generate_series(0, 8)) AS x) x
+  WHERE f.f < n_frames
+), framehash AS (
+  SELECT a.media_id, a.f,
+         sum(CASE WHEN b.gv > a.gv
+                  THEN 1::BIGINT << (a.y * 8 + a.x) ELSE 0 END)::BIGINT
+           AS dhash
+  FROM g a JOIN g b
+    ON a.media_id = b.media_id AND a.f = b.f AND a.y = b.y
+   AND b.x = a.x + 1
+  WHERE a.x < 8
+  GROUP BY 1, 2
+), fp AS (
+  SELECT media_id,
+         md5(string_agg(dhash::VARCHAR, '_' ORDER BY f)) AS fingerprint
+  FROM framehash GROUP BY 1
+)
+SELECT media_id, fingerprint,
+       min(media_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+FROM fp
+"""
+
+
 def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication with OVERLAPPING 8-token windows
     + per-doc merged-span coverage (operators/curation.py::
@@ -6189,6 +6276,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_keywords": (doc_keywords, DOC_KEYWORDS_SQL),
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
     "audio_fingerprint_dedup": (audio_fingerprint_dedup, AUDIO_FP_SQL),
+    "video_fingerprint_dedup": (video_fingerprint_dedup, VIDEO_FP_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -360,3 +360,37 @@ def test_audio_fingerprint_identity_and_robustness(spark):
     rows = {r["media_id"]: r for r in MM.audio_fingerprint(bad).collect()}
     assert not rows[1]["decoded"] and rows[1]["fingerprint"] is None
     assert not rows[2]["decoded"]
+
+
+def test_video_dhash_matches_image_dhash_per_frame(spark):
+    """Each sampled video frame hashes exactly like the same raster
+    hashed as a still image, and corrupt containers are skipped."""
+    import numpy as np
+
+    from reader_spark.operators import multimodal as MM
+
+    # one synthetic 3-frame video
+    frames = [
+        ((np.arange(2 * 4 * 3, dtype=np.int64) * (7 + f)) % 256)
+        .astype("uint8").reshape(2, 4, 3)
+        for f in range(3)
+    ]
+    vid = spark.createDataFrame(
+        [(1, "video", bytearray(MM.encode_ppmv(frames, fps_milli=1000)))],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        r["frame_id"]: r["dhash"] for r in MM.video_dhash(vid).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for f, img in enumerate(frames):
+        assert got[f] == MM._dhash_of(img, 8, 7), f
+    # every-2nd sampling
+    sampled = MM.video_dhash(vid, every_n=2).collect()
+    assert {r["frame_id"] for r in sampled} == {0, 2}
+    # corrupt container skipped
+    bad = spark.createDataFrame(
+        [(9, "video", bytearray(b"nope"))],
+        "media_id long, kind string, payload binary",
+    )
+    assert MM.video_dhash(bad).count() == 0

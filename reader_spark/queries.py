@@ -4134,6 +4134,113 @@ FROM fp
 """
 
 
+def frame_match_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal provenance search: probe STILL images (ids < 5)
+    against every sampled VIDEO frame (ids < 100) by shared
+    perceptual dHash — "which videos contain (a near-encode of)
+    this image?". Both sides hash through their REAL decode paths
+    with the SAME 56-bit dHash; the search itself is one equi-join
+    on the hash key (uniform, broadcast-size probe side). At scale
+    this is the frame-level dedup/IP-sweep a video corpus runs
+    against an image blocklist — the join key is the fingerprint,
+    media bytes never move."""
+    from reader_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = MM.image_dhash(
+        MM.synthesize_images(
+            DD.ensure_parallelism(
+                docs.filter(F.col("doc_id") < 5).select(
+                    F.col("doc_id").alias("media_id")
+                )
+            )
+        )
+    ).filter(F.col("decoded")).select(
+        F.col("media_id").alias("probe_id"), "dhash"
+    )
+    frames = MM.video_dhash(
+        MM.synthesize_videos(
+            DD.ensure_parallelism(
+                docs.filter(F.col("doc_id") < 100).select(
+                    F.col("doc_id").alias("media_id")
+                )
+            )
+        )
+    ).select(F.col("media_id").alias("video_id"), "frame_id", "dhash")
+    return frames.join(F.broadcast(probes), "dhash").select(
+        "probe_id", "video_id", "frame_id", "dhash"
+    )
+
+
+FRAME_MATCH_SQL = """
+WITH di AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+  FROM documents WHERE doc_id < 5
+), gi AS (
+  SELECT media_id, y.y AS y, x.x AS x,
+    (((media_id * 7
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17)
+      % 256) * 299
+     + ((media_id * 7
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17
+       + 29) % 256) * 587
+     + ((media_id * 7
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17
+       + 58) % 256) * 114) // 1000 AS gv
+  FROM di,
+       (SELECT unnest(generate_series(0, 6)) AS y) y,
+       (SELECT unnest(generate_series(0, 8)) AS x) x
+), probes AS (
+  SELECT a.media_id AS probe_id,
+         sum(CASE WHEN b.gv > a.gv
+                  THEN 1::BIGINT << (a.y * 8 + a.x) ELSE 0 END)::BIGINT
+           AS dhash
+  FROM gi a JOIN gi b
+    ON a.media_id = b.media_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+  GROUP BY 1
+), dv AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+         3 + doc_id % 3 AS n_frames
+  FROM documents WHERE doc_id < 100
+), gv AS (
+  SELECT media_id, f.f AS f, y.y AS y, x.x AS x,
+    (((media_id * 7 + f.f * 41
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17)
+      % 256) * 299
+     + ((media_id * 7 + f.f * 41
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17
+       + 29) % 256) * 587
+     + ((media_id * 7 + f.f * 41
+       + least(CAST(floor((y.y + 0.5) * h / 7) AS BIGINT), h - 1) * 13
+       + least(CAST(floor((x.x + 0.5) * w / 9) AS BIGINT), w - 1) * 17
+       + 58) % 256) * 114) // 1000 AS gvv
+  FROM dv,
+       (SELECT unnest(generate_series(0, 4)) AS f) f,
+       (SELECT unnest(generate_series(0, 6)) AS y) y,
+       (SELECT unnest(generate_series(0, 8)) AS x) x
+  WHERE f.f < n_frames
+), framehash AS (
+  SELECT a.media_id AS video_id, a.f AS frame_id,
+         sum(CASE WHEN b.gvv > a.gvv
+                  THEN 1::BIGINT << (a.y * 8 + a.x) ELSE 0 END)::BIGINT
+           AS dhash
+  FROM gv a JOIN gv b
+    ON a.media_id = b.media_id AND a.f = b.f AND a.y = b.y
+   AND b.x = a.x + 1
+  WHERE a.x < 8
+  GROUP BY 1, 2
+)
+SELECT probe_id, video_id, frame_id, dhash
+FROM framehash JOIN probes USING (dhash)
+"""
+
+
 def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication with OVERLAPPING 8-token windows
     + per-doc merged-span coverage (operators/curation.py::
@@ -6277,6 +6384,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
     "audio_fingerprint_dedup": (audio_fingerprint_dedup, AUDIO_FP_SQL),
     "video_fingerprint_dedup": (video_fingerprint_dedup, VIDEO_FP_SQL),
+    "frame_match_search": (frame_match_search, FRAME_MATCH_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -138,6 +138,7 @@ HEADLINE = [
     "audio_fingerprint_dedup",
     "video_fingerprint_dedup",
     "frame_match_search",
+    "trigram_search",
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)

@@ -317,3 +317,74 @@ def bm25_topk_indexed(
             F.round(F.col("s"), 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# trigram substring search (the pg_trgm / code-search design)
+
+
+def doc_trigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, trigram) — distinct character 3-grams per document,
+    built with sequence+transform array arithmetic in the scan stage
+    (one explode, no shuffle). The candidate-restriction index for
+    substring search."""
+    t = F.col(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: t.substr(i, F.lit(3)),
+        )
+    )
+    return (
+        DD.ensure_parallelism(docs)
+        .filter(F.length(t) >= 3)
+        .select("doc_id", F.explode(grams).alias("trigram"))
+    )
+
+
+def trigram_search(
+    docs: DataFrame,
+    patterns: list[tuple[int, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring search with trigram pre-filtering: a document can
+    contain pattern p only if it contains EVERY trigram of p, so the
+    candidate set is the docs matching all |p|-2 trigrams (a
+    broadcast join + count equality — relational intersection), and
+    only candidates pay the exact `contains` verify. This is
+    pg_trgm's / Zoekt's design: at 100 TB the trigram postings are
+    the index you materialize (bm25_index_write's bucket layout
+    applies verbatim — uniform 3-char keys), and the exact verify
+    touches ~selectivity-sized data instead of every byte.
+
+    Patterns shorter than 3 chars fall back to a full scan (no
+    trigram to prune on) — excluded here by contract."""
+    spark = docs.sparkSession
+    prows = []
+    for pid, pat in patterns:
+        assert len(pat) >= 3, f"pattern {pid} too short for trigrams"
+        grams = {pat[i : i + 3] for i in range(len(pat) - 2)}
+        prows += [(pid, g) for g in sorted(grams)]
+    pat_grams = spark.createDataFrame(prows, "pattern_id long, trigram string")
+    n_grams = {
+        pid: len({p[i : i + 3] for i in range(len(p) - 2)})
+        for pid, p in patterns
+    }
+    need = F.create_map(
+        *[F.lit(x) for kv in n_grams.items() for x in kv]
+    )
+    cands = (
+        doc_trigrams(docs, text_col)
+        .join(F.broadcast(pat_grams), "trigram")
+        .groupBy("pattern_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == need[F.col("pattern_id")])
+        .select("pattern_id", "doc_id")
+    )
+    pats = spark.createDataFrame(list(patterns), "pattern_id long, pat string")
+    return (
+        cands.join(docs.select("doc_id", text_col), "doc_id")
+        .join(F.broadcast(pats), "pattern_id")
+        .filter(F.col(text_col).contains(F.col("pat")))
+        .select("pattern_id", "doc_id")
+    )

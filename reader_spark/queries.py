@@ -3649,6 +3649,29 @@ SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM (
 """
 
 
+def trigram_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search with trigram pre-filtering
+    (operators/retrieval.py::trigram_search — the pg_trgm / Zoekt
+    design): candidates = docs containing EVERY trigram of the
+    pattern (broadcast join + count equality), exact `contains`
+    verify only on candidates. The prefilter is lossless, so the
+    oracle is plain `contains` over the corpus — the plan, not the
+    answer, is what the index changes."""
+    return RT.trigram_search(
+        _t(spark, sf_dir, "documents"),
+        [(0, "table"), (1, "fast merge"), (2, "row scan")],
+    )
+
+
+TRIGRAM_SQL = """
+WITH p(pattern_id, pat) AS (
+  VALUES (0, 'table'), (1, 'fast merge'), (2, 'row scan')
+)
+SELECT pattern_id, doc_id
+FROM documents, p WHERE contains(text, pat)
+"""
+
+
 def term_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index statistics page: per-term document frequency
     and collection frequency. One corpus-sized shuffle on uniform
@@ -6385,6 +6408,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "audio_fingerprint_dedup": (audio_fingerprint_dedup, AUDIO_FP_SQL),
     "video_fingerprint_dedup": (video_fingerprint_dedup, VIDEO_FP_SQL),
     "frame_match_search": (frame_match_search, FRAME_MATCH_SQL),
+    "trigram_search": (trigram_search_q, TRIGRAM_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

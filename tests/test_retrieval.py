@@ -151,3 +151,42 @@ def test_bm25_indexed_roundtrip_and_pruning(spark, tmp_path):
         [d for d in os.listdir(f"{path}/postings") if d.startswith("bucket=")]
     )
     assert n_dirs > 3  # the filter has something to prune
+
+
+def test_trigram_search_pruning_and_exactness(spark):
+    """The trigram prefilter is LOSSLESS (results == plain contains)
+    and actually prunes: a rare pattern's candidate set is a small
+    fraction of the corpus; short patterns are rejected."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import retrieval as RT
+
+    docs = spark.createDataFrame(
+        [(i, f"common filler text block {i % 7} "
+             + ("needle in haystack " if i % 50 == 0 else "straw "))
+         for i in range(500)],
+        "doc_id long, text string",
+    )
+    pats = [(0, "needle in"), (1, "filler text"), (2, "absent-gram")]
+    got = {
+        (r["pattern_id"], r["doc_id"])
+        for r in RT.trigram_search(docs, pats).collect()
+    }
+    want = set()
+    for pid, p in pats:
+        for r in docs.filter(F.col("text").contains(p)).collect():
+            want.add((pid, r["doc_id"]))
+    assert got == want
+    assert len([1 for p, _ in got if p == 0]) == 10  # rare pattern
+    assert not any(p == 2 for p, _ in got)
+    # candidate restriction: rare pattern candidates << corpus
+    cands = (
+        RT.doc_trigrams(docs)
+        .filter(F.col("trigram") == "dle")  # only in 'needle'
+        .select("doc_id").distinct().count()
+    )
+    assert cands == 10
+    with pytest.raises(AssertionError):
+        RT.trigram_search(docs, [(9, "ab")])

@@ -253,9 +253,17 @@ def bm25_index_write(
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
+    # sum_dl stored as an exact integer so INCREMENTAL updates
+    # (bm25_index_update) can recompute avgdl = sum_dl / n_docs with
+    # arithmetic identical to a full rebuild — no float accumulation
+    # drift between the two paths.
     docs.agg(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("sum_dl"),
+    ).select(
+        "n_docs",
+        "sum_dl",
+        (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
     ).write.mode("overwrite").parquet(f"{path}/scalars")
 
 
@@ -388,3 +396,61 @@ def trigram_search(
         .filter(F.col(text_col).contains(F.col("pat")))
         .select("pattern_id", "doc_id")
     )
+
+
+def bm25_index_update(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+) -> list[int]:
+    """Incremental text-index maintenance (append-only corpus
+    growth, the common case): the NEW documents' postings merge into
+    ONLY their touched term-bucket directories. A term lives in
+    exactly one bucket, so per-term df recomputes EXACTLY from
+    (old postings of touched buckets + delta) — searches after an
+    update are identical to a full rebuild (asserted in
+    test_retrieval.py), and untouched bucket directories keep their
+    files byte-for-byte. Scalars update by exact integer arithmetic
+    (n_docs += dn, sum_dl += d_sum; avgdl = sum_dl / n_docs — the
+    same division a rebuild performs).
+
+    Append-only contract: ids must be NEW (a changed document's
+    removed terms would leave stale postings in buckets the delta
+    never touches; replacement needs a doc->bucket reverse index or
+    a rebuild — same caveat Lucene solves with per-segment deletes).
+    Returns the touched bucket ids."""
+    delta = doc_terms(new_docs, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    touched = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+    old = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(touched))
+        .select("doc_id", "term", "dl", "tf", "bucket")
+    )
+    merged = old.unionByName(delta)
+    tstats = merged.groupBy("term").agg(F.count("*").alias("df"))
+    full = merged.join(tstats, "term")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            full.repartition(len(touched), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s = spark.read.parquet(f"{path}/scalars").collect()[0]
+    d = new_docs.agg(
+        F.count("*").alias("dn"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("dsum"),
+    ).collect()[0]
+    n, sd = s["n_docs"] + d["dn"], s["sum_dl"] + d["dsum"]
+    spark.createDataFrame(
+        [(n, sd, sd / n)], "n_docs long, sum_dl long, avgdl double"
+    ).write.mode("overwrite").parquet(f"{path}/scalars")
+    return touched

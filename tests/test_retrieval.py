@@ -190,3 +190,52 @@ def test_trigram_search_pruning_and_exactness(spark):
     assert cands == 10
     with pytest.raises(AssertionError):
         RT.trigram_search(docs, [(9, "ab")])
+
+
+def test_bm25_index_incremental_update(spark, tmp_path):
+    """Append-only index update == full rebuild: identical search
+    results, untouched bucket directories byte-identical."""
+    import os
+
+    from reader_spark.operators import retrieval as RT
+
+    def mkdocs(lo, hi):
+        return spark.createDataFrame(
+            [(i, " ".join(
+                ["spark", "join", "scan"][: 1 + i % 3]
+                + [f"w{i % 11}", f"x{i % 5}"]
+            )) for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    path = str(tmp_path / "bm25inc")
+    RT.bm25_index_write(mkdocs(0, 300), path, n_buckets=16)
+
+    def bucket_state():
+        out = {}
+        root = f"{path}/postings"
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                full = os.path.join(root, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full) if f.endswith(".parquet")
+                )
+        return out
+
+    before = bucket_state()
+    touched = RT.bm25_index_update(spark, path, mkdocs(300, 400), n_buckets=16)
+    after = bucket_state()
+    tset = {f"bucket={b}" for b in touched}
+    for d, files in before.items():
+        if d not in tset:
+            assert after[d] == files, f"{d} rewritten needlessly"
+
+    path2 = str(tmp_path / "bm25full")
+    RT.bm25_index_write(mkdocs(0, 400), path2, n_buckets=16)
+    queries = [(0, "spark scan"), (1, "join w3")]
+    got = RT.bm25_topk_indexed(spark, path, queries, k=5, n_buckets=16)
+    want = RT.bm25_topk_indexed(spark, path2, queries, k=5, n_buckets=16)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -247,6 +247,57 @@ def r4c_mode(copies: int) -> None:
     )
 
 
+def r4d_mode(copies: int) -> None:
+    """Round-4d operators at Nx: trigram search, incremental BM25
+    update, audio/video fingerprints, duplicate-span dedup tail."""
+    docs_path = build(copies)
+
+    import pyspark.sql.functions as F
+
+    from reader_spark.operators import multimodal as MM
+    from reader_spark.operators import retrieval as RT
+    from reader_spark.session import get_spark
+
+    spark = get_spark("scale_r4d")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(docs_path)
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn()
+        print(f"{name}: {time.perf_counter() - t0:.2f}s")
+
+    timed(
+        "trigram_search (3 patterns)",
+        lambda: RT.trigram_search(
+            docs, [(0, "table"), (1, "fast merge"), (2, "row scan")]
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    idx = os.path.join(TMP, f"bm25_inc_x{copies}")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    timed(
+        "bm25_index_write (90% corpus)",
+        lambda: RT.bm25_index_write(base, idx, n_buckets=64),
+    )
+    timed(
+        "bm25_index_update (10% delta)",
+        lambda: RT.bm25_index_update(spark, idx, delta, n_buckets=64),
+    )
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    timed(
+        "audio_fingerprint (synthesize+decode+fft)",
+        lambda: MM.audio_fingerprint(MM.synthesize_wavs(ids, n_samples=256))
+        .write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "video_dhash (synthesize+parse+hash)",
+        lambda: MM.video_dhash(MM.synthesize_videos(ids))
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "tpch":
         tpch_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
@@ -256,6 +307,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "r4c":
         r4c_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r4d":
+        r4d_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     path = build(copies)

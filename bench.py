@@ -139,6 +139,7 @@ HEADLINE = [
     "video_fingerprint_dedup",
     "frame_match_search",
     "trigram_search",
+    "mixture_apply",
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)

@@ -503,6 +503,45 @@ def mixture_plan(
     )
 
 
+def mixture_apply(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXECUTE the mixture plan: each doc in a group with sampling
+    rate r emits floor(r) full copies plus one more iff its
+    md5-uniform draw < frac(r) — expected emitted tokens equal the
+    plan's tokens_needed, per-doc decisions are deterministic and
+    partitioning-invariant, and rates > 1 materialize as real epoch
+    repeats (epoch_copy = 1..n). The bridge from `mixture_plan`'s
+    numbers to the rows a shard writer consumes.
+
+    Scale: one broadcast join of the group-space rate table + a
+    map-only copy computation; the only row growth is the intended
+    repeat factor."""
+    rates = mixture_plan(
+        docs, weights, budget_tokens, group, text_col
+    ).select(group, "rate")
+    j = docs.join(F.broadcast(rates), group)
+    n_full = F.floor("rate").cast("long")
+    p_extra = F.col("rate") - F.floor("rate")
+    extra = (_hash_unit(F.col(id_col), "mix") < p_extra).cast("long")
+    return (
+        j.withColumn("n_copies", n_full + extra)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            group,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("epoch_copy"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic epoch shuffle
 

@@ -4637,6 +4637,62 @@ FROM have
 """
 
 
+def mixture_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture EXECUTION: the plan's per-language sampling rates
+    applied to real rows (operators/curation.py::mixture_apply —
+    floor(rate) full epoch copies + md5-draw fractional copy),
+    reported per language: source docs, emitted rows, distinct docs
+    sampled, and the realized rate. Closes the plan -> rows loop the
+    shard writer consumes."""
+    docs = _t(spark, sf_dir, "documents")
+    out = CU.mixture_apply(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, group="lang"
+    )
+    per = out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        F.countDistinct("doc_id").alias("docs_sampled"),
+    )
+    n_src = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_source_docs"))
+    return n_src.join(per, "lang", "left").select(
+        "lang",
+        "n_source_docs",
+        F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
+        F.coalesce("docs_sampled", F.lit(0)).alias("docs_sampled"),
+        F.round(
+            F.coalesce("rows_out", F.lit(0)) / F.col("n_source_docs"), 6
+        ).alias("effective_rate"),
+    )
+
+
+MIXTURE_APPLY_SQL = f"""
+WITH have AS (
+  SELECT lang,
+         sum(length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT)
+           AS tokens_have
+  FROM documents GROUP BY 1
+), r AS (
+  SELECT lang,
+         round(round(({_MIX_W_SQL}) * {_MIX_BUDGET}) / tokens_have, 6)
+           AS rate
+  FROM have
+), c AS (
+  SELECT d.doc_id, d.lang,
+         (floor(rate)
+          + CASE WHEN (('0x' || substr(md5('mix:' || d.doc_id::VARCHAR),
+                        1, 8))::BIGINT % 1000000) / 1000000.0
+                      < rate - floor(rate)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_copies
+  FROM documents d JOIN r USING (lang)
+)
+SELECT lang, count(*)::BIGINT AS n_source_docs,
+       sum(n_copies)::BIGINT AS rows_out,
+       sum(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_sampled,
+       round(sum(n_copies)::DOUBLE / count(*), 6) AS effective_rate
+FROM c GROUP BY 1
+"""
+
+
 def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-1 global shuffle into 16 training shards:
     md5 draw keyed by (epoch, doc_id) -> shard = draw mod 16, position
@@ -6409,6 +6465,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_fingerprint_dedup": (video_fingerprint_dedup, VIDEO_FP_SQL),
     "frame_match_search": (frame_match_search, FRAME_MATCH_SQL),
     "trigram_search": (trigram_search_q, TRIGRAM_SQL),
+    "mixture_apply": (mixture_apply_q, MIXTURE_APPLY_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -140,6 +140,7 @@ HEADLINE = [
     "frame_match_search",
     "trigram_search",
     "mixture_apply",
+    "vector_quality_report",
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)

@@ -5890,6 +5890,68 @@ FROM ke{rounds} GROUP BY 1 HAVING count(*) >= {k}
 KCORE_SQL = _kcore_sql(30, 8)
 
 
+def vector_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-QA for the EMBEDDING table (the vector analogue of
+    data_quality_report): per label partition — vector count, dim
+    census, L2-norm distribution (mean/min/max), zero-vector and
+    non-finite counts. The checks that catch the classic embedding-
+    pipeline failures (all-zero rows from a crashed encoder, NaNs
+    from fp16 overflow, ragged dims from a schema drift) before an
+    index build bakes them in. Map-only per-row arithmetic + one
+    group-space aggregate."""
+    from reader_spark.operators.similarity import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm2 = dot(vec, vec)
+    is_finite = F.aggregate(
+        vec,
+        F.lit(True),
+        lambda acc, x: acc & ~F.isnan(x) & (F.abs(x) < float("inf")),
+    )
+    per = DD.ensure_parallelism(emb).select(
+        "label",
+        F.size(vec).alias("dim"),
+        F.sqrt(norm2).alias("nrm"),
+        (norm2 == 0.0).cast("long").alias("is_zero"),
+        (~is_finite).cast("long").alias("is_bad"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("dim").alias("n_dims_seen"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum("is_zero").alias("n_zero"),
+        F.sum("is_bad").alias("n_nonfinite"),
+    )
+
+
+VECTOR_QA_SQL = f"""
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+), per AS (
+  SELECT label, len(e) AS dim,
+         sqrt({_KNN_DOT.format(a="e", b="e")}) AS nrm,
+         CASE WHEN {_KNN_DOT.format(a="e", b="e")} = 0.0
+              THEN 1 ELSE 0 END AS is_zero,
+         CASE WHEN list_reduce(list_transform(e,
+                x -> CASE WHEN isnan(x) OR NOT isfinite(x)
+                          THEN 1 ELSE 0 END), (a, b) -> a + b) > 0
+              THEN 1 ELSE 0 END AS is_bad
+  FROM v
+)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       count(DISTINCT dim)::BIGINT AS n_dims_seen,
+       round(avg(nrm), 6) AS mean_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       sum(is_zero)::BIGINT AS n_zero,
+       sum(is_bad)::BIGINT AS n_nonfinite
+FROM per GROUP BY 1
+"""
+
+
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event type:
     keep the k = 64 smallest md5 hash values of the key; estimate =
@@ -6466,6 +6528,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "frame_match_search": (frame_match_search, FRAME_MATCH_SQL),
     "trigram_search": (trigram_search_q, TRIGRAM_SQL),
     "mixture_apply": (mixture_apply_q, MIXTURE_APPLY_SQL),
+    "vector_quality_report": (vector_quality_report, VECTOR_QA_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

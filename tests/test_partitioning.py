@@ -136,3 +136,44 @@ def test_zorder_write_locality(spark, tmp_path):
     assert zx <= 8 and zy <= 8
     # and the clustered write loses no rows
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_runtime_bloom_filter_join_prunes(spark, tmp_path):
+    """Spark's runtime bloom-filter join insertion — the shuffle-side
+    row-pruning lever for selective dim filters when the dim is too
+    big to broadcast: the optimizer plants a bloom filter built from
+    the filtered creation side into the fact scan. Off by default at
+    local scale only because of the 10GB application-side threshold —
+    at the 100 TB tier the defaults fire on their own; this pins the
+    config recipe and asserts the plan shape."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        d = str(tmp_path)
+        spark.range(500_000).selectExpr(
+            "id", "id % 1000 AS k", "concat('v', id) AS pad"
+        ).write.mode("overwrite").parquet(f"{d}/fact")
+        spark.range(50_000).selectExpr(
+            "id AS k2", "id % 97 AS attr"
+        ).write.mode("overwrite").parquet(f"{d}/dim")
+        fact = spark.read.parquet(f"{d}/fact")
+        dim = spark.read.parquet(f"{d}/dim").filter("attr = 3")
+        j = fact.join(dim, fact.k == dim.k2)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower()
+        # and the join still computes the right thing
+        assert j.count() == fact.filter("k % 97 = 3").count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

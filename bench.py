@@ -141,6 +141,8 @@ HEADLINE = [
     "trigram_search",
     "mixture_apply",
     "vector_quality_report",
+    "events_wow_trends",
+    "customer_rfm",
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)

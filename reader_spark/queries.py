@@ -5837,6 +5837,131 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over orders: per customer — Recency (days
+    since last order, anchored at the corpus max date), Frequency
+    (order count), Monetary (exact-DECIMAL total, doubled at the
+    edge) — each cut into tertiles by exact percentiles (one 1-row
+    broadcast), segment code = r*100 + f*10 + m. The classic
+    warehouse segmentation verb: two bounded aggregates + map-only
+    bucketing."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("t_max"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(DEC_PRICE)).alias("mon_d"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff("t_max", "last_order").alias("recency_days"),
+            "frequency",
+            F.col("mon_d").cast("double").alias("monetary"),
+        )
+    )
+    cuts = per.agg(
+        F.expr("percentile(recency_days, 0.33)").alias("r1"),
+        F.expr("percentile(recency_days, 0.67)").alias("r2"),
+        F.expr("percentile(frequency, 0.33)").alias("f1"),
+        F.expr("percentile(frequency, 0.67)").alias("f2"),
+        F.expr("percentile(monetary, 0.33)").alias("m1"),
+        F.expr("percentile(monetary, 0.67)").alias("m2"),
+    )
+
+    def tertile(c, lo, hi):
+        return (
+            F.when(F.col(c) < F.col(lo), 1)
+            .when(F.col(c) < F.col(hi), 2)
+            .otherwise(3)
+        )
+
+    return per.crossJoin(F.broadcast(cuts)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        (
+            tertile("recency_days", "r1", "r2") * 100
+            + tertile("frequency", "f1", "f2") * 10
+            + tertile("monetary", "m1", "m2")
+        ).alias("rfm_segment"),
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH a AS (
+  SELECT max(o_orderdate) AS t_max FROM orders
+), per AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(o_orderdate), t_max)::INT AS recency_days,
+         count(*)::BIGINT AS frequency,
+         (sum(CAST(o_totalprice AS DECIMAL(12,2))))::DOUBLE AS monetary
+  FROM orders, a
+  GROUP BY 1, t_max
+), c AS (
+  SELECT quantile_cont(recency_days, 0.33) AS r1,
+         quantile_cont(recency_days, 0.67) AS r2,
+         quantile_cont(frequency, 0.33) AS f1,
+         quantile_cont(frequency, 0.67) AS f2,
+         quantile_cont(monetary, 0.33) AS m1,
+         quantile_cont(monetary, 0.67) AS m2
+  FROM per
+)
+SELECT custkey, recency_days, frequency,
+       round(monetary, 2) AS monetary,
+       ((CASE WHEN recency_days < r1 THEN 1
+              WHEN recency_days < r2 THEN 2 ELSE 3 END) * 100
+        + (CASE WHEN frequency < f1 THEN 1
+                WHEN frequency < f2 THEN 2 ELSE 3 END) * 10
+        + (CASE WHEN monetary < m1 THEN 1
+                WHEN monetary < m2 THEN 2 ELSE 3 END)) AS rfm_segment
+FROM per, c
+"""
+
+
+def events_wow_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume trends per event type: weekly counts,
+    the previous week's count via lag over the per-type sequence,
+    and the WoW delta/ratio — the release-health dashboard verb.
+    One vocabulary-sized aggregate + a window partitioned by type
+    (state bounded by weeks x types)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "week",
+        "event_type",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).alias("delta"),
+        F.round(F.col("n") / prev, 6).alias("wow_ratio"),
+    )
+
+
+WOW_TRENDS_SQL = """
+WITH weekly AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT week, event_type, n,
+       lag(n) OVER w AS prev_n,
+       n - lag(n) OVER w AS delta,
+       round(n::DOUBLE / lag(n) OVER w, 6) AS wow_ratio
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
 def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the verified near-dup graph (k=30, 8-round bounded
     peel): the dense-boilerplate detector — nodes surviving the peel
@@ -6529,6 +6654,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "trigram_search": (trigram_search_q, TRIGRAM_SQL),
     "mixture_apply": (mixture_apply_q, MIXTURE_APPLY_SQL),
     "vector_quality_report": (vector_quality_report, VECTOR_QA_SQL),
+    "events_wow_trends": (events_wow_trends, WOW_TRENDS_SQL),
+    "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

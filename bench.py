@@ -143,6 +143,7 @@ HEADLINE = [
     "vector_quality_report",
     "events_wow_trends",
     "customer_rfm",
+    "market_basket",
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)

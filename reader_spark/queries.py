@@ -5837,6 +5837,81 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: co-purchased part pairs
+    with support >= 2 orders, their confidence P(b|a) (directed,
+    both directions emitted) and lift P(ab)/(P(a)P(b)). The pair
+    join is WITHIN-ORDER (self-join on the order key), so its
+    fan-out is bounded by basket size squared — the same blocking
+    economics as record_linkage; counts aggregate on uniform part
+    keys. Lift arithmetic in doubles with identical operand order
+    both engines."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    singles = li.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n_one")
+    )
+    sa = singles.select(F.col("l_partkey").alias("part_a"), F.col("n_one").alias("n_a"))
+    sb = singles.select(F.col("l_partkey").alias("part_b"), F.col("n_one").alias("n_b"))
+    return (
+        pairs.join(DD.maybe_broadcast(sa), "part_a")
+        .join(DD.maybe_broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.lit(float(n_orders)))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+MARKET_BASKET_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM li
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), singles AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_one FROM li GROUP BY 1
+)
+SELECT part_a, part_b, n_ab,
+       round(n_ab::DOUBLE / sa.n_one, 6) AS confidence,
+       round((n_ab * n_orders) / (sa.n_one * sb.n_one), 6) AS lift
+FROM pairs
+JOIN singles sa ON sa.l_partkey = part_a
+JOIN singles sb ON sb.l_partkey = part_b, n
+"""
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation over orders: per customer — Recency (days
     since last order, anchored at the corpus max date), Frequency
@@ -6656,6 +6731,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "vector_quality_report": (vector_quality_report, VECTOR_QA_SQL),
     "events_wow_trends": (events_wow_trends, WOW_TRENDS_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
+    "market_basket": (market_basket, MARKET_BASKET_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

@@ -144,6 +144,7 @@ HEADLINE = [
     "events_wow_trends",
     "customer_rfm",
     "market_basket",
+    "supplier_hhi",
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)

@@ -5837,6 +5837,42 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration screen: Herfindahl-Hirschman index per
+    part — sum over suppliers of (quantity share)^2, flagging
+    single-source parts (HHI = 1). The whole ratio is computed as
+    (sum of squared DECIMAL quantities) / (squared DECIMAL total) —
+    numerator and denominator both exact, ONE double division at the
+    edge — so no float-summation order can shift a 6dp rounding
+    boundary between engines. Two uniform aggregates."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast(DEC_PRICE).alias("q")
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").alias("sq")
+    )
+    return per_supp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(
+            F.sum(F.col("sq") * F.col("sq")).cast("double")
+            / (F.sum("sq") * F.sum("sq")).cast("double"),
+            6,
+        ).alias("hhi"),
+    )
+
+
+SUPPLIER_HHI_SQL = """
+WITH per_supp AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_partkey, count(*)::BIGINT AS n_suppliers,
+       round(sum(sq * sq)::DOUBLE / (sum(sq) * sum(sq))::DOUBLE, 6) AS hhi
+FROM per_supp GROUP BY 1
+"""
+
+
 def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over order baskets: co-purchased part pairs
     with support >= 2 orders, their confidence P(b|a) (directed,
@@ -6732,6 +6768,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_wow_trends": (events_wow_trends, WOW_TRENDS_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "market_basket": (market_basket, MARKET_BASKET_SQL),
+    "supplier_hhi": (supplier_hhi, SUPPLIER_HHI_SQL),
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),

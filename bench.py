@@ -180,13 +180,20 @@ def main() -> None:
     # intermediates don't make repeat runs artificially warm.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    from reader_spark.cache import release_pins
+
     for name in names:
         fn, _sql = CATALOG[name]
         best = float("inf")
         for _ in range(repeats):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            finally:
+                release_pins()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

@@ -177,6 +177,20 @@ def _hash_unit(c: Column, salt: str) -> Column:
     ) / 1_000_000.0
 
 
+def _hash_ppm(c: Column, salt: str) -> Column:
+    """Deterministic uniform BIGINT in [0, 1e6): the integer form of
+    `_hash_unit`, for decisions that must be float-free end-to-end
+    (compare against a parts-per-million integer threshold)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+
+
 def stratified_sample(
     docs: DataFrame, strata: list[str], cap: int, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -479,6 +493,12 @@ def mixture_plan(
     the source space, not the corpus); everything after is driver-free
     literal arithmetic on that aggregate. Sources absent from
     `weights` get weight 0 (dropped from the mix).
+
+    The sampling rate is emitted as `rate_ppm` (parts-per-million,
+    BIGINT): floor(tokens_needed * 1e6 / tokens_have) in pure integer
+    arithmetic. A float `round(double/double, 6)` here is
+    ulp-sensitive across engines (the r4 `mixture_plan` hash red);
+    integer division of two exact BIGINTs is not.
     """
     from reader_spark.functions.text import token_count_ws
 
@@ -489,17 +509,16 @@ def mixture_plan(
         F.sum(token_count_ws(F.col(text_col))).alias("tokens_have")
     )
     need = F.round(w * budget_tokens).cast("long").alias("tokens_needed")
-    rate = F.round(
-        F.round(w * budget_tokens) / F.col("tokens_have"), 6
-    ).alias("rate")
-    return have.select(
+    return have.select(group, "tokens_have", need).select(
         group,
         "tokens_have",
-        need,
-        rate,
-        F.ceil(F.round(w * budget_tokens) / F.col("tokens_have"))
-        .cast("long")
-        .alias("n_epochs"),
+        "tokens_needed",
+        F.expr("(tokens_needed * 1000000L) div tokens_have").alias(
+            "rate_ppm"
+        ),
+        F.expr("(tokens_needed + tokens_have - 1) div tokens_have").alias(
+            "n_epochs"
+        ),
     )
 
 
@@ -519,16 +538,20 @@ def mixture_apply(
     repeats (epoch_copy = 1..n). The bridge from `mixture_plan`'s
     numbers to the rows a shard writer consumes.
 
+    The fractional draw is pure integer arithmetic: the md5 draw in
+    [0, 1e6) is compared against rate_ppm % 1e6 — no doubles anywhere
+    in the keep/copy decision, so both engines agree bit-for-bit.
+
     Scale: one broadcast join of the group-space rate table + a
     map-only copy computation; the only row growth is the intended
     repeat factor."""
     rates = mixture_plan(
         docs, weights, budget_tokens, group, text_col
-    ).select(group, "rate")
+    ).select(group, "rate_ppm")
     j = docs.join(F.broadcast(rates), group)
-    n_full = F.floor("rate").cast("long")
-    p_extra = F.col("rate") - F.floor("rate")
-    extra = (_hash_unit(F.col(id_col), "mix") < p_extra).cast("long")
+    n_full = F.expr("rate_ppm div 1000000L")
+    p_extra_ppm = F.col("rate_ppm") % 1_000_000
+    extra = (_hash_ppm(F.col(id_col), "mix") < p_extra_ppm).cast("long")
     return (
         j.withColumn("n_copies", n_full + extra)
         .filter(F.col("n_copies") > 0)

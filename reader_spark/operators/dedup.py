@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reader_spark.cache import pin
+
 HASH_HEX_LEN = 15  # 60 bits < 2^63: sign-safe in both engines
 
 # Universal-hash family for MinHash seeds: h_i = (A_i*h + B_i) mod P.
@@ -338,7 +340,8 @@ def jaccard_verify(
         "doc_a", "doc_b",
         F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).alias("inter"),
         (F.col("na") + F.col("nb")).alias("tot"),
-    ).persist()
+    )
+    j = pin(j)
     jac = F.col("inter").cast("double") / (F.col("tot") - F.col("inter")).cast("double")
     return (
         j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
@@ -743,8 +746,8 @@ def containment_pairs(
         g.withColumn("df", F.count("*").over(W.partitionBy("gh")))
         .filter(F.col("df") <= max_gram_df)
         .select("doc_id", "gh")
-        .persist()
     )
+    rare = pin(rare)
     inter = (
         rare.alias("a")
         .join(

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from reader_spark.cache import pin
+
 DAMPING = 0.85
 
 
@@ -83,8 +85,8 @@ def pagerank(
             )
         )
         .distinct()
-        .persist()
     )
+    edges = pin(edges)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = edges.join(deg, "src")
     # control-plane scalar, bounded: the graph's node count
@@ -145,8 +147,8 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
+    e = pin(e)
     from reader_spark.operators.dedup import maybe_broadcast
 
     deg = (

@@ -159,6 +159,13 @@ def zorder_write(
     for c in cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
     row = df.agg(*aggs).collect()[0]
+    if any(row[f"__min_{c}"] is None or row[f"__max_{c}"] is None for c in cols):
+        # Empty input (or an all-null cluster column) has no bounds to
+        # bucket against: write unclustered rather than crash on
+        # float(None). Zero rows → empty-but-valid parquet output;
+        # all-null column → clustering would be meaningless anyway.
+        df.write.mode("overwrite").parquet(path)
+        return
     triples = [
         (F.col(c), float(row[f"__min_{c}"]), float(row[f"__max_{c}"]))
         for c in cols

@@ -425,30 +425,40 @@ def bm25_index_update(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
     touched = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
-    old = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("bucket").isin(touched))
-        .select("doc_id", "term", "dl", "tf", "bucket")
-    )
-    merged = old.unionByName(delta)
-    tstats = merged.groupBy("term").agg(F.count("*").alias("df"))
-    full = merged.join(tstats, "term")
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            full.repartition(len(touched), "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/postings")
+    if touched:
+        old = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(touched))
+            .select("doc_id", "term", "dl", "tf", "bucket")
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    s = spark.read.parquet(f"{path}/scalars").collect()[0]
+        merged = old.unionByName(delta)
+        tstats = merged.groupBy("term").agg(F.count("*").alias("df"))
+        full = merged.join(tstats, "term")
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                full.repartition(len(touched), "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/postings")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # scalars update even for a postings-free delta: documents with
+    # empty text still count toward n_docs (dl = 0). A fully empty
+    # delta frame (dn == 0) leaves the index untouched.
     d = new_docs.agg(
         F.count("*").alias("dn"),
-        F.sum(F.size(F.split(F.col(text_col), " "))).alias("dsum"),
+        F.coalesce(
+            F.sum(F.size(F.split(F.col(text_col), " "))), F.lit(0)
+        ).alias("dsum"),
     ).collect()[0]
+    if d["dn"] == 0:
+        return touched
+    s = spark.read.parquet(f"{path}/scalars").collect()[0]
     n, sd = s["n_docs"] + d["dn"], s["sum_dl"] + d["dsum"]
     spark.createDataFrame(
         [(n, sd, sd / n)], "n_docs long, sum_dl long, avgdl double"

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reader_spark.cache import pin
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product over double arrays."""
@@ -273,7 +275,7 @@ def knn_ivf(
     ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
     # centroids feed both the corpus assignment and the query probes —
     # persist so the training aggregation runs once, not per consumer
-    cents = label_seeded_centroids(vecs).persist()
+    cents = pin(label_seeded_centroids(vecs))
     corpus = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
     probes = nearest_clusters(
         vecs.drop("cluster").filter(F.col(id_col).isin(query_ids)), cents, nprobe, id_col
@@ -432,20 +434,40 @@ def ivf_index_update(
     remains a full `ivf_index_write` — updating assignments without
     their centroids would silently degrade recall.
 
+    A CHANGED vector can move cells: its new assignment lands in cell
+    B while its old row sits in cell A. The touched set therefore
+    unions the delta's NEW cells with the OLD home cells of every
+    delta id — found by an (id, cl)-column-pruned semi-join probe of
+    the stored corpus — so the stale row in A is dropped when A is
+    rewritten, not left behind as a duplicate.
+
     Scale: the delta assignment is delta-sized (broadcast centroids);
     the rewrite reads + writes k touched cells of ~N/n_clusters rows
-    each, never the whole corpus — the same touched-bucket economics
-    as `transfer.upsert_bucketed` (SCALE.md: crossover ~1 GB). The
-    touched-cell list comes from the tiny delta frame (a delta-sized
-    distinct), not from the written frame — re-deriving it from the
-    full merged frame would re-run the merge (the measured 3x trap)."""
+    each. The old-home probe reads only the (id, cl) columns of the
+    corpus (parquet column pruning) against a broadcast delta-id set;
+    at the 10^8-vector tier, replace the probe with a maintained
+    id->cell reverse index (same bucketed layout). The touched-cell
+    list comes from the tiny delta frame plus that probe, not from
+    the written frame — re-deriving it from the full merged frame
+    would re-run the merge (the measured 3x trap)."""
     cents = spark.read.parquet(f"{path}/centroids")
     vecs = new_embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
     ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
     assigned = nearest_clusters(vecs, cents, 1, id_col)
-    touched = [r["cl"] for r in assigned.select("cl").distinct().collect()]
-    old = spark.read.parquet(f"{path}/corpus").filter(F.col("cl").isin(touched))
+    corpus = spark.read.parquet(f"{path}/corpus")
+    delta_ids = assigned.select(id_col).distinct()
+    old_homes = (
+        corpus.select(id_col, "cl")
+        .join(F.broadcast(delta_ids), id_col, "left_semi")
+        .select("cl")
+        .distinct()
+    )
+    touched = sorted(
+        {r["cl"] for r in assigned.select("cl").distinct().collect()}
+        | {r["cl"] for r in old_homes.collect()}
+    )
+    old = corpus.filter(F.col("cl").isin(touched))
     merged = old.join(
         assigned.select(id_col), id_col, "left_anti"
     ).unionByName(assigned.select(*old.columns))
@@ -677,7 +699,7 @@ def knn_pq_rescore(
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
     )
-    books = pq_codebooks(vecs, m, dim).persist()
+    books = pin(pq_codebooks(vecs, m, dim))
     codes = pq_encode(vecs, books, m, dim)
     queries = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
@@ -837,7 +859,7 @@ def knn_ivf_sq8(
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
     ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
-    cents = label_seeded_centroids(vecs).persist()
+    cents = pin(label_seeded_centroids(vecs))
     corpus = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
     probes = nearest_clusters(
         vecs.drop("cluster").filter(F.col(id_col).isin(query_ids)),

@@ -101,6 +101,30 @@ def process_batch(
         adapter.apply_ddl(r["statement"], int(r["ts_ms"] or 0))
     if history_path and ddl:
         adapter.dump(history_path)
+    # A DDL statement against a replicated table that matched NO
+    # dispatcher rule is a potential missed schema mutation — the
+    # reference's full ANTLR grammar can't silently skip these
+    # (lib/antlr/parse.go:40-111), so neither may we: divert to the
+    # dead-letter log with its position and keep the stream running
+    # (same contract as poison DML rows).
+    if adapter.unmatched:
+        import logging
+
+        for u in adapter.unmatched:
+            logging.getLogger(__name__).warning(
+                "quarantining unmatched DDL at ts=%s: %s",
+                u["unix_ts"],
+                u["statement"],
+            )
+        if quarantine_path:
+            batch.sparkSession.createDataFrame(
+                [
+                    (u["unix_ts"], u["table"], u["statement"], u["reason"])
+                    for u in adapter.unmatched
+                ],
+                "unix_ts long, tbl string, statement string, reason string",
+            ).write.mode("append").json(f"{quarantine_path}/_ddl")
+        adapter.unmatched.clear()
 
     first_version = adapter.history[0]["unix_ts"] if adapter.history else None
     out: dict[str, DataFrame] = {}
@@ -143,17 +167,23 @@ def process_batch(
         # decode error (the streaming DML decoder aborts the batch).
         # Poison rows divert to a quarantine log (raw bytes +
         # position, replayable after a fix); the healthy rest of the
-        # batch still publishes.
+        # batch still publishes. The write is gated on an existence
+        # probe (limit(1)) so the no-corruption common case skips the
+        # extra batch evaluation and never creates empty output dirs;
+        # `seq` (the log position) is the idempotency key — a
+        # replayed micro-batch appends records with the SAME seq, so
+        # quarantine consumers dedupe on it.
         corrupt = F.col("before._corrupt").isNotNull() | F.col(
             "after._corrupt"
         ).isNotNull()
         if quarantine_path:
-            (
-                shaped.filter(corrupt)
-                .select("seq", "ts_ms", "op", "before_raw", "after_raw")
-                .write.mode("append")
-                .json(f"{quarantine_path}/{table}")
+            poison = shaped.filter(corrupt).select(
+                "seq", "ts_ms", "op", "before_raw", "after_raw"
             )
+            if poison.limit(1).count() > 0:
+                poison.write.mode("append").json(
+                    f"{quarantine_path}/{table}"
+                )
             shaped = shaped.filter(~corrupt)
         clean = lambda side: F.when(  # noqa: E731 - local reshape
             F.col(side).isNotNull(),

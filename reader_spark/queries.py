@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reader_spark.cache import pin, release_pins
 from reader_spark.functions import text as TX
 from reader_spark.operators import curation as CU
 from reader_spark.operators import dedup as DD
@@ -831,11 +832,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are per-VECTOR, not per-pair: precompute once (the fold is
     # an interpreted higher-order expr — the expensive bit) and spread
     # the one-file table so the pair stage isn't single-task.
-    vecs = DD.ensure_parallelism(
-        emb.select(
-            "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
-        )
-    ).withColumn("nrm", F.sqrt(SIM.dot(F.col("vec"), F.col("vec")))).persist()
+    vecs = pin(
+        DD.ensure_parallelism(
+            emb.select(
+                "vec_id", "label",
+                F.col("embedding").cast("array<double>").alias("vec"),
+            )
+        ).withColumn("nrm", F.sqrt(SIM.dot(F.col("vec"), F.col("vec"))))
+    )
     a = vecs.alias("a")
     b = DD.maybe_broadcast(vecs.alias("b"))
     sim = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -850,12 +854,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(sim, 6).alias("cos_sim"),
         )
-        # Cache barrier: without it the threshold predicate is pushed
-        # into the join condition with the dot-product fold inlined
-        # (evaluated 2x per candidate on the slow condition path).
-        .persist()
     )
-    return pairs.filter(F.col("cos_sim") >= 0.2)
+    # Cache barrier (pinned): without it the threshold predicate is
+    # pushed into the join condition with the dot-product fold inlined
+    # (evaluated 2x per candidate on the slow condition path).
+    return pin(pairs).filter(F.col("cos_sim") >= 0.2)
 
 
 EMB_NEAR_DUP_SQL = """
@@ -965,7 +968,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the band union + self-join reference the signature
     # subtree 4x; without it every branch recomputes the signatures
     # (12 scans of documents in the physical plan).
-    sigs = DD.minhash_signature(docs, num_hashes=_MH_K).persist()
+    sigs = pin(DD.minhash_signature(docs, num_hashes=_MH_K))
     return DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
 
 
@@ -975,8 +978,8 @@ def dedup_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     One persisted md5 pass over the corpus (`token_hashes`) feeds
     BOTH the signature bands and the verify joins."""
     docs = _t(spark, sf_dir, "documents")
-    base = DD.token_hashes(docs).persist()
-    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
     return DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
 
@@ -1008,8 +1011,8 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source labeling is two broadcast joins of a (doc_id, source)
     projection, and the final aggregate is source-pair-sized."""
     docs = _t(spark, sf_dir, "documents")
-    base = DD.token_hashes(docs).persist()
-    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
     verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
@@ -1057,8 +1060,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes the same fixpoint independently via a
     recursive reachability CTE."""
     docs = _t(spark, sf_dir, "documents")
-    base = DD.token_hashes(docs).persist()
-    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
     verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
     comp = DD.connected_components(verified)
@@ -1664,7 +1667,7 @@ FROM events e ASOF LEFT JOIN h ON e.ts >= h.vts
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via pigeonhole banding;
     the oracle cross-checks with the naive O(n^2) form."""
-    sh = DD.simhash(_t(spark, sf_dir, "documents")).persist()
+    sh = pin(DD.simhash(_t(spark, sf_dir, "documents")))
     return DD.simhash_candidate_pairs(sh, n_bands=4, max_hamming=3)
 
 
@@ -1753,8 +1756,8 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive near-dup, same pipeline as `dedup_near_dup` with
     the shingle tokenizer swapped in."""
     docs = _t(spark, sf_dir, "documents")
-    base = DD.token_hashes(docs, tokenizer=lambda c: DD.shingle_set(c, 2)).persist()
-    sigs = DD.minhash_signature(base, num_hashes=_NG_K, hashes_col="toks").persist()
+    base = pin(DD.token_hashes(docs, tokenizer=lambda c: DD.shingle_set(c, 2)))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_NG_K, hashes_col="toks"))
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_NG_K, band_size=_NG_BAND)
     return DD.jaccard_verify(pairs, docs, threshold=0.6, toks=base)
 
@@ -3553,8 +3556,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     text q AND probe vector q (documents and embeddings share ids),
     the two top-20 lists full-outer join on (query, doc), fused
     top-10 emitted. Deterministic end-to-end: both input rankings
-    carry doc-id tiebreaks, and the fused score is a two-term
-    rational sum — no float-order ambiguity.
+    carry doc-id tiebreaks, and the fused score is computed in
+    parts-per-million INTEGER arithmetic (floor(1e6/(60+rank)) per
+    ranker, summed) — the score column and the ordering it drives
+    are float-free, so no engine can disagree on a boundary.
 
     Scale: each ranker is its own already-bounded pipeline (BM25:
     broadcast-restricted postings; kNN: broadcast queries with
@@ -3572,15 +3577,18 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("rv"),
     )
-    fused = t.join(v, ["query_id", "doc_id"], "full_outer")
-    rrf = F.coalesce(1.0 / (60 + F.col("rt")), F.lit(0.0)) + F.coalesce(
-        1.0 / (60 + F.col("rv")), F.lit(0.0)
+    fused = t.join(v, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_ppm",
+        F.coalesce(F.expr("1000000L div (60 + rt)"), F.lit(0))
+        + F.coalesce(F.expr("1000000L div (60 + rv)"), F.lit(0)),
     )
-    w = W.partitionBy("query_id").orderBy(rrf.desc(), F.col("doc_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("doc_id")
+    )
     return (
         fused.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "doc_id", "rank", F.round(rrf, 6).alias("rrf"))
+        .select("query_id", "doc_id", "rank", "rrf_ppm")
     )
 
 
@@ -3636,14 +3644,15 @@ WITH q(query_id, term) AS (
 ), f AS (
   SELECT coalesce(tt.query_id, vv.query_id) AS query_id,
          coalesce(tt.doc_id, vv.doc_id) AS doc_id,
-         coalesce(1.0 / (60 + rt), 0) + coalesce(1.0 / (60 + rv), 0) AS rrf
+         coalesce(1000000 // (60 + rt), 0)
+           + coalesce(1000000 // (60 + rv), 0) AS rrf_ppm
   FROM tt FULL OUTER JOIN vv
     ON tt.query_id = vv.query_id AND tt.doc_id = vv.doc_id
 )
-SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM (
-  SELECT query_id, doc_id, rrf,
+SELECT query_id, doc_id, rank, rrf_ppm FROM (
+  SELECT query_id, doc_id, rrf_ppm,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY rrf DESC, doc_id) AS rank
+                            ORDER BY rrf_ppm DESC, doc_id) AS rank
   FROM f
 ) WHERE rank <= 10
 """
@@ -4476,7 +4485,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries): separate minhash calls on existing/incoming would
     # tokenize+hash the corpus twice. Measured 1.25x at sf0.1; at
     # scale it halves the dominant md5 scan.
-    sigs = DD.minhash_signature(docs, num_hashes=_MH_K).persist()
+    sigs = pin(DD.minhash_signature(docs, num_hashes=_MH_K))
     index = DD.band_index(
         sigs.filter(F.col("doc_id") % 10 < 8),
         num_hashes=_MH_K,
@@ -4547,8 +4556,8 @@ def canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -doc_id)) == ORDER BY quality DESC, doc_id ASC, but it
     partial-aggregates map-side where a rank window could not)."""
     docs = _t(spark, sf_dir, "documents")
-    base = DD.token_hashes(docs).persist()
-    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
     verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
     comp = DD.connected_components(verified)
@@ -4628,12 +4637,15 @@ WITH have AS (
   SELECT lang,
          sum(length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT) AS tokens_have
   FROM documents GROUP BY 1
+), base AS (
+  SELECT lang, tokens_have,
+         round(({_MIX_W_SQL}) * {_MIX_BUDGET})::BIGINT AS tokens_needed
+  FROM have
 )
-SELECT lang, tokens_have,
-       round(({_MIX_W_SQL}) * {_MIX_BUDGET})::BIGINT AS tokens_needed,
-       round(round(({_MIX_W_SQL}) * {_MIX_BUDGET}) / tokens_have, 6) AS rate,
-       ceil(round(({_MIX_W_SQL}) * {_MIX_BUDGET}) / tokens_have)::BIGINT AS n_epochs
-FROM have
+SELECT lang, tokens_have, tokens_needed,
+       (tokens_needed * 1000000) // tokens_have AS rate_ppm,
+       (tokens_needed + tokens_have - 1) // tokens_have AS n_epochs
+FROM base
 """
 
 
@@ -4653,14 +4665,20 @@ def mixture_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("docs_sampled"),
     )
     n_src = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_source_docs"))
-    return n_src.join(per, "lang", "left").select(
-        "lang",
-        "n_source_docs",
-        F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
-        F.coalesce("docs_sampled", F.lit(0)).alias("docs_sampled"),
-        F.round(
-            F.coalesce("rows_out", F.lit(0)) / F.col("n_source_docs"), 6
-        ).alias("effective_rate"),
+    return (
+        n_src.join(per, "lang", "left")
+        .select(
+            "lang",
+            "n_source_docs",
+            F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
+            F.coalesce("docs_sampled", F.lit(0)).alias("docs_sampled"),
+        )
+        .select(
+            "*",
+            F.expr("(rows_out * 1000000L) div n_source_docs").alias(
+                "effective_rate_ppm"
+            ),
+        )
     )
 
 
@@ -4672,15 +4690,15 @@ WITH have AS (
   FROM documents GROUP BY 1
 ), r AS (
   SELECT lang,
-         round(round(({_MIX_W_SQL}) * {_MIX_BUDGET}) / tokens_have, 6)
-           AS rate
+         (round(({_MIX_W_SQL}) * {_MIX_BUDGET})::BIGINT * 1000000)
+           // tokens_have AS rate_ppm
   FROM have
 ), c AS (
   SELECT d.doc_id, d.lang,
-         (floor(rate)
+         (rate_ppm // 1000000
           + CASE WHEN (('0x' || substr(md5('mix:' || d.doc_id::VARCHAR),
-                        1, 8))::BIGINT % 1000000) / 1000000.0
-                      < rate - floor(rate)
+                        1, 8))::BIGINT % 1000000)
+                      < rate_ppm % 1000000
                  THEN 1 ELSE 0 END)::BIGINT AS n_copies
   FROM documents d JOIN r USING (lang)
 )
@@ -4688,7 +4706,7 @@ SELECT lang, count(*)::BIGINT AS n_source_docs,
        sum(n_copies)::BIGINT AS rows_out,
        sum(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END)::BIGINT
          AS docs_sampled,
-       round(sum(n_copies)::DOUBLE / count(*), 6) AS effective_rate
+       (sum(n_copies)::BIGINT * 1000000) // count(*) AS effective_rate_ppm
 FROM c GROUP BY 1
 """
 
@@ -4945,8 +4963,8 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reader_spark.operators import graph as GR
 
     docs = _t(spark, sf_dir, "documents")
-    base = DD.token_hashes(docs).persist()
-    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
     verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
     pr = GR.pagerank(verified.select("doc_a", "doc_b"), iterations=4)
@@ -5725,23 +5743,38 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines run. One explode + (doc, term) aggregate; df via a
     window over the postings frame (one row per (doc, term), so
     COUNT(*) over term partitions IS df — the bm25_topk trick, no
-    second corpus pass); top-k via per-doc window."""
+    second corpus pass); top-k via per-doc window.
+
+    The emitted score columns are the EXACT integers (tf, df) rather
+    than the rounded double tf*ln(N/df): ln is a libm call whose last
+    ulp is not contractual across engines, and round(double, 6) on a
+    near-boundary value is where r4's one hash red came from. The
+    ranking still orders by the float score (rank flips would need
+    two scores within one ulp — only mathematically-equal (tf, df)
+    pairs get there, and those tie-break alphabetically on term)."""
     from pyspark.sql import Window as W
 
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus-size scalar folded into the SAME job as a broadcast
+    # 1-row aggregate, attached to the doc-sized frame BEFORE the
+    # explode (the doc x term frame is ~100x bigger — joining there
+    # costs a BNLJ over the postings)
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = F.split(F.col("text"), " ")
     tf = (
         DD.ensure_parallelism(docs)
-        .select("doc_id", F.explode(toks).alias("term"))
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "n_docs", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("n_docs").alias("n_docs"))
     )
     wdf = W.partitionBy("term")
     scored = tf.withColumn("df", F.count(F.lit(1)).over(wdf)).select(
         "doc_id",
         "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias(
             "tfidf_raw"
         ),
     )
@@ -5751,12 +5784,7 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select(
-            "doc_id",
-            "rank",
-            "term",
-            F.round(F.col("tfidf_raw"), 6).alias("tfidf"),
-        )
+        .select("doc_id", "rank", "term", "tf", "df")
     )
 
 
@@ -5768,12 +5796,14 @@ WITH tok AS (
 ), n AS (
   SELECT count(*)::DOUBLE AS n_docs FROM documents
 ), scored AS (
-  SELECT doc_id, term,
-         tf * ln(n_docs / (count(*) OVER (PARTITION BY term))) AS tfidf_raw
+  SELECT doc_id, term, tf,
+         count(*) OVER (PARTITION BY term) AS df,
+         tf * ln(n_docs / (count(*) OVER (PARTITION BY term)))
+           AS tfidf_raw
   FROM tf, n
 )
-SELECT doc_id, rank, term, round(tfidf_raw, 6) AS tfidf FROM (
-  SELECT doc_id, term, tfidf_raw,
+SELECT doc_id, rank, term, tf::BIGINT AS tf, df::BIGINT AS df FROM (
+  SELECT doc_id, term, tf, df, tfidf_raw,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY tfidf_raw DESC, term) AS rank
   FROM scored
@@ -5880,14 +5910,17 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is WITHIN-ORDER (self-join on the order key), so its
     fan-out is bounded by basket size squared — the same blocking
     economics as record_linkage; counts aggregate on uniform part
-    keys. Lift arithmetic in doubles with identical operand order
-    both engines."""
+    keys. The order-count scalar is a broadcast 1-row aggregate
+    folded into the SAME job (no driver-side action, no second
+    lineitem scan — the customer_rfm anchor pattern), and
+    confidence/lift are parts-per-million BIGINTs: pure integer
+    division, no engine-sensitive round(double, 6) anywhere."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    n_orders = li.select("l_orderkey").distinct().count()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     a = li.alias("a")
     b = li.alias("b")
     pairs = (
@@ -5911,16 +5944,15 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(DD.maybe_broadcast(sa), "part_a")
         .join(DD.maybe_broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
         .select(
             "part_a",
             "part_b",
             "n_ab",
-            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
-            F.round(
-                (F.col("n_ab") * F.lit(float(n_orders)))
-                / (F.col("n_a") * F.col("n_b")),
-                6,
-            ).alias("lift"),
+            F.expr("(n_ab * 1000000L) div n_a").alias("confidence_ppm"),
+            F.expr(
+                "(n_ab * n_orders * 1000000L) div (n_a * n_b)"
+            ).alias("lift_ppm"),
         )
     )
 
@@ -5929,7 +5961,7 @@ MARKET_BASKET_SQL = """
 WITH li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), n AS (
-  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM li
+  SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li
 ), pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          count(*)::BIGINT AS n_ab
@@ -5940,8 +5972,8 @@ WITH li AS (
   SELECT l_partkey, count(*)::BIGINT AS n_one FROM li GROUP BY 1
 )
 SELECT part_a, part_b, n_ab,
-       round(n_ab::DOUBLE / sa.n_one, 6) AS confidence,
-       round((n_ab * n_orders) / (sa.n_one * sb.n_one), 6) AS lift
+       (n_ab * 1000000) // sa.n_one AS confidence_ppm,
+       (n_ab * n_orders * 1000000) // (sa.n_one * sb.n_one) AS lift_ppm
 FROM pairs
 JOIN singles sa ON sa.l_partkey = part_a
 JOIN singles sb ON sb.l_partkey = part_b, n
@@ -6083,8 +6115,8 @@ def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reader_spark.operators import graph as GR
 
     docs = _t(spark, sf_dir, "documents")
-    base = DD.token_hashes(docs).persist()
-    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
     verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
     return GR.kcore(verified.select("doc_a", "doc_b"), k=30, rounds=8)
@@ -6362,8 +6394,14 @@ def quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "tokens_have",
         need.cast("long").alias("tokens_needed"),
-        F.round(need / F.col("tokens_have"), 6).alias("rate"),
-        F.ceil(need / F.col("tokens_have")).cast("long").alias("n_epochs"),
+    ).select(
+        "*",
+        F.expr("(tokens_needed * 1000000L) div tokens_have").alias(
+            "rate_ppm"
+        ),
+        F.expr("(tokens_needed + tokens_have - 1) div tokens_have").alias(
+            "n_epochs"
+        ),
     )
 
 
@@ -6396,13 +6434,13 @@ WITH p0 AS (
 ), h AS (
   SELECT bucket, sum(toks)::BIGINT AS tokens_have FROM bk GROUP BY 1
 )
-SELECT bucket, tokens_have,
-       CAST(round(w * 500000) AS BIGINT) AS tokens_needed,
-       round(round(w * 500000) / tokens_have, 6) AS rate,
-       CAST(ceil(round(w * 500000) / tokens_have) AS BIGINT) AS n_epochs
+SELECT bucket, tokens_have, tokens_needed,
+       (tokens_needed * 1000000) // tokens_have AS rate_ppm,
+       (tokens_needed + tokens_have - 1) // tokens_have AS n_epochs
 FROM (SELECT bucket, tokens_have,
-             CASE bucket WHEN 0 THEN 0.1 WHEN 1 THEN 0.2
-                         WHEN 2 THEN 0.3 ELSE 0.4 END AS w
+             CAST(round(CASE bucket WHEN 0 THEN 0.1 WHEN 1 THEN 0.2
+                                    WHEN 2 THEN 0.3 ELSE 0.4 END
+                        * 500000) AS BIGINT) AS tokens_needed
       FROM h)
 """.replace("{stop_sum}", _STOP_SUM)
 
@@ -6539,8 +6577,8 @@ def triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reader_spark.operators import graph as GR
 
     docs = _t(spark, sf_dir, "documents")
-    base = DD.token_hashes(docs).persist()
-    sigs = DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks").persist()
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
     verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
     return GR.triangle_counts(verified.select("doc_a", "doc_b"))
@@ -6873,6 +6911,7 @@ def _fresh_entry(
     O(live cache entries)."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_pins()
         try:
             spark.catalog.clearCache()
         except Exception:  # pragma: no cover - foreign session quirk

@@ -101,6 +101,15 @@ class SchemaAdapter:
 
     tables: dict[str, list[str]] = field(default_factory=dict)
     history: list[dict] = field(default_factory=list)
+    # DDL statements against a REPLICATED table that matched no
+    # dispatcher rule (e.g. `ALTER TABLE t PARTITION BY ...`,
+    # `ALTER TABLE t CONVERT TO CHARACTER SET ...`). The reference's
+    # full grammar cannot silently miss these
+    # (/root/reference/lib/antlr/parse.go:40-111); the regex
+    # dispatcher records them here so the CDC plan can quarantine
+    # them with their position instead of silently no-opping — a
+    # missed schema mutation corrupts every later positional decode.
+    unmatched: list[dict] = field(default_factory=list)
 
     def apply_ddl(self, statement: str, unix_ts: int) -> bool:
         """Returns True if the statement mutated the schema."""
@@ -132,11 +141,24 @@ class SchemaAdapter:
             self._record(unix_ts, statement)
             return True
         m = _ALTER_RE.match(statement)
-        if m and m.group(1) in self.tables and self._apply_alter_specs(
-            m.group(1), m.group(2)
-        ):
-            self._record(unix_ts, statement)
-            return True
+        if m and m.group(1) in self.tables:
+            mutated, unrecognized = self._apply_alter_specs(
+                m.group(1), m.group(2)
+            )
+            if unrecognized:
+                self.unmatched.append(
+                    {
+                        "unix_ts": unix_ts,
+                        "statement": statement,
+                        "table": m.group(1),
+                        "reason": "unrecognized ALTER spec(s): "
+                        + "; ".join(unrecognized),
+                    }
+                )
+            if mutated:
+                self._record(unix_ts, statement)
+                return True
+            return False
         m = _RENAME_TABLE_RE.search(statement)
         if m and m.group(1) in self.tables:
             self.tables[m.group(2)] = self.tables.pop(m.group(1))
@@ -149,7 +171,9 @@ class SchemaAdapter:
             return True
         return False
 
-    def _apply_alter_specs(self, table: str, specs: str) -> bool:
+    def _apply_alter_specs(
+        self, table: str, specs: str
+    ) -> tuple[bool, list[str]]:
         """Apply an ALTER TABLE's comma-separated spec list to the
         column registry. Column ORDER is part of the state — binlog row
         images are positional, so FIRST / AFTER repositioning changes
@@ -157,9 +181,17 @@ class SchemaAdapter:
         (type-only change) keeps the name list identical but still
         counts as a schema mutation: the type change means rows decoded
         under the old version are not comparable, so a new history
-        version must be cut."""
+        version must be cut.
+
+        Returns (mutated, unrecognized_specs). A spec that matched a
+        rule but was an idempotent no-op (ADD of an existing column on
+        replay, DROP of a missing one) is NOT unrecognized; a spec
+        matching NO rule (PARTITION BY, CONVERT TO CHARACTER SET,
+        engine/option clauses that can still reorder storage) is —
+        callers quarantine those."""
         cols = self.tables[table]
         mutated = False
+        unrecognized: list[str] = []
         # split on top-level commas only (types like decimal(10,2)
         # carry commas inside parens)
         parts, depth, buf = [], 0, []
@@ -203,7 +235,9 @@ class SchemaAdapter:
                 if name in cols:
                     self._reposition(cols, name, tail)
                     mutated = True  # type change: new version regardless
-        return mutated
+            else:
+                unrecognized.append(spec)
+        return mutated, unrecognized
 
     @staticmethod
     def _reposition(cols: list[str], name: str, definition_tail: str) -> None:

@@ -86,6 +86,11 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # paired unpersist for everything the query pin()ed
+            from reader_spark.cache import release_pins
+
+            release_pins()
         if name not in oracles:
             print(f"SKIP-ORACLE {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
             if len(srows) == 0:

@@ -304,3 +304,73 @@ def test_quarantine_routes_malformed_rows(spark, tmp_path):
     # no quarantine path: nothing filtered (nulled rows pass through)
     out2 = process_batch(batch, SchemaAdapter(), "app", ["users"])
     assert out2["users"].count() == 3
+
+
+def test_unmatched_ddl_quarantined_not_silently_dropped(spark, tmp_path):
+    """A schema-mutating-shaped DDL the dispatcher has no rule for
+    (here: ALTER ... PARTITION BY) must land in the dead-letter log
+    with its position — the reference's full grammar can't silently
+    miss these — while the stream keeps decoding (verdict r4 #6)."""
+    from reader_spark.plans.cdc_mysql import process_batch
+
+    qdir = str(tmp_path / "dlq_ddl")
+    batch = spark.createDataFrame(
+        [
+            rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+            rec(2, "ddl",
+                statement="ALTER TABLE users PARTITION BY HASH(id) PARTITIONS 4"),
+            rec(3, "dml", op="u",
+                before='{"id": 1, "name": "ad"}',
+                after='{"id": 1, "name": "ada"}'),
+        ]
+    )
+    adapter = SchemaAdapter()
+    out = process_batch(
+        batch, adapter, "app", ["users"], quarantine_path=qdir
+    )
+    # stream continues: the healthy DML still publishes
+    assert out["users"].count() == 1
+    # adapter drained; quarantine row carries statement + position
+    assert adapter.unmatched == []
+    bad = spark.read.json(f"{qdir}/_ddl").collect()
+    assert len(bad) == 1
+    assert "PARTITION BY" in bad[0]["statement"]
+    assert bad[0]["tbl"] == "users" and bad[0]["unix_ts"] == 200
+    # benign idempotent ALTERs (ADD of an existing column) are NOT
+    # quarantined
+    batch2 = spark.createDataFrame(
+        [
+            rec(4, "ddl", statement="ALTER TABLE users ADD COLUMN name text"),
+            rec(5, "dml", op="u",
+                before='{"id": 1, "name": "ada"}',
+                after='{"id": 1, "name": "adah"}'),
+        ]
+    )
+    process_batch(batch2, adapter, "app", ["users"], quarantine_path=qdir)
+    assert spark.read.json(f"{qdir}/_ddl").count() == 1
+
+
+def test_quarantine_skips_clean_batches(spark, tmp_path):
+    """A fully-healthy batch must not create (empty) quarantine
+    output dirs — the write is gated on an existence probe (r4
+    advice: the unconditional append evaluated the batch twice and
+    littered empty dirs; replayed appends were not dedupable)."""
+    import os
+
+    from reader_spark.plans.cdc_mysql import process_batch
+
+    qdir = str(tmp_path / "dlq_clean")
+    batch = spark.createDataFrame(
+        [
+            rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+            rec(2, "dml", op="c", after='{"id": 1, "name": "ada"}'),
+            rec(3, "dml", op="u",
+                before='{"id": 2, "name": "bo"}',
+                after='{"id": 2, "name": "bob"}'),
+        ]
+    )
+    out = process_batch(
+        batch, SchemaAdapter(), "app", ["users"], quarantine_path=qdir
+    )
+    assert out["users"].count() == 2
+    assert not os.path.exists(f"{qdir}/users")

@@ -250,14 +250,14 @@ def test_mixture_plan_rates_and_epochs(spark):
             docs, {"web": 0.25, "code": 0.75}, budget_tokens=12
         ).collect()
     }
-    # web: 8 tokens have, need 3 -> rate 0.375, 1 epoch
+    # web: 8 tokens have, need 3 -> rate 0.375 (375000 ppm), 1 epoch
     assert out["web"]["tokens_have"] == 8
     assert out["web"]["tokens_needed"] == 3
-    assert out["web"]["rate"] == 0.375
+    assert out["web"]["rate_ppm"] == 375_000
     assert out["web"]["n_epochs"] == 1
     # code: 2 have, need 9 -> rate 4.5 (repeats), 5 epochs
     assert out["code"]["tokens_needed"] == 9
-    assert out["code"]["rate"] == 4.5
+    assert out["code"]["rate_ppm"] == 4_500_000
     assert out["code"]["n_epochs"] == 5
 
 

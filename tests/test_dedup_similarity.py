@@ -515,6 +515,42 @@ def test_ivf_index_incremental_update(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_ivf_index_update_replaced_id_moves_cells(spark, tmp_path):
+    """A CHANGED vector whose nearest centroid moves from cell A to
+    cell B must not leave its stale row behind in A (the r4 advice
+    finding): the delta's NEW cells alone would rewrite only B, so
+    the update has to pull A into the touched set via the old-home
+    probe. Synthetic 2-D fixture where the move is unambiguous."""
+
+    class FakeModel:
+        def clusterCenters(self):
+            return [[0.0, 0.0], [10.0, 10.0]]
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.1, 0.1]),   # cell 0
+            (2, [10.0, 10.1]), # cell 1
+            (3, [0.2, 0.3]),   # cell 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_move")
+    SIM.ivf_index_write(emb, path, FakeModel())
+    # id 1 moves to cell 1; the delta's new-cell set is {1} only
+    delta = spark.createDataFrame(
+        [(1, [9.9, 9.9])], "vec_id long, embedding array<double>"
+    )
+    touched = SIM.ivf_index_update(spark, path, delta)
+    assert sorted(touched) == [0, 1]  # old home included
+    stored = spark.read.parquet(f"{path}/corpus")
+    rows = {
+        r["vec_id"]: (r["cl"], r["vec"]) for r in stored.collect()
+    }
+    assert len(rows) == 3  # no duplicate id anywhere
+    assert rows[1][0] == 1 and rows[1][1] == [9.9, 9.9]
+    assert rows[2][0] == 1 and rows[3][0] == 0
+
+
 def test_ivf_index_stream_maintenance(spark, sf_dir, tmp_path):
     """Embedding stream -> foreachBatch(ivf_index_update): after the
     stream drains, the index equals a full rebuild over seed+delta."""

@@ -94,6 +94,26 @@ def test_salted_join_outer_preserves_unmatched(spark, sf_dir):
     assert out.filter(F.col("s_name").isNotNull()).count() == 0
 
 
+def test_zorder_write_empty_and_allnull_inputs(spark, tmp_path):
+    """Empty input / all-null cluster column: no bounds to bucket
+    against -> write unclustered instead of crashing on float(None)
+    (r4 advice finding)."""
+    from reader_spark.operators import partitioning as P
+
+    empty = spark.createDataFrame([], "x long, y long")
+    p1 = str(tmp_path / "z_empty")
+    P.zorder_write(empty, p1, ["x", "y"], n_files=4)
+    assert spark.read.parquet(p1).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(None, 1), (None, 2)], "x long, y long"
+    )
+    p2 = str(tmp_path / "z_nulls")
+    P.zorder_write(nulls, p2, ["x", "y"], n_files=4)
+    got = spark.read.parquet(p2)
+    assert got.count() == 2 and set(got.columns) == {"x", "y"}
+
+
 def test_zorder_write_locality(spark, tmp_path):
     """Z-order clustering bounds per-file ranges on BOTH dimensions:
     a selective filter on either column intersects only a minority

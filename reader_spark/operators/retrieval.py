@@ -398,6 +398,26 @@ def trigram_search(
     )
 
 
+def bm25_index_maintain(
+    spark,
+    path: str,
+    max_files_per_bucket: int = 4,
+    target_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """Compact the incremental BM25 index's term-bucket directories:
+    each `bm25_index_update` appends a file wave into every touched
+    bucket, and a bucket read through dozens of tiny files is
+    scheduler-bound. Row-preserving (search results identical before
+    and after — asserted in test_retrieval.py); run it on whatever
+    cadence the update volume demands, exactly like a warehouse
+    OPTIMIZE job."""
+    from reader_spark.operators.transfer import compact_partition_dirs
+
+    return compact_partition_dirs(
+        spark, f"{path}/postings", max_files_per_bucket, target_bytes
+    )
+
+
 def bm25_index_update(
     spark,
     path: str,

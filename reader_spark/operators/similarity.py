@@ -485,6 +485,25 @@ def ivf_index_update(
     return touched
 
 
+def ivf_index_maintain(
+    spark,
+    path: str,
+    max_files_per_cell: int = 4,
+    target_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """Compact the incremental IVF index's cell directories: each
+    `ivf_index_update` rewrite wave can leave multiple files per
+    touched cell (and streamed updates accrete them). Row-preserving
+    (search results identical before and after — asserted in
+    test_dedup_similarity.py); the ANN-index counterpart of
+    `bm25_index_maintain`."""
+    from reader_spark.operators.transfer import compact_partition_dirs
+
+    return compact_partition_dirs(
+        spark, f"{path}/corpus", max_files_per_cell, target_bytes
+    )
+
+
 def ivf_index_maintainer(path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
     """`foreachBatch` body keeping a materialized IVF index fresh
     from an embedding STREAM: each micro-batch is an

@@ -203,6 +203,61 @@ class TransferWriter:
         return n_out
 
 
+def compact_partition_dirs(
+    spark: SparkSession,
+    root: str,
+    max_files: int = 4,
+    target_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """Small-files compaction for a `key=value`-partitioned dataset,
+    one partition DIRECTORY at a time — the maintenance verb for the
+    incrementally-updated indexes (bm25 term buckets, IVF cells),
+    whose per-touched-partition appends accrete a file per update
+    round.
+
+    Per partition dir with more than `max_files` parquet files:
+    rewrite to ceil(bytes / target_bytes) files behind a staging +
+    atomic-rename swap (the same crash-safe pattern as
+    TransferWriter.compact). Staging/old dirs are dot-prefixed so a
+    crashed run never pollutes partition discovery. Rows are
+    untouched — a search before and after must return identical
+    results (asserted in tests). Returns {partition_dir: new_count}
+    for the rewritten dirs only.
+
+    Scale: each rewrite reads + writes one partition's bytes; the
+    scheduler cost this removes grows with file count, which is why
+    the trigger is max_files, not size."""
+    import math
+
+    out: dict[str, int] = {}
+    if not os.path.isdir(root):
+        return out
+    for d in sorted(os.listdir(root)):
+        full = os.path.join(root, d)
+        if not (os.path.isdir(full) and "=" in d and not d.startswith(".")):
+            continue
+        files = [
+            os.path.join(full, f)
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        ]
+        if len(files) <= max_files:
+            continue
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / target_bytes))
+        if n_out >= len(files):
+            continue
+        df = spark.read.parquet(full).repartition(n_out)
+        staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(staging)
+        old = os.path.join(root, f".old-{uuid.uuid4().hex[:8]}")
+        os.rename(full, old)
+        os.rename(staging, full)
+        shutil.rmtree(old, ignore_errors=True)
+        out[d] = n_out
+    return out
+
+
 def schema_drift(source_schema, sink_schema) -> list[dict]:
     """Schema-level census to pair with the row-level `reconcile`
     audit: per column, one of ok / added (sink-only) / missing

@@ -5811,58 +5811,108 @@ SELECT doc_id, rank, term, tf::BIGINT AS tf, df::BIGINT AS df FROM (
 """
 
 
-def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution shape: blocked fuzzy matching over the
-    customer table — block on a name prefix (bounding the quadratic
-    pairwise term to within-block), then exact Levenshtein <= 1 on
-    the full name plus an account-balance proximity score. The
-    blocking-then-verify economics are identical to LSH-then-Jaccard
-    (coarse key bounds the join fan-out, exact measure decides), and
-    levenshtein is engine-identical integer arithmetic, so the whole
-    match set has a value oracle.
-
-    Scale: the self-join keys on the uniform block prefix; per-block
-    pair count is bounded by block size squared — choose the prefix
-    length (here: all but the last digit) so blocks stay small, the
-    same knob as LSH band width."""
-    cust = _t(spark, sf_dir, "customer").select(
+def _record_linkage_frame(cust: DataFrame) -> DataFrame:
+    """Blocked fuzzy matching core (testable on any customer-shaped
+    frame): TWO complementary blocking passes — name prefix
+    (positions 1-13, all but the last 5 chars) and name suffix
+    (positions 14+) — unioned before the exact Levenshtein <= 1
+    verify. Pigeonhole completeness: a single SUBSTITUTION anywhere
+    in the name leaves at least one half intact, so unlike the
+    single prefix block (which missed early-position typos, e.g. a
+    first-character error), the union block catches every
+    edit-distance-1 substitution pair; only insertions/deletions
+    that shift the halves can still escape. A pair whose halves BOTH
+    match (identical names) would surface twice — deduped by
+    DISTINCT on the id pair before the verify."""
+    cust = cust.select(
         "c_custkey",
         "c_name",
         "c_acctbal",
-        F.substring("c_name", 1, 17).alias("blk"),
+        F.substring("c_name", 1, 13).alias("blk_pre"),
+        F.substring("c_name", 14, 1_000).alias("blk_suf"),
     )
     a = cust.alias("a")
     b = cust.alias("b")
-    return (
-        a.join(
+
+    def block(col: str) -> DataFrame:
+        return a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
+            (F.col(f"a.{col}") == F.col(f"b.{col}"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
-        .select(
+        ).select(
             F.col("a.c_custkey").alias("cust_a"),
             F.col("b.c_custkey").alias("cust_b"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias(
+        )
+
+    pairs = block("blk_pre").unionByName(block("blk_suf")).distinct()
+    av = cust.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    bv = cust.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    return (
+        pairs.join(av, "cust_a")
+        .join(bv, "cust_b")
+        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1)
+        .select(
+            "cust_a",
+            "cust_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias(
                 "name_dist"
             ),
-            F.round(
-                F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")), 2
-            ).alias("bal_diff"),
+            F.round(F.abs(F.col("bal_a") - F.col("bal_b")), 2).alias(
+                "bal_diff"
+            ),
         )
     )
+
+
+def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: blocked fuzzy matching over the
+    customer table — two complementary name-half blocks (bounding
+    the quadratic pairwise term to within-block, complete for
+    edit-distance-1 substitutions by pigeonhole), then exact
+    Levenshtein <= 1 on the full name plus an account-balance
+    proximity score. The blocking-then-verify economics are
+    identical to LSH-then-Jaccard (coarse keys bound the join
+    fan-out, exact measure decides), and levenshtein is
+    engine-identical integer arithmetic, so the whole match set has
+    a value oracle.
+
+    Scale: each self-join keys on a uniform block half; per-block
+    pair count is bounded by block size squared — the half length is
+    the same knob as LSH band width."""
+    return _record_linkage_frame(_t(spark, sf_dir, "customer"))
 
 
 RECORD_LINKAGE_SQL = """
 WITH c AS (
-  SELECT c_custkey, c_name, c_acctbal, substr(c_name, 1, 17) AS blk
+  SELECT c_custkey, c_name, c_acctbal,
+         substr(c_name, 1, 13) AS blk_pre,
+         substr(c_name, 14) AS blk_suf
   FROM customer
+), pairs AS (
+  SELECT DISTINCT cust_a, cust_b FROM (
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+    FROM c a JOIN c b
+      ON a.blk_pre = b.blk_pre AND a.c_custkey < b.c_custkey
+    UNION ALL
+    SELECT a.c_custkey, b.c_custkey
+    FROM c a JOIN c b
+      ON a.blk_suf = b.blk_suf AND a.c_custkey < b.c_custkey
+  )
 )
-SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+SELECT cust_a, cust_b,
        levenshtein(a.c_name, b.c_name)::INT AS name_dist,
        round(abs(a.c_acctbal - b.c_acctbal), 2) AS bal_diff
-FROM c a JOIN c b
-  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+FROM pairs
+JOIN c a ON a.c_custkey = cust_a
+JOIN c b ON b.c_custkey = cust_b
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 

@@ -106,10 +106,17 @@ class IndexCfg:
     id_column: str = "doc_id"
     text_column: str = "text"
     vector_column: str = "embedding"
+    # mode 'build' writes a fresh index; mode 'maintain' compacts an
+    # existing one (small-files OPTIMIZE over the bucket/cell dirs —
+    # bm25_index_maintain / ivf_index_maintain)
+    mode: str = "build"              # build | maintain
+    max_files: int = 4               # maintain: compaction trigger
 
     def __post_init__(self) -> None:
         if self.kind not in ("bm25", "ivf"):
             raise ValueError(f"unknown index kind {self.kind!r}")
+        if self.mode not in ("build", "maintain"):
+            raise ValueError(f"unknown index mode {self.mode!r}")
 
 
 @dataclass

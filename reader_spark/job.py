@@ -229,6 +229,29 @@ def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
     cfg = settings.index
     src = settings.source
     results: dict[str, str] = {}
+    if cfg.mode == "maintain":
+        # compaction pass over an EXISTING index: no source read at
+        # all — the OPTIMIZE verb of the index lifecycle
+        for table in src.tables:
+            out = f"{settings.destination.path}/{table.name}"
+            if cfg.kind == "bm25":
+                from reader_spark.operators.retrieval import (
+                    bm25_index_maintain,
+                )
+
+                done = bm25_index_maintain(
+                    spark, out, max_files_per_bucket=cfg.max_files
+                )
+            else:
+                from reader_spark.operators.similarity import (
+                    ivf_index_maintain,
+                )
+
+                done = ivf_index_maintain(
+                    spark, out, max_files_per_cell=cfg.max_files
+                )
+            results[table.name] = f"{out} (compacted {len(done)} dirs)"
+        return results
     for table in src.tables:
         df = _read_table(spark, src, table)
         out = f"{settings.destination.path}/{table.name}"

@@ -187,3 +187,87 @@ def kmv_merge(
         F.size("kmv").alias("n_kept"),
         F.round((k - 1) / (kth / F.lit(scale)), 6).alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: deterministic, mergeable, point-queryable
+
+
+def cms_hash(c: Column, row: int, width: int) -> Column:
+    """Row-`row`'s hash of a term into [0, width) — md5-derived with
+    a per-row salt, identical arithmetic in the DuckDB oracle."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}:"), c.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_tiles(
+    tokens: DataFrame,
+    term_col: str = "term",
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch as a (row, col, cnt) counter frame: every
+    token increments one cell per hash row. ONE corpus pass — the
+    depth cells per token explode from an array literal inside the
+    scan stage — then a groupBy bounded by width*depth cells
+    regardless of vocabulary size (the state bound Misra-Gries gives
+    for top-k, here for POINT queries over any term).
+
+    Mergeable: counters of two corpora add cell-wise (union +
+    re-aggregate = sketch of the union), so per-shard/per-hour tiles
+    roll up exactly like kmv_tiles. Deterministic md5 hashing makes
+    the sketch VALUE oracle-checkable, same contract as KMV."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                cms_hash(F.col(term_col), j, width).alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        tokens.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    tiles: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates: est(term) = min over hash rows of
+    the term's counter — the classic CMS upper bound (est >= true,
+    over-counting only from collisions). The probe side is
+    tiny-by-construction (the terms you ask about), so the plan is a
+    broadcast join of probe cells against the width*depth counter
+    frame + a per-term min."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                cms_hash(F.col(term_col), j, width).alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    probe = terms.select(
+        term_col, F.explode(cells).alias("rc")
+    ).select(term_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probe.join(tiles, ["row", "col"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )

@@ -6691,6 +6691,211 @@ GROUP BY 1
 """
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream:
+    each user event opens a validity interval [eff_from, eff_to)
+    closed by the next event; the last interval per user is open
+    (is_current = 1). This is the warehouse-side materialization the
+    CDC transfer path feeds — history-preserving MERGE instead of
+    overwrite — expressed as ONE lead() window per user.
+
+    Scale: a single shuffle on the uniform user key; the window
+    partition is one user's events. At 100 TB the same plan runs
+    incrementally per micro-batch with the previous open intervals
+    unioned in (maintain_rollup's shape)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+    ).select(
+        "user_id",
+        "state",
+        _fmt_ts(F.col("ts"), "eff_from"),
+        _fmt_ts(nxt, "eff_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias(
+            "is_current"
+        ),
+    )
+
+
+SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM events WHERE user_id < 500
+)
+SELECT user_id, state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS eff_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS eff_to,
+       (CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END)::BIGINT AS is_current
+FROM e
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (event_type -> next event_type) edge, the
+    observed count and the transition probability in ppm (integer
+    floor division — the SCALE.md r5 float rule). The
+    clickstream-modeling verb behind "what do users do after X".
+
+    Scale: one lead() window on the user key (same exchange shape as
+    scd2), then a type-pair aggregate whose cardinality is the
+    event-type space squared — tiny; the probability normalization
+    is a window over that tiny frame."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(W.partitionBy("event_type"))
+    return pairs.withColumn("row_total", tot).select(
+        "event_type",
+        "next_type",
+        "n",
+        F.expr("(n * 1000000L) div row_total").alias("prob_ppm"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH p AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type, next_type, count(*)::BIGINT AS n
+  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, n,
+       (n * 1000000) // sum(n) OVER (PARTITION BY event_type) AS prob_ppm
+FROM c
+"""
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series exponential smoothing — the order-SENSITIVE
+    sequential fold the engine's float-parity convention exists for:
+    each (user, event_type) series folds ewma = 0.125*x + 0.875*acc
+    over its (ts, event_id)-ordered values, seeded with the first
+    value. alpha = 1/8 is dyadic, and both engines evaluate the
+    identical left fold, so the smoothed doubles match bit-for-bit;
+    the emitted value is floor(ewma * 1e6) per the SCALE.md r5 rule.
+
+    Scale: state is per-SERIES (one user's one event type — dozens
+    of rows), so the sorted collect_list is bounded by series length,
+    never corpus size; the one shuffle keys on the uniform series
+    key. The same fold runs incrementally in a stateful stream
+    (applyInPandasWithState carrying (acc, last_ts))."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("i"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ),
+        lambda s: s.getField("v"),
+    )
+    ewma = F.aggregate(
+        F.slice(vals, 2, 2_000_000_000),
+        F.get(vals, 0),
+        lambda acc, x: F.lit(0.125) * x + F.lit(0.875) * acc,
+    )
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(ewma * 1_000_000).cast("long").alias("ewma_ppm"),
+    )
+
+
+EWMA_SQL = """
+SELECT user_id, event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(floor(list_reduce(list(value ORDER BY ts, event_id),
+                              (acc, x) -> 0.125 * x + 0.875 * acc)
+                  * 1000000) AS BIGINT) AS ewma_ppm
+FROM events WHERE user_id < 300
+GROUP BY 1, 2
+"""
+
+
+def cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates vs exact counts for the
+    corpus' 30 most frequent tokens (operators/sketches.py::
+    count_min_tiles / count_min_estimate): one corpus pass builds a
+    256x4 counter frame — state bounded by the sketch size, never
+    the vocabulary — and every estimate is the classic CMS upper
+    bound (est >= exact, slack = hash collisions only).
+    Deterministic md5 row hashes make the sketch VALUE
+    oracle-checkable, the same contract as kmv_distinct."""
+    from reader_spark.operators import sketches as SK
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = DD.ensure_parallelism(docs).select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    top = (
+        exact.withColumn(
+            "r",
+            F.row_number().over(
+                W.orderBy(F.col("exact").desc(), F.col("term"))
+            ),
+        )
+        .filter(F.col("r") <= 30)
+        .drop("r")
+    )
+    tiles = SK.count_min_tiles(tok, width=256, depth=4)
+    est = SK.count_min_estimate(tiles, top.select("term"), width=256, depth=4)
+    return top.join(est, "term").select("term", "exact", "cms_est")
+
+
+CMS_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), exact AS (
+  SELECT term, count(*)::BIGINT AS exact FROM tok GROUP BY 1
+), top AS (
+  SELECT term, exact FROM exact ORDER BY exact DESC, term LIMIT 30
+), cells AS (
+  SELECT j.j AS row,
+         ('0x' || substr(md5('cms' || j.j || ':' || term), 1, 8))::BIGINT
+           % 256 AS col,
+         count(*)::BIGINT AS cnt
+  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS j) j
+  GROUP BY 1, 2
+)
+SELECT term, exact, min(coalesce(cnt, 0))::BIGINT AS cms_est
+FROM (
+  SELECT t.term, t.exact, j.j AS row,
+         ('0x' || substr(md5('cms' || j.j || ':' || t.term), 1, 8))::BIGINT
+           % 256 AS col
+  FROM top t, (SELECT unnest([0, 1, 2, 3]) AS j) j
+) p
+LEFT JOIN cells USING (row, col)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -6932,6 +7137,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "approx_distinct_users": (approx_distinct_users, APPROX_DISTINCT_SQL),
     "sample_hash_mod": (sample_hash_mod, SAMPLE_SQL),
     "events_resample_locf": (events_resample_locf, RESAMPLE_SQL),
+    # r5 additions (enter the driver window at the r6 rotation)
+    "scd2_user_state": (scd2_user_state, SCD2_SQL),
+    "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
+    "events_ewma": (events_ewma, EWMA_SQL),
+    "cms_term_freq": (cms_term_freq, CMS_SQL),
 }
 
 # Edge canonicalization (no DECIMAL/array/map/struct leaves any catalog

@@ -60,6 +60,45 @@ _ALTER_RE = re.compile(
 _ADD_SPEC_RE = re.compile(
     r"^ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+# ADD [COLUMN] (a INT, b TEXT, ...) — the parenthesized multi-column
+# form; columns append in list order.
+_ADD_MULTI_SPEC_RE = re.compile(
+    r"^ADD\s+(?:COLUMN\s+)?\((.+)\)$", re.IGNORECASE | re.DOTALL
+)
+# Schema-NEUTRAL specs: they don't change the column name list or
+# positions, so binlog positional decode is unaffected — recognized
+# (not quarantined) but not a schema mutation. Checked BEFORE the
+# ADD/DROP column rules: "ADD INDEX idx (c)" would otherwise
+# misparse as adding a column named "INDEX".
+_NEUTRAL_SPEC_RE = re.compile(
+    r"^(?:"
+    r"ADD\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:INDEX|KEY)\b.*"
+    r"|ADD\s+(?:CONSTRAINT|PRIMARY\s+KEY|FOREIGN\s+KEY|UNIQUE|CHECK)\b.*"
+    r"|DROP\s+(?:INDEX|KEY|CONSTRAINT|CHECK)\b\s+\S.*"
+    r"|DROP\s+PRIMARY\s+KEY\s*"
+    r"|DROP\s+FOREIGN\s+KEY\b.*"
+    r"|RENAME\s+(?:INDEX|KEY)\b.*"
+    r"|ALTER\s+(?:COLUMN\s+)?[`\"]?\w+[`\"]?\s+"
+    r"(?:SET\s+DEFAULT|DROP\s+DEFAULT)\b.*"
+    r"|ENGINE\s*=?\s*\S.*|AUTO_INCREMENT\s*=?\s*\S.*"
+    r"|COMMENT\s*=?\s*\S.*|ROW_FORMAT\s*=?\s*\S.*"
+    r"|(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)\b.*|COLLATE\b.*"
+    r"|ALGORITHM\s*=?\s*\S.*|LOCK\s*=?\s*\S.*|ORDER\s+BY\b.*"
+    r"|FORCE\s*"
+    r")$",
+    re.IGNORECASE | re.DOTALL,
+)
+# CONVERT TO CHARACTER SET retypes every text column in place: names
+# and positions survive, but rows decoded under the old charset are
+# not comparable — a new history version must be cut (the same
+# reasoning as a bare MODIFY type change).
+_CONVERT_SPEC_RE = re.compile(
+    r"^CONVERT\s+TO\s+(?:CHARACTER\s+SET|CHARSET)\b", re.IGNORECASE
+)
+# ALTER TABLE t RENAME [TO|AS] new — the spec-form table rename.
+_RENAME_TABLE_SPEC_RE = re.compile(
+    r"^RENAME\s+(?:TO\s+|AS\s+)?[`\"]?(\w+)[`\"]?\s*$", re.IGNORECASE
+)
 _DROP_SPEC_RE = re.compile(
     r"^DROP\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s*$", re.IGNORECASE
 )
@@ -84,7 +123,15 @@ _POS_RE = re.compile(
     r"\b(?:(FIRST)|AFTER\s+[`\"]?(\w+)[`\"]?)\s*$", re.IGNORECASE
 )
 _RENAME_TABLE_RE = re.compile(
-    r"RENAME\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+TO\s+[`\"]?(\w+)[`\"]?", re.IGNORECASE
+    r"^\s*RENAME\s+TABLE\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+# one `old TO new` link of a (possibly multi-table) RENAME chain —
+# MySQL executes the pairs left to right in one atomic statement
+# (RenameTableContext covers the full list in the reference grammar)
+_RENAME_PAIR_RE = re.compile(
+    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s+TO\s+"
+    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?",
+    re.IGNORECASE,
 )
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?", re.IGNORECASE
@@ -159,11 +206,20 @@ class SchemaAdapter:
                 self._record(unix_ts, statement)
                 return True
             return False
-        m = _RENAME_TABLE_RE.search(statement)
-        if m and m.group(1) in self.tables:
-            self.tables[m.group(2)] = self.tables.pop(m.group(1))
-            self._record(unix_ts, statement)
-            return True
+        m = _RENAME_TABLE_RE.match(statement)
+        if m:
+            # apply EVERY pair of a multi-table chain left to right
+            # (MySQL semantics: `RENAME TABLE a TO tmp, b TO a, tmp
+            # TO b` swaps a and b atomically)
+            mutated = False
+            for old, new in _RENAME_PAIR_RE.findall(m.group(1)):
+                if old in self.tables:
+                    self.tables[new] = self.tables.pop(old)
+                    mutated = True
+            if mutated:
+                self._record(unix_ts, statement)
+                return True
+            return False
         m = _DROP_TABLE_RE.match(statement)
         if m and m.group(1) in self.tables:
             del self.tables[m.group(1)]
@@ -209,7 +265,36 @@ class SchemaAdapter:
         for spec in (p.strip().rstrip(";").strip() for p in parts):
             if not spec:
                 continue
-            if sm := _ADD_SPEC_RE.match(spec):
+            if _NEUTRAL_SPEC_RE.match(spec):
+                continue  # recognized, schema-neutral: no new version
+            if _CONVERT_SPEC_RE.match(spec):
+                mutated = True  # retype-in-place: version cut, same cols
+            elif sm := _ADD_MULTI_SPEC_RE.match(spec):
+                depth2, buf2, defs = 0, [], []
+                for ch in sm.group(1):
+                    if ch == "(":
+                        depth2 += 1
+                    elif ch == ")":
+                        depth2 -= 1
+                    if ch == "," and depth2 == 0:
+                        defs.append("".join(buf2))
+                        buf2 = []
+                    else:
+                        buf2.append(ch)
+                defs.append("".join(buf2))
+                for d in defs:
+                    name = d.strip().split()[0].strip('`"')
+                    if name and name not in cols:
+                        cols.append(name)
+                        mutated = True
+            elif sm := _RENAME_TABLE_SPEC_RE.match(spec):
+                new = sm.group(1)
+                if new != table:
+                    self.tables[new] = self.tables.pop(table)
+                    table = new
+                    cols = self.tables[table]
+                    mutated = True
+            elif sm := _ADD_SPEC_RE.match(spec):
                 name, tail = sm.group(1), sm.group(2)
                 if name not in cols:
                     cols.append(name)

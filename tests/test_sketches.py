@@ -121,3 +121,45 @@ def test_kmv_tiles_merge_equals_direct(spark):
     t = SK.kmv_tiles(few, ["g"], "u", k=k)
     out = SK.kmv_merge(t, ["g"], k=k).collect()[0]
     assert out["n_kept"] == 10 and out["estimate"] is None
+
+
+def test_count_min_upper_bound_and_merge(spark):
+    """CMS point estimates: est >= true always; merging two corpora's
+    tiles cell-wise equals the sketch of the union (exact merge)."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import sketches as SK
+
+    def toks(words):
+        return spark.createDataFrame([(w,) for w in words], "term string")
+
+    a = toks(["x"] * 50 + ["y"] * 20 + list(f"w{i}" for i in range(100)))
+    b = toks(["x"] * 30 + ["z"] * 10)
+    probe = toks(["x", "y", "z", "absent"])
+
+    ta = SK.count_min_tiles(a, width=64, depth=4)
+    tb = SK.count_min_tiles(b, width=64, depth=4)
+    est_a = {
+        r["term"]: r["cms_est"]
+        for r in SK.count_min_estimate(ta, probe, width=64, depth=4).collect()
+    }
+    assert est_a["x"] >= 50 and est_a["y"] >= 20
+    assert est_a["z"] >= 0  # not in corpus a: collisions only
+
+    # cell-wise merge == sketch of union
+    merged = (
+        ta.unionByName(tb)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = SK.count_min_tiles(
+        a.unionByName(b), width=64, depth=4
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est_m = {
+        r["term"]: r["cms_est"]
+        for r in SK.count_min_estimate(merged, probe, width=64, depth=4).collect()
+    }
+    assert est_m["x"] >= 80 and est_m["z"] >= 10

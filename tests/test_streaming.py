@@ -515,3 +515,77 @@ def test_anomaly_alerts_stream(spark, tmp_path):
     ).collect()
     assert len(out) == 1
     assert out[0]["n_events"] == 8 and out[0]["zscore"] == 6.0
+
+
+def test_ddl_multi_table_rename_chain():
+    """RENAME TABLE a TO tmp, b TO a, tmp TO b — MySQL's atomic swap
+    idiom. Every pair of the chain applies left to right (the r4
+    dispatcher only consumed the first pair)."""
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    ad = SchemaAdapter()
+    ad.apply_ddl("CREATE TABLE a (x int, y int)", 1)
+    ad.apply_ddl("CREATE TABLE b (p int)", 2)
+    assert ad.apply_ddl("RENAME TABLE a TO tmp, b TO a, tmp TO b", 3)
+    assert ad.tables["a"] == ["p"] and ad.tables["b"] == ["x", "y"]
+    assert "tmp" not in ad.tables
+    assert ad.unmatched == []
+
+
+def test_ddl_alter_rename_to_spec():
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    ad = SchemaAdapter()
+    ad.apply_ddl("CREATE TABLE t (x int)", 1)
+    assert ad.apply_ddl("ALTER TABLE t RENAME TO t2", 2)
+    assert "t" not in ad.tables and ad.tables["t2"] == ["x"]
+    assert ad.unmatched == []
+
+
+def test_ddl_index_constraint_specs_are_neutral_not_columns():
+    """ADD INDEX/PRIMARY KEY/CONSTRAINT and DROP INDEX must neither
+    invent columns named 'INDEX'/'PRIMARY' (the latent pre-r5
+    misparse) nor quarantine nor cut a schema version."""
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    ad = SchemaAdapter()
+    ad.apply_ddl("CREATE TABLE t (x int, y int)", 1)
+    n_hist = len(ad.history)
+    for stmt in [
+        "ALTER TABLE t ADD INDEX idx_x (x)",
+        "ALTER TABLE t ADD UNIQUE KEY uq (y)",
+        "ALTER TABLE t ADD PRIMARY KEY (x)",
+        "ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (y) REFERENCES o(z)",
+        "ALTER TABLE t DROP INDEX idx_x",
+        "ALTER TABLE t DROP PRIMARY KEY",
+        "ALTER TABLE t ALTER COLUMN x SET DEFAULT 5",
+        "ALTER TABLE t ALTER y DROP DEFAULT",
+        "ALTER TABLE t ENGINE = InnoDB",
+        "ALTER TABLE t DEFAULT CHARACTER SET utf8mb4",
+    ]:
+        assert ad.apply_ddl(stmt, 2) is False, stmt
+    assert ad.tables["t"] == ["x", "y"]
+    assert len(ad.history) == n_hist  # no version cut
+    assert ad.unmatched == []         # recognized, nothing quarantined
+
+
+def test_ddl_add_multi_column_and_convert_charset():
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    ad = SchemaAdapter()
+    ad.apply_ddl("CREATE TABLE t (x int)", 1)
+    assert ad.apply_ddl(
+        "ALTER TABLE t ADD COLUMN (a INT, b DECIMAL(10,2), c TEXT)", 2
+    )
+    assert ad.tables["t"] == ["x", "a", "b", "c"]
+    n_hist = len(ad.history)
+    # retype-in-place: version cut, column list unchanged, no DLQ
+    assert ad.apply_ddl("ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4", 3)
+    assert ad.tables["t"] == ["x", "a", "b", "c"]
+    assert len(ad.history) == n_hist + 1
+    assert ad.unmatched == []
+    # a genuinely unknown spec still lands in unmatched
+    assert ad.apply_ddl(
+        "ALTER TABLE t PARTITION BY HASH(x) PARTITIONS 4", 4
+    ) is False
+    assert len(ad.unmatched) == 1

@@ -706,3 +706,45 @@ curate:
     kept = {r["doc_id"] for r in shards.collect()}
     # "Hello, World!" and "hello world" collapse; min id kept
     assert kept == {1, 3}
+
+
+def test_index_job_maintain_mode(spark, tmp_path, sf_dir):
+    """index: {mode: maintain} runs the compaction pass over an
+    existing index — no source read, search results unchanged."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import retrieval as RT
+
+    out = str(tmp_path / "idx_m")
+    build = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+index:
+  kind: bm25
+  n_buckets: 8
+"""
+    run_job(spark, load_settings(build))
+    qs = [(0, "table scan filter")]
+    before = sorted(map(tuple, RT.bm25_topk_indexed(
+        spark, f"{out}/documents", qs, k=5, n_buckets=8).collect()))
+    # scatter rows into many files per bucket, then maintain
+    scattered = spark.read.parquet(f"{out}/documents/postings").repartition(6)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        scattered.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out}/documents/postings"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    maintain = build.replace("n_buckets: 8", "n_buckets: 8\n  mode: maintain\n  max_files: 2")
+    res = run_job(spark, load_settings(maintain))
+    assert "compacted" in res["documents"]
+    after = sorted(map(tuple, RT.bm25_topk_indexed(
+        spark, f"{out}/documents", qs, k=5, n_buckets=8).collect()))
+    assert before == after

@@ -918,23 +918,54 @@ def knn_ivf_sq8(
         F.col("cl").alias("qcl"),
     )
     stats = sq8_stats(vecs, dim)
-    recon = F.transform(
+    # Factored approximate dot: sum_i q_i * (mn_i + (code_i+0.5)*d_i)
+    # with d_i = (mx_i-mn_i)/256 rearranges to
+    #   qs0 + sum_i s_i * code_i,  s_i = q_i*d_i,
+    #   qs0 = sum_i q_i*mn_i + 0.5 * sum_i s_i.
+    # The query-side terms (s, qs0) are precomputed on the Q-row
+    # probe frame; the JOIN then carries only the int8 CODES on the
+    # corpus side — the actual 8x scan/shuffle-bandwidth win SQ8
+    # promises (the r4 form materialized reconstructed doubles into
+    # the join, paying full vector width again). Same fold orders on
+    # both engines, so the candidate ranking stays oracle-exact.
+    d_i = lambda i: (F.col("mx")[i] - F.col("mn")[i]) / 256  # noqa: E731
+    s_col = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.col("mn")[i]
-        + (F.col("codes")[i] + F.lit(0.5))
-        * (F.col("mx")[i] - F.col("mn")[i])
-        / 256,
+        lambda i: F.col("qvec")[i] * d_i(i),
     )
-    coded = sq8_encode(
-        corpus.select(id_col, "cl", "vec"), stats, dim
-    ).select(id_col, "cl", recon.alias("recon"))
+    probes2 = probes.crossJoin(F.broadcast(stats)).select(
+        "query_id",
+        "qcl",
+        s_col.alias("s"),
+        dot(F.col("qvec"), F.col("mn")).alias("qmn"),
+    )
+    probes3 = probes2.select(
+        "query_id",
+        "qcl",
+        "s",
+        (
+            F.col("qmn")
+            + F.lit(0.5)
+            * F.aggregate(F.col("s"), F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("qs0"),
+    )
+    coded = sq8_encode(corpus.select(id_col, "cl", "vec"), stats, dim).select(
+        id_col, "cl", "codes"
+    )
     approx = coded.join(
-        F.broadcast(probes),
+        F.broadcast(probes3),
         (F.col("cl") == F.col("qcl")) & (F.col(id_col) != F.col("query_id")),
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        dot(F.col("qvec"), F.col("recon")).alias("approx_dot"),
+        (
+            F.col("qs0")
+            + F.aggregate(
+                F.zip_with(F.col("s"), F.col("codes"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("approx_dot"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("approx_dot").desc(), F.col("neighbor_id")
@@ -1014,32 +1045,62 @@ def knn_sq8_rescore(
         )
     )
     stats = sq8_stats(vecs, dim)
-    # Dequantize ONCE per corpus row (mid-rise reconstruction), not
-    # once per (row, query) pair: the per-pair work is then a plain
-    # zip_with/aggregate dot against the reconstructed array — Q x
-    # fewer transform evaluations, identical doubles (same expression
-    # chain computes recon_i, then qe_i * recon_i folds in the same
-    # order).
-    recon = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.col("mn")[i]
-        + (F.col("codes")[i] + F.lit(0.5))
-        * (F.col("mx")[i] - F.col("mn")[i])
-        / 256,
-    )
+    # Factored approximate dot (the knn_ivf_sq8 form): the
+    # dequantization folds into QUERY-side constants —
+    #   approx_dot = qs0 + sum_i s_i * code_i,
+    #   s_i = q_i * (mx_i-mn_i)/256,
+    #   qs0 = sum_i q_i*mn_i + 0.5 * sum_i s_i —
+    # so the corpus side of the Q x N scoring pass carries only the
+    # int8 CODES (64 B/vec), never reconstructed doubles: the full
+    # 8x bandwidth win, and one fold instead of recon + fold per
+    # pair. Same fold orders both engines -> oracle-exact ranking.
     coded = sq8_encode(vecs.select(id_col, "vec"), stats, dim).select(
-        id_col, recon.alias("recon")
+        id_col, "codes"
     )
-    queries = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("vec").alias("qvec"),
+    d_i = lambda i: (F.col("mx")[i] - F.col("mn")[i]) / 256  # noqa: E731
+    s_col = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.col("qvec")[i] * d_i(i),
+    )
+    queries = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            s_col.alias("s"),
+            dot(F.col("qvec"), F.col("mn")).alias("qmn"),
+        )
+        .select(
+            "query_id",
+            "s",
+            (
+                F.col("qmn")
+                + F.lit(0.5)
+                * F.aggregate(
+                    F.col("s"), F.lit(0.0), lambda acc, x: acc + x
+                )
+            ).alias("qs0"),
+        )
     )
     approx = (
         coded.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            dot(F.col("qvec"), F.col("recon")).alias("approx_dot"),
+            (
+                F.col("qs0")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("s"), F.col("codes"), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("approx_dot"),
         )
     )
     w = W.partitionBy("query_id").orderBy(

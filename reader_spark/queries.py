@@ -3420,12 +3420,24 @@ WITH v AS (
   FROM v, st
 ), q AS (
   SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10
+), q2 AS (
+  SELECT query_id,
+         list_transform(generate_series(1, 64),
+                        i -> qe[i] * ((mx[i] - mn[i]) / 256)) AS s,
+         list_reduce(list_transform(generate_series(1, 64),
+                                    i -> qe[i] * mn[i]),
+                     (x, y) -> x + y) AS qmn
+  FROM q, st
+), q3 AS (
+  SELECT query_id, s,
+         qmn + 0.5 * list_reduce(s, (x, y) -> x + y) AS qs0
+  FROM q2
 ), approx AS (
   SELECT query_id, c.vec_id AS neighbor_id,
-         list_reduce(list_transform(generate_series(1, 64), i ->
-           qe[i] * (mn[i] + (codes[i] + 0.5) * (mx[i] - mn[i]) / 256)),
-           (x, y) -> x + y) AS approx_dot
-  FROM coded c, q, st
+         qs0 + list_reduce(list_transform(generate_series(1, 64),
+                                          i -> s[i] * codes[i]),
+                           (x, y) -> x + y) AS approx_dot
+  FROM coded c, q3
   WHERE c.vec_id <> query_id
 ), cand AS (
   SELECT query_id, neighbor_id FROM (
@@ -4877,12 +4889,24 @@ WITH v0 AS (
                 THEN least(255, floor((e[i] - mn[i]) / (mx[i] - mn[i]) * 256))::BIGINT
                 ELSE 0 END) AS codes
   FROM assign, st
+), probe2 AS (
+  SELECT query_id, qcl,
+         list_transform(generate_series(1, 64),
+                        i -> qe[i] * ((mx[i] - mn[i]) / 256)) AS s,
+         list_reduce(list_transform(generate_series(1, 64),
+                                    i -> qe[i] * mn[i]),
+                     (x, y) -> x + y) AS qmn
+  FROM probe, st
+), probe3 AS (
+  SELECT query_id, qcl, s,
+         qmn + 0.5 * list_reduce(s, (x, y) -> x + y) AS qs0
+  FROM probe2
 ), approx AS (
   SELECT query_id, c.vec_id AS neighbor_id,
-         list_reduce(list_transform(generate_series(1, 64), i ->
-           qe[i] * (mn[i] + (codes[i] + 0.5) * (mx[i] - mn[i]) / 256)),
-           (x, y) -> x + y) AS approx_dot
-  FROM st, probe p JOIN coded c ON c.cl = p.qcl AND c.vec_id <> p.query_id
+         qs0 + list_reduce(list_transform(generate_series(1, 64),
+                                          i -> s[i] * codes[i]),
+                           (x, y) -> x + y) AS approx_dot
+  FROM probe3 p JOIN coded c ON c.cl = p.qcl AND c.vec_id <> p.query_id
 ), cand AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,

@@ -25,11 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (value_v1_subset / value_v2_subset) so totals compare like-for-like
 # across rounds even as the set grows. Add new queries only by
 # bumping the version and appending (never reordering/removing).
-QUERY_SET_VERSION = 5
+QUERY_SET_VERSION = 6
 V1_LEN = 29
 V2_LEN = 45
 V3_LEN = 58
 V4_LEN = 70
+V5_LEN = 92
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -148,6 +149,12 @@ HEADLINE = [
     # (kcore_neardup stays out with the other near-dup-graph
     # fixpoints: the pipeline + 8 peel rounds are dominated by the
     # fixture graph's density, plan-asserted separately.)
+    # v6 (r5): SCD2 intervals, Markov transitions, per-series EWMA
+    # fold, Count-Min point estimates
+    "scd2_user_state",
+    "event_transitions",
+    "events_ewma",
+    "cms_term_freq",
 ]
 
 
@@ -228,6 +235,9 @@ def main() -> None:
                 ),
                 "value_v4_subset": round(
                     sum(timings.get(n, 0.0) for n in HEADLINE[:V4_LEN]), 3
+                ),
+                "value_v5_subset": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:V5_LEN]), 3
                 ),
             }
         )

@@ -173,6 +173,81 @@ class TransferWriter:
         shutil.rmtree(staging, ignore_errors=True)
         return touched
 
+    def upsert_scd2(
+        self,
+        table: str,
+        changes: DataFrame,
+        pk_cols: list[str],
+        seq_col: str,
+        op_col: str = "op",
+    ) -> None:
+        """History-preserving MERGE (type-2 SCD): instead of
+        replacing a changed key's row, the sink keeps every version
+        as a validity interval [eff_from, eff_to), with the live
+        version open (eff_to NULL). Per micro-batch:
+
+        - each change row opens an interval at its own seq and is
+          closed by the key's NEXT change in the same batch (a lead
+          window over the delta — deletes close their predecessor
+          and open nothing);
+        - a key's EXISTING open interval closes at the key's first
+          delta seq;
+        - untouched keys' rows are carried through byte-identical.
+
+        The warehouse analogue of `queries.scd2_user_state`, on the
+        same atomic staging + rename swap as `upsert`. At-least-once
+        streams must dedupe replayed positions upstream (the GTID
+        gate) — a replayed batch would re-close already-closed
+        intervals. Scale: the merge reads the table once; at the
+        100 TB tier lay the sink out like `upsert_bucketed` and
+        rewrite only buckets containing changed keys."""
+        from pyspark.sql import Window as W
+
+        path = self._path(table)
+        attr_cols = [
+            c
+            for c in changes.columns
+            if c not in (*pk_cols, seq_col, op_col)
+        ]
+        w = W.partitionBy(*pk_cols).orderBy(F.col(seq_col))
+        delta = changes.withColumn(
+            "__next", F.lead(seq_col).over(w)
+        )
+        new_rows = delta.filter(F.col(op_col) != "d").select(
+            *pk_cols,
+            *attr_cols,
+            F.col(seq_col).alias("eff_from"),
+            F.col("__next").alias("eff_to"),
+        )
+        first_seq = changes.groupBy(*pk_cols).agg(
+            F.min(seq_col).alias("__close")
+        )
+        if self.exists(table):
+            base = self.read(table)
+            closed = base.filter(F.col("eff_to").isNotNull())
+            opened = base.filter(F.col("eff_to").isNull())
+            now_closed = (
+                opened.drop("eff_to")
+                .join(first_seq, pk_cols)
+                .withColumnRenamed("__close", "eff_to")
+                .select(*base.columns)
+            )
+            still_open = opened.join(first_seq, pk_cols, "left_anti")
+            merged = (
+                closed.unionByName(now_closed)
+                .unionByName(still_open)
+                .unionByName(new_rows.select(*base.columns))
+            )
+        else:
+            merged = new_rows
+        staging = path + ".staging-" + uuid.uuid4().hex[:8]
+        merged.write.mode("overwrite").parquet(staging)
+        old = path + ".old-" + uuid.uuid4().hex[:8]
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
     def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
         """Small-files compaction: every CDC upsert / append round
         lands another wave of files, and a 100 TB table read through

@@ -5837,38 +5837,43 @@ SELECT doc_id, rank, term, tf::BIGINT AS tf, df::BIGINT AS df FROM (
 
 def _record_linkage_frame(cust: DataFrame) -> DataFrame:
     """Blocked fuzzy matching core (testable on any customer-shaped
-    frame): TWO complementary blocking passes — name prefix
-    (positions 1-13, all but the last 5 chars) and name suffix
-    (positions 14+) — unioned before the exact Levenshtein <= 1
-    verify. Pigeonhole completeness: a single SUBSTITUTION anywhere
-    in the name leaves at least one half intact, so unlike the
-    single prefix block (which missed early-position typos, e.g. a
-    first-character error), the union block catches every
-    edit-distance-1 substitution pair; only insertions/deletions
-    that shift the halves can still escape. A pair whose halves BOTH
-    match (identical names) would surface twice — deduped by
-    DISTINCT on the id pair before the verify."""
-    cust = cust.select(
+    frame): DELETION-NEIGHBORHOOD blocking — every name emits one
+    wildcard key per character position (the name with that position
+    replaced by '_'), and two names at substitution distance 1 share
+    exactly the key that wildcards their differing position.
+    Complete for every edit-distance-1 substitution (including the
+    first character, which the r4 prefix block missed) AND
+    scale-safe: a block holds only the names agreeing on all-but-one
+    position, so its size is bounded by the alphabet at that
+    position (~10 for digit ids) no matter how the key population is
+    distributed. Half-name blocking dies exactly there: dense
+    zero-padded ids share their entire high half, collapsing a
+    prefix block into one quadratic mega-block (measured 122 s at
+    sf0.1 vs ~1 s for this scheme). Identical names share ALL their
+    keys — deduped by DISTINCT on the id pair before the verify."""
+    cust = cust.select("c_custkey", "c_name", "c_acctbal")
+    keyed = cust.select(
         "c_custkey",
-        "c_name",
-        "c_acctbal",
-        F.substring("c_name", 1, 13).alias("blk_pre"),
-        F.substring("c_name", 14, 1_000).alias("blk_suf"),
+        F.expr(
+            "explode(transform(sequence(1, length(c_name)), i -> "
+            "concat(substring(c_name, 1, i-1), '_', "
+            "substring(c_name, i+1, 1000000))))"
+        ).alias("blk"),
     )
-    a = cust.alias("a")
-    b = cust.alias("b")
-
-    def block(col: str) -> DataFrame:
-        return a.join(
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(
             b,
-            (F.col(f"a.{col}") == F.col(f"b.{col}"))
+            (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        ).select(
+        )
+        .select(
             F.col("a.c_custkey").alias("cust_a"),
             F.col("b.c_custkey").alias("cust_b"),
         )
-
-    pairs = block("blk_pre").unionByName(block("blk_suf")).distinct()
+        .distinct()
+    )
     av = cust.select(
         F.col("c_custkey").alias("cust_a"),
         F.col("c_name").alias("name_a"),
@@ -5916,20 +5921,17 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RECORD_LINKAGE_SQL = """
 WITH c AS (
-  SELECT c_custkey, c_name, c_acctbal,
-         substr(c_name, 1, 13) AS blk_pre,
-         substr(c_name, 14) AS blk_suf
-  FROM customer
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+), keyed AS (
+  SELECT c_custkey,
+         substr(c_name, 1, i - 1) || '_' || substr(c_name, i + 1) AS blk
+  FROM (SELECT c_custkey, c_name,
+               unnest(generate_series(1, length(c_name))) AS i
+        FROM c)
 ), pairs AS (
-  SELECT DISTINCT cust_a, cust_b FROM (
-    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
-    FROM c a JOIN c b
-      ON a.blk_pre = b.blk_pre AND a.c_custkey < b.c_custkey
-    UNION ALL
-    SELECT a.c_custkey, b.c_custkey
-    FROM c a JOIN c b
-      ON a.blk_suf = b.blk_suf AND a.c_custkey < b.c_custkey
-  )
+  SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+  FROM keyed a JOIN keyed b
+    ON a.blk = b.blk AND a.c_custkey < b.c_custkey
 )
 SELECT cust_a, cust_b,
        levenshtein(a.c_name, b.c_name)::INT AS name_dist,
@@ -6920,6 +6922,120 @@ GROUP BY 1, 2
 """
 
 
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair generation: for each anchor vector,
+    k=5 POSITIVES (exact cosine top-k — the retrieval ground truth)
+    and m=5 deterministic random NEGATIVES (smallest md5 draw keyed
+    by (anchor, candidate), excluding the anchor and its positives).
+    The output is the (anchor, partner, role, rank) table an
+    embedding-model trainer consumes; md5 draws make the negative
+    sample reproducible under any partitioning and shardable without
+    RNG state — the same determinism contract as the samplers.
+
+    Scale: positives ride the existing bounded kNN pipeline; the
+    negative draw is a map-only hash over (anchor x corpus-ID) pairs
+    — two LONG columns, never vectors — with a per-anchor top-m
+    window. At extreme corpus sizes, pre-gate with
+    `hash < m * 2^60 * safety / N` so only ~m*safety candidates per
+    anchor reach the window (the reservoir_sample trick)."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    pos = SIM.knn_bruteforce(emb, qids, k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.lit("pos").alias("role"),
+        "rank",
+    )
+    ids = emb.select("vec_id")
+    anchors = ids.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id")
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("query_id").cast("string"),
+                    F.lit(":"),
+                    F.col("vec_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        ids.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(
+            pos.select(
+                "query_id", F.col("neighbor_id").alias("vec_id")
+            ),
+            ["query_id", "vec_id"],
+            "left_anti",
+        )
+        .withColumn("draw", draw)
+    )
+    w = W.partitionBy("query_id").orderBy("draw", "vec_id")
+    neg = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit("neg").alias("role"),
+            "rank",
+        )
+    )
+    return pos.unionByName(neg)
+
+
+CONTRASTIVE_SQL = f"""
+WITH v0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), v AS (
+  SELECT vec_id, e,
+         {_KNN_DOT.format(a="e", b="e")} AS nv
+  FROM v0
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, nv AS nq FROM v WHERE vec_id < 10
+), pairs AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_KNN_DOT.format(a="qe", b="e")} AS dp, nq, v.nv AS nn
+  FROM q, v WHERE v.vec_id != q.query_id
+), pos AS (
+  SELECT query_id, neighbor_id, 'pos' AS role, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dp / (sqrt(nq) * sqrt(nn)) DESC,
+                                       neighbor_id) AS rank
+    FROM pairs
+  ) WHERE rank <= 5
+), cand AS (
+  SELECT qa.query_id, vv.vec_id,
+         ('0x' || substr(md5('neg:' || qa.query_id::VARCHAR || ':'
+                             || vv.vec_id::VARCHAR), 1, 15))::BIGINT AS draw
+  FROM (SELECT DISTINCT query_id FROM q) qa, (SELECT vec_id FROM v) vv
+  WHERE vv.vec_id != qa.query_id
+    AND NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.query_id = qa.query_id
+                      AND p.neighbor_id = vv.vec_id)
+), neg AS (
+  SELECT query_id, vec_id AS neighbor_id, 'neg' AS role, rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY draw, vec_id) AS rank
+    FROM cand
+  ) WHERE rank <= 5
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -7166,6 +7282,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "events_ewma": (events_ewma, EWMA_SQL),
     "cms_term_freq": (cms_term_freq, CMS_SQL),
+    "contrastive_pairs": (contrastive_pairs, CONTRASTIVE_SQL),
 }
 
 # Edge canonicalization (no DECIMAL/array/map/struct leaves any catalog

@@ -748,3 +748,44 @@ index:
     after = sorted(map(tuple, RT.bm25_topk_indexed(
         spark, f"{out}/documents", qs, k=5, n_buckets=8).collect()))
     assert before == after
+
+
+def test_upsert_scd2_intervals(spark, tmp_path):
+    """Type-2 SCD merge: updates chain validity intervals, deletes
+    close without reopening, untouched keys carry through, and the
+    live version is the single open (eff_to NULL) row per key."""
+    from reader_spark.operators.transfer import TransferWriter
+
+    tw = TransferWriter(spark, str(tmp_path / "scd2"))
+    b1 = spark.createDataFrame(
+        [
+            ("A", "v1", 1, "c"),
+            ("B", "w1", 1, "c"),
+            ("C", "x1", 2, "c"),
+        ],
+        "id string, val string, seq long, op string",
+    )
+    tw.upsert_scd2("t", b1, ["id"], "seq")
+    b2 = spark.createDataFrame(
+        [
+            ("A", "v2", 5, "u"),
+            ("A", "v3", 9, "u"),
+            ("B", None, 6, "d"),
+        ],
+        "id string, val string, seq long, op string",
+    )
+    tw.upsert_scd2("t", b2, ["id"], "seq")
+    rows = sorted(
+        (r["id"], r["val"], r["eff_from"], r["eff_to"])
+        for r in tw.read("t").collect()
+    )
+    assert rows == [
+        ("A", "v1", 1, 5),
+        ("A", "v2", 5, 9),
+        ("A", "v3", 9, None),
+        ("B", "w1", 1, 6),
+        ("C", "x1", 2, None),
+    ]
+    # exactly one open row per live key; deleted key has none
+    open_rows = [r for r in rows if r[3] is None]
+    assert {r[0] for r in open_rows} == {"A", "C"}

@@ -194,6 +194,8 @@ def _run_streaming(spark: SparkSession, settings: Settings) -> dict[str, str]:
             spark, log_dir, dest.path, ck, src.database, tables,
             adapter, history_path=history,
             n_buckets=int(dest.options.get("n_buckets", 16)),
+            scd2=str(dest.options.get("scd2", "")).lower()
+            in ("1", "true", "yes"),
         )
     else:
         q = run_pipeline(

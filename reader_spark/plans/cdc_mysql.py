@@ -270,13 +270,22 @@ def run_pipeline_merge(
     history_path: str | None = None,
     n_buckets: int = 16,
     start_offsets: dict | None = None,
+    scd2: bool = False,
 ):
     """Streaming CDC straight into MERGED table state: each micro-batch
     flows logtail -> decode -> `TransferWriter.upsert_bucketed`, so the
     destination holds current rows (not an envelope log) and every
     batch rewrites only the pk-hash buckets it touched. The checkpoint
     commits AFTER the merge (write-then-commit) — replays are absorbed
-    by last-write-wins on seq."""
+    by last-write-wins on seq.
+
+    scd2=True swaps the merge for `TransferWriter.upsert_scd2`: the
+    destination keeps EVERY version as a validity interval
+    ([eff_from, eff_to) on the binlog seq, live rows open) — the
+    history-preserving warehouse load. Note the replay contract
+    differs: last-write-wins absorbs replays in current-state mode,
+    while interval chaining relies on the GTID resume gate upstream
+    to drop replayed positions."""
     from reader_spark.operators.transfer import TransferWriter
 
     adapter = adapter or SchemaAdapter()
@@ -288,9 +297,12 @@ def run_pipeline_merge(
             batch, adapter, db, tables, history_path
         ).items():
             pk = adapter.tables[table][0]
-            writer.upsert_bucketed(
-                table, changes, [pk], "seq", n_buckets=n_buckets
-            )
+            if scd2:
+                writer.upsert_scd2(table, changes, [pk], "seq")
+            else:
+                writer.upsert_bucketed(
+                    table, changes, [pk], "seq", n_buckets=n_buckets
+                )
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -374,3 +374,43 @@ def test_quarantine_skips_clean_batches(spark, tmp_path):
     )
     assert out["users"].count() == 2
     assert not os.path.exists(f"{qdir}/users")
+
+
+def test_streaming_merge_scd2_history(spark, tmp_path):
+    """CDC stream -> SCD2 sink: the destination keeps EVERY version
+    as a [eff_from, eff_to) interval on the binlog seq; updates chain,
+    deletes close without reopening, live rows are open."""
+    from reader_spark.plans.cdc_mysql import run_pipeline_merge
+
+    log = tmp_path / "log"
+    log.mkdir()
+    dest = str(tmp_path / "dest_scd2")
+    ck = str(tmp_path / "ck_scd2")
+
+    _append(log / "binlog.jsonl", [
+        rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+        rec(2, "dml", op="c", after='{"id": 1, "name": "ada"}'),
+        rec(3, "dml", op="c", after='{"id": 2, "name": "bob"}'),
+    ])
+    adapter = SchemaAdapter()
+    q = run_pipeline_merge(spark, str(log), dest, ck, "app", ["users"],
+                           adapter, scd2=True)
+    q.awaitTermination(90)
+    _append(log / "binlog.jsonl", [
+        rec(4, "dml", op="u", before='{"id": 1, "name": "ada"}',
+            after='{"id": 1, "name": "ada2"}'),
+        rec(5, "dml", op="d", before='{"id": 2, "name": "bob"}'),
+    ])
+    q2 = run_pipeline_merge(spark, str(log), dest, ck, "app", ["users"],
+                            adapter, scd2=True)
+    q2.awaitTermination(90)
+    rows = sorted(
+        (r["id"], r["name"], int(r["eff_from"]),
+         None if r["eff_to"] is None else int(r["eff_to"]))
+        for r in spark.read.parquet(f"{dest}/users").collect()
+    )
+    assert rows == [
+        ("1", "ada", 2, 4),
+        ("1", "ada2", 4, None),
+        ("2", "bob", 3, 5),
+    ]

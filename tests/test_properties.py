@@ -451,3 +451,103 @@ def test_duplicate_spans_matches_naive(spark, docs, width):
             covered += max(0, s + width - lo)
             end = max(end, s + width)
         assert got[i] == (len(ws), covered), (i, docs[i])
+
+
+@given(
+    base=st.text("ABC0123456789", min_size=4, max_size=12),
+    pos=st.integers(0, 50),
+    repl=st.sampled_from("XYZ"),
+)
+@SET
+def test_deletion_blocking_finds_every_single_substitution(
+    spark, base, pos, repl
+):
+    """Any pair at substitution distance exactly 1 shares the wildcard
+    key of its differing position — record_linkage must always find
+    it, wherever the edit lands (the r5 completeness contract)."""
+    from reader_spark.queries import _record_linkage_frame
+
+    pos = pos % len(base)
+    if base[pos] == repl:
+        repl = "Q"
+    typo = base[:pos] + repl + base[pos + 1:]
+    cust = spark.createDataFrame(
+        [(1, base, 1.0), (2, typo, 2.0), (3, "Z" * (len(base) + 3), 3.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    got = {(r["cust_a"], r["cust_b"]) for r in _record_linkage_frame(cust).collect()}
+    assert (1, 2) in got
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),        # key
+            st.integers(1, 50),                  # seq
+            st.sampled_from(["c", "u", "d"]),   # op
+        ),
+        min_size=1, max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@SET
+def test_scd2_intervals_chain_and_never_overlap(spark, events, tmp_path_factory):
+    """SCD2 invariants under arbitrary change sequences: per key the
+    intervals are seq-ordered and chained (each eff_to == next
+    eff_from), at most one open row, and one row per non-delete
+    change."""
+    from reader_spark.operators.transfer import TransferWriter
+
+    tw = TransferWriter(
+        spark, str(tmp_path_factory.mktemp("scd2prop"))
+    )
+    changes = spark.createDataFrame(
+        [(k, f"v{s}", s, op) for k, s, op in events],
+        "id string, val string, seq long, op string",
+    )
+    tw.upsert_scd2("t", changes, ["id"], "seq")
+    rows = tw.read("t").collect()
+    n_nondelete = sum(1 for _, _, op in events if op != "d")
+    assert len(rows) == n_nondelete
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["id"]].append((r["eff_from"], r["eff_to"]))
+    for key, ivals in by_key.items():
+        ivals.sort()
+        opens = [iv for iv in ivals if iv[1] is None]
+        assert len(opens) <= 1
+        key_events = sorted(s for k, s, _ in events if k == key)
+        for (f1, t1), (f2, _t2) in zip(ivals, ivals[1:]):
+            assert t1 is not None and t1 <= f2  # ordered, no overlap
+            # chained: the closer is the key's next event
+            nxt = min(s for s in key_events if s > f1)
+            assert t1 == nxt
+
+
+@given(
+    counts=st.dictionaries(
+        st.text("abcde", min_size=1, max_size=4),
+        st.integers(1, 30),
+        min_size=1, max_size=10,
+    ),
+)
+@SET
+def test_count_min_never_underestimates(spark, counts):
+    from reader_spark.operators import sketches as SK
+
+    toks = spark.createDataFrame(
+        [(t,) for t, n in counts.items() for _ in range(n)],
+        "term string",
+    )
+    tiles = SK.count_min_tiles(toks, width=16, depth=3)
+    probe = spark.createDataFrame(
+        [(t,) for t in counts], "term string"
+    )
+    est = {
+        r["term"]: r["cms_est"]
+        for r in SK.count_min_estimate(tiles, probe, width=16, depth=3).collect()
+    }
+    for t, n in counts.items():
+        assert est[t] >= n  # CMS upper-bound contract

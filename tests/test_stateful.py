@@ -289,9 +289,15 @@ def test_ewma_stream_equals_batch_fold(spark, tmp_path):
     ]
     src = tmp_path / "ewma_in"
     src.mkdir()
-    # two files -> two micro-batches with maxFilesPerTrigger=1
+    # two files -> two micro-batches with maxFilesPerTrigger=1; the
+    # file source orders batches by modification time, and files
+    # written back-to-back can share an mtime (observed flake:
+    # b-before-a reverses the fold) — pin distinct mtimes.
     _write_ewma(str(src), "a.jsonl", rows[:2])
     _write_ewma(str(src), "b.jsonl", rows[2:])
+    t0 = time.time()
+    os.utime(src / "a.jsonl", (t0 - 10, t0 - 10))
+    os.utime(src / "b.jsonl", (t0, t0))
     stream = (
         spark.readStream.schema(
             "user_id long, event_type string, ts timestamp, "

@@ -271,3 +271,62 @@ def count_min_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+
+
+def cms_tiles_write(
+    tokens: DataFrame, path: str, width: int = 256, depth: int = 4
+) -> None:
+    """Materialize a Count-Min counter frame (seed build)."""
+    count_min_tiles(tokens, width=width, depth=depth).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def cms_tiles_update(
+    spark, path: str, new_tokens: DataFrame,
+    term_col: str = "term", width: int = 256, depth: int = 4,
+) -> None:
+    """Incremental CMS maintenance: sketch the delta, add cell-wise
+    into the stored counters (CMS merge is exact — update == rebuild
+    over the concatenated corpus, asserted in test_sketches.py).
+    The rewrite touches a width*depth-cell frame — a few KB — so
+    unlike the bm25/ivf indexes there is nothing to partition; one
+    atomic overwrite via staging keeps readers consistent."""
+    import os
+    import shutil
+    import uuid
+
+    delta = count_min_tiles(new_tokens, term_col, width, depth)
+    merged = (
+        spark.read.parquet(path)
+        .unionByName(delta)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    staging = path + ".staging-" + uuid.uuid4().hex[:8]
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    old = path + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def cms_maintainer(
+    path: str, term_col: str = "term", width: int = 256, depth: int = 4
+):
+    """`foreachBatch` body keeping a materialized CMS fresh from a
+    token STREAM — the point-query companion of
+    `heavy_hitters_stream` (bounded state there, bounded COUNTERS
+    here; both survive unbounded vocabularies). Replays double-count
+    (counters are not idempotent) — feed it an exactly-once upstream
+    (the GTID gate / checkpointed file source) or accept the CMS
+    upper bound loosening."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cms_tiles_update(
+            batch_df.sparkSession, path, batch_df, term_col, width, depth
+        )
+
+    return body

@@ -7036,6 +7036,87 @@ SELECT * FROM pos UNION ALL SELECT * FROM neg
 """
 
 
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis over the join keys the engine actually
+    shuffles on (lineitem.l_orderkey / l_partkey, orders.o_custkey,
+    events.user_id): per key space — distinct keys, total rows, the
+    heaviest key's row count, the skew ratio in ppm
+    (max*1e6 div avg = max*keys*1e6 div rows, pure integer), and the
+    heaviest key itself (deterministic min-id tiebreak). This is the
+    operational input to the salting decision: a ratio around 1e6
+    means uniform (hash-partition freely), orders of magnitude above
+    means the hot key serializes a join task (reach for
+    partitioning.salted_join or AQE skew handling).
+
+    Scale: one count-per-key aggregate per key space (map-side
+    combined), then a 1-row struct-max — never a sort; the four
+    spaces union into one tiny frame."""
+    def space(df: DataFrame, table: str, key: str) -> DataFrame:
+        per = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return per.agg(
+            F.lit(f"{table}.{key}").alias("key_space"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_rows"),
+            F.max(F.struct(F.col("n"), (-F.col("k")).alias("nk"))).alias(
+                "__m"
+            ),
+        ).select(
+            "key_space",
+            "n_keys",
+            "n_rows",
+            "max_rows",
+            F.expr("(max_rows * n_keys * 1000000L) div n_rows").alias(
+                "skew_ppm"
+            ),
+            (-F.col("__m.nk")).cast("long").alias("heaviest_key"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        space(li, "lineitem", "l_orderkey")
+        .unionByName(space(li, "lineitem", "l_partkey"))
+        .unionByName(
+            space(_t(spark, sf_dir, "orders"), "orders", "o_custkey")
+        )
+        .unionByName(
+            space(_t(spark, sf_dir, "events"), "events", "user_id")
+        )
+    )
+
+
+JOIN_SKEW_SQL = """
+WITH s1 AS (
+  SELECT 'lineitem.l_orderkey' AS key_space, l_orderkey AS k,
+         count(*)::BIGINT AS n FROM lineitem GROUP BY 2
+), s2 AS (
+  SELECT 'lineitem.l_partkey', l_partkey, count(*)::BIGINT
+  FROM lineitem GROUP BY 2
+), s3 AS (
+  SELECT 'orders.o_custkey', o_custkey, count(*)::BIGINT
+  FROM orders GROUP BY 2
+), s4 AS (
+  SELECT 'events.user_id', user_id, count(*)::BIGINT
+  FROM events GROUP BY 2
+), u AS (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+)
+SELECT key_space,
+       count(*)::BIGINT AS n_keys,
+       sum(n)::BIGINT AS n_rows,
+       max(n)::BIGINT AS max_rows,
+       (max(n)::BIGINT * count(*)::BIGINT * 1000000) // sum(n)::BIGINT
+         AS skew_ppm,
+       min(k) FILTER (WHERE n = (SELECT max(n) FROM u u2
+                                 WHERE u2.key_space = u.key_space))
+         AS heaviest_key
+FROM u GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -7283,6 +7364,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_ewma": (events_ewma, EWMA_SQL),
     "cms_term_freq": (cms_term_freq, CMS_SQL),
     "contrastive_pairs": (contrastive_pairs, CONTRASTIVE_SQL),
+    "join_skew_report": (join_skew_report, JOIN_SKEW_SQL),
 }
 
 # Edge canonicalization (no DECIMAL/array/map/struct leaves any catalog

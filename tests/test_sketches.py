@@ -163,3 +163,52 @@ def test_count_min_upper_bound_and_merge(spark):
         for r in SK.count_min_estimate(merged, probe, width=64, depth=4).collect()
     }
     assert est_m["x"] >= 80 and est_m["z"] >= 10
+
+
+def test_cms_incremental_update_equals_rebuild(spark, tmp_path):
+    """Stored-sketch maintenance: seed + N deltas == one-shot build
+    over the concatenated corpus (CMS merge is exact), batch AND
+    stream (foreachBatch)."""
+    import json
+
+    from reader_spark.operators import sketches as SK
+
+    def toks(words):
+        return spark.createDataFrame([(w,) for w in words], "term string")
+
+    seed = ["x"] * 20 + ["y"] * 5
+    d1 = ["x"] * 3 + ["z"] * 7
+    d2 = ["y"] * 9
+    path = str(tmp_path / "cms")
+    SK.cms_tiles_write(toks(seed), path, width=32, depth=3)
+    SK.cms_tiles_update(spark, path, toks(d1), width=32, depth=3)
+    SK.cms_tiles_update(spark, path, toks(d2), width=32, depth=3)
+    direct = SK.count_min_tiles(toks(seed + d1 + d2), width=32, depth=3)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # stream path: two jsonl files through foreachBatch
+    src = tmp_path / "cms_stream"
+    src.mkdir()
+    path2 = str(tmp_path / "cms2")
+    SK.cms_tiles_write(toks(seed), path2, width=32, depth=3)
+    with open(src / "a.jsonl", "w") as f:
+        for w in d1:
+            f.write(json.dumps({"term": w}) + "\n")
+    with open(src / "b.jsonl", "w") as f:
+        for w in d2:
+            f.write(json.dumps({"term": w}) + "\n")
+    stream = spark.readStream.schema("term string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            SK.cms_maintainer(path2, width=32, depth=3)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .start()
+    )
+    q.awaitTermination(90)
+    assert sorted(map(tuple, spark.read.parquet(path2).collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -7117,6 +7117,70 @@ FROM u GROUP BY 1
 """
 
 
+def knn_binary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary-quantized kNN with exact rescore
+    (operators/similarity.py::knn_binary): sign codes packed into two
+    32-bit words (16 B/vector — 32x below float64), Hamming pre-rank
+    via XOR+popcount integer arithmetic, generous rerank, exact
+    cosine top-5. The coarsest ANN tier, below SQ8/PQ; fully
+    oracle-exact because the approximate pass is pure integers."""
+    return SIM.knn_binary(
+        _t(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=5, rerank=30
+    )
+
+
+_BQ_WORD_LO = (
+    "list_reduce(list_transform(generate_series(1, 32), i -> "
+    "CASE WHEN {e}[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END),"
+    " (x, y) -> x + y)"
+)
+_BQ_WORD_HI = (
+    "list_reduce(list_transform(generate_series(33, 64), i -> "
+    "CASE WHEN {e}[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END),"
+    " (x, y) -> x + y)"
+)
+
+KNN_BINARY_SQL = f"""
+WITH v0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), v AS (
+  SELECT vec_id, e,
+         {_KNN_DOT.format(a="e", b="e")} AS nv,
+         {_BQ_WORD_LO.format(e="e")} AS lo,
+         {_BQ_WORD_HI.format(e="e")} AS hi
+  FROM v0
+), q AS (
+  SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM v WHERE vec_id < 10
+), approx AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         bit_count(xor(v.lo, qlo)) + bit_count(xor(v.hi, qhi)) AS hamming
+  FROM q, v WHERE v.vec_id != q.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id) AS arank
+    FROM approx
+  ) WHERE arank <= 30
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         round(dp / (sqrt(nq) * sqrt(nn)), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dp / (sqrt(nq) * sqrt(nn)), 6)
+                                     DESC, neighbor_id) AS rank
+  FROM (
+    SELECT cand.query_id AS query_id, cand.neighbor_id AS neighbor_id,
+           {_KNN_DOT.format(a="nq_.e", b="nn_.e")} AS dp,
+           nq_.nv AS nq, nn_.nv AS nn
+    FROM cand
+    JOIN v nn_ ON nn_.vec_id = cand.neighbor_id
+    JOIN v nq_ ON nq_.vec_id = cand.query_id
+  )
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -7365,6 +7429,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_term_freq": (cms_term_freq, CMS_SQL),
     "contrastive_pairs": (contrastive_pairs, CONTRASTIVE_SQL),
     "join_skew_report": (join_skew_report, JOIN_SKEW_SQL),
+    "knn_binary": (knn_binary_q, KNN_BINARY_SQL),
 }
 
 # Edge canonicalization (no DECIMAL/array/map/struct leaves any catalog

@@ -25,12 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (value_v1_subset / value_v2_subset) so totals compare like-for-like
 # across rounds even as the set grows. Add new queries only by
 # bumping the version and appending (never reordering/removing).
-QUERY_SET_VERSION = 6
+QUERY_SET_VERSION = 7
 V1_LEN = 29
 V2_LEN = 45
 V3_LEN = 58
 V4_LEN = 70
 V5_LEN = 92
+V6_LEN = 96
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -155,6 +156,11 @@ HEADLINE = [
     "event_transitions",
     "events_ewma",
     "cms_term_freq",
+    # v7 (r5): contrastive pair generation, join-skew diagnostics,
+    # binary-quantized ANN tier
+    "contrastive_pairs",
+    "join_skew_report",
+    "knn_binary",
 ]
 
 
@@ -238,6 +244,9 @@ def main() -> None:
                 ),
                 "value_v5_subset": round(
                     sum(timings.get(n, 0.0) for n in HEADLINE[:V5_LEN]), 3
+                ),
+                "value_v6_subset": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:V6_LEN]), 3
                 ),
             }
         )

@@ -161,6 +161,7 @@ HEADLINE = [
     "contrastive_pairs",
     "join_skew_report",
     "knn_binary",
+    "curation_audit",
 ]
 
 

@@ -7181,6 +7181,97 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 """
 
 
+def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document explainability for the clean_corpus pipeline:
+    every input doc labeled with WHY it survived or fell —
+    'dropped_lang' / 'dropped_length' / 'dropped_quality' (first
+    failing gate, in gate order) / 'dropped_exact_dup' (gates passed
+    but a lower-id doc has identical text; kept_doc_id names it) /
+    'kept'. The audit a data steward asks for before signing off a
+    filtering config — and the regression diff between two configs.
+
+    Scale: same 2-shuffle shape as clean_corpus (the content-hash
+    keep-min is a window over the gated subset keyed by the uniform
+    hash) plus ONE map-only labeling pass; the gates short-circuit in
+    order so each doc carries exactly one reason."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    gate = (
+        F.when(F.col("lang") != "en", F.lit("dropped_lang"))
+        .when(
+            (F.col("n_chars") < 50) | (F.col("n_chars") > 5000),
+            F.lit("dropped_length"),
+        )
+        .when(q < 0.5, F.lit("dropped_quality"))
+    )
+    labeled = docs.select("doc_id", "text", gate.alias("gate_fail"))
+    passed = labeled.filter(F.col("gate_fail").isNull())
+    w = W.partitionBy(F.md5("text"))
+    dedup = passed.withColumn("keep_id", F.min("doc_id").over(w))
+    return (
+        labeled.filter(F.col("gate_fail").isNotNull())
+        .select(
+            "doc_id",
+            F.col("gate_fail").alias("status"),
+            F.lit(None).cast("long").alias("kept_doc_id"),
+        )
+        .unionByName(
+            dedup.select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") == F.col("keep_id"), F.lit("kept")
+                )
+                .otherwise(F.lit("dropped_exact_dup"))
+                .alias("status"),
+                F.when(
+                    F.col("doc_id") != F.col("keep_id"), F.col("keep_id")
+                ).alias("kept_doc_id"),
+            )
+        )
+    )
+
+
+CURATION_AUDIT_SQL = f"""
+WITH p0 AS (
+  SELECT doc_id, text, n_chars, lang, ' ' || lower(text) || ' ' AS p
+  FROM documents
+), b AS (
+  SELECT doc_id, text, n_chars, lang,
+         length(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         {{stop_sum}} AS stops,
+         length(text) - length(regexp_replace(text,
+             '[\\.\\,\\;\\:\\!\\?]', '', 'g')) AS puncts,
+         length(text) AS chars
+  FROM p0
+), g AS (
+  SELECT doc_id, text,
+         CASE WHEN lang != 'en' THEN 'dropped_lang'
+              WHEN n_chars < 50 OR n_chars > 5000 THEN 'dropped_length'
+              WHEN 0.4 * least(1.0, toks::DOUBLE / 100.0)
+                 + 0.4 * least(1.0, 8.0 * stops::DOUBLE / toks::DOUBLE)
+                 + 0.2 * (1.0 - least(1.0,
+                       4.0 * puncts::DOUBLE / chars::DOUBLE)) < 0.5
+                   THEN 'dropped_quality'
+         END AS gate_fail
+  FROM b
+), passed AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM g WHERE gate_fail IS NULL
+)
+SELECT doc_id, gate_fail AS status, NULL::BIGINT AS kept_doc_id
+FROM g WHERE gate_fail IS NOT NULL
+UNION ALL
+SELECT doc_id,
+       CASE WHEN doc_id = keep_id THEN 'kept'
+            ELSE 'dropped_exact_dup' END AS status,
+       CASE WHEN doc_id != keep_id THEN keep_id END AS kept_doc_id
+FROM passed
+""".replace("{stop_sum}", _STOP_SUM)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -7430,6 +7521,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contrastive_pairs": (contrastive_pairs, CONTRASTIVE_SQL),
     "join_skew_report": (join_skew_report, JOIN_SKEW_SQL),
     "knn_binary": (knn_binary_q, KNN_BINARY_SQL),
+    "curation_audit": (curation_audit, CURATION_AUDIT_SQL),
 }
 
 # Edge canonicalization (no DECIMAL/array/map/struct leaves any catalog

@@ -340,10 +340,12 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             )
             docs = docs.join(keep, "doc_id")
         elif cfg.dedup == "minhash":
-            base = DD.token_hashes(docs).persist()
-            sigs = DD.minhash_signature(
-                base, num_hashes=16, hashes_col="toks"
-            ).persist()
+            from reader_spark.cache import pin
+
+            base = pin(DD.token_hashes(docs))
+            sigs = pin(
+                DD.minhash_signature(base, num_hashes=16, hashes_col="toks")
+            )
             pairs = DD.lsh_candidate_pairs(sigs, num_hashes=16, band_size=8)
             verified = DD.jaccard_verify(
                 pairs, docs, threshold=0.8, toks=base
@@ -385,4 +387,9 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
         )
         results[table.name] = out
         results[f"manifest:{table.name}"] = str(sum(manifest.values()))
+        # shard write materialized everything — drop the pinned
+        # token-hash/signature frames before the next table
+        from reader_spark.cache import release_pins
+
+        release_pins()
     return results

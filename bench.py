@@ -162,6 +162,7 @@ HEADLINE = [
     "join_skew_report",
     "knn_binary",
     "curation_audit",
+    "props_key_census",
 ]
 
 

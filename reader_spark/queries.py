@@ -7272,6 +7272,48 @@ FROM passed
 """.replace("{stop_sum}", _STOP_SUM)
 
 
+def props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema census: per (event_type, JSON key in
+    props) — occurrence count and the share of that event type's
+    rows carrying the key (ppm integer). The schema-drift watchdog
+    for payload columns: a key's share collapsing (or a new key
+    appearing) between runs is how producer-side contract breaks
+    surface before they corrupt downstream parsing. JSON stays
+    JVM-side (from_json -> map_keys, no Python)."""
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_type",
+        F.explode(
+            F.map_keys(F.from_json(F.col("props"), "map<string,string>"))
+        ).alias("key"),
+    )
+    per = keys.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n_with_key")
+    )
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    return per.join(tot, "event_type").select(
+        "event_type",
+        "key",
+        "n_with_key",
+        F.expr("(n_with_key * 1000000L) div n_rows").alias("share_ppm"),
+    )
+
+
+PROPS_CENSUS_SQL = """
+WITH k AS (
+  SELECT event_type, unnest(json_keys(props)) AS key FROM events
+), per AS (
+  SELECT event_type, key, count(*)::BIGINT AS n_with_key
+  FROM k GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows FROM events GROUP BY 1
+)
+SELECT event_type, key, n_with_key,
+       (n_with_key * 1000000) // n_rows AS share_ppm
+FROM per JOIN tot USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -7522,6 +7564,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "join_skew_report": (join_skew_report, JOIN_SKEW_SQL),
     "knn_binary": (knn_binary_q, KNN_BINARY_SQL),
     "curation_audit": (curation_audit, CURATION_AUDIT_SQL),
+    "props_key_census": (props_key_census, PROPS_CENSUS_SQL),
 }
 
 # Edge canonicalization (no DECIMAL/array/map/struct leaves any catalog

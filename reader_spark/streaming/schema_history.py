@@ -38,7 +38,8 @@ DDL_SKIP_RE = re.compile(
 )
 
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s*\((.*)\)\s*$",
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s*\((.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # CREATE TABLE new LIKE src — the clone DDL (CopyTableEvent,
@@ -53,7 +54,8 @@ _CREATE_LIKE_RE = re.compile(
     re.IGNORECASE,
 )
 _ALTER_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+(.*)$", re.IGNORECASE | re.DOTALL
+    r"^\s*ALTER\s+TABLE\s+(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 # Per-spec patterns (an ALTER TABLE carries comma-separated specs; the
 # reference iterates AllAlterSpecification — alter_table.go:19-93).
@@ -134,7 +136,12 @@ _RENAME_PAIR_RE = re.compile(
     re.IGNORECASE,
 )
 _DROP_TABLE_RE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?", re.IGNORECASE
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+)$", re.IGNORECASE | re.DOTALL
+)
+# one name of a (possibly multi-table) DROP list, optionally
+# db-qualified — MySQL's `DROP TABLE a, b` drops every listed table
+_DROP_NAME_RE = re.compile(
+    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?", re.IGNORECASE
 )
 
 
@@ -221,10 +228,17 @@ class SchemaAdapter:
                 return True
             return False
         m = _DROP_TABLE_RE.match(statement)
-        if m and m.group(1) in self.tables:
-            del self.tables[m.group(1)]
-            self._record(unix_ts, statement)
-            return True
+        if m:
+            mutated = False
+            for part in m.group(1).split(","):
+                nm = _DROP_NAME_RE.search(part.strip().rstrip(";"))
+                if nm and nm.group(1) in self.tables:
+                    del self.tables[nm.group(1)]
+                    mutated = True
+            if mutated:
+                self._record(unix_ts, statement)
+                return True
+            return False
         return False
 
     def _apply_alter_specs(

@@ -589,3 +589,21 @@ def test_ddl_add_multi_column_and_convert_charset():
         "ALTER TABLE t PARTITION BY HASH(x) PARTITIONS 4", 4
     ) is False
     assert len(ad.unmatched) == 1
+
+
+def test_ddl_qualified_names_and_multi_drop():
+    """db-qualified names (app.users) must resolve, and a multi-table
+    DROP list drops every listed table (both were silent no-ops
+    before r5)."""
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    ad = SchemaAdapter()
+    assert ad.apply_ddl("CREATE TABLE app.users (id int, name text)", 1)
+    assert ad.tables["users"] == ["id", "name"]
+    assert ad.apply_ddl("ALTER TABLE `app`.`users` ADD COLUMN email text", 2)
+    assert ad.tables["users"] == ["id", "name", "email"]
+    ad.apply_ddl("CREATE TABLE t2 (a int)", 3)
+    ad.apply_ddl("CREATE TABLE t3 (b int)", 4)
+    assert ad.apply_ddl("DROP TABLE IF EXISTS app.t2, t3", 5)
+    assert "t2" not in ad.tables and "t3" not in ad.tables
+    assert "users" in ad.tables

@@ -163,6 +163,8 @@ HEADLINE = [
     "knn_binary",
     "curation_audit",
     "props_key_census",
+    "split_leakage",
+    "event_path_trigrams",
 ]
 
 

@@ -7314,6 +7314,122 @@ FROM per JOIN tot USING (event_type)
 """
 
 
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination THROUGH near-duplicates: verified
+    near-dup pairs (the dedup_near_dup pipeline) whose members land
+    in different dataset_split assignments, counted per unordered
+    split pair — the leak exact-match decontamination misses (a test
+    doc's near-verbatim twin sitting in train inflates eval). The
+    diagonal is benign intra-split duplication; every off-diagonal
+    row is leaked eval signal. Run it BEFORE training; fix = split
+    by near-dup component (canonical_docs), not by raw doc id.
+
+    Scale: the pair list is the standard banded pipeline; the split
+    labeling is two broadcast joins of the md5-derived assignment
+    (computed, not stored — no second table)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    splits = CU.dataset_split(docs).select("doc_id", "split")
+    la = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    lb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    return (
+        verified.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SPLIT_LEAKAGE_SQL = _MH_CTE + """
+, vp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(ta.hs, tb.hs))::DOUBLE /
+           (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jac
+    FROM cand
+    JOIN hm ta ON ta.doc_id = doc_a
+    JOIN hm tb ON tb.doc_id = doc_b
+  ) WHERE jac >= 0.8
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.9 THEN 'train'
+              WHEN u < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+            % 1000000) / 1000000.0 AS u
+    FROM documents
+  )
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*)::BIGINT AS n_pairs
+FROM vp
+JOIN sp sa ON sa.doc_id = vp.doc_a
+JOIN sp sb ON sb.doc_id = vp.doc_b
+GROUP BY 1, 2
+"""
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining one step past the Markov matrix: the top-20
+    3-step event paths (two lead windows over per-user order),
+    ranked by frequency with deterministic tiebreaks — the
+    user-journey summary behind funnel design ("what actually
+    happens between view and purchase").
+
+    Scale: the same single user-keyed exchange serves both leads;
+    the path aggregate is |event_types|^3-bounded."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("e2").alias("step2"),
+            F.col("e3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w2 = W.orderBy(F.col("n").desc(), "step1", "step2", "step3")
+    return (
+        paths.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+EVENT_PATHS_SQL = """
+WITH p AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  SELECT step1, step2, step3, count(*)::BIGINT AS n
+  FROM p WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT step1, step2, step3, n, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, step1, step2, step3)
+            AS rank
+  FROM c
+) WHERE rank <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -7565,6 +7681,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "knn_binary": (knn_binary_q, KNN_BINARY_SQL),
     "curation_audit": (curation_audit, CURATION_AUDIT_SQL),
     "props_key_census": (props_key_census, PROPS_CENSUS_SQL),
+    "split_leakage": (split_leakage, SPLIT_LEAKAGE_SQL),
+    "event_path_trigrams": (event_path_trigrams, EVENT_PATHS_SQL),
 }
 
 # Edge canonicalization (no DECIMAL/array/map/struct leaves any catalog

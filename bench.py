@@ -165,6 +165,7 @@ HEADLINE = [
     "props_key_census",
     "split_leakage",
     "event_path_trigrams",
+    "sampled_quantiles",
 ]
 
 

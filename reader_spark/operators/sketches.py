@@ -330,3 +330,95 @@ def cms_maintainer(
         )
 
     return body
+
+
+# ---------------------------------------------------------------------------
+# bottom-k uniform sample: deterministic, mergeable -> quantile sketch
+
+
+def bottomk_sample_tiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 128,
+    salt: str = "bks",
+) -> DataFrame:
+    """Per-tile uniform value sample: for each key group, the values
+    whose md5 draw (keyed by the VALUE's row identity — here the
+    value itself plus the draw salt) ranks in the group's bottom k.
+    A bottom-k-by-uniform-hash sample is a true uniform sample of the
+    group AND merges exactly (the union's bottom k is contained in
+    the union of per-tile bottom k's — the KMV argument), so
+    per-hour/per-shard tiles roll up into exact whole-corpus samples.
+    Deterministic hashing makes tile CONTENTS oracle-checkable.
+
+    The sample is stored as (draw, value) structs sorted by draw —
+    quantiles read off the value distribution of the sample.
+
+    Scale: one groupBy whose per-group state is k structs
+    (slice(array_sort(collect_list))); at extreme group cardinality
+    swap for the bounded mapInPandas combine (misra_gries shape)."""
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("v").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    return (
+        df.select(*key_cols, F.col(value_col).alias("v"))
+        .withColumn("d", draw)
+        .distinct()  # sample distinct values: draw is value-keyed
+        .groupBy(*key_cols)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("v")))
+                ),
+                1,
+                k,
+            ).alias("sample")
+        )
+    )
+
+
+def bottomk_merge(
+    tiles: DataFrame, group_cols: list[str], k: int = 128
+) -> DataFrame:
+    """Merge sample tiles up a hierarchy: union the samples, keep the
+    global bottom k — EXACT (equals sampling the concatenated input
+    directly; property-asserted in test_sketches.py)."""
+    exploded = tiles.select(
+        *group_cols, F.explode("sample").alias("s")
+    ).distinct()
+    return exploded.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("sample")
+    )
+
+
+def quantiles_from_tiles(
+    tiles: DataFrame, probs: list[float]
+) -> DataFrame:
+    """Read quantile estimates off each tile's sample values (exact
+    percentile-with-interpolation over the k sampled values — both
+    engines interpolate linearly, so estimates are reproducible)."""
+    vals = F.expr("transform(sample, s -> s.v)")
+    out = tiles.withColumn("__vals", vals)
+    aggs = [
+        F.round(
+            F.expr(f"percentile(x, {p})"), 6
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    exploded = out.select(
+        *[c for c in tiles.columns if c != "sample"],
+        F.explode("__vals").alias("x"),
+    )
+    keys = [c for c in tiles.columns if c != "sample"]
+    return exploded.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_sampled"), *aggs
+    )

@@ -7430,6 +7430,55 @@ SELECT step1, step2, step3, n, rank FROM (
 """
 
 
+def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a mergeable bottom-k uniform sample
+    (operators/sketches.py::bottomk_sample_tiles): per event_type,
+    p50/p95 of `value` read off a k=128 deterministic sample, beside
+    the exact percentiles and the sample size — the mergeable-tile
+    quantile the warehouse stores per (hour, dimension) cell where
+    exact percentiles would need the full value stream. Completes
+    the sketch quartet (KMV distinct / CMS frequency / Misra-Gries
+    top-k / bottom-k quantiles), all deterministic and
+    value-oracle-checked."""
+    from reader_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    tiles = SK.bottomk_sample_tiles(ev, ["event_type"], "value", k=128)
+    est = SK.quantiles_from_tiles(tiles, [0.5, 0.95])
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("exact_p95"),
+    )
+    return est.join(exact, "event_type")
+
+
+SAMPLED_QUANTILES_SQL = """
+WITH dv AS (
+  SELECT DISTINCT event_type, value AS v,
+         ('0x' || substr(md5('bks:' || value::VARCHAR), 1, 15))::BIGINT AS d
+  FROM events
+), ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY d, v) AS r
+  FROM dv
+), samp AS (
+  SELECT event_type, v FROM ranked WHERE r <= 128
+), est AS (
+  SELECT event_type, count(*)::BIGINT AS n_sampled,
+         round(quantile_cont(v, 0.5), 6) AS p50,
+         round(quantile_cont(v, 0.95), 6) AS p95
+  FROM samp GROUP BY 1
+), ex AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS exact_p50,
+         round(quantile_cont(value, 0.95), 6) AS exact_p95
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, n_sampled, p50, p95, exact_p50, exact_p95
+FROM est JOIN ex ON ex.event_type = est.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -7683,6 +7732,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "props_key_census": (props_key_census, PROPS_CENSUS_SQL),
     "split_leakage": (split_leakage, SPLIT_LEAKAGE_SQL),
     "event_path_trigrams": (event_path_trigrams, EVENT_PATHS_SQL),
+    "sampled_quantiles": (sampled_quantiles, SAMPLED_QUANTILES_SQL),
 }
 
 # Edge canonicalization (no DECIMAL/array/map/struct leaves any catalog

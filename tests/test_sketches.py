@@ -212,3 +212,29 @@ def test_cms_incremental_update_equals_rebuild(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(path2).collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_bottomk_sample_merge_equals_direct(spark):
+    """Bottom-k-by-uniform-hash samples merge EXACTLY: union tiles,
+    keep global bottom k == sample the concatenated input directly
+    (the KMV containment argument), and quantile estimates agree."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import sketches as SK
+
+    a = spark.createDataFrame(
+        [("x", float(i)) for i in range(200)], "g string, value double"
+    )
+    b = spark.createDataFrame(
+        [("x", float(i)) for i in range(150, 400)], "g string, value double"
+    )
+    ta = SK.bottomk_sample_tiles(a, ["g"], "value", k=32)
+    tb = SK.bottomk_sample_tiles(b, ["g"], "value", k=32)
+    merged = SK.bottomk_merge(ta.unionByName(tb), ["g"], k=32)
+    direct = SK.bottomk_sample_tiles(
+        a.unionByName(b), ["g"], "value", k=32
+    )
+    assert merged.collect()[0]["sample"] == direct.collect()[0]["sample"]
+    qm = SK.quantiles_from_tiles(merged, [0.5]).collect()[0]
+    qd = SK.quantiles_from_tiles(direct, [0.5]).collect()[0]
+    assert qm["p50"] == qd["p50"] and qm["n_sampled"] == 32

@@ -484,3 +484,25 @@ def bm25_index_update(
         [(n, sd, sd / n)], "n_docs long, sum_dl long, avgdl double"
     ).write.mode("overwrite").parquet(f"{path}/scalars")
     return touched
+
+
+def bm25_index_maintainer(path: str, n_buckets: int = 64, text_col: str = "text"):
+    """`foreachBatch` body keeping the materialized BM25 index fresh
+    from a document STREAM — each micro-batch is a `bm25_index_update`
+    delta (append-only contract: ids must be new; see that
+    docstring). Completes the maintainer trio (IVF cells, CMS
+    counters, BM25 term buckets): every materialized index the
+    engine builds can be kept current per micro-batch.
+
+        docs.writeStream.foreachBatch(bm25_index_maintainer(path))
+            .option("checkpointLocation", ckpt).start()
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bm25_index_update(
+            batch_df.sparkSession, path, batch_df, n_buckets, text_col
+        )
+
+    return body

@@ -321,3 +321,44 @@ def test_bm25_index_update_empty_delta_is_noop(spark, tmp_path):
     RT.bm25_index_update(spark, path, blank, n_buckets=8)
     after = spark.read.parquet(f"{path}/scalars").collect()[0]
     assert after["n_docs"] == before_scalars[0]["n_docs"] + 1
+
+
+def test_bm25_index_stream_maintenance(spark, tmp_path):
+    """Document stream -> foreachBatch(bm25_index_update): after the
+    stream drains, searches equal a full rebuild over seed+delta."""
+    import json
+
+    from reader_spark.operators import retrieval as RT
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"spark scan join w{i % 5}") for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    path = str(tmp_path / "bm25s")
+    RT.bm25_index_write(mk(0, 80), path, n_buckets=8)
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    with open(src / "d.jsonl", "w") as f:
+        for i in range(80, 120):
+            f.write(json.dumps(
+                {"doc_id": i, "text": f"spark scan join w{i % 5}"}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            RT.bm25_index_maintainer(path, n_buckets=8)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bm25s"))
+        .start()
+    )
+    q.awaitTermination(90)
+    path2 = str(tmp_path / "bm25s_full")
+    RT.bm25_index_write(mk(0, 120), path2, n_buckets=8)
+    qs = [(0, "spark w3"), (1, "join scan")]
+    got = RT.bm25_topk_indexed(spark, path, qs, k=5, n_buckets=8)
+    want = RT.bm25_topk_indexed(spark, path2, qs, k=5, n_buckets=8)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -224,19 +224,40 @@ class TransferWriter:
         )
         if self.exists(table):
             base = self.read(table)
+            # Schema evolution: an attr the DDL added mid-stream
+            # exists on the delta but not in stored history (null for
+            # rows that predate it), and a dropped attr survives in
+            # history but is absent from the delta (null on new
+            # rows). Conform BOTH sides to the ordered union instead
+            # of silently projecting the new column away.
+            delta_types = dict(new_rows.dtypes)
+            base_types = dict(base.dtypes)
+            all_cols = list(base.columns) + [
+                c for c in new_rows.columns if c not in base_types
+            ]
+            for c in all_cols:
+                if c not in base_types:
+                    base = base.withColumn(
+                        c, F.lit(None).cast(delta_types[c])
+                    )
+                if c not in delta_types:
+                    new_rows = new_rows.withColumn(
+                        c, F.lit(None).cast(base_types[c])
+                    )
             closed = base.filter(F.col("eff_to").isNotNull())
             opened = base.filter(F.col("eff_to").isNull())
             now_closed = (
                 opened.drop("eff_to")
                 .join(first_seq, pk_cols)
                 .withColumnRenamed("__close", "eff_to")
-                .select(*base.columns)
+                .select(*all_cols)
             )
             still_open = opened.join(first_seq, pk_cols, "left_anti")
             merged = (
-                closed.unionByName(now_closed)
-                .unionByName(still_open)
-                .unionByName(new_rows.select(*base.columns))
+                closed.select(*all_cols)
+                .unionByName(now_closed)
+                .unionByName(still_open.select(*all_cols))
+                .unionByName(new_rows.select(*all_cols))
             )
         else:
             merged = new_rows

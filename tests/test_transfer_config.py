@@ -789,3 +789,32 @@ def test_upsert_scd2_intervals(spark, tmp_path):
     # exactly one open row per live key; deleted key has none
     open_rows = [r for r in rows if r[3] is None]
     assert {r[0] for r in open_rows} == {"A", "C"}
+
+
+def test_upsert_scd2_schema_evolution(spark, tmp_path):
+    """A mid-stream ADD COLUMN must not silently drop the new attr
+    (pre-r5b: select(*base.columns) projected it away): history rows
+    carry NULL for attrs that predate them, new rows NULL for
+    dropped attrs."""
+    from reader_spark.operators.transfer import TransferWriter
+
+    tw = TransferWriter(spark, str(tmp_path / "scd2evo"))
+    b1 = spark.createDataFrame(
+        [("A", "v1", 1, "c")],
+        "id string, val string, seq long, op string",
+    )
+    tw.upsert_scd2("t", b1, ["id"], "seq")
+    # batch 2 carries a NEW column `email`
+    b2 = spark.createDataFrame(
+        [("A", "v2", "a@x.io", 5, "u")],
+        "id string, val string, email string, seq long, op string",
+    )
+    tw.upsert_scd2("t", b2, ["id"], "seq")
+    rows = {
+        (r["eff_from"]): (r["val"], r["email"], r["eff_to"])
+        for r in tw.read("t").collect()
+    }
+    assert rows == {
+        1: ("v1", None, 5),          # history row predates the column
+        5: ("v2", "a@x.io", None),   # new attr survives
+    }

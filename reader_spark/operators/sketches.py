@@ -342,26 +342,33 @@ def bottomk_sample_tiles(
     value_col: str,
     k: int = 128,
     salt: str = "bks",
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Per-tile uniform value sample: for each key group, the values
-    whose md5 draw (keyed by the VALUE's row identity — here the
-    value itself plus the draw salt) ranks in the group's bottom k.
-    A bottom-k-by-uniform-hash sample is a true uniform sample of the
-    group AND merges exactly (the union's bottom k is contained in
-    the union of per-tile bottom k's — the KMV argument), so
-    per-hour/per-shard tiles roll up into exact whole-corpus samples.
-    Deterministic hashing makes tile CONTENTS oracle-checkable.
+    """Per-tile uniform sample: for each key group, the rows whose
+    md5 draw ranks in the group's bottom k. A bottom-k-by-uniform-
+    hash sample is a true uniform sample of the group AND merges
+    exactly (the union's bottom k is contained in the union of
+    per-tile bottom k's — the KMV argument), so per-hour/per-shard
+    tiles roll up into exact whole-corpus samples. Deterministic
+    hashing makes tile CONTENTS oracle-checkable.
+
+    With `id_col` the draw keys on ROW identity — a uniform sample
+    of the value DISTRIBUTION (what quantile estimation wants).
+    Without it the draw keys on the value itself and duplicates
+    collapse (distinct) — a sample of the value SET, the
+    distinct-weighted variant (rare values as likely as common).
 
     The sample is stored as (draw, value) structs sorted by draw —
-    quantiles read off the value distribution of the sample.
+    quantiles read off the sample's values.
 
     Scale: one groupBy whose per-group state is k structs
     (slice(array_sort(collect_list))); at extreme group cardinality
     swap for the bounded mapInPandas combine (misra_gries shape)."""
+    draw_key = F.col(id_col) if id_col else F.col("v")
     draw = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(salt + ":"), F.col("v").cast("string"))),
+                F.md5(F.concat(F.lit(salt + ":"), draw_key.cast("string"))),
                 1,
                 15,
             ),
@@ -369,20 +376,21 @@ def bottomk_sample_tiles(
             10,
         ).cast("long")
     )
-    return (
-        df.select(*key_cols, F.col(value_col).alias("v"))
-        .withColumn("d", draw)
-        .distinct()  # sample distinct values: draw is value-keyed
-        .groupBy(*key_cols)
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("d"), F.col("v")))
-                ),
-                1,
-                k,
-            ).alias("sample")
-        )
+    base = df.select(
+        *key_cols,
+        F.col(value_col).alias("v"),
+        *([F.col(id_col)] if id_col else []),
+    ).withColumn("d", draw)
+    if not id_col:
+        base = base.distinct()
+    else:
+        base = base.drop(id_col)
+    return base.groupBy(*key_cols).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("v")))),
+            1,
+            k,
+        ).alias("sample")
     )
 
 

@@ -7443,7 +7443,9 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reader_spark.operators import sketches as SK
 
     ev = _t(spark, sf_dir, "events")
-    tiles = SK.bottomk_sample_tiles(ev, ["event_type"], "value", k=128)
+    tiles = SK.bottomk_sample_tiles(
+        ev, ["event_type"], "value", k=128, id_col="event_id"
+    )
     est = SK.quantiles_from_tiles(tiles, [0.5, 0.95])
     exact = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
@@ -7454,8 +7456,8 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLED_QUANTILES_SQL = """
 WITH dv AS (
-  SELECT DISTINCT event_type, value AS v,
-         ('0x' || substr(md5('bks:' || value::VARCHAR), 1, 15))::BIGINT AS d
+  SELECT event_type, value AS v,
+         ('0x' || substr(md5('bks:' || event_id::VARCHAR), 1, 15))::BIGINT AS d
   FROM events
 ), ranked AS (
   SELECT event_type, v,

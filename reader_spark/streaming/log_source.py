@@ -58,17 +58,42 @@ class LogTailStreamReader(DataSourceStreamReader):
         # may advance, across files in sorted-name order. 0 = no cap.
         self.max_per_trigger = int(options.get("maxrecordspertrigger", 0) or 0)
         # High-water of the last offsets THIS reader handed out —
-        # the budget baseline. After a driver restart the baseline
-        # resets to the start options, which may briefly sit behind
-        # the checkpoint; partitions() treats end<=start as zero
-        # progress, so the stream just idles a trigger or two while
-        # the budget catches back up (monotone, never duplicates).
+        # the per-trigger budget baseline.
         self._last_end: dict = dict(self.start)
+        # Engine-confirmed floor: the highest per-file offsets the
+        # ENGINE has mentioned (initialOffset on a fresh start, every
+        # partitions(start, end) range, every commit(end)). Offsets
+        # returned by latestOffset() must never sit below this —
+        # otherwise a regressed end lands in the offset log and the
+        # NEXT batch's start regresses with it, re-delivering records
+        # that were committed before a driver restart (the reference's
+        # write-then-commit contract, writers/writer.go:44-50, forbids
+        # exactly that). Until the engine tells us anything
+        # (_floor_known=False: restart from a checkpoint this reader
+        # can't see), the cap is skipped for one trigger — the only
+        # value that is provably >= any checkpoint of an append-only
+        # log is the current file length.
+        self._floor: dict = {}
+        self._floor_known = False
 
     # -- offset management (engine checkpoints these dicts) --
 
     def initialOffset(self) -> dict:
+        # Only called when no checkpoint exists (fresh start): the
+        # start options ARE the engine's position — a known floor.
+        self._floor = dict(self.start)
+        self._floor_known = True
         return dict(self.start)
+
+    def _observe_engine(self, *offsets: dict) -> None:
+        for off in offsets:
+            for name, n in off.items():
+                n = int(n)
+                if n > int(self._floor.get(name, 0)):
+                    self._floor[name] = n
+                if n > int(self._last_end.get(name, 0)):
+                    self._last_end[name] = n
+        self._floor_known = True
 
     def latestOffset(self) -> dict:
         offsets = {}
@@ -78,12 +103,23 @@ class LogTailStreamReader(DataSourceStreamReader):
                 if name.endswith((".json", ".jsonl")) and os.path.isfile(fp):
                     with open(fp) as f:
                         offsets[name] = sum(1 for _ in f)
-        if not self.max_per_trigger:
+        if not self.max_per_trigger or not self._floor_known:
+            # No cap, or first trigger after a restart whose
+            # checkpoint we can't see: full lengths are the only
+            # offsets guaranteed not to regress. At-least-once is
+            # preserved; the cap resumes next trigger.
+            self._last_end = {
+                k: max(int(v), int(self._last_end.get(k, 0)))
+                for k, v in offsets.items()
+            }
             return offsets
         budget = self.max_per_trigger
         capped: dict = {}
         for name in sorted(offsets):
-            have = int(self._last_end.get(name, 0))
+            have = max(
+                int(self._last_end.get(name, 0)),
+                int(self._floor.get(name, 0)),
+            )
             avail = int(offsets[name]) - have
             take = max(0, min(avail, budget))
             capped[name] = have + take
@@ -92,6 +128,10 @@ class LogTailStreamReader(DataSourceStreamReader):
         return capped
 
     def partitions(self, start: dict, end: dict) -> list[FileSlice]:
+        # Both bounds are engine-provided (offset log / checkpoint):
+        # raise the floor before planning, so a post-restart
+        # latestOffset can never hand out offsets behind them.
+        self._observe_engine(start, end)
         parts = []
         for name, end_n in end.items():
             start_n = int(start.get(name, 0))
@@ -119,9 +159,10 @@ class LogTailStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # Write-then-commit: the engine calls this after the sink
-        # batch succeeds; nothing to do for files (a real binlog
-        # client would ACK/advance its server-side position here).
-        pass
+        # batch succeeds; a real binlog client would ACK/advance its
+        # server-side position here. Committed offsets are the
+        # strongest floor we can learn from the engine.
+        self._observe_engine(end)
 
 
 class LogTailDataSource(DataSource):

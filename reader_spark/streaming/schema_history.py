@@ -37,9 +37,17 @@ DDL_SKIP_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Database qualifiers are CAPTURED everywhere a table can be named:
+# a statement naming a different database than the replicated one
+# must be a no-op on this registry (the reference drops events for
+# non-replicated schemas — ShouldReplicate,
+# sources/mysql/streaming/dml.go:24-40). `ALTER TABLE otherdb.users
+# DROP COLUMN c` corrupting the replicated `app.users` column list
+# would poison every later positional binlog decode.
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s*\((.*)\)\s*$",
+    r"(?:[`\"]?(?P<db>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<tbl>\w+)[`\"]?"
+    r"\s*\((?P<cols>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # CREATE TABLE new LIKE src — the clone DDL (CopyTableEvent,
@@ -49,12 +57,14 @@ _CREATE_RE = re.compile(
 # matches the column-list shape and would mis-parse as a column "LIKE".
 _CREATE_LIKE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s*"
-    r"\(?\s*LIKE\s+(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s*\)?\s*;?\s*$",
+    r"(?:[`\"]?(?P<db>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<tbl>\w+)[`\"]?\s*"
+    r"\(?\s*LIKE\s+(?:[`\"]?(?P<sdb>\w+)[`\"]?\s*\.\s*)?"
+    r"[`\"]?(?P<src>\w+)[`\"]?\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s+(.*)$",
+    r"^\s*ALTER\s+TABLE\s+(?:[`\"]?(?P<db>\w+)[`\"]?\s*\.\s*)?"
+    r"[`\"]?(?P<tbl>\w+)[`\"]?\s+(?P<specs>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 # Per-spec patterns (an ALTER TABLE carries comma-separated specs; the
@@ -131,8 +141,8 @@ _RENAME_TABLE_RE = re.compile(
 # MySQL executes the pairs left to right in one atomic statement
 # (RenameTableContext covers the full list in the reference grammar)
 _RENAME_PAIR_RE = re.compile(
-    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?\s+TO\s+"
-    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?",
+    r"(?:[`\"]?(?P<odb>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<old>\w+)[`\"]?\s+TO\s+"
+    r"(?:[`\"]?(?P<ndb>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<new>\w+)[`\"]?",
     re.IGNORECASE,
 )
 _DROP_TABLE_RE = re.compile(
@@ -141,7 +151,8 @@ _DROP_TABLE_RE = re.compile(
 # one name of a (possibly multi-table) DROP list, optionally
 # db-qualified — MySQL's `DROP TABLE a, b` drops every listed table
 _DROP_NAME_RE = re.compile(
-    r"(?:[`\"]?\w+[`\"]?\s*\.\s*)?[`\"]?(\w+)[`\"]?", re.IGNORECASE
+    r"(?:[`\"]?(?P<db>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<tbl>\w+)[`\"]?",
+    re.IGNORECASE,
 )
 
 
@@ -155,6 +166,12 @@ class SchemaAdapter:
 
     tables: dict[str, list[str]] = field(default_factory=dict)
     history: list[dict] = field(default_factory=list)
+    # The database this registry mirrors. When set, DDL whose table
+    # names carry a qualifier for a DIFFERENT database is a no-op
+    # (the reference's ShouldReplicate gate, dml.go:24-40); None
+    # keeps the permissive single-database behavior for callers that
+    # pre-filter.
+    database: str | None = None
     # DDL statements against a REPLICATED table that matched no
     # dispatcher rule (e.g. `ALTER TABLE t PARTITION BY ...`,
     # `ALTER TABLE t CONVERT TO CHARACTER SET ...`). The reference's
@@ -165,25 +182,44 @@ class SchemaAdapter:
     # missed schema mutation corrupts every later positional decode.
     unmatched: list[dict] = field(default_factory=list)
 
+    def _foreign(self, qualifier: str | None) -> bool:
+        """A db qualifier names a different database than the one
+        this registry mirrors (only decidable when both are known)."""
+        return (
+            qualifier is not None
+            and self.database is not None
+            and qualifier != self.database
+        )
+
     def apply_ddl(self, statement: str, unix_ts: int) -> bool:
-        """Returns True if the statement mutated the schema."""
+        """Returns True if the statement mutated the schema.
+
+        Statements whose table names are qualified with a database
+        other than `self.database` never mutate the registry — they
+        belong to a schema this pipeline does not replicate
+        (ShouldReplicate, sources/mysql/streaming/dml.go:24-40)."""
         if DDL_SKIP_RE.search(statement):
             return False
         m = _CREATE_LIKE_RE.match(statement)
         if m:
+            if self._foreign(m.group("db")):
+                return False
             # Clone the source table's column list (the reference
             # errors on an unknown source — ddl.go:79-91; the
-            # dispatcher's tolerant convention is to not mutate).
-            if m.group(2) not in self.tables:
+            # dispatcher's tolerant convention is to not mutate). A
+            # source in another database is equally unknown here.
+            if self._foreign(m.group("sdb")) or m.group("src") not in self.tables:
                 return False
-            self.tables[m.group(1)] = list(self.tables[m.group(2)])
+            self.tables[m.group("tbl")] = list(self.tables[m.group("src")])
             self._record(unix_ts, statement)
             return True
         m = _CREATE_RE.match(statement)
         if m:
+            if self._foreign(m.group("db")):
+                return False
             cols = []
             depth = 0
-            for part in re.split(r",", m.group(2)):
+            for part in re.split(r",", m.group("cols")):
                 if depth == 0:
                     name = part.strip().split()[0].strip('`"')
                     if name.upper() not in (
@@ -191,20 +227,24 @@ class SchemaAdapter:
                     ):
                         cols.append(name)
                 depth += part.count("(") - part.count(")")
-            self.tables[m.group(1)] = cols
+            self.tables[m.group("tbl")] = cols
             self._record(unix_ts, statement)
             return True
         m = _ALTER_RE.match(statement)
-        if m and m.group(1) in self.tables:
+        if m:
+            if self._foreign(m.group("db")):
+                return False
+            if m.group("tbl") not in self.tables:
+                return False
             mutated, unrecognized = self._apply_alter_specs(
-                m.group(1), m.group(2)
+                m.group("tbl"), m.group("specs")
             )
             if unrecognized:
                 self.unmatched.append(
                     {
                         "unix_ts": unix_ts,
                         "statement": statement,
-                        "table": m.group(1),
+                        "table": m.group("tbl"),
                         "reason": "unrecognized ALTER spec(s): "
                         + "; ".join(unrecognized),
                     }
@@ -219,10 +259,19 @@ class SchemaAdapter:
             # (MySQL semantics: `RENAME TABLE a TO tmp, b TO a, tmp
             # TO b` swaps a and b atomically)
             mutated = False
-            for old, new in _RENAME_PAIR_RE.findall(m.group(1)):
-                if old in self.tables:
-                    self.tables[new] = self.tables.pop(old)
-                    mutated = True
+            for pm in _RENAME_PAIR_RE.finditer(m.group(1)):
+                if self._foreign(pm.group("odb")):
+                    continue
+                old = pm.group("old")
+                if old not in self.tables:
+                    continue
+                if self._foreign(pm.group("ndb")):
+                    # renamed OUT of the replicated database: the
+                    # table leaves this registry
+                    del self.tables[old]
+                else:
+                    self.tables[pm.group("new")] = self.tables.pop(old)
+                mutated = True
             if mutated:
                 self._record(unix_ts, statement)
                 return True
@@ -232,8 +281,12 @@ class SchemaAdapter:
             mutated = False
             for part in m.group(1).split(","):
                 nm = _DROP_NAME_RE.search(part.strip().rstrip(";"))
-                if nm and nm.group(1) in self.tables:
-                    del self.tables[nm.group(1)]
+                if (
+                    nm
+                    and not self._foreign(nm.group("db"))
+                    and nm.group("tbl") in self.tables
+                ):
+                    del self.tables[nm.group("tbl")]
                     mutated = True
             if mutated:
                 self._record(unix_ts, statement)

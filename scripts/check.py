@@ -50,6 +50,38 @@ def rows_key(rows, cols):
     ), [cols[i] for i in order]
 
 
+def spark_kind(dt) -> str:
+    """Collapse a Spark dtype to 'i' (integer), 'f' (float), or 'o'."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if s in ("float", "double"):
+        return "f"
+    return "o"
+
+
+def dtype_mismatches(sdf, duck_df):
+    """int-vs-float disagreements between the Spark schema and DuckDB's
+    fetchdf() dtypes — the class behind every driver red since r4
+    (HUGEINT aggregates -> float64). A duck float column WITH NaNs is
+    pandas null-promotion and exempt (the driver sees the same
+    promotion on the Spark side for nullable ints)."""
+    duck_by_name = {c.lower(): c for c in duck_df.columns}
+    bad = []
+    for f in sdf.schema.fields:
+        dc = duck_by_name.get(f.name.lower())
+        if dc is None:
+            continue
+        sk = spark_kind(f.dataType)
+        k = duck_df[dc].dtype.kind
+        dk = "i" if k in ("i", "u") else ("f" if k == "f" else "o")
+        if sk == "i" and dk == "f" and not duck_df[dc].isna().any():
+            bad.append(f"{f.name}: spark int vs duck float (no nulls)")
+        elif sk == "f" and dk == "i":
+            bad.append(f"{f.name}: spark float vs duck int")
+    return bad
+
+
 def approx_equal(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -100,6 +132,7 @@ def main():
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            duck_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -109,6 +142,10 @@ def main():
         ok = True
         if [c.lower() for c in scols_sorted] != [c.lower() for c in dcols_sorted]:
             print(f"FAIL {name}: columns spark={scols_sorted} duck={dcols_sorted}")
+            ok = False
+        bad_dtypes = dtype_mismatches(sdf, duck_df)
+        if bad_dtypes:
+            print(f"FAIL {name}: dtype parity: {'; '.join(bad_dtypes)}")
             ok = False
         elif len(sk) != len(dk):
             print(f"FAIL {name}: rowcount spark={len(sk)} duck={len(dk)}")

@@ -404,10 +404,14 @@ def test_streaming_merge_scd2_history(spark, tmp_path):
     q2 = run_pipeline_merge(spark, str(log), dest, ck, "app", ["users"],
                             adapter, scd2=True)
     q2.awaitTermination(90)
+    from reader_spark.operators import atomic_dir
+
     rows = sorted(
         (r["id"], r["name"], int(r["eff_from"]),
          None if r["eff_to"] is None else int(r["eff_to"]))
-        for r in spark.read.parquet(f"{dest}/users").collect()
+        for r in spark.read.parquet(
+            atomic_dir.resolve(f"{dest}/users")  # SCD2 sink is pointer-published
+        ).collect()
     )
     assert rows == [
         ("1", "ada", 2, 4),

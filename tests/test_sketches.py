@@ -184,7 +184,7 @@ def test_cms_incremental_update_equals_rebuild(spark, tmp_path):
     SK.cms_tiles_update(spark, path, toks(d1), width=32, depth=3)
     SK.cms_tiles_update(spark, path, toks(d2), width=32, depth=3)
     direct = SK.count_min_tiles(toks(seed + d1 + d2), width=32, depth=3)
-    assert sorted(map(tuple, spark.read.parquet(path).collect())) == sorted(
+    assert sorted(map(tuple, SK.cms_tiles_read(spark, path).collect())) == sorted(
         map(tuple, direct.collect())
     )
 
@@ -209,7 +209,7 @@ def test_cms_incremental_update_equals_rebuild(spark, tmp_path):
         .start()
     )
     q.awaitTermination(90)
-    assert sorted(map(tuple, spark.read.parquet(path2).collect())) == sorted(
+    assert sorted(map(tuple, SK.cms_tiles_read(spark, path2).collect())) == sorted(
         map(tuple, direct.collect())
     )
 

@@ -123,6 +123,81 @@ def test_schema_adapter_ddl_sequence(tmp_path):
     assert len(sa2.history) == 5
 
 
+def test_schema_adapter_foreign_database_is_noop():
+    """DDL qualified with ANOTHER database must never mutate the
+    replicated registry (reference ShouldReplicate, sources/mysql/
+    streaming/dml.go:24-40): `ALTER TABLE otherdb.users DROP COLUMN`
+    corrupting app.users would poison every later positional decode."""
+    sa = SchemaAdapter(database="app")
+    assert sa.apply_ddl("CREATE TABLE users (id int, name text, c int)", 100)
+    snap = list(sa.tables["users"])
+
+    # every mutating statement shape, aimed at otherdb
+    assert not sa.apply_ddl(
+        "ALTER TABLE otherdb.users DROP COLUMN c", 200
+    )
+    assert not sa.apply_ddl(
+        "ALTER TABLE `otherdb`.`users` ADD COLUMN z int", 210
+    )
+    assert not sa.apply_ddl(
+        "CREATE TABLE otherdb.users (a int, b int)", 220
+    )
+    assert not sa.apply_ddl("DROP TABLE otherdb.users", 230)
+    assert not sa.apply_ddl(
+        "RENAME TABLE otherdb.users TO otherdb.users2", 240
+    )
+    assert not sa.apply_ddl(
+        "CREATE TABLE users_copy LIKE otherdb.users", 250
+    )
+    assert sa.tables == {"users": snap}
+    assert len(sa.history) == 1
+    assert not sa.unmatched  # foreign DDL is dropped, not quarantined
+
+    # same-db qualified statements still apply
+    assert sa.apply_ddl("ALTER TABLE app.users DROP COLUMN c", 300)
+    assert sa.tables["users"] == ["id", "name"]
+    assert sa.apply_ddl("ALTER TABLE `app`.users ADD COLUMN e text", 310)
+    assert sa.tables["users"] == ["id", "name", "e"]
+
+    # rename OUT of the replicated database: the table leaves
+    assert sa.apply_ddl("RENAME TABLE app.users TO otherdb.users", 400)
+    assert "users" not in sa.tables
+
+    # a database-less adapter keeps the permissive legacy behavior
+    sb = SchemaAdapter()
+    sb.apply_ddl("CREATE TABLE t (id int, v int)", 100)
+    assert sb.apply_ddl("ALTER TABLE anydb.t DROP COLUMN v", 200)
+    assert sb.tables["t"] == ["id"]
+
+
+def test_process_batch_filters_foreign_ddl_rows(spark, tmp_path):
+    """The foreachBatch body drops DDL rows whose binlog schema
+    context is another database — same row-level gate DML already
+    has (plans/cdc_mysql.py)."""
+    from reader_spark.plans.cdc_mysql import process_batch
+
+    rows = [
+        (1, 100, "app", "users", "ddl", None,
+         "CREATE TABLE users (id int, name text)", None, None, "s1", 1),
+        (2, 200, "otherdb", "users", "ddl", None,
+         "ALTER TABLE users DROP COLUMN name", None, None, "s1", 2),
+        (3, 300, "app", "users", "dml", "c",
+         None, None, '{"id": 1, "name": "ada"}', "s1", 3),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "seq long, ts_ms long, db string, tbl string, kind string,"
+        " op string, statement string, before string, after string,"
+        " gtid_sid string, gtid_tx long",
+    )
+    sa = SchemaAdapter()
+    out = process_batch(batch, sa, "app", ["users"])
+    assert sa.database == "app"
+    # otherdb's session-context DDL was dropped at the row gate
+    assert sa.tables["users"] == ["id", "name"]
+    assert out["users"].count() == 1
+
+
 def test_schema_adapter_modify_change_columns(tmp_path):
     # MySQL's most common type-evolution statements (MODIFY / CHANGE,
     # lib/antlr/alter_table.go:53-93): type changes cut a new version,
@@ -415,8 +490,14 @@ def test_maintain_rollup_incremental_matches_batch(spark, tmp_path):
         {"ts": "2024-01-01T00:20:00", "event_type": "a", "value": 2.0},
         {"ts": "2024-01-01T01:05:00", "event_type": "b", "value": 3.0},
     ])
+    from reader_spark.operators import atomic_dir
+
+    def read_rollup():
+        # the rollup sink upserts via the pointer-flip publish
+        return spark.read.parquet(atomic_dir.resolve(f"{dest}/rollup"))
+
     run()
-    got = sorted(map(tuple, spark.read.parquet(f"{dest}/rollup")
+    got = sorted(map(tuple, read_rollup()
                  .select("window_start", "event_type", "n", "total_value")
                  .collect()))
     assert got == batch_recompute()
@@ -427,7 +508,7 @@ def test_maintain_rollup_incremental_matches_batch(spark, tmp_path):
         {"ts": "2024-01-01T02:15:00", "event_type": "c", "value": 5.0},
     ])
     run()
-    got2 = sorted(map(tuple, spark.read.parquet(f"{dest}/rollup")
+    got2 = sorted(map(tuple, read_rollup()
                   .select("window_start", "event_type", "n", "total_value")
                   .collect()))
     assert got2 == batch_recompute()

@@ -10,8 +10,10 @@ Reference behavior:
 Spark-first: Append = mode("append") write; Merge = MERGE INTO when a
 Delta/Iceberg catalog exists — this container has neither, so
 `upsert_parquet` emulates MERGE with anti-join + union (the canonical
-pre-Delta pattern), swapping the snapshot atomically via a staging
-directory. At 100 TB the emulation is replaced by Delta MERGE (one
+pre-Delta pattern), publishing the new snapshot via an atomic
+pointer-file flip (operators/atomic_dir.py — readers never see a
+missing or partial dataset, crashes leave the previous snapshot
+live). At 100 TB the emulation is replaced by Delta MERGE (one
 config switch in TransferWriter); the dedupe window and the
 change-event application logic are identical either way.
 """
@@ -25,6 +27,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reader_spark.operators import atomic_dir
 from reader_spark.plans.snapshot import transfer_dedupe
 
 
@@ -65,14 +68,20 @@ class TransferWriter:
     def _path(self, table: str) -> str:
         return os.path.join(self.base_dir, table)
 
+    def _data_root(self, table: str) -> str:
+        """Where the table's live files are: the pointer-published
+        version dir for tables that have been through a full-rewrite
+        verb (upsert/scd2/compact), else the bare table dir."""
+        return atomic_dir.resolve(self._path(table))
+
     def exists(self, table: str) -> bool:
         return os.path.isdir(self._path(table))
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+        return self.spark.read.parquet(self._data_root(table))
 
     def append(self, table: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self._path(table))
+        df.write.mode("append").parquet(self._data_root(table))
 
     def truncate_for_backfill(self, table: str) -> None:
         """Pre-backfill truncate/drop (writer.go:310-327)."""
@@ -91,10 +100,11 @@ class TransferWriter:
         seq_col: str,
         op_col: str = "op",
     ) -> None:
-        """MERGE emulation with atomic snapshot swap. The staging
-        write + rename keeps readers consistent (a Delta MERGE makes
-        this transactional for real)."""
-        path = self._path(table)
+        """MERGE emulation with an atomic pointer-flip publish
+        (operators/atomic_dir.py): readers always resolve to a
+        complete snapshot, and a crash mid-publish leaves the
+        previous snapshot live (a Delta MERGE makes this
+        transactional for real)."""
         if not self.exists(table):
             base = changes.select(
                 *[c for c in changes.columns if c not in (op_col, seq_col)]
@@ -102,13 +112,10 @@ class TransferWriter:
         else:
             base = self.read(table)
         merged = apply_changes(base, changes, pk_cols, seq_col, op_col)
-        staging = path + ".staging-" + uuid.uuid4().hex[:8]
-        merged.write.mode("overwrite").parquet(staging)
-        old = path + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.isdir(path):
-            os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+        atomic_dir.publish(
+            self._path(table),
+            lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+        )
 
     def upsert_bucketed(
         self,
@@ -131,7 +138,10 @@ class TransferWriter:
         the list of bucket ids rewritten."""
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets))
         changes = changes.withColumn("bucket", bucket.cast("int"))
-        path = self._path(table)
+        # per-bucket swaps happen under the LIVE data root — the
+        # pointer-published version dir if a full-rewrite verb
+        # (compact/upsert) converted this table's layout
+        path = self._data_root(table)
         if not self.exists(table):
             term = latest_changes(changes, pk_cols, seq_col)
             first = term.filter(F.col(op_col) != "d").drop(op_col, seq_col)
@@ -195,7 +205,7 @@ class TransferWriter:
         - untouched keys' rows are carried through byte-identical.
 
         The warehouse analogue of `queries.scd2_user_state`, on the
-        same atomic staging + rename swap as `upsert`. At-least-once
+        same atomic pointer-flip publish as `upsert`. At-least-once
         streams must dedupe replayed positions upstream (the GTID
         gate) — a replayed batch would re-close already-closed
         intervals. Scale: the merge reads the table once; at the
@@ -261,13 +271,10 @@ class TransferWriter:
             )
         else:
             merged = new_rows
-        staging = path + ".staging-" + uuid.uuid4().hex[:8]
-        merged.write.mode("overwrite").parquet(staging)
-        old = path + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.isdir(path):
-            os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+        atomic_dir.publish(
+            path,
+            lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+        )
 
     def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
         """Small-files compaction: every CDC upsert / append round
@@ -276,26 +283,44 @@ class TransferWriter:
         before it is IO-bound. Rewrite the table into
         ceil(total_bytes / target_bytes) files (round-robin
         repartition — parquet re-encodes, so output sizes track row
-        counts) behind the same staging + atomic-rename swap the
-        upsert path uses. Returns the new file count."""
+        counts) behind the same pointer-flip publish the upsert path
+        uses. Returns the new file count."""
         import math
 
-        path = self._path(table)
+        root = self._data_root(table)
         files = [
             os.path.join(dp, f)
-            for dp, _dn, fns in os.walk(path)
+            for dp, _dn, fns in os.walk(root)
             for f in fns
             if f.endswith(".parquet")
         ]
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total / target_bytes))
-        df = self.spark.read.parquet(path).repartition(n_out)
-        staging = path + ".staging-" + uuid.uuid4().hex[:8]
-        df.write.mode("overwrite").parquet(staging)
-        old = path + ".old-" + uuid.uuid4().hex[:8]
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+        # preserve a key=value directory layout (bucketed tables):
+        # the rewrite must keep the partition dirs or later
+        # partition-pruned merges would find a flat table
+        part_keys = sorted(
+            {
+                d.split("=", 1)[0]
+                for d in os.listdir(root)
+                if "=" in d and os.path.isdir(os.path.join(root, d))
+            }
+        )
+        df = self.spark.read.parquet(root)
+        if part_keys:
+            df = df.repartition(n_out, *part_keys)
+            atomic_dir.publish(
+                self._path(table),
+                lambda vdir: df.write.mode("overwrite")
+                .partitionBy(*part_keys)
+                .parquet(vdir),
+            )
+        else:
+            df = df.repartition(n_out)
+            atomic_dir.publish(
+                self._path(table),
+                lambda vdir: df.write.mode("overwrite").parquet(vdir),
+            )
         return n_out
 
 

@@ -298,6 +298,175 @@ def r4d_mode(copies: int) -> None:
     )
 
 
+def _shuffle_bytes(spark) -> int:
+    """Total shuffle-write bytes of completed stages, via the UI REST
+    API (the probe session enables spark.ui). -1 if unavailable."""
+    import json as _json
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete"
+        ) as r:
+            stages = _json.load(r)
+        return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+    except Exception:
+        return -1
+
+
+def r7_mode(copies: int) -> None:
+    """Round-7 100x probes (brief target; earlier rounds stopped at
+    10x/20x): the near-dup pipeline end-to-end, IVFxSQ8 search over a
+    MATERIALIZED index (build timed separately — it is the one-time
+    ingest cost), and BM25 search-only over a materialized index.
+    Prints wall time + shuffle-write bytes per stage so the 'plans
+    stay bounded' claim is evidenced, not asserted."""
+    docs_path = build(copies)
+    emb_path = build_emb(copies)
+
+    import pyspark.sql.functions as F
+
+    from reader_spark import queries as Q
+    from reader_spark.operators import dedup as DD
+    from reader_spark.operators import retrieval as RT
+    from reader_spark.operators import similarity as SIM
+    from reader_spark.session import get_spark
+
+    spark = get_spark("scale_r7", extra_conf={"spark.ui.enabled": "true"})
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    print(f"corpus: {docs.count()} docs, {emb.count()} vectors ({copies}x)")
+
+    last = [_shuffle_bytes(spark)]
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        sb = _shuffle_bytes(spark)
+        delta = sb - last[0] if sb >= 0 and last[0] >= 0 else -1
+        last[0] = sb
+        print(f"{name}: {wall:.2f}s  shuffle_write={delta / 1e6:.1f}MB")
+        return out
+
+    # -- near-dup dedup, full pipeline (pair volume grows linearly
+    # with copies: disjoint per-copy vocabularies)
+    base = DD.token_hashes(docs).persist()
+    timed("token_hashes", base.count)
+    sigs = DD.minhash_signature(
+        base, num_hashes=Q._MH_K, hashes_col="toks"
+    ).persist()
+    timed("signatures", sigs.count)
+    pairs = DD.lsh_candidate_pairs(
+        sigs, num_hashes=Q._MH_K, band_size=Q._MH_BAND
+    )
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    nv = timed("lsh+jaccard_verify", verified.count)
+    print(f"  verified pairs: {nv}")
+    base.unpersist()
+    sigs.unpersist()
+
+    # -- IVF over a materialized index: build once (ingest), search
+    # reads ONLY probed cells (partition pruning)
+    idx = os.path.join(TMP, f"ivf_idx_x{copies}")
+    model = timed("ivf_fit (16 clusters)", lambda: SIM.ivf_fit(emb, 16))
+    timed(
+        "ivf_index_write (one-time ingest)",
+        lambda: SIM.ivf_index_write(emb, idx, model),
+    )
+    probes = emb.limit(20)
+    timed(
+        "knn_ivf_indexed SEARCH-ONLY (20 queries, nprobe=2)",
+        lambda: SIM.knn_ivf_indexed(spark, idx, probes, k=5, nprobe=2)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    # -- BM25 over a materialized index: build once, search touches
+    # only the probed term buckets
+    bidx = os.path.join(TMP, f"bm25_idx_x{copies}")
+    timed(
+        "bm25_index_write (one-time ingest)",
+        lambda: RT.bm25_index_write(docs, bidx, n_buckets=64),
+    )
+    timed(
+        "bm25_topk_indexed SEARCH-ONLY (3 queries)",
+        lambda: RT.bm25_topk_indexed(
+            spark, bidx,
+            [(0, "table merge"), (1, "fast row scan"), (2, "index")],
+            k=10, n_buckets=64,
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
+
+def cdc_mode(rows: int) -> None:
+    """Composed CDC pipeline throughput (the 2x-vs-baseline gate made
+    non-vacuous): logtail stream -> DDL apply -> positional decode ->
+    envelope -> parquet publish, measured as sustained DML rows/sec.
+    The reference's operational envelope is 5,000-row chunks /
+    2,500-msg publishes / 10 s batch deadline (BASELINE.md) — i.e. it
+    is sized for hundreds-to-thousands of rows/sec per worker."""
+    import json as _json
+    import shutil
+
+    from reader_spark.plans.cdc_mysql import run_pipeline
+    from reader_spark.session import get_spark
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    work = os.path.join(TMP, f"cdc_{rows}")
+    shutil.rmtree(work, ignore_errors=True)
+    log = os.path.join(work, "log")
+    os.makedirs(log)
+    n_shards = 8
+    ddl = {
+        "seq": 0, "ts_ms": 0, "db": "app", "tbl": "users", "kind": "ddl",
+        "op": None, "gtid_sid": "s0", "gtid_tx": 0,
+        "statement": "CREATE TABLE users (id int, name text, email text)",
+        "before": None, "after": None,
+    }
+    handles = [
+        open(os.path.join(log, f"shard{i}.jsonl"), "w")
+        for i in range(n_shards)
+    ]
+    handles[0].write(_json.dumps(ddl) + "\n")
+    t0 = time.perf_counter()
+    for i in range(1, rows + 1):
+        op = "c" if i % 3 else "u"
+        after = f'{{\\"id\\": {i}, \\"name\\": \\"user{i}\\", \\"email\\": \\"u{i}@x.io\\"}}'
+        bfrag = (
+            f'"{{\\"id\\": {i}, \\"name\\": \\"old{i}\\", \\"email\\": null}}"'
+            if op == "u" else "null"
+        )
+        handles[i % n_shards].write(
+            f'{{"seq": {i}, "ts_ms": {i * 10}, "db": "app", "tbl": "users",'
+            f' "kind": "dml", "op": "{op}", "gtid_sid": "s{i % 4}",'
+            f' "gtid_tx": {i}, "statement": null,'
+            f' "before": {bfrag}, "after": "{after}"}}\n'
+        )
+    for h in handles:
+        h.close()
+    print(f"generated {rows} DML rows in {time.perf_counter() - t0:.1f}s")
+
+    spark = get_spark("scale_cdc")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    sink = os.path.join(work, "sink")
+    ck = os.path.join(work, "ck")
+    t0 = time.perf_counter()
+    q = run_pipeline(
+        spark, log, sink, ck, "app", ["users"], SchemaAdapter()
+    )
+    q.awaitTermination(1800)
+    wall = time.perf_counter() - t0
+    n_out = spark.read.parquet(os.path.join(sink, "users")).count()
+    print(
+        f"CDC pipeline: {rows} DML rows -> {n_out} envelopes in "
+        f"{wall:.1f}s = {rows / wall:,.0f} rows/sec sustained"
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "tpch":
         tpch_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
@@ -310,6 +479,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "r4d":
         r4d_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r7":
+        r7_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "cdc":
+        cdc_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
         return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     path = build(copies)

@@ -137,9 +137,14 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     import os
 
     def parquet_files():
+        # count the files a reader actually touches: the LIVE data
+        # root (the pointer-flip publish keeps the displaced version
+        # around for one publish by design)
+        from reader_spark.operators import atomic_dir
+
         return [
             os.path.join(dp, f)
-            for dp, _d, fs in os.walk(str(tmp_path / "t"))
+            for dp, _d, fs in os.walk(atomic_dir.resolve(str(tmp_path / "t")))
             for f in fs
             if f.endswith(".parquet")
         ]

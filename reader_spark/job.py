@@ -196,6 +196,8 @@ def _run_streaming(spark: SparkSession, settings: Settings) -> dict[str, str]:
             n_buckets=int(dest.options.get("n_buckets", 16)),
             scd2=str(dest.options.get("scd2", "")).lower()
             in ("1", "true", "yes"),
+            scd2_bucketed=str(dest.options.get("scd2_bucketed", "")).lower()
+            in ("1", "true", "yes"),
         )
     else:
         q = run_pipeline(

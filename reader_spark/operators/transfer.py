@@ -169,6 +169,14 @@ class TransferWriter:
         merged.repartition(max(1, len(touched)), "bucket").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(staging)
+        self._swap_buckets(path, staging, touched)
+        return touched
+
+    @staticmethod
+    def _swap_buckets(path: str, staging: str, touched: list[int]) -> None:
+        """Swap the touched bucket directories from `staging` into the
+        live layout (per-bucket dir rename — the partition-overwrite
+        analogue; untouched bucket dirs are never listed or moved)."""
         for b in touched:
             src = os.path.join(staging, f"bucket={b}")
             dst = os.path.join(path, f"bucket={b}")
@@ -181,20 +189,16 @@ class TransferWriter:
                 os.makedirs(dst, exist_ok=True)  # bucket emptied by deletes
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
-        return touched
 
-    def upsert_scd2(
-        self,
-        table: str,
+    @staticmethod
+    def _scd2_merge(
+        base: DataFrame | None,
         changes: DataFrame,
         pk_cols: list[str],
         seq_col: str,
-        op_col: str = "op",
-    ) -> None:
-        """History-preserving MERGE (type-2 SCD): instead of
-        replacing a changed key's row, the sink keeps every version
-        as a validity interval [eff_from, eff_to), with the live
-        version open (eff_to NULL). Per micro-batch:
+        op_col: str,
+    ) -> DataFrame:
+        """The SCD2 interval-chaining MERGE, independent of layout:
 
         - each change row opens an interval at its own seq and is
           closed by the key's NEXT change in the same batch (a lead
@@ -204,16 +208,12 @@ class TransferWriter:
           delta seq;
         - untouched keys' rows are carried through byte-identical.
 
-        The warehouse analogue of `queries.scd2_user_state`, on the
-        same atomic pointer-flip publish as `upsert`. At-least-once
-        streams must dedupe replayed positions upstream (the GTID
-        gate) — a replayed batch would re-close already-closed
-        intervals. Scale: the merge reads the table once; at the
-        100 TB tier lay the sink out like `upsert_bucketed` and
-        rewrite only buckets containing changed keys."""
+        `base` is the stored history visible to this merge (the whole
+        table, or just the touched buckets — a key's entire history
+        lives in one bucket, so the chaining is complete either
+        way)."""
         from pyspark.sql import Window as W
 
-        path = self._path(table)
         attr_cols = [
             c
             for c in changes.columns
@@ -229,52 +229,124 @@ class TransferWriter:
             F.col(seq_col).alias("eff_from"),
             F.col("__next").alias("eff_to"),
         )
+        if base is None:
+            return new_rows
         first_seq = changes.groupBy(*pk_cols).agg(
             F.min(seq_col).alias("__close")
         )
-        if self.exists(table):
-            base = self.read(table)
-            # Schema evolution: an attr the DDL added mid-stream
-            # exists on the delta but not in stored history (null for
-            # rows that predate it), and a dropped attr survives in
-            # history but is absent from the delta (null on new
-            # rows). Conform BOTH sides to the ordered union instead
-            # of silently projecting the new column away.
-            delta_types = dict(new_rows.dtypes)
-            base_types = dict(base.dtypes)
-            all_cols = list(base.columns) + [
-                c for c in new_rows.columns if c not in base_types
-            ]
-            for c in all_cols:
-                if c not in base_types:
-                    base = base.withColumn(
-                        c, F.lit(None).cast(delta_types[c])
-                    )
-                if c not in delta_types:
-                    new_rows = new_rows.withColumn(
-                        c, F.lit(None).cast(base_types[c])
-                    )
-            closed = base.filter(F.col("eff_to").isNotNull())
-            opened = base.filter(F.col("eff_to").isNull())
-            now_closed = (
-                opened.drop("eff_to")
-                .join(first_seq, pk_cols)
-                .withColumnRenamed("__close", "eff_to")
-                .select(*all_cols)
-            )
-            still_open = opened.join(first_seq, pk_cols, "left_anti")
-            merged = (
-                closed.select(*all_cols)
-                .unionByName(now_closed)
-                .unionByName(still_open.select(*all_cols))
-                .unionByName(new_rows.select(*all_cols))
-            )
-        else:
-            merged = new_rows
+        # Schema evolution: an attr the DDL added mid-stream
+        # exists on the delta but not in stored history (null for
+        # rows that predate it), and a dropped attr survives in
+        # history but is absent from the delta (null on new
+        # rows). Conform BOTH sides to the ordered union instead
+        # of silently projecting the new column away.
+        delta_types = dict(new_rows.dtypes)
+        base_types = dict(base.dtypes)
+        all_cols = list(base.columns) + [
+            c for c in new_rows.columns if c not in base_types
+        ]
+        for c in all_cols:
+            if c not in base_types:
+                base = base.withColumn(
+                    c, F.lit(None).cast(delta_types[c])
+                )
+            if c not in delta_types:
+                new_rows = new_rows.withColumn(
+                    c, F.lit(None).cast(base_types[c])
+                )
+        closed = base.filter(F.col("eff_to").isNotNull())
+        opened = base.filter(F.col("eff_to").isNull())
+        now_closed = (
+            opened.drop("eff_to")
+            .join(first_seq, pk_cols)
+            .withColumnRenamed("__close", "eff_to")
+            .select(*all_cols)
+        )
+        still_open = opened.join(first_seq, pk_cols, "left_anti")
+        return (
+            closed.select(*all_cols)
+            .unionByName(now_closed)
+            .unionByName(still_open.select(*all_cols))
+            .unionByName(new_rows.select(*all_cols))
+        )
+
+    def upsert_scd2(
+        self,
+        table: str,
+        changes: DataFrame,
+        pk_cols: list[str],
+        seq_col: str,
+        op_col: str = "op",
+    ) -> None:
+        """History-preserving MERGE (type-2 SCD): instead of
+        replacing a changed key's row, the sink keeps every version
+        as a validity interval [eff_from, eff_to), with the live
+        version open (eff_to NULL). Interval semantics in
+        `_scd2_merge`.
+
+        The warehouse analogue of `queries.scd2_user_state`, on the
+        same atomic pointer-flip publish as `upsert`. At-least-once
+        streams must dedupe replayed positions upstream (the GTID
+        gate) — a replayed batch would re-close already-closed
+        intervals. Scale: the merge reads and rewrites the whole
+        table — fine below ~1 GB; at the 100 TB tier use
+        `upsert_scd2_bucketed`, which rewrites only buckets
+        containing changed keys."""
+        base = self.read(table) if self.exists(table) else None
+        merged = self._scd2_merge(base, changes, pk_cols, seq_col, op_col)
         atomic_dir.publish(
-            path,
+            self._path(table),
             lambda vdir: merged.write.mode("overwrite").parquet(vdir),
         )
+
+    def upsert_scd2_bucketed(
+        self,
+        table: str,
+        changes: DataFrame,
+        pk_cols: list[str],
+        seq_col: str,
+        op_col: str = "op",
+        n_buckets: int = 64,
+    ) -> list[int]:
+        """SCD2 MERGE for big histories: the sink is laid out as
+        `bucket=pmod(xxhash64(pk), n)` directory partitions and a
+        micro-batch reads, chains, and atomically swaps ONLY the
+        buckets containing changed keys — `upsert_bucketed`'s
+        economics applied to the history-preserving merge (rewrite
+        cost O(touched_buckets / n) of the history instead of all of
+        it). The load-bearing invariant: the bucket key hashes the PK
+        alone, so a key's ENTIRE interval chain lives in exactly one
+        bucket and chaining within the touched subset is complete
+        (the same single-home argument as the bm25 term buckets).
+        Returns the bucket ids rewritten."""
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets)
+        )
+        changes = changes.withColumn("bucket", bucket.cast("int"))
+        path = self._data_root(table)
+        if not self.exists(table):
+            merged = self._scd2_merge(
+                None, changes, pk_cols, seq_col, op_col
+            )
+            merged.repartition(n_buckets, "bucket").write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(path)
+            return sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(path)
+                if d.startswith("bucket=")
+            )
+        touched = sorted(
+            r["bucket"] for r in changes.select("bucket").distinct().collect()
+        )
+        base = self.read(table).filter(F.col("bucket").isin(touched))
+        merged = self._scd2_merge(base, changes, pk_cols, seq_col, op_col)
+        staging = path + ".staging-" + uuid.uuid4().hex[:8]
+        merged.repartition(max(1, len(touched)), "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(staging)
+        self._swap_buckets(path, staging, touched)
+        return touched
 
     def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
         """Small-files compaction: every CDC upsert / append round

@@ -283,6 +283,7 @@ def run_pipeline_merge(
     n_buckets: int = 16,
     start_offsets: dict | None = None,
     scd2: bool = False,
+    scd2_bucketed: bool = False,
 ):
     """Streaming CDC straight into MERGED table state: each micro-batch
     flows logtail -> decode -> `TransferWriter.upsert_bucketed`, so the
@@ -297,7 +298,10 @@ def run_pipeline_merge(
     history-preserving warehouse load. Note the replay contract
     differs: last-write-wins absorbs replays in current-state mode,
     while interval chaining relies on the GTID resume gate upstream
-    to drop replayed positions."""
+    to drop replayed positions. scd2_bucketed=True keeps the SCD2
+    semantics but lays the history out as pk-hash bucket partitions
+    and rewrites only touched buckets per batch
+    (`TransferWriter.upsert_scd2_bucketed`) — the 100 TB path."""
     from reader_spark.operators.transfer import TransferWriter
 
     adapter = adapter or SchemaAdapter()
@@ -309,7 +313,11 @@ def run_pipeline_merge(
             batch, adapter, db, tables, history_path
         ).items():
             pk = adapter.tables[table][0]
-            if scd2:
+            if scd2 and scd2_bucketed:
+                writer.upsert_scd2_bucketed(
+                    table, changes, [pk], "seq", n_buckets=n_buckets
+                )
+            elif scd2:
                 writer.upsert_scd2(table, changes, [pk], "seq")
             else:
                 writer.upsert_bucketed(

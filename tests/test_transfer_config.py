@@ -867,3 +867,76 @@ def test_scd2_current_and_as_of_views(spark, tmp_path):
     assert {
         (r["id"], r["val"]) for r in scd2_as_of(h, 6).collect()
     } == {("A", "v2")}
+
+
+def test_upsert_scd2_bucketed_matches_full_rewrite(spark, tmp_path):
+    """The bucketed SCD2 merge is semantics-identical to the
+    full-rewrite one (a key's whole interval chain lives in one
+    bucket, so chaining within touched buckets is complete), and a
+    batch rewrites ONLY the buckets containing changed keys."""
+    import os
+
+    from reader_spark.operators.transfer import TransferWriter
+
+    tw_full = TransferWriter(spark, str(tmp_path / "full"))
+    tw_bkt = TransferWriter(spark, str(tmp_path / "bkt"))
+    n_buckets = 8
+
+    b1 = spark.createDataFrame(
+        [(f"k{i}", f"v{i}", i, "c") for i in range(40)],
+        "id string, val string, seq long, op string",
+    )
+    tw_full.upsert_scd2("t", b1, ["id"], "seq")
+    touched1 = tw_bkt.upsert_scd2_bucketed(
+        "t", b1, ["id"], "seq", n_buckets=n_buckets
+    )
+    assert len(touched1) <= n_buckets  # seed touches every populated bucket
+
+    # snapshot per-bucket file listings before the incremental batch
+    root = tw_bkt._data_root("t")
+    def bucket_files():
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                full = os.path.join(root, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = bucket_files()
+
+    # update 2 keys + delete 1 — a narrow batch
+    b2 = spark.createDataFrame(
+        [("k1", "V1", 100, "u"), ("k2", "V2", 101, "u"),
+         ("k3", None, 102, "d")],
+        "id string, val string, seq long, op string",
+    )
+    tw_full.upsert_scd2("t", b2, ["id"], "seq")
+    touched2 = tw_bkt.upsert_scd2_bucketed(
+        "t", b2, ["id"], "seq", n_buckets=n_buckets
+    )
+    assert 1 <= len(touched2) <= 3  # at most one bucket per changed key
+
+    after = bucket_files()
+    for d, files in before.items():
+        b_id = int(d.split("=", 1)[1])
+        if b_id in touched2:
+            continue
+        assert after[d] == files, f"untouched {d} was rewritten"
+
+    def canon(tw):
+        return sorted(
+            (r["id"], r["val"], r["eff_from"],
+             None if r["eff_to"] is None else int(r["eff_to"]))
+            for r in tw.read("t").drop("bucket").collect()
+        )
+
+    assert canon(tw_bkt) == canon(tw_full)
+    # SCD2 invariants hold in the bucketed layout too
+    rows = canon(tw_bkt)
+    open_rows = [r for r in rows if r[3] is None]
+    assert len(open_rows) == 39  # 40 keys - 1 deleted
+    assert ("k1", "V1", 100, None) in rows and ("k1", "v1", 1, 100) in rows

@@ -68,11 +68,15 @@ class LogTailStreamReader(DataSourceStreamReader):
         # NEXT batch's start regresses with it, re-delivering records
         # that were committed before a driver restart (the reference's
         # write-then-commit contract, writers/writer.go:44-50, forbids
-        # exactly that). Until the engine tells us anything
-        # (_floor_known=False: restart from a checkpoint this reader
-        # can't see), the cap is skipped for one trigger — the only
-        # value that is provably >= any checkpoint of an append-only
-        # log is the current file length.
+        # exactly that). The engine's FIRST call of any session is a
+        # latestOffset (empirically verified: it precedes even
+        # initialOffset on fresh starts, and its value becomes batch
+        # 1's end), so the first call always runs with
+        # _floor_known=False and must return the only values provably
+        # >= any checkpoint of an append-only log: the current file
+        # lengths. Net effect: the per-trigger cap is skipped for
+        # exactly one trigger per session; monotone, never a
+        # duplicate.
         self._floor: dict = {}
         self._floor_known = False
 

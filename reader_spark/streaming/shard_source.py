@@ -62,6 +62,19 @@ class ShardStreamReader(DataSourceStreamReader):
         # Engine calls latestOffset() after planning each batch; track
         # the last end so child gating sees the parent's progress.
         self._last_end: dict = {}
+        # Engine-confirmed floor (same contract as log_source.py):
+        # offsets returned by latestOffset() must never sit below what
+        # the engine has already logged/committed — a regressed end in
+        # the offset log makes the NEXT batch's start regress and
+        # re-deliver committed records. The floor is learned from
+        # initialOffset (fresh start), every partitions(start, end)
+        # range, and every commit(end). Until it is known (first
+        # trigger after a restart from a checkpoint this reader can't
+        # see), latestOffset returns full line counts — the only
+        # values provably >= any checkpoint of append-only shards; the
+        # per-batch cap and the parent->child gate resume on the next
+        # trigger (one-batch degradation, documented, vs duplicates).
+        self._floor_known = False
 
     # -- discovery ---------------------------------------------------------
 
@@ -85,10 +98,46 @@ class ShardStreamReader(DataSourceStreamReader):
     # -- offsets -----------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # Only called when no checkpoint exists (fresh start): empty
+        # positions ARE the engine's truth — the floor is known.
+        self._floor_known = True
         return {}  # TRIM_HORIZON: start every shard at its oldest record
+
+    def _observe_engine(self, *offsets: dict) -> None:
+        for off in offsets:
+            for shard, n in off.items():
+                if int(n) > int(self._last_end.get(shard, 0)):
+                    self._last_end[shard] = int(n)
+        self._floor_known = True
 
     def latestOffset(self) -> dict:
         lines = self._shard_lines()
+        if not self._floor_known:
+            # First call of a session (the engine asks for the latest
+            # offset once BEFORE initialOffset on fresh starts, and as
+            # the first batch end on restarts — empirically verified;
+            # the two are indistinguishable here). The checkpoint, if
+            # one exists, is invisible, so nothing below the current
+            # line counts is provably non-regressing. Return full
+            # counts — EXCEPT children of open parents, held at 0:
+            # shard closure is permanent and the gate never releases a
+            # child before its parent closes, so such a child's
+            # checkpoint is provably 0. At-least-once holds; the
+            # per-batch cap (and parent-tail/child interleaving
+            # within that one batch for closed parents) resumes
+            # normal behavior on the next trigger.
+            manifest = self._manifest()
+            end = {}
+            for shard, n in lines.items():
+                parent = manifest.get(shard, {}).get("parent")
+                if parent is not None and not manifest.get(parent, {}).get(
+                    "closed", False
+                ):
+                    end[shard] = 0
+                else:
+                    end[shard] = max(int(n), int(self._last_end.get(shard, 0)))
+            self._last_end = dict(end)
+            return dict(end)
         manifest = self._manifest()
         end = {}
         for shard, n in lines.items():
@@ -109,12 +158,11 @@ class ShardStreamReader(DataSourceStreamReader):
         return end
 
     def partitions(self, start: dict, end: dict) -> list[ShardSlice]:
-        # Restart reconciliation: after recovery the engine replans
-        # from the checkpointed `start`, which may be ahead of this
-        # fresh reader's tracker — never plan behind it.
-        for shard, s in start.items():
-            if int(s) > int(self._last_end.get(shard, 0)):
-                self._last_end[shard] = int(s)
+        # Restart reconciliation: both bounds are engine-provided
+        # (offset log / checkpoint) — raise the floor before planning
+        # so a later latestOffset can never hand out offsets behind
+        # them.
+        self._observe_engine(start, end)
         parts = []
         for shard, end_n in end.items():
             start_n = int(start.get(shard, 0))
@@ -146,8 +194,9 @@ class ShardStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Write-then-commit (writers/writer.go:44-50): a live Streams
         # client would persist per-shard sequence numbers here; with
-        # files the checkpoint is the offset store.
-        pass
+        # files the checkpoint is the offset store. Committed offsets
+        # are the strongest floor the engine can teach us.
+        self._observe_engine(end)
 
 
 class ShardStreamDataSource(DataSource):

@@ -402,6 +402,36 @@ def r7_mode(copies: int) -> None:
     )
 
 
+def snapshot_mode(copies: int) -> None:
+    """Snapshot-path throughput (the reference's primary workload:
+    table scan -> Debezium envelope -> publish, §3.1): full lineitem
+    at Nx through `snapshot_envelope` into a parquet publish, as
+    rows/sec. The reference's envelope for this path is 5,000-row
+    chunks and 2,500-msg Kafka publishes (BASELINE.md)."""
+    import shutil
+
+    from reader_spark.envelope import snapshot_envelope
+    from reader_spark.session import get_spark, read_table
+
+    d = build_dir(copies)
+    spark = get_spark("scale_snap")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    li = read_table(spark, d, "lineitem")
+    n = li.count()
+    out = os.path.join(TMP, f"snap_out_x{copies}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    env = snapshot_envelope(
+        li, ["l_orderkey", "l_linenumber"], db="app", table="lineitem"
+    )
+    env.write.mode("overwrite").parquet(out)
+    wall = time.perf_counter() - t0
+    print(
+        f"snapshot->envelope->publish: {n} rows in {wall:.1f}s = "
+        f"{n / wall:,.0f} rows/sec"
+    )
+
+
 def cdc_mode(rows: int) -> None:
     """Composed CDC pipeline throughput (the 2x-vs-baseline gate made
     non-vacuous): logtail stream -> DDL apply -> positional decode ->
@@ -485,6 +515,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "cdc":
         cdc_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "snapshot":
+        snapshot_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     path = build(copies)

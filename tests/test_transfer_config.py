@@ -300,6 +300,65 @@ destination:
     assert state == {"1": "ada"}
 
 
+def test_job_runner_streaming_scd2_bucketed_yaml(spark, tmp_path):
+    """YAML destination options scd2 + scd2_bucketed drive the
+    bucket-partitioned history-preserving merge end-to-end."""
+    import json
+    import os
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    log = tmp_path / "log"
+    log.mkdir()
+    recs = [
+        {"seq": "1", "ts_ms": "1000", "db": "app", "tbl": "users",
+         "kind": "ddl", "op": None, "gtid_sid": "s", "gtid_tx": "1",
+         "statement": "CREATE TABLE users (id int, name text)",
+         "before": None, "after": None},
+        {"seq": "2", "ts_ms": "2000", "db": "app", "tbl": "users",
+         "kind": "dml", "op": "c", "gtid_sid": "s", "gtid_tx": "2",
+         "statement": None, "before": None,
+         "after": '{"id": 1, "name": "ada"}'},
+        {"seq": "3", "ts_ms": "3000", "db": "app", "tbl": "users",
+         "kind": "dml", "op": "u", "gtid_sid": "s", "gtid_tx": "3",
+         "statement": None, "before": '{"id": 1, "name": "ada"}',
+         "after": '{"id": 1, "name": "ada2"}'},
+    ]
+    with open(log / "shard0.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    cfg = f"""
+source:
+  kind: mysql
+  database: app
+  streaming: true
+  options:
+    log_dir: {log}
+    checkpoint_dir: {tmp_path}/ck
+    timeout_sec: 90
+  tables:
+    - name: users
+destination:
+  kind: transfer
+  path: {tmp_path}/dest
+  options:
+    n_buckets: 4
+    scd2: true
+    scd2_bucketed: true
+"""
+    out = run_job(spark, load_settings(cfg))
+    assert any(
+        d.startswith("bucket=") for d in os.listdir(out["users"])
+    )
+    rows = sorted(
+        (r["id"], r["name"], int(r["eff_from"]),
+         None if r["eff_to"] is None else int(r["eff_to"]))
+        for r in spark.read.parquet(out["users"]).drop("bucket").collect()
+    )
+    assert rows == [("1", "ada", 2, 3), ("1", "ada2", 3, None)]
+
+
 def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
     from reader_spark.operators.transfer import write_training_shards
     from reader_spark.session import read_table

@@ -176,11 +176,24 @@ class TransferWriter:
     def _swap_buckets(path: str, staging: str, touched: list[int]) -> None:
         """Swap the touched bucket directories from `staging` into the
         live layout (per-bucket dir rename — the partition-overwrite
-        analogue; untouched bucket dirs are never listed or moved)."""
+        analogue; untouched bucket dirs are never listed or moved).
+
+        Displaced dirs are parked under DOT-PREFIXED names: Spark's
+        file listing skips hidden entries, so a crash between the
+        rename and the cleanup can never resurface the displaced
+        bucket as a phantom partition (a `bucket=3.old-x` sibling
+        would be discovered as a partition VALUE — duplicate rows and
+        a string-typed bucket column). Stale parked dirs from a
+        crashed earlier swap are GC'd here."""
+        for entry in os.listdir(path):
+            if entry.startswith(".old-"):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
         for b in touched:
             src = os.path.join(staging, f"bucket={b}")
             dst = os.path.join(path, f"bucket={b}")
-            old = dst + ".old-" + uuid.uuid4().hex[:8]
+            old = os.path.join(
+                path, f".old-{uuid.uuid4().hex[:8]}-bucket={b}"
+            )
             if os.path.isdir(dst):
                 os.rename(dst, old)
             if os.path.isdir(src):

@@ -203,6 +203,43 @@ def test_bucketed_upsert_touches_only_changed_buckets(spark, tmp_path):
     assert final[0] == "v0"
 
 
+def test_crashed_bucket_swap_leaves_no_phantom_partition(spark, tmp_path):
+    """A crash between the displaced-bucket rename and its cleanup
+    must not corrupt reads: the parked dir is DOT-PREFIXED (hidden
+    from Spark's listing — a visible `bucket=3.old-x` sibling would
+    be discovered as a partition VALUE: duplicate rows and a
+    string-typed bucket column), and the next swap GCs it."""
+    import os
+    import shutil
+
+    from reader_spark.operators.transfer import TransferWriter
+
+    w = TransferWriter(spark, str(tmp_path))
+    seed = spark.range(0, 100).selectExpr(
+        "id", "concat('v', id) AS v", "'c' AS op", "0L AS seq"
+    )
+    w.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=4)
+    n0 = w.read("t").count()
+
+    # simulate the crash: a displaced copy of bucket=1 parked but
+    # never removed
+    root = str(tmp_path / "t")
+    parked = os.path.join(root, ".old-deadbeef-bucket=1")
+    shutil.copytree(os.path.join(root, "bucket=1"), parked)
+
+    got = w.read("t")
+    assert got.count() == n0, "parked dir resurfaced as duplicates"
+    assert dict(got.dtypes)["bucket"] == "int"
+
+    # next swap garbage-collects the stranded dir
+    delta = spark.createDataFrame(
+        [(1, "V1", "u", 5)], "id long, v string, op string, seq long"
+    )
+    w.upsert_bucketed("t", delta, ["id"], "seq", n_buckets=4)
+    assert not os.path.isdir(parked)
+    assert w.read("t").count() == n0
+
+
 def test_schema_drift_census(spark):
     from pyspark.sql import types as T
 

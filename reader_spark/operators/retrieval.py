@@ -31,6 +31,8 @@ DuckDB's libm).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -300,7 +302,9 @@ def bm25_topk_indexed(
         F.col("bucket").isin(buckets)
     )
     matches = postings.join(F.broadcast(qterms), "term")
-    scalars = spark.read.parquet(f"{path}/scalars")
+    from reader_spark.operators import atomic_dir
+
+    scalars = spark.read.parquet(atomic_dir.resolve(f"{path}/scalars"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -418,12 +422,24 @@ def bm25_index_maintain(
     )
 
 
+def _read_epoch(scalars_root: str) -> int:
+    """Last-applied update epoch, stored as an underscore-prefixed
+    text file beside the scalars parquet (invisible to Spark's
+    listing); -1 when the index has never seen an epoched update."""
+    ep = os.path.join(scalars_root, "_epoch")
+    if os.path.isfile(ep):
+        with open(ep) as f:
+            return int(f.read().strip() or -1)
+    return -1
+
+
 def bm25_index_update(
     spark,
     path: str,
     new_docs: DataFrame,
     n_buckets: int = 64,
     text_col: str = "text",
+    epoch: int | None = None,
 ) -> list[int]:
     """Incremental text-index maintenance (append-only corpus
     growth, the common case): the NEW documents' postings merge into
@@ -436,11 +452,25 @@ def bm25_index_update(
     (n_docs += dn, sum_dl += d_sum; avgdl = sum_dl / n_docs — the
     same division a rebuild performs).
 
+    Crash-replay exactly-once (the foreachBatch contract): pass the
+    micro-batch id as `epoch`. An already-applied epoch is skipped
+    (the marker is published ATOMICALLY with the scalars via the
+    pointer flip, so 'applied' is unambiguous); a batch that crashed
+    BETWEEN the postings merge and the scalars publish re-merges
+    idempotently — the merge dedupes on (doc_id, term), so re-adding
+    an already-merged delta is a no-op and df recomputes to the same
+    values. Net: a replayed batch can never double-count.
+
     Append-only contract: ids must be NEW (a changed document's
     removed terms would leave stale postings in buckets the delta
     never touches; replacement needs a doc->bucket reverse index or
     a rebuild — same caveat Lucene solves with per-segment deletes).
     Returns the touched bucket ids."""
+    from reader_spark.operators import atomic_dir
+
+    scalars_root = atomic_dir.resolve(f"{path}/scalars")
+    if epoch is not None and _read_epoch(scalars_root) >= epoch:
+        return []
     delta = doc_terms(new_docs, text_col).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
@@ -451,7 +481,9 @@ def bm25_index_update(
             .filter(F.col("bucket").isin(touched))
             .select("doc_id", "term", "dl", "tf", "bucket")
         )
-        merged = old.unionByName(delta)
+        # dropDuplicates makes a crash-replay re-merge a no-op: the
+        # already-merged delta's rows are exact duplicates of `old`'s
+        merged = old.unionByName(delta).dropDuplicates(["doc_id", "term"])
         tstats = merged.groupBy("term").agg(F.count("*").alias("df"))
         full = merged.join(tstats, "term")
         prev = spark.conf.get(
@@ -478,11 +510,19 @@ def bm25_index_update(
     ).collect()[0]
     if d["dn"] == 0:
         return touched
-    s = spark.read.parquet(f"{path}/scalars").collect()[0]
+    s = spark.read.parquet(scalars_root).collect()[0]
     n, sd = s["n_docs"] + d["dn"], s["sum_dl"] + d["dsum"]
-    spark.createDataFrame(
+    new_scalars = spark.createDataFrame(
         [(n, sd, sd / n)], "n_docs long, sum_dl long, avgdl double"
-    ).write.mode("overwrite").parquet(f"{path}/scalars")
+    )
+    new_epoch = epoch if epoch is not None else _read_epoch(scalars_root)
+
+    def write_fn(vdir: str) -> None:
+        new_scalars.write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_epoch"), "w") as f:
+            f.write(str(new_epoch))
+
+    atomic_dir.publish(f"{path}/scalars", write_fn)
     return touched
 
 
@@ -501,8 +541,12 @@ def bm25_index_maintainer(path: str, n_buckets: int = 64, text_col: str = "text"
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # batch_id as the idempotence epoch: replayed micro-batches
+        # (crash-recovery at-least-once) are detected and skipped or
+        # re-merged idempotently — see bm25_index_update
         bm25_index_update(
-            batch_df.sparkSession, path, batch_df, n_buckets, text_col
+            batch_df.sparkSession, path, batch_df, n_buckets, text_col,
+            epoch=batch_id,
         )
 
     return body

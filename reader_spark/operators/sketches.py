@@ -282,9 +282,23 @@ def cms_tiles_write(
     ).parquet(path)
 
 
+def _cms_epoch(data_root: str) -> int:
+    """Last-applied update epoch, written atomically WITH the
+    counters (an underscore-prefixed file inside the published
+    version dir, invisible to Spark's listing); -1 if never set."""
+    import os
+
+    ep = os.path.join(data_root, "_epoch")
+    if os.path.isfile(ep):
+        with open(ep) as f:
+            return int(f.read().strip() or -1)
+    return -1
+
+
 def cms_tiles_update(
     spark, path: str, new_tokens: DataFrame,
     term_col: str = "term", width: int = 256, depth: int = 4,
+    epoch: int | None = None,
 ) -> None:
     """Incremental CMS maintenance: sketch the delta, add cell-wise
     into the stored counters (CMS merge is exact — update == rebuild
@@ -293,9 +307,21 @@ def cms_tiles_update(
     unlike the bm25/ivf indexes there is nothing to partition; the
     atomic pointer-flip publish (operators/atomic_dir.py) keeps
     readers consistent and crashes recoverable. Read the sketch back
-    with `cms_tiles_read`."""
+    with `cms_tiles_read`.
+
+    Counters are NOT idempotent, so crash-replay protection comes
+    from `epoch` (the foreachBatch batch id): the marker publishes
+    ATOMICALLY with the counters, an already-applied epoch is
+    skipped, and a crash mid-publish leaves the previous
+    counters+epoch live — exactly-once under replay."""
+    import os
+
     from reader_spark.operators import atomic_dir
 
+    root = atomic_dir.resolve(path)
+    if epoch is not None and _cms_epoch(root) >= epoch:
+        return
+    new_epoch = epoch if epoch is not None else _cms_epoch(root)
     delta = count_min_tiles(new_tokens, term_col, width, depth)
     merged = (
         cms_tiles_read(spark, path)
@@ -303,10 +329,13 @@ def cms_tiles_update(
         .groupBy("row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    atomic_dir.publish(
-        path,
-        lambda vdir: merged.coalesce(1).write.mode("overwrite").parquet(vdir),
-    )
+
+    def write_fn(vdir: str) -> None:
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_epoch"), "w") as f:
+            f.write(str(new_epoch))
+
+    atomic_dir.publish(path, write_fn)
 
 
 def cms_tiles_read(spark, path: str):
@@ -324,16 +353,17 @@ def cms_maintainer(
     """`foreachBatch` body keeping a materialized CMS fresh from a
     token STREAM — the point-query companion of
     `heavy_hitters_stream` (bounded state there, bounded COUNTERS
-    here; both survive unbounded vocabularies). Replays double-count
-    (counters are not idempotent) — feed it an exactly-once upstream
-    (the GTID gate / checkpointed file source) or accept the CMS
-    upper bound loosening."""
+    here; both survive unbounded vocabularies). Crash-replayed
+    micro-batches are detected by the epoch marker published
+    atomically with the counters (exactly-once under replay); only
+    genuinely duplicated DATA upstream can still double-count."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         cms_tiles_update(
-            batch_df.sparkSession, path, batch_df, term_col, width, depth
+            batch_df.sparkSession, path, batch_df, term_col, width, depth,
+            epoch=batch_id,
         )
 
     return body

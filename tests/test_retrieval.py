@@ -3,6 +3,8 @@ functions/text.py pii section)."""
 
 import math
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from reader_spark.functions import text as TX
@@ -319,7 +321,12 @@ def test_bm25_index_update_empty_delta_is_noop(spark, tmp_path):
     # empty-string token, same as a rebuild would index)
     blank = spark.createDataFrame([(999, "")], "doc_id long, text string")
     RT.bm25_index_update(spark, path, blank, n_buckets=8)
-    after = spark.read.parquet(f"{path}/scalars").collect()[0]
+    from reader_spark.operators import atomic_dir
+
+    # scalars publish via the pointer flip: read the live version
+    after = spark.read.parquet(
+        atomic_dir.resolve(f"{path}/scalars")
+    ).collect()[0]
     assert after["n_docs"] == before_scalars[0]["n_docs"] + 1
 
 
@@ -362,3 +369,55 @@ def test_bm25_index_stream_maintenance(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_bm25_index_update_crash_replay_exactly_once(spark, tmp_path, monkeypatch):
+    """foreachBatch at-least-once: a replayed micro-batch must not
+    double-merge postings or double-count scalars. Covers both replay
+    shapes: after full completion (epoch skip) and after a crash
+    between the postings merge and the scalars publish (idempotent
+    re-merge + single scalars apply)."""
+    from reader_spark.operators import atomic_dir
+    from reader_spark.operators import retrieval as RT
+
+    def mkdocs(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"spark scan w{i % 7}") for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    queries = [(0, "spark scan"), (1, "w3")]
+
+    def snap(path):
+        res = sorted(map(tuple, RT.bm25_topk_indexed(
+            spark, path, queries, k=5, n_buckets=8).collect()))
+        s = spark.read.parquet(
+            atomic_dir.resolve(f"{path}/scalars")).collect()[0]
+        return res, (s["n_docs"], s["sum_dl"], s["avgdl"])
+
+    # clean once-applied reference
+    ref = str(tmp_path / "ref")
+    RT.bm25_index_write(mkdocs(0, 50), ref, n_buckets=8)
+    RT.bm25_index_update(spark, ref, mkdocs(50, 80), n_buckets=8, epoch=3)
+    want = snap(ref)
+
+    # replay after full completion: same epoch is a skip
+    RT.bm25_index_update(spark, ref, mkdocs(50, 80), n_buckets=8, epoch=3)
+    assert snap(ref) == want
+
+    # crash between postings merge and scalars publish, then replay
+    torn = str(tmp_path / "torn")
+    RT.bm25_index_write(mkdocs(0, 50), torn, n_buckets=8)
+    real_publish = atomic_dir.publish
+
+    def boom(path, write_fn):
+        raise RuntimeError("crash before scalars commit")
+
+    monkeypatch.setattr(atomic_dir, "publish", boom)
+    with pytest.raises(RuntimeError):
+        RT.bm25_index_update(spark, torn, mkdocs(50, 80), n_buckets=8, epoch=3)
+    monkeypatch.setattr(atomic_dir, "publish", real_publish)
+    # replay of the same batch: postings re-merge dedupes, scalars
+    # apply exactly once
+    RT.bm25_index_update(spark, torn, mkdocs(50, 80), n_buckets=8, epoch=3)
+    assert snap(torn) == want

@@ -238,3 +238,51 @@ def test_bottomk_sample_merge_equals_direct(spark):
     qm = SK.quantiles_from_tiles(merged, [0.5]).collect()[0]
     qd = SK.quantiles_from_tiles(direct, [0.5]).collect()[0]
     assert qm["p50"] == qd["p50"] and qm["n_sampled"] == 32
+
+
+def test_cms_update_crash_replay_exactly_once(spark, tmp_path, monkeypatch):
+    """CMS counters are not idempotent, so replay protection is the
+    epoch marker published ATOMICALLY with the counters: a replay
+    after completion is skipped; a replay after a crash mid-publish
+    applies exactly once (the crashed attempt never flipped the
+    pointer)."""
+    from reader_spark.operators import atomic_dir
+
+    def toks(words):
+        return spark.createDataFrame([(w,) for w in words], "term string")
+
+    def counts(path):
+        return sorted(map(tuple, SK.cms_tiles_read(spark, path).collect()))
+
+    seed = ["x"] * 10 + ["y"] * 4
+    delta = ["x"] * 3 + ["z"] * 2
+
+    ref = str(tmp_path / "cms_ref")
+    SK.cms_tiles_write(toks(seed), ref, width=16, depth=2)
+    SK.cms_tiles_update(spark, ref, toks(delta), width=16, depth=2, epoch=5)
+    want = counts(ref)
+
+    # replay after completion: skipped, counters unchanged
+    SK.cms_tiles_update(spark, ref, toks(delta), width=16, depth=2, epoch=5)
+    assert counts(ref) == want
+
+    # crash mid-publish (pointer never flips), then replay
+    torn = str(tmp_path / "cms_torn")
+    SK.cms_tiles_write(toks(seed), torn, width=16, depth=2)
+    base = counts(torn)
+    real_publish = atomic_dir.publish
+
+    def boom(path, write_fn):
+        raise RuntimeError("crash before counter commit")
+
+    monkeypatch.setattr(atomic_dir, "publish", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        SK.cms_tiles_update(
+            spark, torn, toks(delta), width=16, depth=2, epoch=5
+        )
+    monkeypatch.setattr(atomic_dir, "publish", real_publish)
+    assert counts(torn) == base  # previous counters still live
+    SK.cms_tiles_update(spark, torn, toks(delta), width=16, depth=2, epoch=5)
+    assert counts(torn) == want

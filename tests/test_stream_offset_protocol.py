@@ -93,7 +93,11 @@ class EngineModel:
     def start_session(self):
         self.reader = self._new_reader()
         if self.fresh:
-            self.committed_start = self.reader.initialOffset()
+            # verified engine order on a FRESH start: the first
+            # latestOffset precedes initialOffset and its value
+            # becomes batch 1's end — modeled in _plan below, which
+            # resolves the start lazily
+            self.committed_start = None
             self.fresh = False
             return
         if self.pending is not None:
@@ -113,6 +117,10 @@ class EngineModel:
         if self.reader is None:
             self.start_session()
         end = self.reader.latestOffset()
+        if self.committed_start is None:
+            # fresh start: initialOffset is asked AFTER the first
+            # latestOffset (verified order)
+            self.committed_start = self.reader.initialOffset()
         # MONOTONE: never below what the engine already logged
         for k, v in self.committed_start.items():
             assert int(end.get(k, 0)) >= int(v), (

@@ -18,6 +18,13 @@ Dot/underscore-prefixed children are invisible to Spark's file
 listing, so a bare legacy directory that gains version dirs is still
 readable as-is until its first pointer flip.
 
+Version dirs carry a monotone sequence number
+(``.v-<seq:08d>-<hex>``), which buys TIME TRAVEL for free:
+``publish(..., keep=N)`` retains the N most recent displaced
+versions and ``resolve(path, version=seq)`` reads a historical
+snapshot — the reproducible point-in-time dataset a training run
+pins itself to.
+
 Single-writer per dataset (same assumption the rename swap made);
 readers need no coordination.
 """
@@ -25,15 +32,60 @@ readers need no coordination.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
 CURRENT = "_CURRENT"
 
+_V_RE = re.compile(r"^\.v-(\d{8})-[0-9a-f]+$")
 
-def resolve(path: str) -> str:
+
+def _seq_of(name: str) -> int | None:
+    m = _V_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+def versions(path: str) -> list[int]:
+    """Sequence numbers of the version dirs present on disk (oldest
+    first). The live one is `current_version(path)`; older entries
+    are readable via `resolve(path, version=seq)` until their
+    retention (publish keep=N) expires."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for entry in os.listdir(path):
+        s = _seq_of(entry)
+        if s is not None and os.path.isdir(os.path.join(path, entry)):
+            out.append(s)
+    return sorted(out)
+
+
+def current_version(path: str) -> int | None:
+    """Sequence number of the live version; None for a bare layout
+    (or a legacy unsequenced version name)."""
+    ptr = os.path.join(path, CURRENT)
+    if os.path.isfile(ptr):
+        with open(ptr) as f:
+            return _seq_of(f.read().strip())
+    return None
+
+
+def resolve(path: str, version: int | None = None) -> str:
     """Data root for reading: the live version dir if `path` is
-    pointer-published, else `path` itself (bare legacy layout)."""
+    pointer-published, else `path` itself (bare legacy layout).
+    `version` time-travels to a retained historical snapshot
+    (raises FileNotFoundError if it has been GC'd)."""
+    if version is not None:
+        for entry in os.listdir(path):
+            if _seq_of(entry) == version and os.path.isdir(
+                os.path.join(path, entry)
+            ):
+                return os.path.join(path, entry)
+        raise FileNotFoundError(
+            f"version {version} of {path} not present "
+            f"(retained: {versions(path)})"
+        )
     ptr = os.path.join(path, CURRENT)
     if os.path.isfile(ptr):
         with open(ptr) as f:
@@ -43,16 +95,17 @@ def resolve(path: str) -> str:
     return path
 
 
-def publish(path: str, write_fn) -> str:
+def publish(path: str, write_fn, keep: int = 1) -> str:
     """Publish a full rewrite of the dataset at `path`.
 
     `write_fn(version_dir)` must write a COMPLETE dataset into the
     (not yet existing) version dir; the pointer then flips atomically.
-    The displaced version is kept for one publish (in-flight readers
-    that resolved just before the flip), older versions, stale
-    pointer tmp files and — once the layout has flipped twice — any
-    bare legacy root files are garbage-collected. Returns the new
-    data root."""
+    The `keep` most recent displaced versions are retained (in-flight
+    readers that resolved just before a flip, plus time travel via
+    `resolve(path, version=...)`); everything older, stale pointer
+    tmp files and — once the layout has flipped twice — any bare
+    legacy root files are garbage-collected. Returns the new data
+    root."""
     os.makedirs(path, exist_ok=True)
     prev = None
     ptr = os.path.join(path, CURRENT)
@@ -61,7 +114,9 @@ def publish(path: str, write_fn) -> str:
         with open(ptr) as f:
             prev = f.read().strip() or None
 
-    vname = ".v-" + uuid.uuid4().hex[:12]
+    existing = versions(path)
+    next_seq = (existing[-1] + 1) if existing else 0
+    vname = f".v-{next_seq:08d}-" + uuid.uuid4().hex[:8]
     write_fn(os.path.join(path, vname))
 
     tmp = os.path.join(path, "." + CURRENT + ".tmp-" + uuid.uuid4().hex[:8])
@@ -72,9 +127,21 @@ def publish(path: str, write_fn) -> str:
     os.replace(tmp, ptr)  # the commit point
 
     # -- GC (best-effort; failures leave garbage, never break readers)
-    keep = {vname, prev, CURRENT}
+    # retained: the new version, the displaced pointer target, and
+    # the `keep` highest-sequenced other versions. Unsequenced
+    # (crash-orphaned or legacy-named) version dirs are not retained.
+    others = sorted(
+        (
+            e
+            for e in os.listdir(path)
+            if _seq_of(e) is not None and e != vname
+        ),
+        key=_seq_of,
+        reverse=True,
+    )
+    retain = {vname, prev, CURRENT, *others[: max(0, keep)]}
     for entry in os.listdir(path):
-        if entry in keep:
+        if entry in retain:
             continue
         full = os.path.join(path, entry)
         if entry.startswith(".v-") or entry.startswith("." + CURRENT):

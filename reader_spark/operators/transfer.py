@@ -61,9 +61,18 @@ class TransferWriter:
     """Parquet-backed transfer destination with Append / Upsert /
     backfill-truncate, mirroring writers/transfer/writer.go flow."""
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        keep_versions: int = 1,
+    ):
         self.spark = spark
         self.base_dir = base_dir
+        # how many displaced snapshots the full-rewrite verbs retain:
+        # >1 buys TIME TRAVEL (read(table, version=seq)) — the
+        # point-in-time dataset a training run pins itself to
+        self.keep_versions = keep_versions
 
     def _path(self, table: str) -> str:
         return os.path.join(self.base_dir, table)
@@ -77,8 +86,19 @@ class TransferWriter:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self._path(table))
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the live table state; `version` time-travels to a
+        retained historical snapshot (atomic_dir sequence number —
+        see `versions()`)."""
+        if version is not None:
+            return self.spark.read.parquet(
+                atomic_dir.resolve(self._path(table), version)
+            )
         return self.spark.read.parquet(self._data_root(table))
+
+    def versions(self, table: str) -> list[int]:
+        """Retained snapshot sequence numbers, oldest first."""
+        return atomic_dir.versions(self._path(table))
 
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self._data_root(table))
@@ -115,6 +135,7 @@ class TransferWriter:
         atomic_dir.publish(
             self._path(table),
             lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+            keep=self.keep_versions,
         )
 
     def upsert_bucketed(
@@ -310,6 +331,7 @@ class TransferWriter:
         atomic_dir.publish(
             self._path(table),
             lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+            keep=self.keep_versions,
         )
 
     def upsert_scd2_bucketed(
@@ -399,12 +421,14 @@ class TransferWriter:
                 lambda vdir: df.write.mode("overwrite")
                 .partitionBy(*part_keys)
                 .parquet(vdir),
+                keep=self.keep_versions,
             )
         else:
             df = df.repartition(n_out)
             atomic_dir.publish(
                 self._path(table),
                 lambda vdir: df.write.mode("overwrite").parquet(vdir),
+                keep=self.keep_versions,
             )
         return n_out
 

@@ -198,11 +198,17 @@ def _run_streaming(spark: SparkSession, settings: Settings) -> dict[str, str]:
             in ("1", "true", "yes"),
             scd2_bucketed=str(dest.options.get("scd2_bucketed", "")).lower()
             in ("1", "true", "yes"),
+            max_per_trigger=int(
+                src.options.get("max_records_per_trigger", 0)
+            ) or None,
         )
     else:
         q = run_pipeline(
             spark, log_dir, dest.path, ck, src.database, tables,
             adapter, history_path=history,
+            max_per_trigger=int(
+                src.options.get("max_records_per_trigger", 0)
+            ) or None,
         )
     q.awaitTermination(int(src.options.get("timeout_sec", 300)))
     return {t: f"{dest.path}/{t}" for t in tables}

@@ -37,8 +37,15 @@ BINLOG_SCHEMA = (
 
 
 def open_stream(
-    spark: SparkSession, path: str, start_offsets: dict | None = None
+    spark: SparkSession,
+    path: str,
+    start_offsets: dict | None = None,
+    max_per_trigger: int | None = None,
 ) -> DataFrame:
+    """`max_per_trigger` caps how many records one micro-batch may
+    consume (B3: the reference batches up to batchSize events per
+    iteration, iterator.go:149-233) — the back-pressure knob that
+    bounds per-batch sink transactions and state growth."""
     from reader_spark.streaming.log_source import LogTailDataSource
 
     try:
@@ -54,6 +61,8 @@ def open_stream(
         import json as _json
 
         reader = reader.option("startoffsets", _json.dumps(start_offsets))
+    if max_per_trigger:
+        reader = reader.option("maxrecordspertrigger", str(max_per_trigger))
     return reader.load()
 
 
@@ -284,6 +293,7 @@ def run_pipeline_merge(
     start_offsets: dict | None = None,
     scd2: bool = False,
     scd2_bucketed: bool = False,
+    max_per_trigger: int | None = None,
 ):
     """Streaming CDC straight into MERGED table state: each micro-batch
     flows logtail -> decode -> `TransferWriter.upsert_bucketed`, so the
@@ -306,7 +316,10 @@ def run_pipeline_merge(
 
     adapter = adapter or SchemaAdapter()
     writer = TransferWriter(spark, dest_dir)
-    stream = open_stream(spark, log_dir, start_offsets=start_offsets)
+    stream = open_stream(
+        spark, log_dir, start_offsets=start_offsets,
+        max_per_trigger=max_per_trigger,
+    )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         for table, changes in decoded_changes(
@@ -342,6 +355,7 @@ def run_pipeline(
     adapter: SchemaAdapter | None = None,
     history_path: str | None = None,
     metrics_path: str | None = None,
+    max_per_trigger: int | None = None,
 ):
     """End-to-end: logtail -> foreachBatch(process + parquet publish).
     Swap the parquet write for Kafka in production — the frame already
@@ -358,7 +372,7 @@ def run_pipeline(
     import json
 
     adapter = adapter or SchemaAdapter()
-    stream = open_stream(spark, log_dir)
+    stream = open_stream(spark, log_dir, max_per_trigger=max_per_trigger)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         for table, env in process_batch(

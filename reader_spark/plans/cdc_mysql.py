@@ -41,11 +41,16 @@ def open_stream(
     path: str,
     start_offsets: dict | None = None,
     max_per_trigger: int | None = None,
+    statedir: str | None = None,
 ) -> DataFrame:
     """`max_per_trigger` caps how many records one micro-batch may
     consume (B3: the reference batches up to batchSize events per
     iteration, iterator.go:149-233) — the back-pressure knob that
-    bounds per-batch sink transactions and state growth."""
+    bounds per-batch sink transactions and state growth. `statedir`
+    persists the source's committed floor (the reference's
+    offset-YAML pattern) so the cap holds from the first
+    post-restart trigger; the pipelines place it INSIDE the
+    checkpoint dir so the two share a lifecycle."""
     from reader_spark.streaming.log_source import LogTailDataSource
 
     try:
@@ -63,6 +68,8 @@ def open_stream(
         reader = reader.option("startoffsets", _json.dumps(start_offsets))
     if max_per_trigger:
         reader = reader.option("maxrecordspertrigger", str(max_per_trigger))
+    if statedir:
+        reader = reader.option("statedir", statedir)
     return reader.load()
 
 
@@ -319,6 +326,7 @@ def run_pipeline_merge(
     stream = open_stream(
         spark, log_dir, start_offsets=start_offsets,
         max_per_trigger=max_per_trigger,
+        statedir=f"{checkpoint_dir}/_logtail_state",
     )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -372,7 +380,10 @@ def run_pipeline(
     import json
 
     adapter = adapter or SchemaAdapter()
-    stream = open_stream(spark, log_dir, max_per_trigger=max_per_trigger)
+    stream = open_stream(
+        spark, log_dir, max_per_trigger=max_per_trigger,
+        statedir=f"{checkpoint_dir}/_logtail_state",
+    )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         for table, env in process_batch(

@@ -79,12 +79,57 @@ class LogTailStreamReader(DataSourceStreamReader):
         # duplicate.
         self._floor: dict = {}
         self._floor_known = False
+        # Opt-in persisted floor (the reference's offset-YAML
+        # pattern, sources/mysql/streaming/offset.go:12-79): with
+        # option 'statedir', commit() persists the engine-confirmed
+        # floor to a sidecar, and a restarted reader loads it — the
+        # per-trigger cap then holds from the FIRST post-restart
+        # trigger instead of falling back to full lengths for one.
+        # CONTRACT: the statedir pairs with the checkpoint and they
+        # are deleted together; a fresh start (initialOffset) with a
+        # leftover sidecar fails fast below — trusting a stale-high
+        # floor against a fresh checkpoint would silently lose
+        # records that later appear under the already-logged offsets.
+        self.statedir = options.get("statedir")
+        if self.statedir:
+            side = self._sidecar_read()
+            if side is not None:
+                self._floor = dict(side)
+                self._floor_known = True
+
+    def _sidecar_path(self) -> str:
+        return os.path.join(self.statedir, "logtail-floor.json")
+
+    def _sidecar_read(self) -> dict | None:
+        try:
+            with open(self._sidecar_path()) as f:
+                data = json.load(f)
+            return {str(k): int(v) for k, v in data.items()}
+        except (OSError, ValueError):
+            return None
+
+    def _sidecar_write(self) -> None:
+        os.makedirs(self.statedir, exist_ok=True)
+        tmp = self._sidecar_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._floor, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._sidecar_path())
 
     # -- offset management (engine checkpoints these dicts) --
 
     def initialOffset(self) -> dict:
         # Only called when no checkpoint exists (fresh start): the
         # start options ARE the engine's position — a known floor.
+        if self.statedir and self._sidecar_read() is not None:
+            raise ValueError(
+                "logtail: fresh start (no checkpoint) but the statedir "
+                f"holds a persisted floor ({self._sidecar_path()}). The "
+                "statedir pairs with the checkpoint — delete both "
+                "together, or point 'statedir' elsewhere. Proceeding "
+                "would risk silently skipping records."
+            )
         self._floor = dict(self.start)
         self._floor_known = True
         return dict(self.start)
@@ -165,8 +210,14 @@ class LogTailStreamReader(DataSourceStreamReader):
         # Write-then-commit: the engine calls this after the sink
         # batch succeeds; a real binlog client would ACK/advance its
         # server-side position here. Committed offsets are the
-        # strongest floor we can learn from the engine.
+        # strongest floor we can learn from the engine — persisted to
+        # the sidecar when a statedir is configured.
         self._observe_engine(end)
+        if self.statedir:
+            try:
+                self._sidecar_write()
+            except OSError:
+                pass  # floor persistence is an optimization, not a gate
 
 
 class LogTailDataSource(DataSource):

@@ -75,6 +75,36 @@ class ShardStreamReader(DataSourceStreamReader):
         # per-batch cap and the parent->child gate resume on the next
         # trigger (one-batch degradation, documented, vs duplicates).
         self._floor_known = False
+        # Opt-in persisted floor (reference offsets.go pattern; same
+        # contract as log_source: statedir pairs with the checkpoint,
+        # deleted together). With it, cap AND parent->child gating
+        # hold from the first post-restart trigger.
+        self.statedir = options.get("statedir")
+        if self.statedir:
+            side = self._sidecar_read()
+            if side is not None:
+                self._last_end = dict(side)
+                self._floor_known = True
+
+    def _sidecar_path(self) -> str:
+        return os.path.join(self.statedir, "shardstream-floor.json")
+
+    def _sidecar_read(self) -> dict | None:
+        try:
+            with open(self._sidecar_path()) as f:
+                data = json.load(f)
+            return {str(k): int(v) for k, v in data.items()}
+        except (OSError, ValueError):
+            return None
+
+    def _sidecar_write(self) -> None:
+        os.makedirs(self.statedir, exist_ok=True)
+        tmp = self._sidecar_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._last_end, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._sidecar_path())
 
     # -- discovery ---------------------------------------------------------
 
@@ -100,6 +130,14 @@ class ShardStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         # Only called when no checkpoint exists (fresh start): empty
         # positions ARE the engine's truth — the floor is known.
+        if self.statedir and self._sidecar_read() is not None:
+            raise ValueError(
+                "shardstream: fresh start (no checkpoint) but the "
+                f"statedir holds a persisted floor "
+                f"({self._sidecar_path()}). The statedir pairs with "
+                "the checkpoint — delete both together. Proceeding "
+                "would risk silently skipping records."
+            )
         self._floor_known = True
         return {}  # TRIM_HORIZON: start every shard at its oldest record
 
@@ -195,8 +233,14 @@ class ShardStreamReader(DataSourceStreamReader):
         # Write-then-commit (writers/writer.go:44-50): a live Streams
         # client would persist per-shard sequence numbers here; with
         # files the checkpoint is the offset store. Committed offsets
-        # are the strongest floor the engine can teach us.
+        # are the strongest floor the engine can teach us — persisted
+        # to the sidecar when a statedir is configured.
         self._observe_engine(end)
+        if self.statedir:
+            try:
+                self._sidecar_write()
+            except OSError:
+                pass  # floor persistence is an optimization, not a gate
 
 
 class ShardStreamDataSource(DataSource):

@@ -277,3 +277,53 @@ def test_restart_under_cap_end_to_end(spark, tmp_path):
         if got == list(range(9)):
             break
     assert got == list(range(9)), f"loss after drains: {got}"
+
+
+def test_statedir_floor_keeps_cap_across_restart(tmp_path):
+    """With option 'statedir' the committed floor persists (the
+    reference's offset-YAML pattern): a clean restart caps its FIRST
+    trigger instead of falling back to full lengths — and a fresh
+    start over a leftover sidecar fails fast (stale-high floors
+    against a fresh checkpoint would silently skip records)."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql.types import StructType, StructField, StringType
+
+    from reader_spark.streaming.log_source import LogTailStreamReader
+
+    d = tmp_path / "log"
+    d.mkdir()
+    with open(d / "a.jsonl", "w") as f:
+        for i in range(12):
+            f.write(_json.dumps({"seq": i}) + "\n")
+    schema = StructType([StructField("seq", StringType())])
+    opts = {
+        "path": str(d),
+        "maxrecordspertrigger": "3",
+        "statedir": str(tmp_path / "state"),
+    }
+
+    r1 = LogTailStreamReader(schema, opts)
+    start = r1.initialOffset()
+    recs1, ck, _ = _drive(r1, start, 2)
+    assert ck == {"a.jsonl": 6}
+
+    # clean restart: sidecar floor loaded -> first trigger is CAPPED
+    r2 = LogTailStreamReader(schema, opts)
+    recs2, ck2, ranges = _drive(r2, ck, 2)
+    for (st, en) in ranges:
+        span = sum(
+            en.get(k, 0) - st.get(k, 0) for k in en
+        )
+        assert span <= 3, f"first post-restart trigger uncapped: {ranges}"
+        for k, v in en.items():
+            assert v >= ck.get(k, 0)
+    seqs = [r[0] for r in recs1 + recs2]
+    assert sorted(seqs) == sorted(set(seqs))
+    assert ck2 == {"a.jsonl": 12}
+
+    # fresh start (initialOffset) over the leftover sidecar: refuse
+    r3 = LogTailStreamReader(schema, opts)
+    with _pytest.raises(ValueError, match="statedir"):
+        r3.initialOffset()

@@ -200,3 +200,64 @@ def test_shard_restart_end_to_end_exactly_once(spark, tmp_path):
     all_seqs = drain()  # fresh query, same checkpoint = restart
     assert sorted(all_seqs) == sorted(set(all_seqs)), "duplicate delivery"
     assert sorted(set(all_seqs)) == sorted(f"e{i}" for i in range(7))
+
+
+def test_shard_statedir_floor_keeps_cap_and_gate_across_restart(tmp_path):
+    """statedir sidecar: after a clean restart the per-shard cap AND
+    the parent->child gate hold from the first trigger (no full-line
+    fallback); a fresh start over a leftover sidecar fails fast."""
+    import pytest as _pytest
+    from pyspark.sql.types import StructType, StructField, StringType
+
+    from reader_spark.streaming.shard_source import ShardStreamReader
+
+    d = str(tmp_path / "shards")
+    os.makedirs(d)
+    _write_shard(d, "p", [
+        {"event_name": "INSERT", "keys": "k", "seq": f"p{i}"}
+        for i in range(6)
+    ])
+    _write_shard(d, "q", [
+        {"event_name": "INSERT", "keys": "k", "seq": f"q{i}"}
+        for i in range(3)
+    ])
+    with open(os.path.join(d, "shards.json"), "w") as f:
+        json.dump({"p": {"closed": True}, "q": {"parent": "p"}}, f)
+    schema = StructType([StructField(n, StringType())
+                         for n in ("event_name", "keys", "seq")])
+    opts = {
+        "path": d,
+        "maxRecordsPerBatch": "2",
+        "statedir": str(tmp_path / "state"),
+    }
+
+    def drive(reader, start, n):
+        recs, ranges, cur = [], [], dict(start)
+        for _ in range(n):
+            end = reader.latestOffset()
+            ranges.append((dict(cur), dict(end)))
+            for part in reader.partitions(dict(cur), dict(end)):
+                recs.extend(reader.read(part))
+            reader.commit(dict(end))
+            cur = dict(end)
+        return recs, cur, ranges
+
+    r1 = ShardStreamReader(schema, opts)
+    start = r1.initialOffset()
+    recs1, ck, _ = drive(r1, start, 2)  # parent partially drained
+    assert ck["p"] == 4 and ck.get("q", 0) == 0
+
+    # clean restart: cap holds per shard, child still gated (parent
+    # not fully consumed yet)
+    r2 = ShardStreamReader(schema, opts)
+    recs2, ck2, ranges = drive(r2, ck, 4)
+    first_start, first_end = ranges[0]
+    assert first_end["p"] - first_start.get("p", 0) <= 2, "cap lost"
+    assert first_end.get("q", 0) == 0, "child leaked before parent drained"
+    seqs = [r[2] for r in recs1 + recs2]
+    assert sorted(seqs) == sorted(set(seqs))
+    assert ck2 == {"p": 6, "q": 3}
+
+    r3 = ShardStreamReader(schema, opts)
+    with _pytest.raises(ValueError, match="statedir"):
+        r3.initialOffset()

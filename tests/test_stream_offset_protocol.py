@@ -45,6 +45,25 @@ READER_FACTORIES = {
     "shard": lambda d, cap: ShardStreamReader(
         SCHEMA, {"path": str(d), "maxRecordsPerBatch": str(cap)}
     ),
+    # persisted-floor variants: the sidecar must preserve the same
+    # invariants (it may lag the checkpoint by exactly the pending
+    # batch, which the replay path covers)
+    "logtail-statedir": lambda d, cap: LogTailStreamReader(
+        SCHEMA,
+        {
+            "path": str(d),
+            "maxrecordspertrigger": str(cap),
+            "statedir": str(d) + "-state",
+        },
+    ),
+    "shard-statedir": lambda d, cap: ShardStreamReader(
+        SCHEMA,
+        {
+            "path": str(d),
+            "maxRecordsPerBatch": str(cap),
+            "statedir": str(d) + "-state",
+        },
+    ),
 }
 
 # A schedule is a list of ops:

@@ -42,6 +42,17 @@ def get_spark(
         # has no nanos type — read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Throughput GC for batch analytics: the default G1 collector
+        # spends minutes growing/ compacting regions under the
+        # allocation burst of wide decimal/row aggregations (measured:
+        # TPC-H Q1 over 60M rows first-run 167 s on G1 vs 12 s on
+        # ParallelGC, steady-state 9.4 s vs 3.7-6 s). Real clusters
+        # make the same call: latency-oriented G1 is for services,
+        # ParallelGC for throughput-bound executors.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -25,13 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (value_v1_subset / value_v2_subset) so totals compare like-for-like
 # across rounds even as the set grows. Add new queries only by
 # bumping the version and appending (never reordering/removing).
-QUERY_SET_VERSION = 7
+QUERY_SET_VERSION = 8
 V1_LEN = 29
 V2_LEN = 45
 V3_LEN = 58
 V4_LEN = 70
 V5_LEN = 92
 V6_LEN = 96
+V7_LEN = 104
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -166,6 +167,10 @@ HEADLINE = [
     "split_leakage",
     "event_path_trigrams",
     "sampled_quantiles",
+    # v8 (r7): distributed Lloyd k-means census + cluster-balanced
+    # sampling (semantic-diversity curation)
+    "embedding_clusters",
+    "cluster_sample",
 ]
 
 
@@ -252,6 +257,9 @@ def main() -> None:
                 ),
                 "value_v6_subset": round(
                     sum(timings.get(n, 0.0) for n in HEADLINE[:V6_LEN]), 3
+                ),
+                "value_v7_subset": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:V7_LEN]), 3
                 ),
             }
         )

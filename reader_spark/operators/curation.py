@@ -214,6 +214,40 @@ def stratified_sample(
     )
 
 
+def cluster_balanced_sample(
+    rows: DataFrame,
+    cap: int,
+    id_col: str = "vec_id",
+    cluster_col: str = "cl",
+) -> DataFrame:
+    """Deterministic per-cluster downsampling to EXACTLY
+    min(cap, |cluster|) rows: rank members by their md5-ppm draw
+    (ties by id) and keep the first `cap` — the cluster-balanced
+    selection step of semantic-diversity curation (downsample
+    over-dense semantic clusters instead of over-dense sources).
+
+    Unlike the rate-based `stratified_sample` (expected-size), the
+    rank cut is exact-size — mixture budgets stay exact. One window
+    per cluster partition; the draw is order- and
+    partitioning-independent, so re-runs and incremental appends
+    agree on every kept id."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(cluster_col).orderBy(
+        F.col("__u").asc(), F.col(id_col).asc()
+    )
+    return (
+        rows.withColumn("__u", _hash_ppm(F.col(id_col), "csamp"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= cap)
+        .select(
+            F.col(id_col),
+            F.col(cluster_col).alias("cluster_id"),
+            F.col("__u").alias("draw_ppm"),
+        )
+    )
+
+
 def dataset_split(
     docs: DataFrame,
     fractions: tuple[float, float] = (0.9, 0.95),
@@ -406,6 +440,92 @@ def semantic_dedup(
             F.col("vid").alias(id_col),
             "bucket",
             F.when(F.col("dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_kept"),
+        )
+    )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    n_iters: int = 2,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str = "label",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023, arXiv:2303.09540): k-means
+    the embedding space, then within each cluster drop every member
+    of a cos >= threshold pair EXCEPT the one farthest from the
+    cluster centroid — the paper's keep-low-centroid-similarity
+    policy (prototypical near-copies shed mass; cluster-edge
+    diversity survives). A vector is dropped iff some same-cluster
+    neighbor with cos >= threshold strictly dominates it by
+    (centroid distance DESC, id ASC) — among any duplicate pair
+    exactly one side dominates, and only un-dominated (locally
+    maximal) members are kept.
+
+    Vs `semantic_dedup` (sign-LSH buckets, keep-min-id): candidates
+    here share a LEARNED cluster, so a lower threshold reaches real
+    paraphrases rather than only near-identical vectors, and the keep
+    policy is geometry-aware instead of id-arbitrary.
+
+    Scale: the pair list is bounded by cluster occupancy. At 100 TB
+    the cluster count K grows with the corpus (the paper runs K~50k),
+    holding n/K — and the per-cluster O((n/K)^2) dominance join —
+    flat; the join is an equi-join on the cluster key, never
+    all-pairs across clusters. `max_cluster` is the same
+    by-construction skew guard as `semantic_dedup.max_bucket`:
+    clusters above the cap pass through kept and never build a
+    quadratic pair list (boilerplate mega-clusters belong to exact /
+    MinHash dedup upstream)."""
+    scored = SIM.kmeans_assign_scored(
+        emb,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed_col=seed_col,
+    )
+    joinable = scored
+    if max_cluster is not None:
+        from pyspark.sql import Window as W
+
+        joinable = (
+            scored.withColumn(
+                "_csz", F.count("*").over(W.partitionBy("cl"))
+            )
+            .filter(F.col("_csz") <= max_cluster)
+            .drop("_csz")
+        )
+    a = joinable.alias("a")
+    b = DD.maybe_broadcast(joinable.alias("b"))
+    cos = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (
+        F.sqrt(F.col("a.nv")) * F.sqrt(F.col("b.nv"))
+    )
+    a_id, b_id = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    dominated = (F.col("b.dist") > F.col("a.dist")) | (
+        (F.col("b.dist") == F.col("a.dist")) & (b_id < a_id)
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cl") == F.col("b.cl")) & (a_id != b_id),
+        )
+        .filter((cos >= F.lit(threshold)) & dominated)
+        .select(a_id.alias("__vid"))
+        .distinct()
+    )
+    return (
+        scored.join(
+            dropped.withColumn("__drop", F.lit(1)),
+            scored[id_col] == dropped["__vid"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("cl").alias("cluster_id"),
+            F.when(F.col("__drop").isNull(), F.lit(1))
             .otherwise(F.lit(0))
             .alias("is_kept"),
         )

@@ -338,6 +338,135 @@ def knn_ivf_trained(
     return _topk_probed(corpus, probes, k, id_col)
 
 
+def kmeans_lloyd(
+    vecs: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`n_iters` deterministic Lloyd iterations from the label-seeded
+    centroids: re-assign (broadcast centroids, map-side struct-min
+    argmin) then re-average (sorted sequential fold — bit-identical to
+    the DuckDB oracle's `list_reduce(list(v ORDER BY id))`).
+
+    Returns the final centroid table (cl, c, nc). Each iteration is
+    one map-only assignment pass plus one mean aggregation — the
+    canonical broadcast-Lloyd shape that scales to any corpus size
+    (centroid count, not corpus size, bounds the broadcast). The
+    trained-model production path is `ivf_fit` (pyspark.ml KMeans);
+    this variant exists for oracle-reproducible clustering.
+
+    Expects `vecs` with (id_col, cluster, vec, nv) — the `knn_ivf`
+    input shape."""
+    cents = label_seeded_centroids(vecs)
+    for _ in range(max(0, n_iters - 1)):
+        assigned = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
+        cents = label_seeded_centroids(assigned, cluster_col="cl", vec_col="vec")
+    return cents
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str = "label",
+) -> DataFrame:
+    """Cluster census after `n_iters` Lloyd iterations: one row per
+    non-empty cluster with its member count and medoid-style
+    representative (the member nearest the final centroid, ties by
+    id) — the cluster map a SemDeDup-style semantic curation pass
+    starts from (cf. reference's grouped-aggregation surface; this is
+    beyond-reference LLM-pipeline capability).
+
+    All outputs are integers (ids/counts) so the oracle check is
+    float-free; distances are compared, never emitted. Plan shape:
+    K-row centroid broadcasts + two corpus aggregations per
+    iteration — no corpus-sized shuffle carries vectors except the
+    grouped mean (bounded by K groups, partial-aggregated map-side)."""
+    vecs = pin(
+        embeddings.select(
+            F.col(id_col),
+            F.col(seed_col).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    )
+    cents = kmeans_lloyd(vecs, n_iters=n_iters, id_col=id_col)
+    final = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
+    scored = final.join(F.broadcast(cents), "cl").withColumn(
+        "__dist",
+        F.col("nv") - F.lit(2.0) * dot(F.col("vec"), F.col("c")) + F.col("nc"),
+    )
+    return (
+        scored.groupBy(F.col("cl").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(F.struct(F.col("__dist"), F.col(id_col))).alias("__m"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("__m").getField(id_col).alias("rep_id"),
+        )
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str = "label",
+) -> DataFrame:
+    """Per-vector cluster assignment after `n_iters` Lloyd iterations
+    (id_col, vec, nv, cl) — the ingest-time labeling job downstream
+    cluster-aware curation (balanced sampling, SemDeDup pruning)
+    keys on."""
+    vecs = pin(
+        embeddings.select(
+            F.col(id_col),
+            F.col(seed_col).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    )
+    cents = kmeans_lloyd(vecs, n_iters=n_iters, id_col=id_col)
+    return nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
+
+
+def kmeans_assign_scored(
+    embeddings: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str = "label",
+) -> DataFrame:
+    """`kmeans_assign` plus the squared-L2 distance to the assigned
+    centroid (`dist`) — the geometry key SemDeDup-style pruning ranks
+    duplicates by and the census medoid step minimizes. One extra
+    K-row broadcast join over `kmeans_assign`; the distance expression
+    is the same `nv - 2<vec,c> + nc` shape `nearest_clusters` scored
+    with, so it is bit-identical to the argmin's winning value (and to
+    the DuckDB oracle's)."""
+    vecs = pin(
+        embeddings.select(
+            F.col(id_col),
+            F.col(seed_col).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    )
+    cents = kmeans_lloyd(vecs, n_iters=n_iters, id_col=id_col)
+    assigned = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
+    return (
+        assigned.join(F.broadcast(cents), "cl")
+        .withColumn(
+            "dist",
+            F.col("nv")
+            - F.lit(2.0) * dot(F.col("vec"), F.col("c"))
+            + F.col("nc"),
+        )
+        .drop("c", "nc")
+    )
+
+
 def pca_fit(embeddings: DataFrame, k: int = 16, vec_col: str = "embedding"):
     """Production dimensionality reduction: pyspark.ml PCA fitted
     ONCE over the corpus (the model is a dim x k loading matrix —

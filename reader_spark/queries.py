@@ -3493,6 +3493,126 @@ SEMANTIC_DEDUP_SQL = (
 )
 
 
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means census: two deterministic Lloyd iterations
+    (label-seeded init, broadcast centroids, sorted sequential-fold
+    means — bit-reproducible vs the oracle), then one row per cluster
+    with member count and the medoid-style representative. The
+    cluster map cluster-aware curation starts from."""
+    return SIM.kmeans_clusters(_t(spark, sf_dir, "embeddings"), n_iters=2)
+
+
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (arXiv:2303.09540): 2-iteration Lloyd clusters,
+    then within each cluster drop every cos>=tau duplicate except the
+    member farthest from the centroid (keep-low-centroid-similarity).
+    Cluster-scoped candidate join — pair lists bounded by cluster
+    occupancy, dominance keyed on bit-reproducible centroid
+    distances, so the full keep/drop decision is oracle-exact."""
+    return CU.semdedup_prune(
+        _t(spark, sf_dir, "embeddings"), n_iters=2, threshold=0.2
+    )
+
+
+def cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced selection: assign every vector to its
+    2-iteration Lloyd cluster, then keep EXACTLY min(30, |cluster|)
+    per cluster by ranked md5-ppm draw — semantic-diversity
+    downsampling (dense clusters shed mass, sparse clusters survive
+    whole), the embedding-space complement of source-level
+    `temperature_resample`."""
+    assigned = SIM.kmeans_assign(_t(spark, sf_dir, "embeddings"), n_iters=2)
+    return CU.cluster_balanced_sample(assigned, cap=30)
+
+
+# Two unrolled Lloyd iterations, shared by both oracles: centroids
+# re-averaged with `list_reduce(list(e ORDER BY vec_id))` — the same
+# sequential fold order as the Spark side, so every float matches
+# bit-for-bit (the knn_ivf pattern, one more round).
+_KMEANS_PREFIX_SQL = """
+WITH v0 AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), v AS (
+  SELECT vec_id, label, e,
+         list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y) AS nv
+  FROM v0
+), cent0 AS (
+  SELECT label AS cl, list(e ORDER BY vec_id) AS vs FROM v GROUP BY label
+), cent1 AS (
+  SELECT cl,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(generate_series(1, len(a)), i -> a[i] + b[i])),
+           x -> x / len(vs)) AS c
+  FROM cent0
+), centn1 AS (
+  SELECT cl, c, list_reduce(list_transform(c, x -> x * x), (x, y) -> x + y) AS nc FROM cent1
+), assign1 AS (
+  SELECT vec_id, e, nv, cl FROM (
+    SELECT v.vec_id, v.e, v.nv, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nv - 2 * list_reduce(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.c[i]), (x, y) -> x + y) + c.nc) ASC,
+             c.cl ASC) AS r
+    FROM v, centn1 c
+  ) WHERE r = 1
+), cent0b AS (
+  SELECT cl, list(e ORDER BY vec_id) AS vs FROM assign1 GROUP BY cl
+), cent2 AS (
+  SELECT cl,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(generate_series(1, len(a)), i -> a[i] + b[i])),
+           x -> x / len(vs)) AS c
+  FROM cent0b
+), centn2 AS (
+  SELECT cl, c, list_reduce(list_transform(c, x -> x * x), (x, y) -> x + y) AS nc FROM cent2
+), assign2 AS (
+  SELECT vec_id, e, nv, cl, dist FROM (
+    SELECT v.vec_id, v.e, v.nv, c.cl,
+           (v.nv - 2 * list_reduce(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.c[i]), (x, y) -> x + y) + c.nc) AS dist,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nv - 2 * list_reduce(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.c[i]), (x, y) -> x + y) + c.nc) ASC,
+             c.cl ASC) AS r
+    FROM v, centn2 c
+  ) WHERE r = 1
+)
+"""
+
+EMBEDDING_CLUSTERS_SQL = _KMEANS_PREFIX_SQL + """
+SELECT cluster_id, n_members, rep_id FROM (
+  SELECT cl AS cluster_id, vec_id AS rep_id,
+         count(*) OVER (PARTITION BY cl) AS n_members,
+         row_number() OVER (PARTITION BY cl ORDER BY dist ASC, vec_id ASC) AS rr
+  FROM assign2
+) WHERE rr = 1
+"""
+
+SEMDEDUP_PRUNE_SQL = _KMEANS_PREFIX_SQL + """
+, dropped AS (
+  SELECT DISTINCT a.vec_id AS vid
+  FROM assign2 a JOIN assign2 b
+    ON a.cl = b.cl AND a.vec_id <> b.vec_id
+  WHERE (list_reduce(list_transform(generate_series(1, len(a.e)),
+                                    i -> a.e[i] * b.e[i]),
+                     (x, y) -> x + y)
+         / (sqrt(a.nv) * sqrt(b.nv))) >= 0.2
+    AND (b.dist > a.dist OR (b.dist = a.dist AND b.vec_id < a.vec_id))
+)
+SELECT a.vec_id, a.cl AS cluster_id,
+       CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS is_kept
+FROM assign2 a LEFT JOIN dropped d ON d.vid = a.vec_id
+"""
+
+CLUSTER_SAMPLE_SQL = _KMEANS_PREFIX_SQL + """
+SELECT vec_id, cluster_id, draw_ppm FROM (
+  SELECT vec_id, cl AS cluster_id,
+         ('0x' || substr(md5('csamp:' || vec_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS draw_ppm,
+         row_number() OVER (PARTITION BY cl ORDER BY
+           ('0x' || substr(md5('csamp:' || vec_id::VARCHAR), 1, 8))::BIGINT % 1000000 ASC,
+           vec_id ASC) AS rr
+  FROM assign2
+) WHERE rr <= 30
+"""
+
+
 # ---------------------------------------------------------------------------
 # retrieval (operators/retrieval.py): BM25 probe-query ranking — the
 # corpus-inspection / contamination-forensics verb
@@ -7638,6 +7758,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "reservoir_sample": (reservoir_sample_q, RESERVOIR_SQL),
     "temperature_resample": (temperature_resample, TEMPERATURE_SQL),
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "embedding_clusters": (embedding_clusters, EMBEDDING_CLUSTERS_SQL),
+    "cluster_sample": (cluster_sample, CLUSTER_SAMPLE_SQL),
+    "semdedup_prune": (semdedup_prune_q, SEMDEDUP_PRUNE_SQL),
     "knn_sq8": (knn_sq8, KNN_SQ8_SQL),
     # r4 additions: retrieval + PII scrubbing (rotated out to make
     # room: q6/q15/q19 — two rounds hash-green, code untouched)
@@ -7849,8 +7972,10 @@ _WINDOW_R7 = [
     "hybrid_search_rrf", "trigram_search", "heavy_hitters",
     "kmv_distinct", "mixture_apply", "quality_mixture",
     "epoch_shuffle", "pack_sequences", "bigram_logprob",
-    "record_linkage", "price_outliers_mad", "cohort_retention",
-    "funnel_events", "session_window_native", "incremental_snapshot",
+    "record_linkage", "price_outliers_mad",
+    "session_window_native",
+    # new this round (never sampled)
+    "embedding_clusters", "cluster_sample", "semdedup_prune",
 ]
 assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 CATALOG = {

@@ -1,0 +1,145 @@
+"""Deterministic Lloyd k-means + cluster-balanced sampling.
+
+Beyond-reference LLM-pipeline surface: `kmeans_clusters` /
+`kmeans_assign` (operators/similarity.py) and
+`cluster_balanced_sample` (operators/curation.py). Properties, not
+golden values: Lloyd monotonicity, assignment consistency, exact
+per-cluster caps, and partitioning-independence of the draw.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reader_spark.operators import curation as CU
+from reader_spark.operators import similarity as SIM
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _sse(assigned, cents):
+    """Total within-cluster squared L2 (the Lloyd objective)."""
+    scored = assigned.join(F.broadcast(cents), "cl").withColumn(
+        "__d",
+        F.col("nv")
+        - F.lit(2.0) * SIM.dot(F.col("vec"), F.col("c"))
+        + F.col("nc"),
+    )
+    return scored.agg(F.sum("__d")).collect()[0][0]
+
+
+def test_lloyd_objective_monotone_nonincreasing(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    vecs = emb.select(
+        "vec_id",
+        F.col("label").alias("cluster"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    ).withColumn("nv", SIM.dot(F.col("vec"), F.col("vec")))
+    sses = []
+    for it in (1, 2, 3):
+        cents = SIM.kmeans_lloyd(vecs, n_iters=it)
+        assigned = SIM.nearest_clusters(vecs.drop("cluster"), cents, 1, "vec_id")
+        sses.append(_sse(assigned, cents))
+    assert sses[1] <= sses[0] + 1e-9
+    assert sses[2] <= sses[1] + 1e-9
+
+
+def test_census_counts_and_reps_consistent(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    census = SIM.kmeans_clusters(emb, n_iters=2).collect()
+    assigned = SIM.kmeans_assign(emb, n_iters=2)
+    total = emb.count()
+    assert sum(r.n_members for r in census) == total
+    sizes = {r.cl: r.cnt for r in assigned.groupBy("cl").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert {r.cluster_id: r.n_members for r in census} == sizes
+    # every representative belongs to the cluster it represents
+    member_cl = {r.vec_id: r.cl for r in assigned.select("vec_id", "cl").collect()}
+    for r in census:
+        assert member_cl[r.rep_id] == r.cluster_id
+
+
+def test_cluster_sample_exact_caps_and_determinism(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    assigned = SIM.kmeans_assign(emb, n_iters=2)
+    cap = 7
+    kept = CU.cluster_balanced_sample(assigned, cap=cap)
+    sizes = {r.cl: r.cnt for r in assigned.groupBy("cl").agg(
+        F.count("*").alias("cnt")).collect()}
+    got = {r.cluster_id: r.cnt for r in kept.groupBy("cluster_id").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert got == {cl: min(cap, n) for cl, n in sizes.items() if min(cap, n) > 0}
+    # the kept ID SET is partitioning-independent (md5 draw, not RNG)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    re_kept = CU.cluster_balanced_sample(
+        assigned.repartition(13), cap=cap
+    )
+    assert {r.vec_id for r in re_kept.collect()} == kept_ids
+
+
+def test_kmeans_census_no_cartesian_no_python_udf(spark, sf_dir):
+    """Plan hygiene: centroid scoring is a broadcast nested loop over
+    K rows (bounded), never an unbounded cartesian over the corpus,
+    and nothing drops to Python row UDFs."""
+    plan = SIM.kmeans_clusters(_emb(spark, sf_dir), n_iters=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_prune_keep_policy(spark, sf_dir):
+    """The farthest-from-centroid member of every cluster is never
+    dominated (always kept), every cluster retains at least one
+    member, and with max_cluster=0 every vector passes through kept
+    (the skew guard disables all pair lists)."""
+    emb = _emb(spark, sf_dir)
+    pruned = CU.semdedup_prune(emb, n_iters=2, threshold=0.2)
+    scored = SIM.kmeans_assign_scored(emb, n_iters=2)
+    far = {
+        (r.cl, r.vec_id)
+        for r in scored.groupBy("cl")
+        .agg(
+            F.max(F.struct(F.col("dist"), (-F.col("vec_id")).alias("nid"))).alias("m")
+        )
+        .select("cl", (-F.col("m.nid")).alias("vec_id"))
+        .collect()
+    }
+    kept = {(r.cluster_id, r.vec_id) for r in pruned.filter("is_kept = 1").collect()}
+    assert far <= kept
+    kept_clusters = {cl for cl, _ in kept}
+    all_clusters = {r.cluster_id for r in pruned.collect()}
+    assert kept_clusters == all_clusters
+    guarded = CU.semdedup_prune(emb, n_iters=2, threshold=0.2, max_cluster=0)
+    assert guarded.filter("is_kept = 0").count() == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["embedding_clusters", "cluster_sample", "semdedup_prune"]
+)
+def test_catalog_oracle_exact(spark, sf_dir, name):
+    """Exact-value parity vs the DuckDB oracle at the test SF — the
+    same comparison the driver's correctness gate runs."""
+    import duckdb
+
+    from reader_spark import queries as Q
+
+    fn, sql = Q.CATALOG[name]
+    got = fn(spark, sf_dir).toPandas().sort_values(
+        by=None or sorted(fn(spark, sf_dir).columns)
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = con.sql(sql).fetchdf().sort_values(
+        by=sorted(got.columns)
+    ).reset_index(drop=True)
+    assert sorted(got.columns) == sorted(want.columns)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    assert got.shape == want.shape
+    for c in got.columns:
+        assert str(got[c].dtype) == str(want[c].dtype), (
+            c, got[c].dtype, want[c].dtype)
+        assert (got[c] == want[c]).all(), c

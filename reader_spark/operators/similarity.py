@@ -380,9 +380,15 @@ def kmeans_clusters(
 
     All outputs are integers (ids/counts) so the oracle check is
     float-free; distances are compared, never emitted. Plan shape:
-    K-row centroid broadcasts + two corpus aggregations per
-    iteration — no corpus-sized shuffle carries vectors except the
-    grouped mean (bounded by K groups, partial-aggregated map-side)."""
+    K-row centroid broadcasts + per-iteration (a) a map-only
+    assignment pass whose argmin PARTIAL-aggregates map-side
+    (min-struct, ~N pre-reduced rows on the exchange) and (b) the
+    centroid re-average, which shuffles each cluster's vectors to one
+    task for the sorted sequential fold — the price of
+    bit-reproducible float means (the oracle path; at 100 TB train
+    the quantizer with `ivf_fit` on a sample, where the mean is a
+    true partial aggregate and K scales with the corpus). The census
+    aggregation itself is min-struct partial-aggregated, K rows out."""
     vecs = pin(
         embeddings.select(
             F.col(id_col),
@@ -430,6 +436,34 @@ def kmeans_assign(
     )
     cents = kmeans_lloyd(vecs, n_iters=n_iters, id_col=id_col)
     return nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
+
+
+def kmeans_assign_trained(
+    embeddings: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production-path cluster assignment: the fitted pyspark.ml
+    KMeans model's JVM transform — (id_col, cl), map-only, zero
+    shuffle. This is the ingest labeling job at 100 TB: measured 65x
+    faster than the interpreted broadcast-argmin at K=64 over 200k
+    vectors (0.72s vs 46.9s, SCALE.md r7 — zip_with/aggregate folds
+    are CodegenFallback, the ML predictor is vectorized JVM). Use
+    `kmeans_assign` only where bit-reproducibility against the
+    DuckDB oracle matters; feed this frame to
+    `cluster_balanced_sample` / SemDeDup-style passes otherwise."""
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    return model.transform(feats).select(
+        F.col(id_col), F.col("prediction").alias("cl")
+    )
 
 
 def kmeans_assign_scored(

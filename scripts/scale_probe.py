@@ -402,6 +402,105 @@ def r7_mode(copies: int) -> None:
     )
 
 
+def kmeans_mode(copies: int) -> None:
+    """Round-7 clustering probes: the deterministic broadcast-Lloyd
+    ORACLE path (sorted sequential-fold means — per-cluster vector
+    lists on one task each) versus the production quantizer
+    (`ivf_fit`: pyspark.ml KMeans trained on a SAMPLE, JVM-side
+    assignment), plus `cluster_balanced_sample` over corpus-scale
+    assignments. Evidences the kmeans_clusters docstring's scale
+    call: the fold path is for oracle-reproducible runs; at 100x you
+    fit on a sample with corpus-scaled K and assign with broadcast
+    argmin."""
+    emb_path = build_emb(copies)
+
+    import pyspark.sql.functions as F
+
+    from reader_spark.operators import curation as CU
+    from reader_spark.operators import similarity as SIM
+    from reader_spark.session import get_spark
+
+    spark = get_spark("scale_kmeans", extra_conf={"spark.ui.enabled": "true"})
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    emb = spark.read.parquet(emb_path)
+    n = emb.count()
+    print(f"corpus: {n} vectors ({copies}x)")
+    last = [_shuffle_bytes(spark)]
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        sb = _shuffle_bytes(spark)
+        delta = sb - last[0] if sb >= 0 and last[0] >= 0 else -1
+        last[0] = sb
+        print(f"{name}: {wall:.2f}s  shuffle_write={delta / 1e6:.1f}MB")
+        return out
+
+    # Oracle path: full-corpus Lloyd census. Each re-average collects
+    # one cluster's vectors onto one task (the bit-reproducibility
+    # price) — bounded by max cluster occupancy, so probe it where a
+    # census belongs: on the corpus you oracle-check.
+    timed(
+        "kmeans_clusters ORACLE PATH (2 Lloyd iters, full corpus)",
+        lambda: SIM.kmeans_clusters(emb, n_iters=2)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    # Production path: fit K=64 on a ~100k-row sample (cluster count
+    # scales with the corpus; the sample bounds training), then
+    # assign the FULL corpus with the broadcast argmin.
+    frac = min(1.0, 100_000 / max(n, 1))
+    sample = emb.sample(fraction=frac, seed=7)
+    model = timed(
+        f"ivf_fit PRODUCTION (K=64, {frac:.3f} sample)",
+        lambda: SIM.ivf_fit(sample, 64),
+    )
+    # Assignment, production path: JVM model.transform (vectorized
+    # KMeans prediction) — no interpreted higher-order-function dot
+    # in sight. This is what an ingest job runs at 100 TB.
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    assigned = model.transform(feats).select(
+        "vec_id", F.col("prediction").alias("cl")
+    )
+    timed(
+        "assign FULL corpus (JVM model.transform, K=64)",
+        lambda: assigned.write.format("noop").mode("overwrite").save(),
+    )
+
+    # Assignment, oracle-determinism path: broadcast argmin over
+    # interpreted zip_with/aggregate folds. Forced end-to-end with a
+    # noop write (a count() lets Catalyst PRUNE the dot products —
+    # measured 3.8s pruned vs the real cost below).
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cl int, c array<double>",
+    ).withColumn("nc", SIM.dot(F.col("c"), F.col("c")))
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    ).withColumn("nv", SIM.dot(F.col("vec"), F.col("vec")))
+    timed(
+        "assign FULL corpus (interpreted broadcast argmin, K=64)",
+        lambda: SIM.nearest_clusters(vecs, cents, 1, "vec_id")
+        .select("vec_id", "cl")
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    timed(
+        "cluster_balanced_sample over model assignments (cap=1000)",
+        lambda: CU.cluster_balanced_sample(assigned, cap=1000)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+
 def snapshot_mode(copies: int) -> None:
     """Snapshot-path throughput (the reference's primary workload:
     table scan -> Debezium envelope -> publish, §3.1): full lineitem
@@ -525,6 +624,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "r7":
         r7_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
+        kmeans_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "cdc":
         cdc_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)

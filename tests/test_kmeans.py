@@ -78,6 +78,32 @@ def test_cluster_sample_exact_caps_and_determinism(spark, sf_dir):
     assert {r.vec_id for r in re_kept.collect()} == kept_ids
 
 
+def test_trained_assignment_matches_broadcast_argmin(spark, sf_dir):
+    """The production path (JVM model.transform) and the broadcast
+    argmin over the SAME trained centroids assign every vector to the
+    same cluster — the two paths are interchangeable downstream."""
+    emb = _emb(spark, sf_dir)
+    model = SIM.ivf_fit(emb, 8, seed=7)
+    fast = {
+        (r.vec_id, r.cl)
+        for r in SIM.kmeans_assign_trained(emb, model).collect()
+    }
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cl int, c array<double>",
+    ).withColumn("nc", SIM.dot(F.col("c"), F.col("c")))
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    ).withColumn("nv", SIM.dot(F.col("vec"), F.col("vec")))
+    slow = {
+        (r.vec_id, r.cl)
+        for r in SIM.nearest_clusters(vecs, cents, 1, "vec_id")
+        .select("vec_id", "cl")
+        .collect()
+    }
+    assert fast == slow
+
+
 def test_kmeans_census_no_cartesian_no_python_udf(spark, sf_dir):
     """Plan hygiene: centroid scoring is a broadcast nested loop over
     K rows (bounded), never an unbounded cartesian over the corpus,

@@ -167,10 +167,13 @@ HEADLINE = [
     "split_leakage",
     "event_path_trigrams",
     "sampled_quantiles",
-    # v8 (r7): distributed Lloyd k-means census + cluster-balanced
-    # sampling (semantic-diversity curation)
+    # v8 (r7): distributed Lloyd k-means census, cluster-balanced
+    # sampling, SemDeDup-proper pruning, quantizer-health report
+    # (semantic-diversity curation family)
     "embedding_clusters",
     "cluster_sample",
+    "semdedup_prune",
+    "cluster_health",
 ]
 
 

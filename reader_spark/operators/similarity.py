@@ -438,6 +438,89 @@ def kmeans_assign(
     return nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
 
 
+def _health_stats(scored: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Mergeable per-cluster health frame from a scored (cl, dist)
+    frame: (cluster_id, n_members, sum_err_ppm, worst_id,
+    worst_err_ppm). Every field is a monoid — counts and integer-ppm
+    sums add, the worst member max-merges on (err DESC, id ASC) — so
+    incremental maintenance unions partial frames and re-aggregates
+    without touching prior rows' inputs."""
+    err = F.floor(F.col("dist") * F.lit(1_000_000.0)).cast("long")
+    return (
+        scored.withColumn("__err", err)
+        .groupBy(F.col("cl").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("__err").alias("sum_err_ppm"),
+            F.max(
+                F.struct(
+                    F.col("__err").alias("err"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("__w"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "sum_err_ppm",
+            (-F.col("__w.nid")).alias("worst_id"),
+            F.col("__w.err").alias("worst_err_ppm"),
+        )
+    )
+
+
+def cluster_health(
+    embeddings: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str = "label",
+) -> DataFrame:
+    """Quantizer-health report — the refit signal `ivf_index_update`
+    punts on ('refit remains a full ivf_index_write'): per cluster,
+    occupancy and quantization error, so an operator can alarm on
+    occupancy skew (cells going hot shift search cost onto few
+    directories) or error creep (centroid drift degrading recall).
+
+    Float-parity by construction: the per-row squared-L2 error is
+    floored to integer ppm BEFORE aggregation, so the cross-engine
+    comparison only ever sees order-independent integer sums/maxes —
+    no double is emitted or summed (the r5 float rule). `worst_id` is
+    the argmax member (ties to the smaller id): where to look first
+    when a cluster degrades.
+
+    Scale: one assignment pass + one K-group integer aggregate —
+    partial-aggregated map-side, K rows out. On a stored IVF index
+    the same report reads (id, cl, vec) columns only; run it on the
+    maintenance cadence, not per query."""
+    scored = kmeans_assign_scored(
+        embeddings,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed_col=seed_col,
+    )
+    return _with_mean_err(_health_stats(scored, id_col))
+
+
+def _with_mean_err(stats: DataFrame) -> DataFrame:
+    """Attach the derived floor-mean column in the report order.
+    floor(double-division): both engines' IEEE division is correctly
+    rounded, and an exactly-integer quotient means sum == k*n is
+    exactly representable — floor never straddles an engine boundary
+    (vs cast, where Spark truncates and DuckDB rounds)."""
+    return stats.select(
+        "cluster_id",
+        "n_members",
+        "sum_err_ppm",
+        F.floor(F.col("sum_err_ppm") / F.col("n_members")).alias(
+            "mean_err_ppm"
+        ),
+        "worst_id",
+        "worst_err_ppm",
+    )
+
+
 def kmeans_assign_trained(
     embeddings: DataFrame,
     model,
@@ -685,6 +768,162 @@ def ivf_index_maintainer(path: str, id_col: str = "vec_id", vec_col: str = "embe
             return
         ivf_index_update(
             batch_df.sparkSession, path, batch_df, id_col, vec_col
+        )
+
+    return body
+
+
+def _scored_under_stored(spark, index_path: str, vecs: DataFrame) -> DataFrame:
+    """(.., cl, dist) of `vecs` rows assigned+scored under the STORED
+    centroids of a materialized IVF index — one broadcast join, no
+    refit."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    assigned = nearest_clusters(vecs, cents, 1, "vec_id")
+    return assigned.join(F.broadcast(cents), "cl").withColumn(
+        "dist",
+        F.col("nv") - F.lit(2.0) * dot(F.col("vec"), F.col("c")) + F.col("nc"),
+    )
+
+
+def ivf_health_write(spark, index_path: str, health_path: str) -> None:
+    """Full health scan of a materialized IVF index: per-cell
+    occupancy + integer-ppm quantization error of every stored row
+    under the stored centroids, pointer-flip published (readers never
+    see a torn table). Run at index build; `ivf_health_update` keeps
+    it fresh per micro-batch after that. The K-row output is the
+    refit trigger's input: alarm on occupancy skew or mean/worst
+    error creep, then run a full `ivf_index_write` refit."""
+    from reader_spark.operators import atomic_dir
+
+    corpus = spark.read.parquet(f"{index_path}/corpus").select(
+        "vec_id", "vec", "nv"
+    )
+    stats = _health_stats(_scored_under_stored(spark, index_path, corpus))
+
+    def write_fn(vdir: str) -> None:
+        stats.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    atomic_dir.publish(health_path, write_fn)
+
+
+def _health_epoch(data_root: str) -> int:
+    """Last-applied update epoch (underscore-prefixed marker inside
+    the published version dir — invisible to Spark, atomic with the
+    stats); -1 if never epoched."""
+    import os
+
+    ep = os.path.join(data_root, "_epoch")
+    if os.path.isfile(ep):
+        with open(ep) as f:
+            return int(f.read().strip() or -1)
+    return -1
+
+
+def ivf_health_update(
+    spark,
+    index_path: str,
+    health_path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    epoch: int | None = None,
+) -> None:
+    """Incremental health maintenance: score ONLY the delta under the
+    stored centroids and monoid-merge into the stats table (counts
+    and ppm sums add, the worst member max-merges) — update == a full
+    `ivf_health_write` rescan, exactly, because every field is an
+    integer monoid (asserted in test_kmeans.py). The rescan the full
+    write performs never happens again; per batch this reads a K-row
+    table and a delta.
+
+    Append-only contract (same as `bm25_index_update`): delta ids
+    must be NEW — a changed vector's previous error contribution
+    cannot be subtracted from the sums without its old row; id
+    replacement needs the rescan. Crash-replay exactly-once comes
+    from `epoch` (the foreachBatch batch id): the marker publishes
+    ATOMICALLY with the stats via the pointer flip, an
+    already-applied epoch is skipped, and a crash mid-publish leaves
+    the previous stats+epoch live."""
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(health_path)
+    if epoch is not None and _health_epoch(root) >= epoch:
+        return
+    new_epoch = epoch if epoch is not None else _health_epoch(root)
+    vecs = new_embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    delta = _health_stats(_scored_under_stored(spark, index_path, vecs))
+    merged = (
+        spark.read.parquet(root)
+        .unionByName(delta)
+        .groupBy("cluster_id")
+        .agg(
+            F.sum("n_members").alias("n_members"),
+            F.sum("sum_err_ppm").alias("sum_err_ppm"),
+            F.max(
+                F.struct(
+                    F.col("worst_err_ppm").alias("err"),
+                    (-F.col("worst_id")).alias("nid"),
+                )
+            ).alias("__w"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "sum_err_ppm",
+            (-F.col("__w.nid")).alias("worst_id"),
+            F.col("__w.err").alias("worst_err_ppm"),
+        )
+    )
+
+    def write_fn(vdir: str) -> None:
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_epoch"), "w") as f:
+            f.write(str(new_epoch))
+
+    atomic_dir.publish(health_path, write_fn)
+
+
+def ivf_health_read(spark, health_path: str) -> DataFrame:
+    """The health report (with the derived floor-mean column),
+    resolving the pointer-published layout."""
+    from reader_spark.operators import atomic_dir
+
+    return _with_mean_err(spark.read.parquet(atomic_dir.resolve(health_path)))
+
+
+def ivf_health_maintainer(
+    index_path: str,
+    health_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """`foreachBatch` body keeping the IVF health table fresh from
+    the SAME embedding stream that feeds `ivf_index_maintainer` —
+    the refit signal updates in lockstep with the index, and neither
+    ever rescans the corpus. Epoch idempotence makes crash-replays
+    exactly-once (the CMS/BM25 maintainer contract).
+
+        stream.writeStream.foreachBatch(
+            ivf_health_maintainer(idx, idx + "/health")
+        ).option("checkpointLocation", ckpt).start()
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_health_update(
+            batch_df.sparkSession,
+            index_path,
+            health_path,
+            batch_df,
+            id_col,
+            vec_col,
+            epoch=batch_id,
         )
 
     return body

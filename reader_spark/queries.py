@@ -3502,6 +3502,16 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_clusters(_t(spark, sf_dir, "embeddings"), n_iters=2)
 
 
+def cluster_health_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-health / refit-signal report: per final Lloyd
+    cluster, occupancy plus integer-ppm quantization error (sum,
+    floor-mean, worst member) — the drift metric that decides when
+    the incremental IVF path stops and a full refit runs. Errors are
+    floored to ppm BEFORE aggregation so only order-independent
+    integer sums/maxes cross the engine boundary."""
+    return SIM.cluster_health(_t(spark, sf_dir, "embeddings"), n_iters=2)
+
+
 def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup proper (arXiv:2303.09540): 2-iteration Lloyd clusters,
     then within each cluster drop every cos>=tau duplicate except the
@@ -3582,6 +3592,24 @@ SELECT cluster_id, n_members, rep_id FROM (
          count(*) OVER (PARTITION BY cl) AS n_members,
          row_number() OVER (PARTITION BY cl ORDER BY dist ASC, vec_id ASC) AS rr
   FROM assign2
+) WHERE rr = 1
+"""
+
+CLUSTER_HEALTH_SQL = _KMEANS_PREFIX_SQL + """
+, e AS (
+  SELECT vec_id, cl, floor(dist * 1000000.0)::BIGINT AS err
+  FROM assign2
+)
+SELECT cluster_id, n_members, sum_err_ppm,
+       floor(sum_err_ppm / n_members)::BIGINT AS mean_err_ppm,
+       worst_id, worst_err_ppm
+FROM (
+  SELECT cl AS cluster_id, vec_id AS worst_id, err AS worst_err_ppm,
+         count(*) OVER (PARTITION BY cl)::BIGINT AS n_members,
+         sum(err) OVER (PARTITION BY cl)::BIGINT AS sum_err_ppm,
+         row_number() OVER (PARTITION BY cl
+                            ORDER BY err DESC, vec_id ASC) AS rr
+  FROM e
 ) WHERE rr = 1
 """
 
@@ -7761,6 +7789,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_clusters": (embedding_clusters, EMBEDDING_CLUSTERS_SQL),
     "cluster_sample": (cluster_sample, CLUSTER_SAMPLE_SQL),
     "semdedup_prune": (semdedup_prune_q, SEMDEDUP_PRUNE_SQL),
+    "cluster_health": (cluster_health_q, CLUSTER_HEALTH_SQL),
     "knn_sq8": (knn_sq8, KNN_SQ8_SQL),
     # r4 additions: retrieval + PII scrubbing (rotated out to make
     # room: q6/q15/q19 — two rounds hash-green, code untouched)
@@ -7972,10 +8001,11 @@ _WINDOW_R7 = [
     "hybrid_search_rrf", "trigram_search", "heavy_hitters",
     "kmv_distinct", "mixture_apply", "quality_mixture",
     "epoch_shuffle", "pack_sequences", "bigram_logprob",
-    "record_linkage", "price_outliers_mad",
+    "record_linkage",
     "session_window_native",
     # new this round (never sampled)
     "embedding_clusters", "cluster_sample", "semdedup_prune",
+    "cluster_health",
 ]
 assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 CATALOG = {

@@ -140,8 +140,52 @@ def test_semdedup_prune_keep_policy(spark, sf_dir):
     assert guarded.filter("is_kept = 0").count() == 0
 
 
+def test_cluster_health_invariants(spark, sf_dir):
+    """Occupancy sums to the corpus, worst members belong to their
+    clusters, and the error fields are internally consistent
+    (worst >= mean, sum >= n * mean via the floor)."""
+    emb = _emb(spark, sf_dir)
+    health = SIM.cluster_health(emb, n_iters=2).collect()
+    assigned = SIM.kmeans_assign(emb, n_iters=2)
+    assert sum(r.n_members for r in health) == emb.count()
+    member_cl = {r.vec_id: r.cl for r in assigned.select("vec_id", "cl").collect()}
+    for r in health:
+        assert member_cl[r.worst_id] == r.cluster_id
+        assert r.worst_err_ppm >= r.mean_err_ppm
+        assert 0 <= r.sum_err_ppm - r.mean_err_ppm * r.n_members < r.n_members
+
+
+def test_ivf_health_update_equals_rescan(spark, sf_dir, tmp_path):
+    """Incremental health maintenance over two appended batches lands
+    on EXACTLY the full-rescan stats (integer monoids), a replayed
+    epoch is a no-op, and reads resolve the pointer-published
+    layout."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter("vec_id % 3 = 0")
+    batches = [emb.filter(f"vec_id % 3 = {i}") for i in (1, 2)]
+    idx = str(tmp_path / "idx")
+    hp = str(tmp_path / "health")
+    model = SIM.ivf_fit(base, 8, seed=7)
+    SIM.ivf_index_write(base, idx, model)
+    SIM.ivf_health_write(spark, idx, hp)
+    for i, b in enumerate(batches):
+        SIM.ivf_index_update(spark, idx, b)
+        SIM.ivf_health_update(spark, idx, hp, b, epoch=i)
+    got = {tuple(r) for r in SIM.ivf_health_read(spark, hp).collect()}
+    hp2 = str(tmp_path / "health_rescan")
+    SIM.ivf_health_write(spark, idx, hp2)
+    want = {tuple(r) for r in SIM.ivf_health_read(spark, hp2).collect()}
+    assert got == want
+    assert sum(r[1] for r in got) == emb.count()
+    # crash-replay: an already-applied epoch must not double-count
+    SIM.ivf_health_update(spark, idx, hp, batches[1], epoch=1)
+    again = {tuple(r) for r in SIM.ivf_health_read(spark, hp).collect()}
+    assert again == got
+
+
 @pytest.mark.parametrize(
-    "name", ["embedding_clusters", "cluster_sample", "semdedup_prune"]
+    "name",
+    ["embedding_clusters", "cluster_sample", "semdedup_prune", "cluster_health"],
 )
 def test_catalog_oracle_exact(spark, sf_dir, name):
     """Exact-value parity vs the DuckDB oracle at the test SF — the

@@ -641,6 +641,8 @@ def ivf_index_write(
     (directory pruning), the disk layout equivalent of the equi-join
     cell restriction. Run at ingest; refresh on refit.
     """
+    from reader_spark.operators import atomic_dir
+
     spark = embeddings.sparkSession
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
@@ -650,13 +652,25 @@ def ivf_index_write(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
     ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
     assigned = nearest_clusters(vecs, cents, 1, id_col)
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    (
-        assigned.repartition(F.col("cl"))
-        .write.mode("overwrite")
-        .partitionBy("cl")
-        .parquet(f"{path}/corpus")
-    )
+
+    # Pointer-flip published as ONE unit (centroids + corpus): a
+    # REFIT writes a complete fresh version while searches keep
+    # reading the live one, then flips — a crash mid-refit leaves the
+    # previous index intact (before this, a crashed rebuild left a
+    # torn corpus and no recovery short of re-embedding). keep=1
+    # retains the displaced version one publish long (in-flight
+    # readers), so refits transiently hold 2x index storage — the
+    # same retention economics as every pointer-flip sink here.
+    def write_fn(vdir: str) -> None:
+        cents.write.mode("overwrite").parquet(f"{vdir}/centroids")
+        (
+            assigned.repartition(F.col("cl"))
+            .write.mode("overwrite")
+            .partitionBy("cl")
+            .parquet(f"{vdir}/corpus")
+        )
+
+    atomic_dir.publish(path, write_fn)
 
 
 def ivf_index_update(
@@ -696,12 +710,19 @@ def ivf_index_update(
     list comes from the tiny delta frame plus that probe, not from
     the written frame — re-deriving it from the full merged frame
     would re-run the merge (the measured 3x trap)."""
-    cents = spark.read.parquet(f"{path}/centroids")
+    from reader_spark.operators import atomic_dir
+
+    # Updates mutate the LIVE version's cell dirs in place (dynamic
+    # partition overwrite is already the per-cell idempotent-replace
+    # contract); only full rebuilds/refits publish a new version, so
+    # index time travel is snapshot-to-snapshot, not per-update.
+    root = atomic_dir.resolve(path)
+    cents = spark.read.parquet(f"{root}/centroids")
     vecs = new_embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
     ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
     assigned = nearest_clusters(vecs, cents, 1, id_col)
-    corpus = spark.read.parquet(f"{path}/corpus")
+    corpus = spark.read.parquet(f"{root}/corpus")
     delta_ids = assigned.select(id_col).distinct()
     old_homes = (
         corpus.select(id_col, "cl")
@@ -724,7 +745,7 @@ def ivf_index_update(
             merged.repartition(F.col("cl"))
             .write.mode("overwrite")
             .partitionBy("cl")
-            .parquet(f"{path}/corpus")
+            .parquet(f"{root}/corpus")
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -743,10 +764,14 @@ def ivf_index_maintain(
     (search results identical before and after — asserted in
     test_dedup_similarity.py); the ANN-index counterpart of
     `bm25_index_maintain`."""
+    from reader_spark.operators import atomic_dir
     from reader_spark.operators.transfer import compact_partition_dirs
 
     return compact_partition_dirs(
-        spark, f"{path}/corpus", max_files_per_cell, target_bytes
+        spark,
+        f"{atomic_dir.resolve(path)}/corpus",
+        max_files_per_cell,
+        target_bytes,
     )
 
 
@@ -777,7 +802,11 @@ def _scored_under_stored(spark, index_path: str, vecs: DataFrame) -> DataFrame:
     """(.., cl, dist) of `vecs` rows assigned+scored under the STORED
     centroids of a materialized IVF index — one broadcast join, no
     refit."""
-    cents = spark.read.parquet(f"{index_path}/centroids")
+    from reader_spark.operators import atomic_dir
+
+    cents = spark.read.parquet(
+        f"{atomic_dir.resolve(index_path)}/centroids"
+    )
     assigned = nearest_clusters(vecs, cents, 1, "vec_id")
     return assigned.join(F.broadcast(cents), "cl").withColumn(
         "dist",
@@ -795,9 +824,9 @@ def ivf_health_write(spark, index_path: str, health_path: str) -> None:
     error creep, then run a full `ivf_index_write` refit."""
     from reader_spark.operators import atomic_dir
 
-    corpus = spark.read.parquet(f"{index_path}/corpus").select(
-        "vec_id", "vec", "nv"
-    )
+    corpus = spark.read.parquet(
+        f"{atomic_dir.resolve(index_path)}/corpus"
+    ).select("vec_id", "vec", "nv")
     stats = _health_stats(_scored_under_stored(spark, index_path, corpus))
 
     def write_fn(vdir: str) -> None:
@@ -929,6 +958,108 @@ def ivf_health_maintainer(
     return body
 
 
+def ivf_refit_check(
+    spark,
+    health_path: str,
+    baseline_path: str,
+    max_skew_ppm: int = 4_000_000,
+    max_err_growth_ppm: int = 300_000,
+) -> dict:
+    """The refit decision, from two K-row tables (bounded
+    control-plane read — no corpus access): current health vs the
+    baseline snapshotted at the last (re)fit.
+
+    Trips on either signal the IVF literature refits for:
+    - occupancy skew: max cell / mean cell occupancy (ppm) above
+      `max_skew_ppm` — hot cells shift search cost onto few
+      directories and starve nprobe recall;
+    - error creep: corpus-wide mean quantization error grown more
+      than `max_err_growth_ppm` (ppm of the baseline mean) — the
+      stored centroids no longer describe the distribution.
+
+    Returns the integer evidence alongside the boolean so operators
+    can log WHY a refit fired."""
+    cur = {r["cluster_id"]: r for r in ivf_health_read(spark, health_path).collect()}
+    base = {
+        r["cluster_id"]: r for r in ivf_health_read(spark, baseline_path).collect()
+    }
+    n_total = sum(r["n_members"] for r in cur.values())
+    err_total = sum(r["sum_err_ppm"] for r in cur.values())
+    mean_err = err_total // max(n_total, 1)
+    base_n = sum(r["n_members"] for r in base.values())
+    base_err = sum(r["sum_err_ppm"] for r in base.values())
+    base_mean = base_err // max(base_n, 1)
+    max_cell = max((r["n_members"] for r in cur.values()), default=0)
+    skew_ppm = (max_cell * 1_000_000 * max(len(cur), 1)) // max(n_total, 1)
+    growth_ppm = (
+        ((mean_err - base_mean) * 1_000_000) // max(base_mean, 1)
+        if base_mean > 0
+        else 0
+    )
+    return {
+        "refit": skew_ppm > max_skew_ppm or growth_ppm > max_err_growth_ppm,
+        "skew_ppm": skew_ppm,
+        "err_growth_ppm": growth_ppm,
+        "mean_err_ppm": mean_err,
+        "baseline_mean_err_ppm": base_mean,
+        "n_members": n_total,
+    }
+
+
+def ivf_autorefit_maintainer(
+    index_path: str,
+    health_path: str,
+    baseline_path: str,
+    n_clusters: int = 16,
+    max_skew_ppm: int = 4_000_000,
+    max_err_growth_ppm: int = 300_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The complete ingest loop as one `foreachBatch` body: update
+    the index (touched cells only) and the health table (K-row
+    monoid merge), then consult `ivf_refit_check` — and when drift or
+    skew trips it, run the full refit (`ivf_fit` + `ivf_index_write`)
+    and re-baseline both health tables. Between refits no corpus
+    rescan ever happens; the refit itself is the one the incremental
+    path was always deferring, now fired by measured evidence instead
+    of a human guess.
+
+    Refit cost note: the refit re-reads the stored corpus (it is the
+    corpus-wide operation by definition) — at 100 TB, schedule the
+    maintainer on the compaction cadence and the check stays K-row
+    cheap per batch."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ivf_index_update(spark, index_path, batch_df, id_col, vec_col)
+        ivf_health_update(
+            spark, index_path, health_path, batch_df, id_col, vec_col,
+            epoch=batch_id,
+        )
+        verdict = ivf_refit_check(
+            spark, health_path, baseline_path, max_skew_ppm,
+            max_err_growth_ppm,
+        )
+        if verdict["refit"]:
+            from reader_spark.operators import atomic_dir
+
+            # Read the LIVE version; ivf_index_write publishes the
+            # refit as a NEW version and flips — no read-overwrite
+            # conflict, and a crash mid-refit leaves this one intact.
+            corpus = spark.read.parquet(
+                f"{atomic_dir.resolve(index_path)}/corpus"
+            ).select(F.col(id_col), F.col("vec").alias(vec_col))
+            model = ivf_fit(corpus, n_clusters, vec_col=vec_col)
+            ivf_index_write(corpus, index_path, model, id_col, vec_col)
+            ivf_health_write(spark, index_path, health_path)
+            ivf_health_write(spark, index_path, baseline_path)
+
+    return body
+
+
 def knn_ivf_indexed(
     spark,
     path: str,
@@ -945,7 +1076,10 @@ def knn_ivf_indexed(
     search scan-only: no per-corpus-row recompute at query time."""
     from pyspark.sql import Window as W
 
-    cents = spark.read.parquet(f"{path}/centroids")
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    cents = spark.read.parquet(f"{root}/centroids")
     probes = nearest_clusters(
         queries.select(
             F.col(id_col),
@@ -961,7 +1095,7 @@ def knn_ivf_indexed(
         F.col("cl").alias("qcl"),
     )
     probed_cells = [r["qcl"] for r in probes.select("qcl").distinct().collect()]
-    corpus = spark.read.parquet(f"{path}/corpus").filter(
+    corpus = spark.read.parquet(f"{root}/corpus").filter(
         F.col("cl").isin(probed_cells)
     )
     cand = corpus.join(

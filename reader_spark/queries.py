@@ -7979,8 +7979,11 @@ def _fresh_entry(
 # query whose code paths changed this round (sampled_quantiles'
 # nearest-rank rewrite; the CDC pipeline behind the log-source
 # restart fix and the DDL database gate), then r5/r6-green fillers.
-# With this window green, all 159 catalog entries have a green driver
-# verdict in r1∪…∪r7. Everything rotated out is at-least-double-green
+# — then the four never-sampled r7 additions (the kmeans/clustering
+# family). With this window green, all 163 catalog entries have a
+# green driver verdict in r1∪…∪r7. Everything rotated out
+# (cohort_retention, incremental_snapshot, funnel_events,
+# price_outliers_mad, and the r5/r6 fillers) is at-least-double-green
 # (r5 AND r6 sampled the same window) with code untouched since.
 _WINDOW_R7 = [
     # no green driver verdict yet (r6 verdict item 6)

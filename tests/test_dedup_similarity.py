@@ -7,6 +7,14 @@ from reader_spark.operators import dedup as DD
 from reader_spark.operators import similarity as SIM
 
 
+def _ivf_root(path):
+    """Data root of a pointer-published IVF index (the live version
+    dir); bare legacy layouts resolve to themselves."""
+    from reader_spark.operators import atomic_dir
+
+    return atomic_dir.resolve(path)
+
+
 def docs_df(spark, texts):
     return spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
@@ -466,7 +474,7 @@ def test_ivf_index_incremental_update(spark, sf_dir, tmp_path):
 
     def cell_files():
         out = {}
-        corpus = os.path.join(path, "corpus")
+        corpus = os.path.join(_ivf_root(path), "corpus")
         for d in os.listdir(corpus):
             if d.startswith("cl="):
                 full = os.path.join(corpus, d)
@@ -499,7 +507,7 @@ def test_ivf_index_incremental_update(spark, sf_dir, tmp_path):
         if d not in touched_dirs:
             assert after[d] == files, d
     # no duplicated ids; changed ids carry the new vector
-    stored = spark.read.parquet(f"{path}/corpus")
+    stored = spark.read.parquet(f"{_ivf_root(path)}/corpus")
     assert stored.groupBy("vec_id").count().filter("count > 1").count() == 0
     # search equivalence vs a full rebuild with the SAME model over
     # the equivalent logical corpus
@@ -537,7 +545,7 @@ def test_ivf_index_maintain_compacts_and_preserves_results(spark, sf_dir, tmp_pa
         spark, path, queries, k=5, nprobe=2).collect()))
 
     def max_cell_files():
-        root = f"{path}/corpus"
+        root = f"{_ivf_root(path)}/corpus"
         return max(
             len([f for f in os.listdir(os.path.join(root, d))
                  if f.endswith(".parquet")])
@@ -546,12 +554,12 @@ def test_ivf_index_maintain_compacts_and_preserves_results(spark, sf_dir, tmp_pa
 
     # scatter the same rows into many files per cell (append-mode
     # ingest shape), then compact
-    scattered = spark.read.parquet(f"{path}/corpus").repartition(8)
+    scattered = spark.read.parquet(f"{_ivf_root(path)}/corpus").repartition(8)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         scattered.write.mode("overwrite").partitionBy("cl").parquet(
-            f"{path}/corpus"
+            f"{_ivf_root(path)}/corpus"
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -590,7 +598,7 @@ def test_ivf_index_update_replaced_id_moves_cells(spark, tmp_path):
     )
     touched = SIM.ivf_index_update(spark, path, delta)
     assert sorted(touched) == [0, 1]  # old home included
-    stored = spark.read.parquet(f"{path}/corpus")
+    stored = spark.read.parquet(f"{_ivf_root(path)}/corpus")
     rows = {
         r["vec_id"]: (r["cl"], r["vec"]) for r in stored.collect()
     }
@@ -635,7 +643,7 @@ def test_ivf_index_stream_maintenance(spark, sf_dir, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    assert spark.read.parquet(f"{path}/corpus").count() == 440
+    assert spark.read.parquet(f"{_ivf_root(path)}/corpus").count() == 440
     full = seed.unionByName(
         emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 440))
     )

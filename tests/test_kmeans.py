@@ -183,6 +183,51 @@ def test_ivf_health_update_equals_rescan(spark, sf_dir, tmp_path):
     assert again == got
 
 
+def test_autorefit_triggers_on_drift_and_rebaselines(spark, sf_dir, tmp_path):
+    """The composed maintainer loop: a same-distribution batch leaves
+    the index version alone; a drifted batch trips ivf_refit_check,
+    publishes a NEW index version (pointer flip — the old one stays
+    readable until then), and re-baselines so the next stable batch
+    does not re-trip."""
+    from reader_spark.operators import atomic_dir
+
+    emb = _emb(spark, sf_dir)
+    seed = emb.filter("vec_id < 300")
+    idx = str(tmp_path / "idx")
+    hp = str(tmp_path / "health")
+    bp = str(tmp_path / "baseline")
+    model = SIM.ivf_fit(seed, 8, seed=7)
+    SIM.ivf_index_write(seed, idx, model)
+    SIM.ivf_health_write(spark, idx, hp)
+    SIM.ivf_health_write(spark, idx, bp)
+    body = SIM.ivf_autorefit_maintainer(
+        idx, hp, bp, n_clusters=8, max_err_growth_ppm=300_000
+    )
+
+    v0 = atomic_dir.versions(idx)[-1]
+    stable = emb.filter("vec_id >= 300 and vec_id < 350").select(
+        "vec_id", "embedding"
+    )
+    body(stable, 0)
+    assert atomic_dir.versions(idx)[-1] == v0  # no refit on stable data
+    check = SIM.ivf_refit_check(spark, hp, bp)
+    assert not check["refit"]
+
+    drifted = emb.filter("vec_id >= 350 and vec_id < 450").select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + 40.0
+        ).alias("embedding"),
+    )
+    body(drifted, 1)
+    assert atomic_dir.versions(idx)[-1] > v0  # refit published a new version
+    after = SIM.ivf_refit_check(spark, hp, bp)
+    assert not after["refit"]  # re-baselined: no immediate re-trip
+    # the refit index holds every row exactly once
+    n = spark.read.parquet(f"{atomic_dir.resolve(idx)}/corpus").count()
+    assert n == 300 + 50 + 100
+
+
 @pytest.mark.parametrize(
     "name",
     ["embedding_clusters", "cluster_sample", "semdedup_prune", "cluster_health"],

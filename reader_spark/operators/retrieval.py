@@ -267,6 +267,14 @@ def bm25_index_write(
         "sum_dl",
         (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
     ).write.mode("overwrite").parquet(f"{path}/scalars")
+    # doc -> length side table: the ONLY per-doc fact a later DELETE
+    # needs (postings are keyed by term bucket, so a doc's rows are
+    # unfindable without its terms; Lucene keeps the same per-doc
+    # norms file). Tiny relative to postings: one long per doc.
+    docs.select(
+        F.col("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+    ).write.mode("overwrite").parquet(f"{path}/doc_lengths")
 
 
 def bm25_topk_indexed(
@@ -305,6 +313,37 @@ def bm25_topk_indexed(
     from reader_spark.operators import atomic_dir
 
     scalars = spark.read.parquet(atomic_dir.resolve(f"{path}/scalars"))
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        t = tomb.agg(
+            F.count("*").alias("tn"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tdl"),
+        ).collect()[0]
+        if t["tn"]:
+            # Tombstoned docs drop out of scoring; the stored df and
+            # corpus scalars still count them, so both are re-derived
+            # EXACTLY: a term's full posting list lives in one bucket
+            # and the probe reads that bucket entirely, so distinct
+            # surviving docs per term IS the live df. Scores equal a
+            # fresh index without the deleted docs.
+            matches = matches.join(
+                F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+            )
+            live_df = matches.groupBy("term").agg(
+                F.count_distinct("doc_id").alias("__live_df")
+            )
+            matches = (
+                matches.drop("df")
+                .join(live_df, "term")
+                .withColumnRenamed("__live_df", "df")
+            )
+            s0 = scalars.collect()[0]
+            n_live = max(s0["n_docs"] - t["tn"], 1)
+            sd_live = s0["sum_dl"] - t["tdl"]
+            scalars = spark.createDataFrame(
+                [(n_live, sd_live, sd_live / n_live)],
+                "n_docs long, sum_dl long, avgdl double",
+            )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -422,6 +461,67 @@ def bm25_index_maintain(
     )
 
 
+def _tombstones(spark, path: str):
+    """The published tombstone table (doc_id, dl) of deleted docs, or
+    None if no delete has ever run against this index."""
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(f"{path}/tombstones")
+    if not os.path.isdir(root):
+        return None
+    return spark.read.parquet(root)
+
+
+def bm25_index_delete(spark, path: str, doc_ids: list) -> int:
+    """Delete documents from a materialized BM25 index — Lucene's
+    tombstone model, because a doc's postings are scattered across
+    term buckets that only its TERMS identify: rather than scan every
+    bucket, the doc ids land in a tiny tombstone table that searches
+    anti-join (broadcast) and that carries each doc's stored length,
+    so the corpus scalars (n_docs, sum_dl, avgdl) and per-term df are
+    DERIVED exactly at query time — `bm25_topk_indexed` after a
+    delete equals a fresh index without the docs (asserted in
+    test_retrieval.py). Physical removal happens at the next full
+    rebuild; until then deleted postings cost dead bytes in probed
+    buckets, never wrong scores.
+
+    Idempotent and atomic by construction: the new-tombstone set is
+    derived (requested ∩ indexed) minus already-tombstoned, and the
+    merged table publishes in ONE pointer flip — re-running the same
+    delete is a no-op (returns 0), a crash leaves the previous
+    tombstones live. Returns the number of newly deleted docs.
+
+    A deleted id must NOT be re-added by `bm25_index_update` before a
+    rebuild: its physical postings are still present, so the merge
+    dedupes the re-add away and the tombstone keeps suppressing it —
+    the same id-discipline contract as the append-only update."""
+    from reader_spark.operators import atomic_dir
+
+    ids = spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    ).distinct()
+    newly = (
+        spark.read.parquet(f"{path}/doc_lengths")
+        .dropDuplicates(["doc_id"])
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+    )
+    existing = _tombstones(spark, path)
+    if existing is not None:
+        newly = newly.join(
+            F.broadcast(existing.select("doc_id")), "doc_id", "left_anti"
+        )
+    n_new = newly.count()
+    if n_new == 0:
+        return 0
+    merged = newly if existing is None else existing.unionByName(newly)
+
+    def write_fn(vdir: str) -> None:
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    atomic_dir.publish(f"{path}/tombstones", write_fn)
+    return n_new
+
+
 def _read_epoch(scalars_root: str) -> int:
     """Last-applied update epoch, stored as an underscore-prefixed
     text file beside the scalars parquet (invisible to Spark's
@@ -510,6 +610,13 @@ def bm25_index_update(
     ).collect()[0]
     if d["dn"] == 0:
         return touched
+    # doc_lengths append (delete-path lookup): a crash AFTER this
+    # append but BEFORE the scalars publish makes the replay append
+    # again — readers dedupe on doc_id, so duplicates are harmless.
+    new_docs.select(
+        F.col("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+    ).write.mode("append").parquet(f"{path}/doc_lengths")
     s = spark.read.parquet(scalars_root).collect()[0]
     n, sd = s["n_docs"] + d["dn"], s["sum_dl"] + d["dsum"]
     new_scalars = spark.createDataFrame(

@@ -958,6 +958,100 @@ def ivf_health_maintainer(
     return body
 
 
+def ivf_index_delete(
+    spark, path: str, ids: list, id_col: str = "vec_id"
+) -> list[int]:
+    """Physical delete from a materialized IVF index — the
+    right-to-be-forgotten verb the append/upsert maintenance path
+    lacks. Home cells are found with an (id, cl)-column-pruned probe
+    against a broadcast id set (the `ivf_index_update` old-home
+    probe), then ONLY those cell directories are rewritten without
+    the deleted rows; a cell left empty has its directory removed
+    outright (dynamic partition overwrite cannot express an empty
+    partition). Untouched cells keep their files byte-identical.
+    Returns the touched cell ids — hand them to `ivf_health_repair`,
+    since health sums can be monoid-subtracted but a deleted WORST
+    member cannot be un-maxed without re-reading its cell."""
+    import shutil
+
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    idf = spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_col} long"
+    ).distinct()
+    corpus = spark.read.parquet(f"{root}/corpus")
+    touched = sorted(
+        r["cl"]
+        for r in corpus.select(id_col, "cl")
+        .join(F.broadcast(idf), id_col, "left_semi")
+        .select("cl")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    kept = corpus.filter(F.col("cl").isin(touched)).join(
+        F.broadcast(idf), id_col, "left_anti"
+    )
+    surviving = {r["cl"] for r in kept.select("cl").distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if surviving:
+            (
+                kept.repartition(F.col("cl"))
+                .write.mode("overwrite")
+                .partitionBy("cl")
+                .parquet(f"{root}/corpus")
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for c in touched:
+        if c not in surviving:
+            shutil.rmtree(f"{root}/corpus/cl={c}", ignore_errors=True)
+    return touched
+
+
+def ivf_health_repair(
+    spark, index_path: str, health_path: str, cells: list[int]
+) -> None:
+    """Recompute the health rows of the given cells from the stored
+    corpus (partition-pruned read — only those cell directories) and
+    replace them in the published health table; emptied cells simply
+    lose their row. The delete-path companion of `ivf_health_update`:
+    counts and error sums could be monoid-SUBTRACTED, but the worst
+    member cannot be un-maxed, so the touched cells re-scan — bounded
+    by the cells the delete itself already rewrote."""
+    from reader_spark.operators import atomic_dir
+
+    if not cells:
+        return
+    root = atomic_dir.resolve(health_path)
+    epoch = _health_epoch(root)
+    corpus = (
+        spark.read.parquet(f"{atomic_dir.resolve(index_path)}/corpus")
+        .filter(F.col("cl").isin(list(cells)))
+        .select("vec_id", "vec", "nv")
+    )
+    fresh = _health_stats(_scored_under_stored(spark, index_path, corpus))
+    merged = (
+        spark.read.parquet(root)
+        .filter(~F.col("cluster_id").isin(list(cells)))
+        .unionByName(fresh)
+    )
+
+    def write_fn(vdir: str) -> None:
+        import os
+
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+        if epoch >= 0:
+            with open(os.path.join(vdir, "_epoch"), "w") as f:
+                f.write(str(epoch))
+
+    atomic_dir.publish(health_path, write_fn)
+
+
 def ivf_refit_check(
     spark,
     health_path: str,

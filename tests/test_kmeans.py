@@ -258,3 +258,65 @@ def test_catalog_oracle_exact(spark, sf_dir, name):
         assert str(got[c].dtype) == str(want[c].dtype), (
             c, got[c].dtype, want[c].dtype)
         assert (got[c] == want[c]).all(), c
+
+
+def test_ivf_index_delete_and_health_repair(spark, sf_dir, tmp_path):
+    """Physical IVF deletes: searches equal a rebuild without the
+    deleted ids, untouched cell dirs keep their files, an emptied
+    cell's directory disappears, and ivf_health_repair lands on
+    exactly the full-rescan stats (including dropping the emptied
+    cell's row)."""
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter("vec_id < 400")
+    idx = str(tmp_path / "idx")
+    hp = str(tmp_path / "health")
+    model = SIM.ivf_fit(corpus, 8, seed=7)
+    SIM.ivf_index_write(corpus, idx, model)
+    SIM.ivf_health_write(spark, idx, hp)
+    root = atomic_dir.resolve(idx)
+    stored = spark.read.parquet(f"{root}/corpus")
+    # delete one whole cell plus a few ids from another
+    cells = sorted(r.cl for r in stored.select("cl").distinct().collect())
+    whole = [r.vec_id for r in stored.filter(F.col("cl") == cells[0]).collect()]
+    partial_src = stored.filter(F.col("cl") == cells[1]).limit(3).collect()
+    partial = [r.vec_id for r in partial_src]
+    before_files = {
+        d: sorted(os.listdir(os.path.join(root, "corpus", d)))
+        for d in os.listdir(f"{root}/corpus")
+        if d.startswith("cl=")
+    }
+    touched = SIM.ivf_index_delete(spark, idx, whole + partial + [999_999])
+    assert sorted(touched) == [cells[0], cells[1]]
+    assert not os.path.isdir(f"{root}/corpus/cl={cells[0]}")  # emptied
+    after_files = {
+        d: sorted(os.listdir(os.path.join(root, "corpus", d)))
+        for d in os.listdir(f"{root}/corpus")
+        if d.startswith("cl=")
+    }
+    for d, files in before_files.items():
+        c = int(d.split("=")[1])
+        if c not in (cells[0], cells[1]):
+            assert after_files[d] == files, d
+    # search equivalence vs a rebuild without the deleted ids
+    survivors = corpus.filter(~F.col("vec_id").isin(whole + partial))
+    idx2 = str(tmp_path / "idx_fresh")
+    SIM.ivf_index_write(survivors, idx2, model)
+    qids = [r.vec_id for r in survivors.limit(3).collect()]
+    queries = survivors.filter(F.col("vec_id").isin(qids))
+    got = sorted(map(tuple, SIM.knn_ivf_indexed(
+        spark, idx, queries, k=5, nprobe=2).collect()))
+    want = sorted(map(tuple, SIM.knn_ivf_indexed(
+        spark, idx2, queries, k=5, nprobe=2).collect()))
+    assert got == want
+    # health repair == full rescan
+    SIM.ivf_health_repair(spark, idx, hp, touched)
+    hp2 = str(tmp_path / "health_rescan")
+    SIM.ivf_health_write(spark, idx, hp2)
+    got_h = {tuple(r) for r in SIM.ivf_health_read(spark, hp).collect()}
+    want_h = {tuple(r) for r in SIM.ivf_health_read(spark, hp2).collect()}
+    assert got_h == want_h
+    assert not any(r[0] == cells[0] for r in got_h)  # emptied cell row gone

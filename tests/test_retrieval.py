@@ -421,3 +421,57 @@ def test_bm25_index_update_crash_replay_exactly_once(spark, tmp_path, monkeypatc
     # apply exactly once
     RT.bm25_index_update(spark, torn, mkdocs(50, 80), n_buckets=8, epoch=3)
     assert snap(torn) == want
+
+
+def test_bm25_index_delete_exact_and_idempotent(spark, tmp_path):
+    """Tombstone deletes: searches after deleting corpus B equal a
+    fresh index over corpus A alone — same docs, same ranks, same
+    rounded scores (df and scalars re-derived under tombstones).
+    Re-deleting is a no-op; unknown ids are ignored."""
+    a_docs = _docs(
+        spark,
+        [(i, f"spark join w{i % 5} " + ("shuffle" if i % 3 == 0 else "scan"))
+         for i in range(40)],
+    )
+    b_docs = _docs(
+        spark,
+        [(100 + i, f"spark shuffle extra e{i % 4}") for i in range(20)],
+    )
+    queries = [(0, "spark shuffle"), (1, "join scan")]
+    path = str(tmp_path / "bm25_del")
+    RT.bm25_index_write(a_docs.unionByName(b_docs), path, n_buckets=8)
+    n = RT.bm25_index_delete(spark, path, [100 + i for i in range(20)] + [999])
+    assert n == 20  # unknown id 999 ignored
+    got = sorted(map(tuple, RT.bm25_topk_indexed(
+        spark, path, queries, k=5, n_buckets=8).collect()))
+    path2 = str(tmp_path / "bm25_fresh")
+    RT.bm25_index_write(a_docs, path2, n_buckets=8)
+    want = sorted(map(tuple, RT.bm25_topk_indexed(
+        spark, path2, queries, k=5, n_buckets=8).collect()))
+    assert got == want
+    # idempotent: same request deletes nothing new, results unchanged
+    assert RT.bm25_index_delete(spark, path, [100, 101]) == 0
+    again = sorted(map(tuple, RT.bm25_topk_indexed(
+        spark, path, queries, k=5, n_buckets=8).collect()))
+    assert again == got
+
+
+def test_bm25_delete_then_update_stays_exact(spark, tmp_path):
+    """An append-only update AFTER a delete: stored df/scalars keep
+    counting the tombstoned docs, the search re-derives both — the
+    result still equals a fresh index over (A + C) without B."""
+    a_docs = _docs(spark, [(i, f"spark join w{i % 5}") for i in range(30)])
+    b_docs = _docs(spark, [(100 + i, "spark shuffle gone") for i in range(10)])
+    c_docs = _docs(spark, [(200 + i, f"spark shuffle new n{i % 3}") for i in range(15)])
+    queries = [(0, "spark shuffle"), (1, "join new")]
+    path = str(tmp_path / "bm25_du")
+    RT.bm25_index_write(a_docs.unionByName(b_docs), path, n_buckets=8)
+    assert RT.bm25_index_delete(spark, path, [100 + i for i in range(10)]) == 10
+    RT.bm25_index_update(spark, path, c_docs, n_buckets=8)
+    got = sorted(map(tuple, RT.bm25_topk_indexed(
+        spark, path, queries, k=5, n_buckets=8).collect()))
+    path2 = str(tmp_path / "bm25_du_fresh")
+    RT.bm25_index_write(a_docs.unionByName(c_docs), path2, n_buckets=8)
+    want = sorted(map(tuple, RT.bm25_topk_indexed(
+        spark, path2, queries, k=5, n_buckets=8).collect()))
+    assert got == want

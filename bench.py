@@ -174,6 +174,7 @@ HEADLINE = [
     "cluster_sample",
     "semdedup_prune",
     "cluster_health",
+    "trigram_search_indexed",
 ]
 
 

@@ -441,6 +441,169 @@ def trigram_search(
     )
 
 
+def trigram_index_write(
+    docs: DataFrame, path: str, n_buckets: int = 64, text_col: str = "text"
+) -> None:
+    """Materialize the trigram postings (doc_id, trigram),
+    partitioned by trigram hash-bucket — `bm25_index_write`'s layout
+    applied to substring search, exactly as the `trigram_search`
+    docstring promises: a pattern of g trigrams probes at most g
+    bucket DIRECTORIES (PartitionFilters prune the rest), instead of
+    re-deriving the corpus' trigrams per query. No df/scalars — the
+    candidate test is pure set-intersection, which keeps every
+    maintenance verb trivial (update = append, delete = tombstone).
+
+    The exact `contains` verify still needs the document text: the
+    index restricts candidates, the caller keeps the corpus — Zoekt's
+    shard/docstore split."""
+    postings = doc_trigrams(docs, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("trigram"), F.lit(n_buckets))
+    )
+    (
+        postings.repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+
+
+def trigram_index_update(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+) -> list[int]:
+    """Append-only trigram-index maintenance: the new documents'
+    postings APPEND into their touched bucket partitions — no merge,
+    no df recompute, because the candidate test counts DISTINCT
+    trigrams per (pattern, doc), which double-appended rows (a
+    crash-replayed micro-batch) cannot inflate. The cheapest
+    maintenance contract of the three indexes. Returns touched
+    buckets."""
+    delta = doc_trigrams(new_docs, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("trigram"), F.lit(n_buckets))
+    )
+    touched = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+    if touched:
+        (
+            delta.repartition(len(touched), "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+    return touched
+
+
+def trigram_index_delete(spark, path: str, doc_ids: list) -> int:
+    """Tombstone deletes for the trigram index — same model as
+    `bm25_index_delete` but simpler: no scalars or df to correct, so
+    the tombstone table is bare doc ids that searches anti-join.
+    Idempotent (already-tombstoned ids add nothing; unknown ids are
+    harmless dead rows) and atomic (one pointer flip). Physical
+    removal at the next rebuild."""
+    from reader_spark.operators import atomic_dir
+
+    ids = spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    ).distinct()
+    existing = _tombstones(spark, path)
+    newly = (
+        ids
+        if existing is None
+        else ids.join(
+            F.broadcast(existing.select("doc_id")), "doc_id", "left_anti"
+        )
+    )
+    n_new = newly.count()
+    if n_new == 0:
+        return 0
+    merged = newly if existing is None else (
+        existing.select("doc_id").unionByName(newly)
+    )
+
+    def write_fn(vdir: str) -> None:
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    atomic_dir.publish(f"{path}/tombstones", write_fn)
+    return n_new
+
+
+def trigram_search_indexed(
+    spark,
+    path: str,
+    docs: DataFrame,
+    patterns: list[tuple[int, str]],
+    n_buckets: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring search through the MATERIALIZED trigram index:
+    identical results to `trigram_search` (the prefilter is lossless
+    either way), but candidates come from reading ONLY the probed
+    trigram buckets — plan-asserted PartitionFilters — instead of
+    re-derived corpus trigrams. Tombstoned docs are anti-joined out
+    before the candidate count; the exact `contains` verify runs
+    against the caller's docs frame on candidates only."""
+    prows = []
+    n_grams = {}
+    for pid, pat in patterns:
+        assert len(pat) >= 3, f"pattern {pid} too short for trigrams"
+        grams = {pat[i : i + 3] for i in range(len(pat) - 2)}
+        n_grams[pid] = len(grams)
+        prows += [(pid, g) for g in sorted(grams)]
+    pat_grams = spark.createDataFrame(prows, "pattern_id long, trigram string")
+    buckets = [
+        r["b"]
+        for r in pat_grams.select(
+            F.pmod(F.xxhash64("trigram"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets)
+    )
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        postings = postings.join(
+            F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+        )
+    need = F.create_map(*[F.lit(x) for kv in n_grams.items() for x in kv])
+    cands = (
+        postings.join(F.broadcast(pat_grams), "trigram")
+        # DISTINCT trigrams per (pattern, doc): immune to the
+        # double-appended rows a crash-replayed update leaves behind
+        .groupBy("pattern_id", "doc_id")
+        .agg(F.count_distinct("trigram").alias("n_hit"))
+        .filter(F.col("n_hit") == need[F.col("pattern_id")])
+        .select("pattern_id", "doc_id")
+    )
+    pats = spark.createDataFrame(list(patterns), "pattern_id long, pat string")
+    return (
+        cands.join(docs.select("doc_id", text_col), "doc_id")
+        .join(F.broadcast(pats), "pattern_id")
+        .filter(F.col(text_col).contains(F.col("pat")))
+        .select("pattern_id", "doc_id")
+    )
+
+
+def trigram_index_maintain(
+    spark,
+    path: str,
+    max_files_per_bucket: int = 4,
+    target_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """Compact the trigram index's bucket directories after append
+    waves — row-preserving, same OPTIMIZE contract as
+    `bm25_index_maintain` (duplicate rows survive compaction and stay
+    harmless under the distinct-count candidate test)."""
+    from reader_spark.operators.transfer import compact_partition_dirs
+
+    return compact_partition_dirs(
+        spark, f"{path}/postings", max_files_per_bucket, target_bytes
+    )
+
+
 def bm25_index_maintain(
     spark,
     path: str,

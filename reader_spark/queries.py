@@ -3841,6 +3841,27 @@ FROM documents, p WHERE contains(text, pat)
 """
 
 
+def trigram_search_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through the MATERIALIZED trigram index
+    (operators/retrieval.py::trigram_index_write /
+    trigram_search_indexed): postings partitioned by trigram
+    hash-bucket, a g-trigram pattern reads at most g bucket
+    directories (PartitionFilters, plan-asserted in
+    test_retrieval.py). Lossless like the direct path, so the oracle
+    is the same plain `contains` — the index changes the plan, not
+    the answer."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="trgm_idx_")
+    RT.trigram_index_write(docs, work, n_buckets=16)
+    return RT.trigram_search_indexed(
+        spark, work, docs,
+        [(0, "table"), (1, "fast merge"), (2, "row scan")],
+        n_buckets=16,
+    )
+
+
 def term_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index statistics page: per-term document frequency
     and collection frequency. One corpus-sized shuffle on uniform
@@ -7836,6 +7857,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "video_fingerprint_dedup": (video_fingerprint_dedup, VIDEO_FP_SQL),
     "frame_match_search": (frame_match_search, FRAME_MATCH_SQL),
     "trigram_search": (trigram_search_q, TRIGRAM_SQL),
+    "trigram_search_indexed": (trigram_search_indexed_q, TRIGRAM_SQL),
     "mixture_apply": (mixture_apply_q, MIXTURE_APPLY_SQL),
     "vector_quality_report": (vector_quality_report, VECTOR_QA_SQL),
     "events_wow_trends": (events_wow_trends, WOW_TRENDS_SQL),
@@ -8005,10 +8027,9 @@ _WINDOW_R7 = [
     "kmv_distinct", "mixture_apply", "quality_mixture",
     "epoch_shuffle", "pack_sequences", "bigram_logprob",
     "record_linkage",
-    "session_window_native",
     # new this round (never sampled)
     "embedding_clusters", "cluster_sample", "semdedup_prune",
-    "cluster_health",
+    "cluster_health", "trigram_search_indexed",
 ]
 assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 CATALOG = {

@@ -475,3 +475,70 @@ def test_bm25_delete_then_update_stays_exact(spark, tmp_path):
     want = sorted(map(tuple, RT.bm25_topk_indexed(
         spark, path2, queries, k=5, n_buckets=8).collect()))
     assert got == want
+
+
+def _trgm_docs(spark):
+    return _docs(
+        spark,
+        [(i, f"common filler text block {i % 7} "
+             + ("needle in haystack " if i % 50 == 0 else "straw "))
+         for i in range(300)],
+    )
+
+
+def test_trigram_indexed_equals_direct_and_prunes(spark, tmp_path):
+    """The materialized trigram index returns EXACTLY the direct
+    search's results and its postings scan carries a PartitionFilter
+    on the probed trigram buckets."""
+    docs = _trgm_docs(spark)
+    pats = [(0, "needle in"), (1, "filler text"), (2, "absent-gram")]
+    path = str(tmp_path / "trgm")
+    RT.trigram_index_write(docs, path, n_buckets=16)
+    indexed = RT.trigram_search_indexed(spark, path, docs, pats, n_buckets=16)
+    got = sorted(map(tuple, indexed.collect()))
+    want = sorted(map(tuple, RT.trigram_search(docs, pats).collect()))
+    assert got == want
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+
+
+def test_trigram_index_update_append_and_replay_tolerance(spark, tmp_path):
+    """Append-only update == rebuild over the grown corpus, and a
+    DOUBLE-appended delta (crash-replay) changes nothing — the
+    distinct-count candidate test is duplication-immune."""
+    docs = _trgm_docs(spark)
+    extra = _docs(
+        spark, [(1000 + i, "brand new needle in haystack doc") for i in range(5)]
+    )
+    pats = [(0, "needle in"), (1, "new needle")]
+    path = str(tmp_path / "trgm_u")
+    RT.trigram_index_write(docs, path, n_buckets=16)
+    RT.trigram_index_update(spark, path, extra, n_buckets=16)
+    all_docs = docs.unionByName(extra)
+    got = sorted(map(tuple, RT.trigram_search_indexed(
+        spark, path, all_docs, pats, n_buckets=16).collect()))
+    want = sorted(map(tuple, RT.trigram_search(all_docs, pats).collect()))
+    assert got == want
+    # replay: append the same delta again -> identical results
+    RT.trigram_index_update(spark, path, extra, n_buckets=16)
+    again = sorted(map(tuple, RT.trigram_search_indexed(
+        spark, path, all_docs, pats, n_buckets=16).collect()))
+    assert again == got
+
+
+def test_trigram_index_delete_tombstones(spark, tmp_path):
+    """Deleted docs vanish from results (== direct search over the
+    surviving corpus); re-delete is a no-op."""
+    docs = _trgm_docs(spark)
+    pats = [(0, "needle in"), (1, "filler text")]
+    path = str(tmp_path / "trgm_d")
+    RT.trigram_index_write(docs, path, n_buckets=16)
+    victims = [0, 50, 100]
+    assert RT.trigram_index_delete(spark, path, victims) == 3
+    survivors = docs.filter(~F.col("doc_id").isin(victims))
+    got = sorted(map(tuple, RT.trigram_search_indexed(
+        spark, path, docs, pats, n_buckets=16).collect()))
+    want = sorted(map(tuple, RT.trigram_search(survivors, pats).collect()))
+    assert got == want
+    assert RT.trigram_index_delete(spark, path, victims) == 0

@@ -175,6 +175,7 @@ HEADLINE = [
     "semdedup_prune",
     "cluster_health",
     "trigram_search_indexed",
+    "ann_recall_report",
 ]
 
 

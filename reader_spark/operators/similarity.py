@@ -288,6 +288,56 @@ def knn_ivf(
     return _topk_probed(corpus, probes, k, id_col)
 
 
+def ann_recall_report(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """Recall@k audit of the IVF approximate path against the exact
+    brute-force ranking — the acceptance gate every ANN deployment
+    needs before the index serves retrieval (FAISS's own benchmarks
+    report exactly this curve: recall@k vs nprobe). Per query:
+    `n_exact` ground-truth neighbors, `n_hits` of them the IVF path
+    returned, and `recall_ppm = n_hits*1e6 // n_exact` — integer
+    outputs only (float-parity rule).
+
+    Both rankings reuse the deterministic, individually
+    oracle-checked paths (`knn_bruteforce`, `knn_ivf`), so the
+    report itself is bit-reproducible. The top-k frames are Q x k
+    rows — the intersection join and the per-query aggregate are
+    driver-trivial no matter the corpus size; the corpus cost is the
+    two underlying searches, each already bounded (brute force is
+    the ground-truth pass you run ON A SAMPLE at 100 TB — pass the
+    sampled frame in as `embeddings`)."""
+    exact = knn_bruteforce(
+        embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    approx = knn_ivf(
+        embeddings,
+        query_ids,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        cluster_col=cluster_col,
+        nprobe=nprobe,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall_ppm", F.expr("(n_hits * 1000000) div n_exact")
+        )
+    )
+
+
 def ivf_fit(
     embeddings: DataFrame,
     n_clusters: int = 16,

@@ -1249,7 +1249,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_ivf(emb, _KNN_QUERY_IDS, k=5)
 
 
-KNN_IVF_SQL = """
+# IVF candidate chain (through `pairs`): shared by KNN_IVF_SQL and
+# ANN_RECALL_SQL — the recall report replays the exact same
+# label-seeded quantizer, assignment, and 2-probe candidate set.
+_IVF_PAIRS_CTE = """
 WITH v0 AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
 ), v AS (
@@ -1292,6 +1295,9 @@ WITH v0 AS (
          nq, a.nv AS nv
   FROM probe p JOIN assign a ON a.cl = p.qcl AND a.vec_id != p.query_id
 )
+"""
+
+KNN_IVF_SQL = _IVF_PAIRS_CTE + """
 SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT query_id, neighbor_id,
          round(dp / (sqrt(nq) * sqrt(nv)), 6) AS cos_sim,
@@ -1299,6 +1305,51 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
                             ORDER BY dp / (sqrt(nq) * sqrt(nv)) DESC, neighbor_id) AS rank
   FROM pairs
 ) WHERE rank <= 5
+"""
+
+
+def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF approximate path against the exact
+    brute-force ranking (operators/similarity.py::ann_recall_report)
+    — THE acceptance metric for an ANN index before it serves
+    retrieval. Integer outputs only (hit counts + ppm recall), per
+    the float-parity rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ann_recall_report(emb, _KNN_QUERY_IDS, k=5, nprobe=2)
+
+
+ANN_RECALL_SQL = _IVF_PAIRS_CTE + """
+, approx_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dp / (sqrt(nq) * sqrt(nv)) DESC, neighbor_id) AS r
+    FROM pairs
+  ) WHERE r <= 5
+), eq AS (
+  SELECT vec_id AS query_id, e AS qe, nv AS nq FROM v WHERE vec_id < 10
+), bpairs AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, len(v.e)), i -> qe[i] * v.e[i]), (x, y) -> x + y) AS dp,
+         nq, v.nv AS nv
+  FROM eq, v WHERE v.vec_id != eq.query_id
+), exact_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dp / (sqrt(nq) * sqrt(nv)) DESC, neighbor_id) AS r
+    FROM bpairs
+  ) WHERE r <= 5
+)
+SELECT e.query_id,
+       count(*)::BIGINT AS n_exact,
+       sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       ((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+        // count(*))::BIGINT AS recall_ppm
+FROM exact_topk e
+LEFT JOIN approx_topk a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
 """
 
 
@@ -7867,6 +7918,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # r1/r3-green, unchanged since
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    "ann_recall_report": (ann_recall_report_q, ANN_RECALL_SQL),
     "cdc_reconcile": (cdc_reconcile, CDC_RECONCILE_SQL),
     "cdc_e2e_pipeline": (cdc_e2e_pipeline, CDC_E2E_SQL),
     "dedup_near_dup": (dedup_near_dup, NEAR_DUP_SQL),
@@ -8023,13 +8075,13 @@ _WINDOW_R7 = [
     "image_phash_dedup", "pagerank_neardup", "triangles_neardup",
     "kcore_neardup", "knn_pq", "knn_sq8", "knn_ivf_sq8",
     "knn_filtered", "text_bm25_indexed", "text_bm25",
-    "hybrid_search_rrf", "trigram_search", "heavy_hitters",
+    "hybrid_search_rrf", "heavy_hitters",
     "kmv_distinct", "mixture_apply", "quality_mixture",
     "epoch_shuffle", "pack_sequences", "bigram_logprob",
     "record_linkage",
     # new this round (never sampled)
     "embedding_clusters", "cluster_sample", "semdedup_prune",
-    "cluster_health", "trigram_search_indexed",
+    "cluster_health", "trigram_search_indexed", "ann_recall_report",
 ]
 assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 CATALOG = {

@@ -99,6 +99,28 @@ def test_knn_ivf_probes_nearest_centroids(spark):
     assert {r["neighbor_id"] for r in out2} == {1, 2}
 
 
+def test_ann_recall_report_quantifies_probe_miss(spark):
+    """recall@k audit: with nprobe=1 the query's single probed cell
+    misses vec 1 (recall 500000 ppm of k=2); nprobe=2 reaches both
+    cells (recall 1e6). Same geometry as the probe test above."""
+    vecs = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.95, 0.01], 2),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    narrow = SIM.ann_recall_report(df, [0], k=2, nprobe=1).collect()
+    assert [(r["n_exact"], r["n_hits"], r["recall_ppm"]) for r in narrow] == [
+        (2, 1, 500000)
+    ]
+    wide = SIM.ann_recall_report(df, [0], k=2, nprobe=2).collect()
+    assert [(r["n_exact"], r["n_hits"], r["recall_ppm"]) for r in wide] == [
+        (2, 2, 1000000)
+    ]
+
+
 def test_knn_ivf_trained_recall(spark):
     # production path: pyspark.ml KMeans quantizer fitted once,
     # multi-probe search. The testdata embeddings are UNclustered

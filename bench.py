@@ -176,6 +176,7 @@ HEADLINE = [
     "cluster_health",
     "trigram_search_indexed",
     "ann_recall_report",
+    "knn_ivf_pq",
 ]
 
 

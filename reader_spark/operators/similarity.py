@@ -1687,6 +1687,154 @@ def knn_ivf_sq8(
     )
 
 
+def knn_ivf_pq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    rerank: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF cell restriction x product quantization — FAISS's standard
+    large-corpus configuration (`IVFx,PQy`) composed from the same
+    two oracle-checked halves `knn_ivf_sq8` composes with SQ8: the
+    coarse quantizer prunes WHICH vectors are scored (equi-join on
+    the probed cluster key) and PQ prunes HOW MUCH is read per scored
+    vector (m int codes, m bytes at |codebook| <= 256 — 64x less than
+    doubles at m=8/dim=64, vs SQ8's 8x); the top `rerank` per query
+    are rescored with exact cosine.
+
+    Determinism: label-seeded Lloyd centroids for BOTH quantizers,
+    struct-min code assignment, and the ADC sums its m partials in
+    FIXED subspace order — the composed pipeline keeps a full DuckDB
+    oracle, the property the trained-KMeans variant gives up.
+
+    100 TB: corpus-sized artifacts are the single-assignment
+    struct-min aggregate, the (id, s, code) frame, and two bounded
+    equi-joins (probed cells, then the broadcast LUT on tiny uniform
+    keys); full vectors are touched only for Q x rerank rescore rows.
+    """
+    from pyspark.sql import Window as W
+
+    from reader_spark.operators.dedup import ensure_parallelism
+
+    vecs = pin(
+        ensure_parallelism(
+            embeddings.select(
+                F.col(id_col),
+                F.col(cluster_col).alias("cluster"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
+        ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    )
+    cents = pin(label_seeded_centroids(vecs))
+    corpus = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
+    probes = nearest_clusters(
+        vecs.drop("cluster").filter(F.col(id_col).isin(query_ids)),
+        cents,
+        nprobe,
+        id_col,
+    ).select(F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"), F.col("cl").alias("qcl"))
+    books = pin(pq_codebooks(vecs, m, dim, id_col=id_col))
+    codes = pq_encode(vecs, books, m, dim, id_col=id_col)
+    sub = dim // m
+    # query-side LUT: per (query, subspace, codeword) partial dot —
+    # Q x m x |codebook| rows, broadcast (exactly knn_pq_rescore's)
+    qsub = (
+        probes.select("query_id", "qvec")
+        .distinct()
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        F.slice("qvec", s * sub + 1, sub).alias("qs"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("query_id", F.col("e.s").alias("s"), F.col("e.qs").alias("qs"))
+    )
+    lut = qsub.join(F.broadcast(books), "s").select(
+        "query_id", "s", "cw", dot(F.col("qs"), F.col("c")).alias("p")
+    )
+    # cell restriction FIRST: corpus assignment equi-joined to the
+    # broadcast probe list — each (query, id) pair appears at most
+    # once (single corpus assignment), so no dedup shuffle
+    cand_ids = corpus.select(id_col, "cl").join(
+        F.broadcast(probes.select("query_id", "qcl")),
+        (F.col("cl") == F.col("qcl")) & (F.col(id_col) != F.col("query_id")),
+    ).select("query_id", id_col)
+    lut2 = lut.select(
+        F.col("query_id").alias("q2"),
+        F.col("s").alias("s2"),
+        "cw",
+        "p",
+    )
+    joined = (
+        codes.join(cand_ids, id_col)
+        .join(
+            F.broadcast(lut2),
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("s") == F.col("s2"))
+            & (F.col("code") == F.col("cw")),
+        )
+        .select(F.col(id_col).alias("neighbor_id"), "query_id", "s", "p")
+    )
+    # fixed subspace order: m conditional single-row sums added 0..m-1
+    ordered = sum(
+        (F.sum(F.when(F.col("s") == i, F.col("p"))) for i in range(1, m)),
+        F.sum(F.when(F.col("s") == 0, F.col("p"))),
+    )
+    approx = joined.groupBy("query_id", "neighbor_id").agg(
+        ordered.alias("approx_dot")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    nbr = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("nvec")
+    )
+    qv = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nv").alias("nq"),
+    )
+    exact = (
+        cand.join(nbr, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("nn", dot(F.col("nvec"), F.col("nvec")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nn"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def knn_sq8_rescore(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -5332,6 +5332,74 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 """
 
 
+def knn_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ — FAISS's `IVFx,PQy` composed from the oracle-checked
+    halves (operators/similarity.py::knn_ivf_pq): 2-probe cell
+    restriction, 8-byte ADC scoring inside the probed cells, exact
+    rescore of the top 10, top 5 emitted."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_ivf_pq(emb, _KNN_QUERY_IDS, k=5, rerank=10, m=8, dim=64, nprobe=2)
+
+
+# IVF assign/probe CTEs from _IVF_PAIRS_CTE (`pairs` goes unused and
+# DuckDB prunes it) + the PQ codebook/code/LUT CTEs of KNN_PQ_SQL,
+# with the ADC join restricted to each query's probed cells.
+KNN_IVF_PQ_SQL = _IVF_PAIRS_CTE + """
+, sp AS (
+  SELECT unnest(generate_series(0, 7)) AS s
+), books AS (
+  SELECT s, cl AS cw, list_slice(c, s * 8 + 1, s * 8 + 8) AS bc FROM cent, sp
+), pieces AS (
+  SELECT vec_id, s, list_slice(e, s * 8 + 1, s * 8 + 8) AS sv FROM v, sp
+), codes AS (
+  SELECT vec_id, s, cw AS code FROM (
+    SELECT p.vec_id, p.s, b.cw,
+           row_number() OVER (PARTITION BY p.vec_id, p.s ORDER BY
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> (p.sv[i] - b.bc[i]) * (p.sv[i] - b.bc[i])), (x, y) -> x + y) ASC,
+             b.cw ASC) AS r
+    FROM pieces p JOIN books b ON b.s = p.s
+  ) WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10
+), lut AS (
+  SELECT query_id, b.s, b.cw,
+         list_reduce(list_transform(generate_series(1, 8),
+           i -> qe[b.s * 8 + i] * b.bc[i]), (x, y) -> x + y) AS p
+  FROM q, books b
+), adc AS (
+  SELECT c.vec_id AS neighbor_id, pr.query_id,
+         list_reduce(list(l.p ORDER BY c.s), (x, y) -> x + y) AS approx_dot
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN probe pr ON pr.qcl = a.cl AND c.vec_id <> pr.query_id
+  JOIN lut l ON l.query_id = pr.query_id AND l.s = c.s AND l.cw = c.code
+  GROUP BY c.vec_id, pr.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dot DESC, neighbor_id) AS arank
+    FROM adc
+  ) WHERE arank <= 10
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         round(dp / (sqrt(nq) * sqrt(nn)), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dp / (sqrt(nq) * sqrt(nn)), 6) DESC, neighbor_id) AS rank
+  FROM (
+    SELECT cand.query_id AS query_id, cand.neighbor_id AS neighbor_id,
+           list_reduce(list_transform(generate_series(1, 64), i -> qv.e[i] * nb.e[i]), (x, y) -> x + y) AS dp,
+           qv.nv AS nq, nb.nv AS nn
+    FROM cand
+    JOIN v nb ON nb.vec_id = cand.neighbor_id
+    JOIN v qv ON qv.vec_id = cand.query_id
+  )
+) WHERE rank <= 5
+"""
+
+
 def reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k weighted reservoir per language (A-ES keys
     u^(1/quality), k=5): quality-proportional inclusion with an
@@ -7787,6 +7855,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # rotates out — r3 hash-green, untouched, and canonical_docs (in
     # window) exercises the same components code path end-to-end
     "knn_pq": (knn_pq, KNN_PQ_SQL),
+    "knn_ivf_pq": (knn_ivf_pq_q, KNN_IVF_PQ_SQL),
     # r4: dataset-QA verbs enter the window (rotated out: dedup_ngram
     # / embedding_near_dup — r3 hash-green, code untouched)
     "data_quality_report": (data_quality_report, QUALITY_REPORT_SQL),
@@ -8077,11 +8146,12 @@ _WINDOW_R7 = [
     "knn_filtered", "text_bm25_indexed", "text_bm25",
     "hybrid_search_rrf", "heavy_hitters",
     "kmv_distinct", "mixture_apply", "quality_mixture",
-    "epoch_shuffle", "pack_sequences", "bigram_logprob",
+    "pack_sequences", "bigram_logprob",
     "record_linkage",
     # new this round (never sampled)
     "embedding_clusters", "cluster_sample", "semdedup_prune",
     "cluster_health", "trigram_search_indexed", "ann_recall_report",
+    "knn_ivf_pq",
 ]
 assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 CATALOG = {

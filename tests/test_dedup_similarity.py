@@ -156,6 +156,26 @@ def test_knn_ivf_trained_recall(spark):
     assert recall >= 0.9, f"recall@5 = {recall}"
 
 
+def test_knn_ivf_pq_full_probe_equals_plain_pq(spark, sf_dir):
+    """With nprobe = ALL cells the IVF restriction is a no-op, so the
+    composed IVF x PQ path must return EXACTLY knn_pq_rescore's
+    results (same codebooks, same ADC, same rescore); with nprobe=2
+    it still returns k rows per query (cells pruned, k intact)."""
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    full = sorted(map(tuple, SIM.knn_ivf_pq(
+        emb, qids, k=5, rerank=10, m=8, dim=64, nprobe=10).collect()))
+    plain = sorted(map(tuple, SIM.knn_pq_rescore(
+        emb, qids, k=5, rerank=10, m=8, dim=64).collect()))
+    assert full == plain
+    pruned = SIM.knn_ivf_pq(emb, qids, k=5, rerank=10, m=8, dim=64, nprobe=2)
+    counts = {r["query_id"]: r["n"] for r in pruned.groupBy(
+        "query_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 5, 1: 5, 2: 5}
+
+
 def test_shingle_set(spark):
     import pyspark.sql.functions as F
     from reader_spark.operators import dedup as DD

@@ -177,6 +177,7 @@ HEADLINE = [
     "trigram_search_indexed",
     "ann_recall_report",
     "knn_ivf_pq",
+    "budget_select",
 ]
 
 

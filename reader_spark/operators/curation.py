@@ -685,6 +685,77 @@ def mixture_apply(
     )
 
 
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    quality: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus selection — keep the highest-quality
+    documents whose tokens fit `budget_tokens` — WITHOUT the global
+    ORDER BY a naive greedy would run (a single-reducer sort at
+    100 TB). The distributed shape:
+
+      1. per-doc integer quality level `q_ppm` (the quality score in
+         parts-per-million, BIGINT) + whitespace token count;
+      2. ONE tiny aggregate: per-level token totals — cardinality is
+         bounded by 1e6+1 LEVELS regardless of corpus size;
+      3. a cumulative window over that tiny frame classifies levels:
+         every level that fits entirely under the budget is IN, and
+         at most one BOUNDARY level straddles it;
+      4. only the boundary level's docs (score ties at exactly t* —
+         ~1/1e6 of the corpus for a ppm-resolution score) pay a
+         bounded rank window: a deterministic md5-ordered running
+         token total, kept while it fits the remaining budget
+         (greedy whole-doc prefix — the first doc that overflows
+         ends the selection, knapsack-style refill is deliberately
+         NOT attempted).
+
+    Corpus-sized work: one map pass + one groupBy(q_ppm) partial
+    aggregate + one broadcast semi-join. Emits (id, q_ppm, toks) —
+    integers only (float-parity rule)."""
+    from pyspark.sql import Window as W
+
+    from reader_spark.functions.text import token_count_ws
+
+    scored = docs.select(
+        F.col(id_col),
+        token_count_ws(F.col(text_col)).cast("long").alias("toks"),
+        F.round(quality * 1_000_000).cast("long").alias("q_ppm"),
+    )
+    levels = scored.groupBy("q_ppm").agg(F.sum("toks").alias("lvl_toks"))
+    # tiny frame (<= 1e6+1 rows): the unpartitioned cumulative window
+    # is bounded by the LEVEL space, not the corpus
+    w = W.orderBy(F.col("q_ppm").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    lv = levels.withColumn(
+        "cum_before", F.coalesce(F.sum("lvl_toks").over(w), F.lit(0))
+    )
+    budget = F.lit(int(budget_tokens))
+    full_lv = lv.filter(
+        F.col("cum_before") + F.col("lvl_toks") <= budget
+    ).select("q_ppm")
+    bnd = lv.filter(
+        (F.col("cum_before") < budget)
+        & (F.col("cum_before") + F.col("lvl_toks") > budget)
+    ).select("q_ppm", (budget - F.col("cum_before")).alias("rem"))
+    full_docs = scored.join(F.broadcast(full_lv), "q_ppm").select(
+        id_col, "q_ppm", "toks"
+    )
+    wb = W.partitionBy("q_ppm").orderBy(
+        _hash_ppm(F.col(id_col), "bsel").asc(), F.col(id_col).asc()
+    )
+    boundary = (
+        scored.join(F.broadcast(bnd), "q_ppm")
+        .withColumn("run", F.sum("toks").over(wb))
+        .filter(F.col("run") <= F.col("rem"))
+        .select(id_col, "q_ppm", "toks")
+    )
+    return full_docs.unionByName(boundary)
+
+
 # ---------------------------------------------------------------------------
 # deterministic epoch shuffle
 

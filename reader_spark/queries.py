@@ -4944,6 +4944,62 @@ FROM c GROUP BY 1
 """
 
 
+def budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/curation.py::
+    budget_select): keep the highest-quality docs fitting a 10,000-
+    token budget — per-level token totals (<= 1e6+1 levels), a
+    cumulative window over that tiny frame, and an md5-ordered
+    prefix cut ONLY inside the single boundary level. No global
+    sort; integer outputs only."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.budget_select(
+        docs, 10_000, TX.quality_score(F.col("text"))
+    )
+
+
+BUDGET_SELECT_SQL = f"""
+WITH p0 AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+), b AS (
+  SELECT doc_id,
+         length(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+         {_STOP_SUM} AS stops,
+         length(text) - length(regexp_replace(text, '[\\.\\,\\;\\:\\!\\?]', '', 'g')) AS puncts,
+         length(text) AS chars
+  FROM p0
+), s AS (
+  SELECT doc_id, toks::BIGINT AS toks,
+         round(round(0.4 * least(1.0, toks::DOUBLE / 100.0)
+             + 0.4 * least(1.0, 8.0 * stops::DOUBLE / toks::DOUBLE)
+             + 0.2 * (1.0 - least(1.0, 4.0 * puncts::DOUBLE / chars::DOUBLE)), 6)
+           * 1000000)::BIGINT AS q_ppm
+  FROM b
+), lv AS (
+  SELECT q_ppm, sum(toks)::BIGINT AS lvl_toks FROM s GROUP BY q_ppm
+), c AS (
+  SELECT q_ppm, lvl_toks,
+         coalesce(sum(lvl_toks) OVER (ORDER BY q_ppm DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM lv
+), bnd AS (
+  SELECT q_ppm, (10000 - cum_before)::BIGINT AS rem FROM c
+  WHERE cum_before < 10000 AND cum_before + lvl_toks > 10000
+), bdocs AS (
+  SELECT s.doc_id, s.q_ppm, s.toks, bnd.rem,
+         sum(s.toks) OVER (PARTITION BY s.q_ppm ORDER BY
+           ('0x' || substr(md5('bsel:' || s.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 ASC,
+           s.doc_id ASC)::BIGINT AS run
+  FROM s JOIN bnd USING (q_ppm)
+)
+SELECT s.doc_id, s.q_ppm, s.toks
+FROM s JOIN c USING (q_ppm)
+WHERE c.cum_before + c.lvl_toks <= 10000
+UNION ALL
+SELECT doc_id, q_ppm, toks FROM bdocs WHERE run <= rem
+"""
+
+
 def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-1 global shuffle into 16 training shards:
     md5 draw keyed by (epoch, doc_id) -> shard = draw mod 16, position
@@ -7979,6 +8035,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "trigram_search": (trigram_search_q, TRIGRAM_SQL),
     "trigram_search_indexed": (trigram_search_indexed_q, TRIGRAM_SQL),
     "mixture_apply": (mixture_apply_q, MIXTURE_APPLY_SQL),
+    "budget_select": (budget_select_q, BUDGET_SELECT_SQL),
     "vector_quality_report": (vector_quality_report, VECTOR_QA_SQL),
     "events_wow_trends": (events_wow_trends, WOW_TRENDS_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
@@ -8146,12 +8203,12 @@ _WINDOW_R7 = [
     "knn_filtered", "text_bm25_indexed", "text_bm25",
     "hybrid_search_rrf", "heavy_hitters",
     "kmv_distinct", "mixture_apply", "quality_mixture",
-    "pack_sequences", "bigram_logprob",
+    "bigram_logprob",
     "record_linkage",
     # new this round (never sampled)
     "embedding_clusters", "cluster_sample", "semdedup_prune",
     "cluster_health", "trigram_search_indexed", "ann_recall_report",
-    "knn_ivf_pq",
+    "knn_ivf_pq", "budget_select",
 ]
 assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 CATALOG = {

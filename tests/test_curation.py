@@ -455,3 +455,47 @@ def test_duplicate_spans_islands_disjoint_runs(spark):
     out = {r["doc_id"]: r for r in CU.duplicate_spans(docs, width=8).collect()}
     assert out[1]["n_tokens"] == 21
     assert out[1]["dup_tokens"] == 16  # 8 + 8, filler not covered
+
+
+def test_budget_select_matches_greedy_reference(spark):
+    """budget_select == a Python reference of its spec: all levels
+    that fit entirely are in, the single boundary level fills by
+    md5-ordered greedy whole-doc prefix, nothing below enters. Also:
+    total tokens <= budget, determinism across runs."""
+    import hashlib
+
+    # 40 docs, 8 quality levels (doc_id % 8 / 10), 1..5 tokens each
+    rows = [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    quality = (F.col("doc_id") % 8).cast("double") / 10.0
+    budget = 50
+
+    def hppm(i):
+        return int(hashlib.md5(f"bsel:{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    # python reference
+    toks = {i: i % 5 + 1 for i in range(40)}
+    qppm = {i: round((i % 8) / 10.0 * 1_000_000) for i in range(40)}
+    levels = sorted(set(qppm.values()), reverse=True)
+    expect, spent = set(), 0
+    for lvl in levels:
+        members = [i for i in range(40) if qppm[i] == lvl]
+        lvl_toks = sum(toks[i] for i in members)
+        if spent + lvl_toks <= budget:
+            expect |= set(members)
+            spent += lvl_toks
+        elif spent < budget:
+            run = 0
+            for i in sorted(members, key=lambda i: (hppm(i), i)):
+                run += toks[i]
+                if run <= budget - spent:
+                    expect.add(i)
+            break
+        else:
+            break
+
+    got = CU.budget_select(docs, budget, quality).collect()
+    assert {r["doc_id"] for r in got} == expect
+    assert sum(r["toks"] for r in got) <= budget
+    again = CU.budget_select(docs, budget, quality).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -717,12 +717,18 @@ def budget_select(
     integers only (float-parity rule)."""
     from pyspark.sql import Window as W
 
+    from reader_spark.cache import pin
     from reader_spark.functions.text import token_count_ws
 
-    scored = docs.select(
-        F.col(id_col),
-        token_count_ws(F.col(text_col)).cast("long").alias("toks"),
-        F.round(quality * 1_000_000).cast("long").alias("q_ppm"),
+    # scored feeds THREE consumers (level aggregate, full-level join,
+    # boundary join) — pinned so the quality-score map pass (the
+    # dominant cost: 6.4 s of the probe's 34 s x3 at 100x) runs once
+    scored = pin(
+        docs.select(
+            F.col(id_col),
+            token_count_ws(F.col(text_col)).cast("long").alias("toks"),
+            F.round(quality * 1_000_000).cast("long").alias("q_ppm"),
+        )
     )
     levels = scored.groupBy("q_ppm").agg(F.sum("toks").alias("lvl_toks"))
     # tiny frame (<= 1e6+1 rows): the unpartitioned cumulative window

@@ -402,6 +402,72 @@ def r7_mode(copies: int) -> None:
     )
 
 
+def r7b_mode(copies: int) -> None:
+    """Late-round-7 additions at Nx: IVFxPQ search, the ANN recall
+    audit, token-budget selection, and trigram-index search-only.
+    Wall time + shuffle-write bytes per stage."""
+    docs_path = build(copies)
+    emb_path = build_emb(copies)
+
+    import pyspark.sql.functions as F
+
+    from reader_spark.functions import text as TX
+    from reader_spark.operators import curation as CU
+    from reader_spark.operators import retrieval as RT
+    from reader_spark.operators import similarity as SIM
+    from reader_spark.session import get_spark
+
+    spark = get_spark("scale_r7b", extra_conf={"spark.ui.enabled": "true"})
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    print(f"corpus: {docs.count()} docs, {emb.count()} vectors ({copies}x)")
+
+    last = [_shuffle_bytes(spark)]
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        sb = _shuffle_bytes(spark)
+        delta = sb - last[0] if sb >= 0 and last[0] >= 0 else -1
+        last[0] = sb
+        print(f"{name}: {wall:.2f}s  shuffle_write={delta / 1e6:.1f}MB")
+        return out
+
+    qids = [r["vec_id"] for r in emb.select("vec_id").limit(10).collect()]
+    timed(
+        f"knn_ivf_pq (10 queries, nprobe=2, m=8)",
+        lambda: SIM.knn_ivf_pq(emb, qids, k=5, rerank=10, m=8, dim=64)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "ann_recall_report (10 queries: brute ground truth + IVF)",
+        lambda: SIM.ann_recall_report(emb, qids, k=5, nprobe=2)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "budget_select (30% token budget)",
+        lambda: CU.budget_select(
+            docs, 50_000 * copies, TX.quality_score(F.col("text"))
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    tidx = os.path.join(TMP, f"trgm_idx_x{copies}")
+    timed(
+        "trigram_index_write (one-time ingest)",
+        lambda: RT.trigram_index_write(docs, tidx, n_buckets=64),
+    )
+    timed(
+        "trigram_search_indexed SEARCH-ONLY (3 patterns)",
+        lambda: RT.trigram_search_indexed(
+            spark, tidx, docs,
+            [(0, "table"), (1, "fast merge"), (2, "row scan")],
+            n_buckets=64,
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
+
 def kmeans_mode(copies: int) -> None:
     """Round-7 clustering probes: the deterministic broadcast-Lloyd
     ORACLE path (sorted sequential-fold means — per-cluster vector
@@ -624,6 +690,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "r7":
         r7_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r7b":
+        r7b_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
         kmeans_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 100)

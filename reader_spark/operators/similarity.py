@@ -1264,6 +1264,205 @@ def knn_ivf_indexed(
     )
 
 
+def ivf_pq_index_write(
+    embeddings: DataFrame,
+    path: str,
+    model,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index WITH resident PQ codes — the
+    production shape `knn_ivf_pq` models in-query: alongside the
+    centroids and the cell-partitioned corpus, store the tiny PQ
+    codebooks (codewords seeded from the per-cell means, one
+    deterministic Lloyd step — same quantizer family as the coarse
+    level) and every vector's (s, code) rows partitioned by the SAME
+    cell key. A search then reads int8-scale codes from ONLY the
+    probed cell directories and touches full vectors just for the
+    rescore rows. Published as ONE pointer-flip version: a crashed
+    rebuild leaves the live index (corpus+codes+books consistent)
+    serving.
+
+    Maintenance contract: rebuild/refit-time (this writer). The
+    incremental per-cell update path (`ivf_index_update`) serves the
+    plain IVF layout; extending it here means encoding the delta
+    under the STORED books and dynamic-overwriting the same touched
+    cells in `codes/` — books must NOT be refit incrementally (codes
+    already written would silently decode against the wrong
+    codewords)."""
+    from reader_spark.operators import atomic_dir
+
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cl int, c array<double>",
+    ).withColumn("nc", dot(F.col("c"), F.col("c")))
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    assigned = pin(nearest_clusters(vecs, cents, 1, id_col))
+    books = pin(
+        pq_codebooks(
+            assigned.withColumn("cluster", F.col("cl")), m, dim, id_col=id_col
+        )
+    )
+    codes = pq_encode(assigned, books, m, dim, id_col=id_col).join(
+        assigned.select(id_col, "cl"), id_col
+    )
+
+    def write_fn(vdir: str) -> None:
+        cents.write.mode("overwrite").parquet(f"{vdir}/centroids")
+        books.write.mode("overwrite").parquet(f"{vdir}/books")
+        (
+            assigned.repartition(F.col("cl"))
+            .write.mode("overwrite")
+            .partitionBy("cl")
+            .parquet(f"{vdir}/corpus")
+        )
+        (
+            codes.repartition(F.col("cl"))
+            .write.mode("overwrite")
+            .partitionBy("cl")
+            .parquet(f"{vdir}/codes")
+        )
+
+    atomic_dir.publish(path, write_fn)
+
+
+def knn_ivf_pq_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the materialized IVF+PQ index: probe the stored
+    centroids, read (s, code) rows from ONLY the probed cell
+    DIRECTORIES (partition pruning — the approximate pass never
+    touches a vector), score by broadcast-LUT ADC in fixed subspace
+    order, then rescore the top `rerank` with exact cosine using
+    corpus rows read from the same probed cells. The scan-side cost
+    per query is m bytes per candidate plus `rerank` full vectors —
+    `knn_ivf_pq`'s join plan with the one-time work (assignment,
+    codebooks, encoding) amortized into the index."""
+    from pyspark.sql import Window as W
+
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    cents = spark.read.parquet(f"{root}/centroids")
+    books = spark.read.parquet(f"{root}/books")
+    sub = dim // m
+    probes = nearest_clusters(
+        queries.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).withColumn("nv", dot(F.col("vec"), F.col("vec"))),
+        cents,
+        nprobe,
+        id_col,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nv").alias("nq"),
+        F.col("cl").alias("qcl"),
+    )
+    probed_cells = [r["qcl"] for r in probes.select("qcl").distinct().collect()]
+    qsub = (
+        probes.select("query_id", "qvec")
+        .distinct()
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        F.slice("qvec", s * sub + 1, sub).alias("qs"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("query_id", F.col("e.s").alias("s"), F.col("e.qs").alias("qs"))
+    )
+    lut = qsub.join(F.broadcast(books), "s").select(
+        F.col("query_id").alias("q2"),
+        F.col("s").alias("s2"),
+        "cw",
+        dot(F.col("qs"), F.col("c")).alias("p"),
+    )
+    # probe fan-out as (query, cell) pairs; codes scan is pruned to
+    # the probed cell directories
+    cells = probes.select("query_id", "qcl")
+    codes = spark.read.parquet(f"{root}/codes").filter(
+        F.col("cl").isin(probed_cells)
+    )
+    joined = (
+        codes.join(
+            F.broadcast(cells),
+            (F.col("cl") == F.col("qcl")) & (F.col(id_col) != F.col("query_id")),
+        )
+        .join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("s") == F.col("s2"))
+            & (F.col("code") == F.col("cw")),
+        )
+        .select(F.col(id_col).alias("neighbor_id"), "query_id", "s", "p")
+    )
+    ordered = sum(
+        (F.sum(F.when(F.col("s") == i, F.col("p"))) for i in range(1, m)),
+        F.sum(F.when(F.col("s") == 0, F.col("p"))),
+    )
+    approx = joined.groupBy("query_id", "neighbor_id").agg(
+        ordered.alias("approx_dot")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    nbr = spark.read.parquet(f"{root}/corpus").filter(
+        F.col("cl").isin(probed_cells)
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.col("nv").alias("nn"),
+    )
+    qv = probes.select("query_id", "qvec", "nq").distinct()
+    exact = (
+        cand.join(nbr, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nn"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # product quantization (PQ) — the codebook-compression ANN tier
 

@@ -453,6 +453,18 @@ def r7b_mode(copies: int) -> None:
             docs, 50_000 * copies, TX.quality_score(F.col("text"))
         ).write.format("noop").mode("overwrite").save(),
     )
+    pidx = os.path.join(TMP, f"ivfpq_idx_x{copies}")
+    model = timed("ivf_fit (16 clusters)", lambda: SIM.ivf_fit(emb, 16))
+    timed(
+        "ivf_pq_index_write (one-time ingest)",
+        lambda: SIM.ivf_pq_index_write(emb, pidx, model, m=8, dim=64),
+    )
+    timed(
+        "knn_ivf_pq_indexed SEARCH-ONLY (20 queries, nprobe=2)",
+        lambda: SIM.knn_ivf_pq_indexed(
+            spark, pidx, emb.limit(20), k=5, rerank=10, nprobe=2, m=8, dim=64
+        ).write.format("noop").mode("overwrite").save(),
+    )
     tidx = os.path.join(TMP, f"trgm_idx_x{copies}")
     timed(
         "trigram_index_write (one-time ingest)",

@@ -176,6 +176,37 @@ def test_knn_ivf_pq_full_probe_equals_plain_pq(spark, sf_dir):
     assert counts == {0: 5, 1: 5, 2: 5}
 
 
+def test_knn_ivf_pq_indexed_identity_and_pruning(spark, tmp_path, sf_dir):
+    """The materialized IVF+PQ index: with EVERY cell probed and
+    rerank >= corpus the exact rescore makes the search equal brute
+    force exactly; with nprobe=2 the codes scan carries a
+    PartitionFilter on the probed cells (the approximate pass never
+    reads unprobed directories)."""
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    path = str(tmp_path / "ivfpq")
+    model = SIM.ivf_fit(emb, n_clusters=8, seed=7)
+    SIM.ivf_pq_index_write(emb, path, model, m=8, dim=64)
+    full = SIM.knn_ivf_pq_indexed(
+        spark, path, queries, k=5, rerank=10_000, nprobe=8, m=8, dim=64
+    )
+    got = sorted(map(tuple, full.collect()))
+    want = sorted(map(tuple, SIM.knn_bruteforce(emb, qids, k=5).collect()))
+    assert got == want
+    pruned = SIM.knn_ivf_pq_indexed(
+        spark, path, queries, k=5, rerank=10, nprobe=2, m=8, dim=64
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    seg = [s for s in plan.split("PartitionFilters")[1:] if "cl" in s.split("]")[0]]
+    assert seg, plan
+    counts = {r["query_id"]: r["n"] for r in pruned.groupBy(
+        "query_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 5, 1: 5, 2: 5}
+
+
 def test_shingle_set(spark):
     import pyspark.sql.functions as F
     from reader_spark.operators import dedup as DD

@@ -788,18 +788,35 @@ def ivf_index_update(
     merged = old.join(
         assigned.select(id_col), id_col, "left_anti"
     ).unionByName(assigned.select(*old.columns))
+    _overwrite_cells(spark, merged, f"{root}/corpus", touched)
+    return touched
+
+
+def _overwrite_cells(spark, merged: DataFrame, dest: str, touched: list) -> None:
+    """Dynamic-partition-overwrite `merged` into `dest`'s cell dirs,
+    then REMOVE the directories of touched cells that ended empty —
+    dynamic overwrite cannot express an empty partition, so without
+    this a cell whose every row moved away in an update (or was
+    deleted) would keep its stale files and resurrect moved ids at
+    search time."""
+    import shutil
+
+    surviving = {r["cl"] for r in merged.select("cl").distinct().collect()}
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (
-            merged.repartition(F.col("cl"))
-            .write.mode("overwrite")
-            .partitionBy("cl")
-            .parquet(f"{root}/corpus")
-        )
+        if surviving:
+            (
+                merged.repartition(F.col("cl"))
+                .write.mode("overwrite")
+                .partitionBy("cl")
+                .parquet(dest)
+            )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return touched
+    for c in touched:
+        if c not in surviving:
+            shutil.rmtree(f"{dest}/cl={c}", ignore_errors=True)
 
 
 def ivf_index_maintain(
@@ -1022,8 +1039,6 @@ def ivf_index_delete(
     Returns the touched cell ids — hand them to `ivf_health_repair`,
     since health sums can be monoid-subtracted but a deleted WORST
     member cannot be un-maxed without re-reading its cell."""
-    import shutil
-
     from reader_spark.operators import atomic_dir
 
     root = atomic_dir.resolve(path)
@@ -1044,22 +1059,7 @@ def ivf_index_delete(
     kept = corpus.filter(F.col("cl").isin(touched)).join(
         F.broadcast(idf), id_col, "left_anti"
     )
-    surviving = {r["cl"] for r in kept.select("cl").distinct().collect()}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        if surviving:
-            (
-                kept.repartition(F.col("cl"))
-                .write.mode("overwrite")
-                .partitionBy("cl")
-                .parquet(f"{root}/corpus")
-            )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    for c in touched:
-        if c not in surviving:
-            shutil.rmtree(f"{root}/corpus/cl={c}", ignore_errors=True)
+    _overwrite_cells(spark, kept, f"{root}/corpus", touched)
     return touched
 
 
@@ -1272,6 +1272,7 @@ def ivf_pq_index_write(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index WITH resident PQ codes — the
     production shape `knn_ivf_pq` models in-query: alongside the
@@ -1291,7 +1292,9 @@ def ivf_pq_index_write(
     under the STORED books and dynamic-overwriting the same touched
     cells in `codes/` — books must NOT be refit incrementally (codes
     already written would silently decode against the wrong
-    codewords)."""
+    codewords). Pass `books` to rebuild under EXISTING codebooks
+    (e.g. compacting an incrementally-grown index without a codebook
+    refit); omit it to (re)fit codewords from this corpus."""
     from reader_spark.operators import atomic_dir
 
     spark = embeddings.sparkSession
@@ -1303,11 +1306,11 @@ def ivf_pq_index_write(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
     ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
     assigned = pin(nearest_clusters(vecs, cents, 1, id_col))
-    books = pin(
-        pq_codebooks(
+    if books is None:
+        books = pq_codebooks(
             assigned.withColumn("cluster", F.col("cl")), m, dim, id_col=id_col
         )
-    )
+    books = pin(books)
     codes = pq_encode(assigned, books, m, dim, id_col=id_col).join(
         assigned.select(id_col, "cl"), id_col
     )
@@ -1461,6 +1464,102 @@ def knn_ivf_pq_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivf_pq_index_update(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Incremental maintenance for the PQ-resident layout: the delta
+    assigns under the STORED centroids and encodes under the STORED
+    books (books are never refit incrementally — the writer's
+    contract), then BOTH the corpus and codes directories of the
+    touched cells rewrite via the same dynamic-partition-overwrite +
+    empty-cell removal the plain layout uses. Per-id replace
+    semantics make crash replays idempotent; update == a rebuild
+    under the same quantizers exactly (asserted in tests). Returns
+    touched cell ids."""
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    cents = spark.read.parquet(f"{root}/centroids")
+    books = spark.read.parquet(f"{root}/books")
+    vecs = new_embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    assigned = pin(nearest_clusters(vecs, cents, 1, id_col))
+    corpus = spark.read.parquet(f"{root}/corpus")
+    delta_ids = assigned.select(id_col).distinct()
+    old_homes = (
+        corpus.select(id_col, "cl")
+        .join(F.broadcast(delta_ids), id_col, "left_semi")
+        .select("cl")
+        .distinct()
+    )
+    touched = sorted(
+        {r["cl"] for r in assigned.select("cl").distinct().collect()}
+        | {r["cl"] for r in old_homes.collect()}
+    )
+    old = corpus.filter(F.col("cl").isin(touched))
+    merged = old.join(
+        assigned.select(id_col), id_col, "left_anti"
+    ).unionByName(assigned.select(*old.columns))
+    _overwrite_cells(spark, merged, f"{root}/corpus", touched)
+    new_codes = pq_encode(assigned, books, m, dim, id_col=id_col).join(
+        assigned.select(id_col, "cl"), id_col
+    )
+    old_codes = spark.read.parquet(f"{root}/codes").filter(
+        F.col("cl").isin(touched)
+    )
+    merged_codes = old_codes.join(
+        assigned.select(id_col), id_col, "left_anti"
+    ).unionByName(new_codes.select(*old_codes.columns))
+    _overwrite_cells(spark, merged_codes, f"{root}/codes", touched)
+    return touched
+
+
+def ivf_pq_index_delete(
+    spark, path: str, ids: list, id_col: str = "vec_id"
+) -> list[int]:
+    """Physical delete from the PQ-resident index: the plain layout's
+    (id, cl)-pruned home-cell rewrite applied to BOTH the corpus and
+    the codes directories — after it, neither a vector nor any of its
+    m codes survives anywhere in the index (right-to-be-forgotten
+    includes the quantized representation). Idempotent; returns
+    touched cells."""
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    idf = spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_col} long"
+    ).distinct()
+    corpus = spark.read.parquet(f"{root}/corpus")
+    touched = sorted(
+        r["cl"]
+        for r in corpus.select(id_col, "cl")
+        .join(F.broadcast(idf), id_col, "left_semi")
+        .select("cl")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    kept = corpus.filter(F.col("cl").isin(touched)).join(
+        F.broadcast(idf), id_col, "left_anti"
+    )
+    _overwrite_cells(spark, kept, f"{root}/corpus", touched)
+    kept_codes = (
+        spark.read.parquet(f"{root}/codes")
+        .filter(F.col("cl").isin(touched))
+        .join(F.broadcast(idf), id_col, "left_anti")
+    )
+    _overwrite_cells(spark, kept_codes, f"{root}/codes", touched)
+    return touched
 
 
 # ---------------------------------------------------------------------------

@@ -207,6 +207,108 @@ def test_knn_ivf_pq_indexed_identity_and_pruning(spark, tmp_path, sf_dir):
     assert counts == {0: 5, 1: 5, 2: 5}
 
 
+def test_ivf_pq_index_update_equals_rebuild_and_replay(spark, tmp_path, sf_dir):
+    """PQ-layout incremental update == a full rebuild under the SAME
+    quantizers (stored centroids + stored books), and replaying the
+    same delta (crash replay) changes nothing — per-id replace."""
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    qids = [1, 2, 3]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    model = SIM.ivf_fit(emb, n_clusters=8, seed=7)
+
+    from reader_spark.operators import atomic_dir
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    SIM.ivf_pq_index_write(base, inc, model, m=8, dim=64)
+    SIM.ivf_pq_index_update(spark, inc, delta, m=8, dim=64)
+    # rebuild under the SAME stored books — the update contract is
+    # "equals a rebuild under the same quantizers", and books are a
+    # quantizer (they must not be refit by an incremental update)
+    inc_books = spark.read.parquet(f"{atomic_dir.resolve(inc)}/books")
+    SIM.ivf_pq_index_write(emb, full, model, m=8, dim=64, books=inc_books)
+
+    def search(p):
+        return sorted(map(tuple, SIM.knn_ivf_pq_indexed(
+            spark, p, queries, k=5, rerank=10, nprobe=3, m=8, dim=64
+        ).collect()))
+
+    assert search(inc) == search(full)
+    SIM.ivf_pq_index_update(spark, inc, delta, m=8, dim=64)  # replay
+    assert search(inc) == search(full)
+
+
+def test_ivf_pq_index_delete_purges_codes(spark, tmp_path, sf_dir):
+    """Delete removes the vector AND its m codes from the index
+    (right-to-be-forgotten includes the quantized representation);
+    post-delete search == a fresh index without the ids; re-delete
+    is a no-op."""
+    from reader_spark.operators import atomic_dir
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    victims = [7, 8, 9]
+    qids = [1, 2, 3]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    model = SIM.ivf_fit(emb, n_clusters=8, seed=7)
+    idx, fresh = str(tmp_path / "idx"), str(tmp_path / "fresh")
+    SIM.ivf_pq_index_write(emb, idx, model, m=8, dim=64)
+    assert SIM.ivf_pq_index_delete(spark, idx, victims)
+    SIM.ivf_pq_index_write(
+        emb.filter(~F.col("vec_id").isin(victims)), fresh, model, m=8, dim=64
+    )
+    root = atomic_dir.resolve(idx)
+    assert spark.read.parquet(f"{root}/codes").filter(
+        F.col("vec_id").isin(victims)).count() == 0
+    assert spark.read.parquet(f"{root}/corpus").filter(
+        F.col("vec_id").isin(victims)).count() == 0
+
+    def search(p):
+        return sorted(map(tuple, SIM.knn_ivf_pq_indexed(
+            spark, p, queries, k=5, rerank=10, nprobe=3, m=8, dim=64
+        ).collect()))
+
+    assert search(idx) == search(fresh)
+    assert SIM.ivf_pq_index_delete(spark, idx, victims) == []
+
+
+def test_ivf_index_update_removes_emptied_cell(spark, tmp_path):
+    """A changed vector that moves ALL of its old cell's rows away
+    must not leave the old cell directory behind (dynamic overwrite
+    cannot express an empty partition — stale files would resurrect
+    the moved id at search time)."""
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.0, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    model = SIM.ivf_fit(emb, n_clusters=2, seed=7)
+    path = str(tmp_path / "mv")
+    SIM.ivf_index_write(emb, path, model)
+    # id 1 moves to the other cell; its old cell had only id 1
+    moved = spark.createDataFrame(
+        [(1, [0.0, 0.95])], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    SIM.ivf_index_update(spark, path, moved)
+    root = atomic_dir.resolve(path)
+    corpus = spark.read.parquet(f"{root}/corpus")
+    assert corpus.count() == 3
+    assert corpus.filter(F.col("vec_id") == 1).count() == 1
+    dirs = {d for d in os.listdir(f"{root}/corpus") if d.startswith("cl=")}
+    live = {f"cl={r['cl']}" for r in corpus.select("cl").distinct().collect()}
+    assert dirs == live
+
+
 def test_shingle_set(spark):
     import pyspark.sql.functions as F
     from reader_spark.operators import dedup as DD

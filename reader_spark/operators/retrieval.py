@@ -604,6 +604,31 @@ def trigram_index_maintain(
     )
 
 
+def trigram_index_maintainer(
+    path: str, n_buckets: int = 64, text_col: str = "text"
+):
+    """`foreachBatch` body keeping the materialized trigram index
+    fresh from a document STREAM — the maintainer family's simplest
+    member because `trigram_index_update` is a bare APPEND and the
+    distinct-count candidate test is duplication-immune: a crash-
+    replayed micro-batch appends the same postings twice and search
+    results do not change (no epoch bookkeeping needed, unlike BM25's
+    scalar merges).
+
+        docs.writeStream.foreachBatch(trigram_index_maintainer(path))
+            .option("checkpointLocation", ckpt).start()
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        trigram_index_update(
+            batch_df.sparkSession, path, batch_df, n_buckets, text_col
+        )
+
+    return body
+
+
 def bm25_index_maintain(
     spark,
     path: str,

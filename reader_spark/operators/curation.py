@@ -480,12 +480,20 @@ def semdedup_prune(
     clusters above the cap pass through kept and never build a
     quadratic pair list (boilerplate mega-clusters belong to exact /
     MinHash dedup upstream)."""
-    scored = SIM.kmeans_assign_scored(
-        emb,
-        n_iters=n_iters,
-        id_col=id_col,
-        vec_col=vec_col,
-        seed_col=seed_col,
+    from reader_spark.cache import pin
+
+    # scored feeds both sides of the dominance join AND the final
+    # keep/drop join — pin it so the interpreted-fold k-means scoring
+    # (the expensive stage) runs once, not three times (the
+    # budget_select pattern).
+    scored = pin(
+        SIM.kmeans_assign_scored(
+            emb,
+            n_iters=n_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed_col=seed_col,
+        )
     )
     joinable = scored
     if max_cluster is not None:

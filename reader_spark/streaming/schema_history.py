@@ -10,8 +10,10 @@ dml.go:44-52). `MostRecentMap` binary-searches timestamped versions
 Spark-first: the history is a small timestamped table; picking "the
 schema active at an event's timestamp" is an AS-OF JOIN — broadcast
 the history, window-max over versions with ts <= event_ts. DDL is
-parsed by the per-spec regex dispatcher below, covering the statement
-shapes the reference's ANTLR grammar extracts events from
+parsed by a lexical layer (comment stripping, quote-aware splitting,
+quoted-identifier round-trip — the guarantees the reference gets from
+its generated ANTLR lexer) plus the per-spec regex dispatcher below,
+covering the statement shapes the reference's grammar extracts from
 (CREATE / CREATE ... LIKE / DROP / RENAME TABLE; ALTER specs ADD /
 DROP / RENAME / MODIFY / CHANGE incl. FIRST/AFTER positions —
 alter_table.go:19-93, create_table.go:106-122):
@@ -27,6 +29,137 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+
+# ---------------------------------------------------------------------------
+# Lexical layer. The reference gets string/comment/identifier handling
+# for free from its generated ANTLR lexer (lib/antlr/parse.go:40-111);
+# a regex dispatcher has to supply the same three guarantees by hand:
+#
+#   1. comments never reach the shape rules (`/* gh-ost */ ALTER ...`,
+#      trailing `-- migration` / `# note` lines; MySQL executable
+#      version comments `/*!40605 ... */` contribute their BODY),
+#   2. commas/parens inside string literals never split a column list
+#      or an ALTER spec list (`DEFAULT 'a,b'`, `COMMENT 'x (y), z'`,
+#      doubled '' and backslash escapes included),
+#   3. quoted identifiers round-trip, including embedded spaces and
+#      doubled backticks (`my col`, `odd``name`).
+#
+# Everything below the lexical layer (the shape rules) stays regex —
+# parsing tech is an implementation detail, the event semantics are
+# the spec.
+
+
+def _strip_comments(sql: str) -> str:
+    """Remove comments, quote-aware. `/*! ... */` (MySQL executable
+    version comments) keep their body — the server runs it, so must
+    the registry. `--` needs trailing whitespace/EOL per MySQL; `#`
+    runs to end of line. String literals pass through untouched."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and ch != "`" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # doubled quote
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+        elif sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            end = n if end < 0 else end
+            body = sql[i + 2 : end]
+            if body.startswith("!"):
+                # executable version comment: keep the body minus the
+                # optional 5-6 digit version prefix
+                out.append(re.sub(r"^!\d*", "", body))
+            else:
+                out.append(" ")
+            i = end + 2 if end < n else n
+        elif sql.startswith("--", i) and (
+            i + 2 >= n or sql[i + 2] in " \t\n"
+        ):
+            nl = sql.find("\n", i)
+            i = n if nl < 0 else nl
+        elif ch == "#":
+            nl = sql.find("\n", i)
+            i = n if nl < 0 else nl
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren depth 0 that are OUTSIDE string
+    literals and quoted identifiers — the column-list / spec-list
+    separator. Replaces bare paren counting, which a `DEFAULT 'a,b'`
+    or `COMMENT '(y)'` literal silently corrupts."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if s[j] == "\\" and ch != "`" and j + 1 < n:
+                    j += 2
+                    continue
+                if s[j] == ch:
+                    if j + 1 < n and s[j + 1] == ch:
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            buf.append(s[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+# One identifier, possibly quoted: backticks may embed spaces and
+# doubled backticks (MySQL), double quotes per ANSI_QUOTES mode.
+_IDENT = r"(?:`(?:[^`]|``)+`|\"[^\"]+\"|\w+)"
+
+
+def _unquote(ident: str) -> str:
+    """Strip one layer of identifier quoting, undoubling the quote
+    char (`odd``name` -> odd`name)."""
+    if len(ident) >= 2 and ident[0] == ident[-1] and ident[0] in "`\"":
+        q = ident[0]
+        return ident[1:-1].replace(q + q, q)
+    return ident
+
+
+def _first_identifier(s: str) -> str:
+    """The leading identifier of a column definition, unquoted —
+    `.split()[0]` breaks on quoted names with spaces."""
+    m = re.match(r"\s*(" + _IDENT + ")", s)
+    return _unquote(m.group(1)) if m else ""
 
 
 # Debezium-derived DDL skip-list (converter.go:17-40): transaction
@@ -46,7 +179,7 @@ DDL_SKIP_RE = re.compile(
 # would poison every later positional binlog decode.
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?:[`\"]?(?P<db>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<tbl>\w+)[`\"]?"
+    rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})"
     r"\s*\((?P<cols>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -57,20 +190,20 @@ _CREATE_RE = re.compile(
 # matches the column-list shape and would mis-parse as a column "LIKE".
 _CREATE_LIKE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?:[`\"]?(?P<db>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<tbl>\w+)[`\"]?\s*"
-    r"\(?\s*LIKE\s+(?:[`\"]?(?P<sdb>\w+)[`\"]?\s*\.\s*)?"
-    r"[`\"]?(?P<src>\w+)[`\"]?\s*\)?\s*;?\s*$",
+    rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})\s*"
+    rf"\(?\s*LIKE\s+(?:(?P<sdb>{_IDENT})\s*\.\s*)?"
+    rf"(?P<src>{_IDENT})\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?:[`\"]?(?P<db>\w+)[`\"]?\s*\.\s*)?"
-    r"[`\"]?(?P<tbl>\w+)[`\"]?\s+(?P<specs>.*)$",
+    rf"^\s*ALTER\s+TABLE\s+(?:(?P<db>{_IDENT})\s*\.\s*)?"
+    rf"(?P<tbl>{_IDENT})\s+(?P<specs>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 # Per-spec patterns (an ALTER TABLE carries comma-separated specs; the
 # reference iterates AllAlterSpecification — alter_table.go:19-93).
 _ADD_SPEC_RE = re.compile(
-    r"^ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+(.+)$", re.IGNORECASE | re.DOTALL
+    rf"^ADD\s+(?:COLUMN\s+)?({_IDENT})\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
 # ADD [COLUMN] (a INT, b TEXT, ...) — the parenthesized multi-column
 # form; columns append in list order.
@@ -90,7 +223,7 @@ _NEUTRAL_SPEC_RE = re.compile(
     r"|DROP\s+PRIMARY\s+KEY\s*"
     r"|DROP\s+FOREIGN\s+KEY\b.*"
     r"|RENAME\s+(?:INDEX|KEY)\b.*"
-    r"|ALTER\s+(?:COLUMN\s+)?[`\"]?\w+[`\"]?\s+"
+    rf"|ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+"
     r"(?:SET\s+DEFAULT|DROP\s+DEFAULT)\b.*"
     r"|ENGINE\s*=?\s*\S.*|AUTO_INCREMENT\s*=?\s*\S.*"
     r"|COMMENT\s*=?\s*\S.*|ROW_FORMAT\s*=?\s*\S.*"
@@ -109,30 +242,30 @@ _CONVERT_SPEC_RE = re.compile(
 )
 # ALTER TABLE t RENAME [TO|AS] new — the spec-form table rename.
 _RENAME_TABLE_SPEC_RE = re.compile(
-    r"^RENAME\s+(?:TO\s+|AS\s+)?[`\"]?(\w+)[`\"]?\s*$", re.IGNORECASE
+    rf"^RENAME\s+(?:TO\s+|AS\s+)?({_IDENT})\s*$", re.IGNORECASE
 )
 _DROP_SPEC_RE = re.compile(
-    r"^DROP\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s*$", re.IGNORECASE
+    rf"^DROP\s+(?:COLUMN\s+)?({_IDENT})\s*$", re.IGNORECASE
 )
 _RENAME_SPEC_RE = re.compile(
-    r"^RENAME\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+TO\s+[`\"]?(\w+)[`\"]?\s*$",
+    rf"^RENAME\s+(?:COLUMN\s+)?({_IDENT})\s+TO\s+({_IDENT})\s*$",
     re.IGNORECASE,
 )
 # MODIFY col <type> [FIRST | AFTER other]: type change + optional
 # reposition (AlterByModifyColumnContext, alter_table.go:53-61).
 _MODIFY_SPEC_RE = re.compile(
-    r"^MODIFY\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+(.+)$", re.IGNORECASE | re.DOTALL
+    rf"^MODIFY\s+(?:COLUMN\s+)?({_IDENT})\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
 # CHANGE old new <type> [FIRST | AFTER other]: rename + type change +
 # optional reposition (AlterByChangeColumnContext, alter_table.go:198-217).
 _CHANGE_SPEC_RE = re.compile(
-    r"^CHANGE\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+[`\"]?(\w+)[`\"]?\s+(.+)$",
+    rf"^CHANGE\s+(?:COLUMN\s+)?({_IDENT})\s+({_IDENT})\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 # Trailing position marker inside a column definition (FirstPosition /
 # AfterPosition, ddl.go:170-204).
 _POS_RE = re.compile(
-    r"\b(?:(FIRST)|AFTER\s+[`\"]?(\w+)[`\"]?)\s*$", re.IGNORECASE
+    rf"\b(?:(FIRST)|AFTER\s+({_IDENT}))\s*$", re.IGNORECASE
 )
 _RENAME_TABLE_RE = re.compile(
     r"^\s*RENAME\s+TABLE\s+(.+)$", re.IGNORECASE | re.DOTALL
@@ -141,8 +274,8 @@ _RENAME_TABLE_RE = re.compile(
 # MySQL executes the pairs left to right in one atomic statement
 # (RenameTableContext covers the full list in the reference grammar)
 _RENAME_PAIR_RE = re.compile(
-    r"(?:[`\"]?(?P<odb>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<old>\w+)[`\"]?\s+TO\s+"
-    r"(?:[`\"]?(?P<ndb>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<new>\w+)[`\"]?",
+    rf"(?:(?P<odb>{_IDENT})\s*\.\s*)?(?P<old>{_IDENT})\s+TO\s+"
+    rf"(?:(?P<ndb>{_IDENT})\s*\.\s*)?(?P<new>{_IDENT})",
     re.IGNORECASE,
 )
 _DROP_TABLE_RE = re.compile(
@@ -151,7 +284,7 @@ _DROP_TABLE_RE = re.compile(
 # one name of a (possibly multi-table) DROP list, optionally
 # db-qualified — MySQL's `DROP TABLE a, b` drops every listed table
 _DROP_NAME_RE = re.compile(
-    r"(?:[`\"]?(?P<db>\w+)[`\"]?\s*\.\s*)?[`\"]?(?P<tbl>\w+)[`\"]?",
+    rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})",
     re.IGNORECASE,
 )
 
@@ -197,60 +330,72 @@ class SchemaAdapter:
         Statements whose table names are qualified with a database
         other than `self.database` never mutate the registry — they
         belong to a schema this pipeline does not replicate
-        (ShouldReplicate, sources/mysql/streaming/dml.go:24-40)."""
+        (ShouldReplicate, sources/mysql/streaming/dml.go:24-40).
+
+        Comments are stripped first (quote-aware; executable version
+        comments keep their body) so migration-tool chatter
+        (`/* gh-ost */`, trailing `-- ...`) never reaches the shape
+        rules."""
+        original = statement
+        statement = _strip_comments(statement)
         if DDL_SKIP_RE.search(statement):
             return False
         m = _CREATE_LIKE_RE.match(statement)
         if m:
-            if self._foreign(m.group("db")):
+            if self._foreign(_unquote(m.group("db") or "") or None):
                 return False
+            src = _unquote(m.group("src"))
             # Clone the source table's column list (the reference
             # errors on an unknown source — ddl.go:79-91; the
             # dispatcher's tolerant convention is to not mutate). A
             # source in another database is equally unknown here.
-            if self._foreign(m.group("sdb")) or m.group("src") not in self.tables:
+            if (
+                self._foreign(_unquote(m.group("sdb") or "") or None)
+                or src not in self.tables
+            ):
                 return False
-            self.tables[m.group("tbl")] = list(self.tables[m.group("src")])
-            self._record(unix_ts, statement)
+            self.tables[_unquote(m.group("tbl"))] = list(self.tables[src])
+            self._record(unix_ts, original)
             return True
         m = _CREATE_RE.match(statement)
         if m:
-            if self._foreign(m.group("db")):
+            if self._foreign(_unquote(m.group("db") or "") or None):
                 return False
             cols = []
-            depth = 0
-            for part in re.split(r",", m.group("cols")):
-                if depth == 0:
-                    name = part.strip().split()[0].strip('`"')
-                    if name.upper() not in (
-                        "PRIMARY", "UNIQUE", "KEY", "CONSTRAINT", "INDEX", "FOREIGN",
-                    ):
-                        cols.append(name)
-                depth += part.count("(") - part.count(")")
-            self.tables[m.group("tbl")] = cols
-            self._record(unix_ts, statement)
+            for part in _split_top_level(m.group("cols")):
+                part = part.strip()
+                if not part:
+                    continue
+                name = _first_identifier(part)
+                if name and name.upper() not in (
+                    "PRIMARY", "UNIQUE", "KEY", "CONSTRAINT", "INDEX", "FOREIGN",
+                ):
+                    cols.append(name)
+            self.tables[_unquote(m.group("tbl"))] = cols
+            self._record(unix_ts, original)
             return True
         m = _ALTER_RE.match(statement)
         if m:
-            if self._foreign(m.group("db")):
+            if self._foreign(_unquote(m.group("db") or "") or None):
                 return False
-            if m.group("tbl") not in self.tables:
+            tbl = _unquote(m.group("tbl"))
+            if tbl not in self.tables:
                 return False
             mutated, unrecognized = self._apply_alter_specs(
-                m.group("tbl"), m.group("specs")
+                tbl, m.group("specs")
             )
             if unrecognized:
                 self.unmatched.append(
                     {
                         "unix_ts": unix_ts,
-                        "statement": statement,
-                        "table": m.group("tbl"),
+                        "statement": original,
+                        "table": tbl,
                         "reason": "unrecognized ALTER spec(s): "
                         + "; ".join(unrecognized),
                     }
                 )
             if mutated:
-                self._record(unix_ts, statement)
+                self._record(unix_ts, original)
                 return True
             return False
         m = _RENAME_TABLE_RE.match(statement)
@@ -260,36 +405,38 @@ class SchemaAdapter:
             # TO b` swaps a and b atomically)
             mutated = False
             for pm in _RENAME_PAIR_RE.finditer(m.group(1)):
-                if self._foreign(pm.group("odb")):
+                if self._foreign(_unquote(pm.group("odb") or "") or None):
                     continue
-                old = pm.group("old")
+                old = _unquote(pm.group("old"))
                 if old not in self.tables:
                     continue
-                if self._foreign(pm.group("ndb")):
+                if self._foreign(_unquote(pm.group("ndb") or "") or None):
                     # renamed OUT of the replicated database: the
                     # table leaves this registry
                     del self.tables[old]
                 else:
-                    self.tables[pm.group("new")] = self.tables.pop(old)
+                    self.tables[_unquote(pm.group("new"))] = self.tables.pop(old)
                 mutated = True
             if mutated:
-                self._record(unix_ts, statement)
+                self._record(unix_ts, original)
                 return True
             return False
         m = _DROP_TABLE_RE.match(statement)
         if m:
             mutated = False
-            for part in m.group(1).split(","):
+            for part in _split_top_level(m.group(1)):
                 nm = _DROP_NAME_RE.search(part.strip().rstrip(";"))
+                if not nm:
+                    continue
+                tbl = _unquote(nm.group("tbl"))
                 if (
-                    nm
-                    and not self._foreign(nm.group("db"))
-                    and nm.group("tbl") in self.tables
+                    not self._foreign(_unquote(nm.group("db") or "") or None)
+                    and tbl in self.tables
                 ):
-                    del self.tables[nm.group("tbl")]
+                    del self.tables[tbl]
                     mutated = True
             if mutated:
-                self._record(unix_ts, statement)
+                self._record(unix_ts, original)
                 return True
             return False
         return False
@@ -315,20 +462,11 @@ class SchemaAdapter:
         cols = self.tables[table]
         mutated = False
         unrecognized: list[str] = []
-        # split on top-level commas only (types like decimal(10,2)
-        # carry commas inside parens)
-        parts, depth, buf = [], 0, []
-        for ch in specs:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                parts.append("".join(buf))
-                buf = []
-            else:
-                buf.append(ch)
-        parts.append("".join(buf))
+        # split on top-level commas only — types like decimal(10,2)
+        # carry commas inside parens, and DEFAULT/COMMENT string
+        # literals may carry commas AND unbalanced parens, so the
+        # split must be quote-aware (_split_top_level)
+        parts = _split_top_level(specs)
         for spec in (p.strip().rstrip(";").strip() for p in parts):
             if not spec:
                 continue
@@ -337,53 +475,45 @@ class SchemaAdapter:
             if _CONVERT_SPEC_RE.match(spec):
                 mutated = True  # retype-in-place: version cut, same cols
             elif sm := _ADD_MULTI_SPEC_RE.match(spec):
-                depth2, buf2, defs = 0, [], []
-                for ch in sm.group(1):
-                    if ch == "(":
-                        depth2 += 1
-                    elif ch == ")":
-                        depth2 -= 1
-                    if ch == "," and depth2 == 0:
-                        defs.append("".join(buf2))
-                        buf2 = []
-                    else:
-                        buf2.append(ch)
-                defs.append("".join(buf2))
-                for d in defs:
-                    name = d.strip().split()[0].strip('`"')
+                for d in _split_top_level(sm.group(1)):
+                    name = _first_identifier(d)
                     if name and name not in cols:
                         cols.append(name)
                         mutated = True
             elif sm := _RENAME_TABLE_SPEC_RE.match(spec):
-                new = sm.group(1)
+                new = _unquote(sm.group(1))
                 if new != table:
                     self.tables[new] = self.tables.pop(table)
                     table = new
                     cols = self.tables[table]
                     mutated = True
             elif sm := _ADD_SPEC_RE.match(spec):
-                name, tail = sm.group(1), sm.group(2)
+                name, tail = _unquote(sm.group(1)), sm.group(2)
                 if name not in cols:
                     cols.append(name)
                     self._reposition(cols, name, tail)
                     mutated = True
             elif sm := _DROP_SPEC_RE.match(spec):
-                if sm.group(1) in cols:
-                    cols.remove(sm.group(1))
+                if _unquote(sm.group(1)) in cols:
+                    cols.remove(_unquote(sm.group(1)))
                     mutated = True
             elif sm := _RENAME_SPEC_RE.match(spec):
-                old, new = sm.group(1), sm.group(2)
+                old, new = _unquote(sm.group(1)), _unquote(sm.group(2))
                 if old in cols:
                     cols[cols.index(old)] = new
                     mutated = True
             elif sm := _CHANGE_SPEC_RE.match(spec):
-                old, new, tail = sm.group(1), sm.group(2), sm.group(3)
+                old, new, tail = (
+                    _unquote(sm.group(1)),
+                    _unquote(sm.group(2)),
+                    sm.group(3),
+                )
                 if old in cols:
                     cols[cols.index(old)] = new
                     self._reposition(cols, new, tail)
                     mutated = True
             elif sm := _MODIFY_SPEC_RE.match(spec):
-                name, tail = sm.group(1), sm.group(2)
+                name, tail = _unquote(sm.group(1)), sm.group(2)
                 if name in cols:
                     self._reposition(cols, name, tail)
                     mutated = True  # type change: new version regardless
@@ -400,7 +530,7 @@ class SchemaAdapter:
         if pm.group(1):  # FIRST
             cols.insert(0, name)
         else:  # AFTER <col>
-            target = pm.group(2)
+            target = _unquote(pm.group(2))
             if target in cols:
                 cols.insert(cols.index(target) + 1, name)
             else:

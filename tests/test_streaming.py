@@ -688,3 +688,96 @@ def test_ddl_qualified_names_and_multi_drop():
     assert ad.apply_ddl("DROP TABLE IF EXISTS app.t2, t3", 5)
     assert "t2" not in ad.tables and "t3" not in ad.tables
     assert "users" in ad.tables
+
+
+def test_ddl_string_literals_do_not_split_specs():
+    """Commas and unbalanced parens inside DEFAULT/COMMENT string
+    literals must not split the spec or column list (the lexical
+    guarantee the reference gets from its ANTLR lexer; bare
+    paren-depth splitting corrupted these)."""
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    ad = SchemaAdapter()
+    assert ad.apply_ddl(
+        "CREATE TABLE t (a INT, b VARCHAR(5) DEFAULT 'x,y', "
+        "c TEXT COMMENT 'one (two), three')",
+        1,
+    )
+    assert ad.tables["t"] == ["a", "b", "c"]
+    assert ad.apply_ddl(
+        "ALTER TABLE t ADD COLUMN note VARCHAR(20) DEFAULT 'a,b(c', "
+        "ADD COLUMN tag TEXT COMMENT 'it''s, fine'",
+        2,
+    )
+    assert ad.tables["t"] == ["a", "b", "c", "note", "tag"]
+    assert ad.unmatched == []
+
+
+def test_ddl_comments_are_stripped_version_comments_execute():
+    """Migration-tool chatter (`/* gh-ost */`, trailing `-- ...`,
+    `# ...`) is invisible to the shape rules; MySQL executable
+    version comments /*!NNNNN ... */ contribute their body (the
+    server runs it, so must the registry)."""
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    ad = SchemaAdapter()
+    ad.apply_ddl("CREATE TABLE t (x int)", 1)
+    assert ad.apply_ddl(
+        "/* gh-ost: applied */ ALTER TABLE t ADD COLUMN c INT -- migration",
+        2,
+    )
+    assert ad.tables["t"] == ["x", "c"]
+    assert ad.apply_ddl(
+        "ALTER TABLE t ADD COLUMN d INT # trailing note", 3
+    )
+    assert ad.tables["t"] == ["x", "c", "d"]
+    # executable version comment: the body IS the statement
+    assert ad.apply_ddl("/*!40605 ALTER TABLE t ADD COLUMN e INT */", 4)
+    assert ad.tables["t"] == ["x", "c", "d", "e"]
+    # a literal containing comment openers is NOT a comment
+    assert ad.apply_ddl(
+        "ALTER TABLE t ADD COLUMN f TEXT COMMENT 'see /* not a comment */ --'",
+        5,
+    )
+    assert ad.tables["t"] == ["x", "c", "d", "e", "f"]
+    assert ad.unmatched == []
+
+
+def test_ddl_quoted_identifiers_with_spaces_roundtrip():
+    """Backtick identifiers may embed spaces and doubled backticks;
+    the registry keys on the UNQUOTED name so DML lookups (which
+    arrive unquoted from the binlog) resolve."""
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    ad = SchemaAdapter()
+    assert ad.apply_ddl("CREATE TABLE `my table` (`a col` int, b int)", 1)
+    assert ad.tables["my table"] == ["a col", "b"]
+    assert ad.apply_ddl(
+        "ALTER TABLE `my table` ADD COLUMN `new col` text AFTER `a col`", 2
+    )
+    assert ad.tables["my table"] == ["a col", "new col", "b"]
+    assert ad.apply_ddl(
+        "ALTER TABLE `my table` CHANGE `a col` `odd``name` int FIRST", 3
+    )
+    assert ad.tables["my table"] == ["odd`name", "new col", "b"]
+    assert ad.apply_ddl("RENAME TABLE `my table` TO `your table`", 4)
+    assert ad.tables["your table"] == ["odd`name", "new col", "b"]
+    assert ad.apply_ddl("DROP TABLE `your table`", 5)
+    assert ad.tables == {}
+    assert ad.unmatched == []
+
+
+def test_ddl_foreign_db_still_noop_when_quoted():
+    """The cross-db gate must hold for QUOTED qualifiers too —
+    `ALTER TABLE `otherdb`.`users` ...` is the same foreign no-op as
+    the bare form (ShouldReplicate, dml.go:24-40)."""
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    ad = SchemaAdapter(database="app")
+    ad.apply_ddl("CREATE TABLE users (id int, c int)", 1)
+    assert ad.apply_ddl(
+        "ALTER TABLE `otherdb`.`users` DROP COLUMN c", 2
+    ) is False
+    assert ad.tables["users"] == ["id", "c"]
+    assert ad.apply_ddl('DROP TABLE "otherdb"."users"', 3) is False
+    assert "users" in ad.tables

@@ -480,6 +480,70 @@ def r7b_mode(copies: int) -> None:
     )
 
 
+def r7c_mode(copies: int) -> None:
+    """LPA community detection at Nx, split into its two cost
+    regimes: the one-time near-dup edges build (shared with pagerank
+    / kcore / triangles — the graph-family input) and the 4
+    synchronized label rounds. At sf0.1 the rounds' round-1 shuffle
+    is the whole cost (labels start as node ids, so the (node,label)
+    aggregate is edge-sized once, then collapses); this probe checks
+    that shape holds when pair volume grows linearly."""
+    docs_path = build(copies)
+
+    import pyspark.sql.functions as F
+
+    from reader_spark.operators import dedup as DD
+    from reader_spark.operators import graph as GR
+    from reader_spark.session import get_spark
+
+    spark = get_spark("scale_r7c", extra_conf={"spark.ui.enabled": "true"})
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(docs_path)
+    print(f"corpus: {docs.count()} docs ({copies}x)")
+
+    last = [_shuffle_bytes(spark)]
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        sb = _shuffle_bytes(spark)
+        delta = sb - last[0] if sb >= 0 and last[0] >= 0 else -1
+        last[0] = sb
+        print(f"{name}: {wall:.2f}s  shuffle_write={delta / 1e6:.1f}MB")
+        return out
+
+    from reader_spark.cache import pin, release_pins
+
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=16, hashes_col="toks"))
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=16, band_size=8)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    edges = timed(
+        "near-dup edges build (shared graph-family input)",
+        lambda: (
+            verified.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+            .union(
+                verified.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+            )
+            .distinct()
+            .localCheckpoint()
+        ),
+    )
+    print(f"graph: {edges.count()} directed edges, "
+          f"{edges.select('s').distinct().count()} nodes")
+    # end-to-end re-derives its own edges checkpoint from the warm
+    # pinned signatures — rounds-only cost is this minus the edge
+    # rebuild (compare against the shared-build line above)
+    timed(
+        "lpa_communities end-to-end (4 rounds, pins warm)",
+        lambda: GR.lpa_communities(
+            verified.select("doc_a", "doc_b"), iterations=4
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    release_pins()
+
+
 def kmeans_mode(copies: int) -> None:
     """Round-7 clustering probes: the deterministic broadcast-Lloyd
     ORACLE path (sorted sequential-fold means — per-cluster vector
@@ -705,6 +769,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "r7b":
         r7b_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r7c":
+        r7c_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
         kmeans_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 100)

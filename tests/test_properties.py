@@ -551,3 +551,71 @@ def test_count_min_never_underestimates(spark, counts):
     }
     for t, n in counts.items():
         assert est[t] >= n  # CMS upper-bound contract
+
+
+# ---------------------------------------------------------------------------
+# DDL lexical layer: generated adversarial statements must round-trip
+
+
+_COL_NAME = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_LITERAL_BODY = st.text(
+    alphabet="abz,()'`\"# *-/\\",
+    min_size=0,
+    max_size=12,
+)
+_COL_TAIL = st.sampled_from(
+    [
+        "INT",
+        "VARCHAR(255)",
+        "DECIMAL(10,2)",
+        "TEXT",
+        "INT NOT NULL",
+    ]
+)
+
+
+def _sql_quote(body: str) -> str:
+    """A valid single-quoted MySQL literal: backslashes and quotes
+    escaped by doubling/backslash, arbitrary commas/parens kept."""
+    return "'" + body.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+@given(
+    names=st.lists(_COL_NAME, min_size=1, max_size=5, unique=True),
+    tails=st.lists(_COL_TAIL, min_size=5, max_size=5),
+    lits=st.lists(_LITERAL_BODY, min_size=5, max_size=5),
+    lit_at=st.lists(st.booleans(), min_size=5, max_size=5),
+    comment=st.sampled_from(
+        ["", "/* gh-ost */ ", "/*!40605 */ "]
+    ),
+)
+@SET
+def test_ddl_lexer_roundtrips_generated_column_lists(
+    names, tails, lits, lit_at, comment
+):
+    """CREATE + ALTER ADD built from random column names, type tails,
+    and adversarial DEFAULT/COMMENT literals (commas, parens, quote
+    chars, comment openers) must register exactly the generated
+    column names — the ANTLR-lexer guarantee the regex dispatcher
+    re-implements by hand."""
+    from reader_spark.streaming.schema_history import SchemaAdapter
+
+    defs = []
+    for i, name in enumerate(names):
+        d = f"`{name}` {tails[i]}"
+        if lit_at[i]:
+            d += f" COMMENT {_sql_quote(lits[i])}"
+        defs.append(d)
+    ad = SchemaAdapter()
+    assert ad.apply_ddl(
+        comment + "CREATE TABLE t (" + ", ".join(defs) + ")", 1
+    )
+    assert ad.tables["t"] == names
+    # the same defs arriving as one multi-spec ALTER ADD
+    ad2 = SchemaAdapter()
+    ad2.apply_ddl("CREATE TABLE t (seed int)", 1)
+    assert ad2.apply_ddl(
+        "ALTER TABLE t " + ", ".join(f"ADD COLUMN {d}" for d in defs), 2
+    )
+    assert ad2.tables["t"] == ["seed"] + names
+    assert ad2.unmatched == []

@@ -179,6 +179,10 @@ HEADLINE = [
     "knn_ivf_pq",
     "budget_select",
     "lpa_communities",
+    # (lpa_communities_indexed stays out for the kcore reason: its
+    # build-80% + update-20% runs the Jaccard verify twice over the
+    # fixture's clique-soup pair volume — fixture-density cost, not
+    # plan cost; the artifact-reading query path is lpa_communities'.)
 ]
 
 

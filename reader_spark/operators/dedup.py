@@ -846,3 +846,129 @@ def incremental_dedup_filter(
         .distinct()
     )
     return incoming_sigs.join(hits, id_col, "anti")
+
+
+# ---------------------------------------------------------------------------
+# Materialized near-dup graph index: the parquet edge artifact the
+# graph family (pagerank / kcore / triangles / LPA communities) reads
+# instead of re-deriving minhash -> LSH -> verify per query — the
+# same index-layout economics as ivf/bm25/trigram (pay the build
+# once at ingest, queries read the artifact), applied to the
+# verified pair list. SCALE.md's LPA probe shows why: at 100x the
+# in-memory edges checkpoint is the single-box limit; a parquet
+# materialization is the 100 TB shape.
+
+
+def neardup_index_write(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 16,
+    band_size: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build the index from scratch: `edges/` (verified doc_a <
+    doc_b pairs), `bands/` ((doc_id, band_id, band_key) rows — the
+    candidate-generation state incremental updates join against),
+    `toks/` ((doc_id, toks) token-hash arrays — the verify state).
+    Bands and toks are linear in the corpus and far smaller than the
+    text; edges are the query artifact."""
+    toks = pin(token_hashes(docs, text_col, id_col))
+    sigs = pin(
+        minhash_signature(
+            toks, id_col=id_col, num_hashes=num_hashes, hashes_col="toks"
+        )
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col=id_col, num_hashes=num_hashes, band_size=band_size
+    )
+    verified = jaccard_verify(
+        pairs, docs, id_col=id_col, threshold=threshold, toks=toks
+    )
+    verified.select("doc_a", "doc_b").write.mode("overwrite").parquet(
+        f"{path}/edges"
+    )
+    md5_band_rows(sigs, num_hashes, band_size, id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    toks.write.mode("overwrite").parquet(f"{path}/toks")
+
+
+def neardup_index_update(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Incremental maintenance: new docs' pairs come from (a) LSH
+    banding WITHIN the delta and (b) an equi-join of the delta's band
+    rows against the stored `bands/` (any-band match — the same pair
+    set first-match-only banding emits, deduped); both verify with
+    exact Jaccard over stored + delta token arrays. update ==
+    rebuild exactly (asserted in tests) because the candidate sets
+    coincide and the verify is the same expression.
+
+    Replay-idempotent: docs already in `toks/` are filtered out
+    first, so a crash-replayed micro-batch appends nothing. Append
+    order is edges -> bands -> toks: `toks/` is the replay gate, so
+    a crash mid-update re-appends at worst already-written edge rows
+    — harmless, every consumer `.distinct()`s the pair list (the
+    trigram index's duplication-immunity argument).
+
+    Returns the number of newly indexed docs."""
+    old_toks = spark.read.parquet(f"{path}/toks")
+    fresh = ensure_parallelism(new_docs).join(
+        old_toks.select(id_col), id_col, "anti"
+    )
+    toks_new = pin(token_hashes(fresh, text_col, id_col))
+    n_fresh = toks_new.count()
+    if n_fresh == 0:
+        return 0
+    sigs_new = pin(
+        minhash_signature(
+            toks_new, id_col=id_col, num_hashes=num_hashes, hashes_col="toks"
+        )
+    )
+    nn = lsh_candidate_pairs(
+        sigs_new, id_col=id_col, num_hashes=num_hashes, band_size=band_size
+    )
+    bands_new = pin(md5_band_rows(sigs_new, num_hashes, band_size, id_col))
+    old_bands = spark.read.parquet(f"{path}/bands")
+    no = (
+        bands_new.select(
+            F.col(id_col).alias("__new"), "band_id", "band_key"
+        )
+        .join(
+            old_bands.select(
+                F.col(id_col).alias("__old"), "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
+        )
+        .select(
+            F.least("__new", "__old").alias("doc_a"),
+            F.greatest("__new", "__old").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cands = nn.select("doc_a", "doc_b").unionByName(no)
+    all_toks = old_toks.unionByName(toks_new)
+    verified = jaccard_verify(
+        cands, fresh, id_col=id_col, threshold=threshold, toks=all_toks
+    )
+    verified.select("doc_a", "doc_b").write.mode("append").parquet(
+        f"{path}/edges"
+    )
+    bands_new.write.mode("append").parquet(f"{path}/bands")
+    toks_new.write.mode("append").parquet(f"{path}/toks")
+    return n_fresh
+
+
+def neardup_edges(spark, path: str) -> DataFrame:
+    """The materialized verified pair list (doc_a, doc_b), distinct —
+    drop-in input for every graph-family operator."""
+    return spark.read.parquet(f"{path}/edges").distinct()

@@ -6565,6 +6565,36 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lpa_communities_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA over the MATERIALIZED near-dup graph index
+    (operators/dedup.py::neardup_index_write/update/neardup_edges):
+    the index is built on 80% of the corpus and incrementally
+    updated with the other 20% (update == rebuild exactly — delta
+    banding + a band-row equi-join against the stored bands emit the
+    same candidate set full LSH does, and the Jaccard verify is the
+    same expression), then the 4 label rounds read the parquet edge
+    artifact instead of re-deriving minhash -> LSH -> verify. Same
+    oracle as `lpa_communities`: the index changes the plan, not the
+    answer. At 100 TB the edge materialization replaces the
+    in-memory edges checkpoint SCALE.md's LPA probe found to be the
+    single-box limit."""
+    import tempfile
+
+    from reader_spark.operators import graph as GR
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ndidx_")
+    DD.neardup_index_write(
+        docs.filter(F.col("doc_id") % 5 != 0), work,
+        num_hashes=_MH_K, band_size=_MH_BAND, threshold=0.8,
+    )
+    DD.neardup_index_update(
+        spark, work, docs.filter(F.col("doc_id") % 5 == 0),
+        num_hashes=_MH_K, band_size=_MH_BAND, threshold=0.8,
+    )
+    return GR.lpa_communities(DD.neardup_edges(spark, work), iterations=4)
+
+
 def _lpa_sql(iterations: int) -> str:
     head = DEDUP_COMPONENTS_SQL.split(", e AS (")[0] + """
 , e AS (
@@ -8077,6 +8107,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmv_distinct": (kmv_distinct, KMV_SQL),
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
     "lpa_communities": (lpa_communities_q, LPA_SQL),
+    "lpa_communities_indexed": (lpa_communities_indexed_q, LPA_SQL),
     "record_linkage": (record_linkage, RECORD_LINKAGE_SQL),
     "doc_keywords": (doc_keywords, DOC_KEYWORDS_SQL),
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
@@ -8253,7 +8284,9 @@ _WINDOW_R7 = [
     "kcore_neardup", "knn_pq", "knn_sq8", "knn_ivf_sq8",
     "knn_filtered", "text_bm25_indexed", "text_bm25",
     "hybrid_search_rrf", "heavy_hitters",
-    "kmv_distinct", "mixture_apply", "quality_mixture",
+    # quality_mixture rotated out (r5/r6 double-green, code untouched)
+    # for the round-7 materialized-graph-index query
+    "kmv_distinct", "mixture_apply", "lpa_communities_indexed",
     "record_linkage",
     # new this round (never sampled)
     "embedding_clusters", "cluster_sample", "semdedup_prune",

@@ -130,3 +130,110 @@ def test_lpa_separates_bridged_cliques(spark):
     again = {r["node"]: r["community"] for r in GR.lpa_communities(
         df, iterations=4).collect()}
     assert again == out
+
+
+# ---------------------------------------------------------------------------
+# Materialized near-dup graph index (dedup.py::neardup_index_*)
+
+
+def _docs(spark):
+    """Tiny corpus with two near-dup families + a singleton: family A
+    (docs 1,2,3 share 9/10 tokens), family B (10,11,12 — a triangle,
+    because synchronized LPA oscillates on 2-node components by
+    design), unrelated 20."""
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i k"),
+        (3, "a b c d e f g h i l"),
+        (10, "p q r s t u v w x y"),
+        (11, "p q r s t u v w x z"),
+        (12, "p q r s t u v w x q2"),
+        (20, "m n o aa bb cc dd ee ff gg"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _edges(spark, path):
+    from reader_spark.operators import dedup as DD
+
+    return sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in DD.neardup_edges(spark, path).collect()
+    )
+
+
+def test_neardup_index_update_equals_rebuild(spark, tmp_path):
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    full = str(tmp_path / "full")
+    DD.neardup_index_write(docs, full, num_hashes=8, band_size=2,
+                           threshold=0.8)
+    split = str(tmp_path / "split")
+    DD.neardup_index_write(
+        docs.filter("doc_id < 10"), split, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    n = DD.neardup_index_update(
+        spark, split, docs.filter("doc_id >= 10"), num_hashes=8,
+        band_size=2, threshold=0.8,
+    )
+    assert n == 4
+    assert _edges(spark, split) == _edges(spark, full)
+    # both families present, no cross-family or singleton edges
+    e = _edges(spark, full)
+    assert (1, 2) in e and (10, 11) in e
+    assert all(20 not in pair for pair in e)
+    assert all((a < 10) == (b < 10) for a, b in e)
+
+
+def test_neardup_index_update_replay_is_noop(spark, tmp_path):
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id < 10"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    delta = docs.filter("doc_id >= 10")
+    assert DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    ) == 4
+    before = _edges(spark, path)
+    # crash-replayed batch: every doc already in toks/ -> nothing appends
+    assert DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    ) == 0
+    assert _edges(spark, path) == before
+
+
+def test_lpa_over_index_matches_direct(spark, tmp_path):
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(docs, path, num_hashes=8, band_size=2,
+                           threshold=0.8)
+    via_index = {
+        r["node"]: r["community"]
+        for r in GR.lpa_communities(
+            DD.neardup_edges(spark, path), iterations=4
+        ).collect()
+    }
+    toks = DD.token_hashes(docs)
+    sigs = DD.minhash_signature(toks, num_hashes=8, hashes_col="toks")
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    direct = {
+        r["node"]: r["community"]
+        for r in GR.lpa_communities(
+            DD.jaccard_verify(pairs, docs, threshold=0.8, toks=toks)
+            .select("doc_a", "doc_b"),
+            iterations=4,
+        ).collect()
+    }
+    assert via_index == direct
+    # the two families are distinct communities
+    assert via_index[1] == via_index[2] == via_index[3]
+    assert via_index[10] == via_index[11] == via_index[12]
+    assert via_index[1] != via_index[10]

@@ -542,6 +542,23 @@ def r7c_mode(copies: int) -> None:
         ).write.format("noop").mode("overwrite").save(),
     )
     release_pins()
+    # the materialized-index path: pay the pipeline once at ingest,
+    # every graph query thereafter reads the parquet edge artifact
+    idx = os.path.join(TMP, f"ndidx_x{copies}")
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+    timed(
+        "neardup_index_write (one-time ingest)",
+        lambda: DD.neardup_index_write(docs, idx),
+    )
+    release_pins()
+    timed(
+        "lpa over materialized index (4 rounds, artifact read)",
+        lambda: GR.lpa_communities(
+            DD.neardup_edges(spark, idx), iterations=4
+        ).write.format("noop").mode("overwrite").save(),
+    )
 
 
 def kmeans_mode(copies: int) -> None:

@@ -972,3 +972,37 @@ def neardup_edges(spark, path: str) -> DataFrame:
     """The materialized verified pair list (doc_a, doc_b), distinct —
     drop-in input for every graph-family operator."""
     return spark.read.parquet(f"{path}/edges").distinct()
+
+
+def neardup_index_maintainer(
+    path: str,
+    num_hashes: int = 16,
+    band_size: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """`foreachBatch` body keeping the materialized near-dup graph
+    index fresh from a document STREAM — the maintainer family's
+    graph member. Crash-replay safety comes from the update verb
+    itself: docs already in `toks/` are anti-joined away, so a
+    replayed micro-batch appends nothing (and the worst mid-update
+    crash re-appends edge rows every consumer `.distinct()`s).
+
+        docs.writeStream.foreachBatch(neardup_index_maintainer(path))
+            .option("checkpointLocation", ckpt).start()
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        neardup_index_update(
+            batch_df.sparkSession, path, batch_df,
+            num_hashes=num_hashes, band_size=band_size,
+            threshold=threshold, id_col=id_col, text_col=text_col,
+        )
+        from reader_spark.cache import release_pins
+
+        release_pins()
+
+    return body

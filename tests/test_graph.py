@@ -237,3 +237,39 @@ def test_lpa_over_index_matches_direct(spark, tmp_path):
     assert via_index[1] == via_index[2] == via_index[3]
     assert via_index[10] == via_index[11] == via_index[12]
     assert via_index[1] != via_index[10]
+
+
+def test_neardup_index_maintainer_stream(spark, tmp_path):
+    """Streamed doc batches keep the graph index equal to a scratch
+    rebuild over the full corpus (availableNow + checkpoint, the
+    trigram maintainer's harness shape)."""
+    import json
+
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id < 10"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    with open(src / "d.jsonl", "w") as f:
+        for r in docs.filter("doc_id >= 10").collect():
+            f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            DD.neardup_index_maintainer(path, num_hashes=8, band_size=2,
+                                        threshold=0.8)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(90)
+    scratch = str(tmp_path / "scratch")
+    DD.neardup_index_write(docs, scratch, num_hashes=8, band_size=2,
+                           threshold=0.8)
+    assert _edges(spark, path) == _edges(spark, scratch)

@@ -273,3 +273,51 @@ def test_neardup_index_maintainer_stream(spark, tmp_path):
     DD.neardup_index_write(docs, scratch, num_hashes=8, band_size=2,
                            threshold=0.8)
     assert _edges(spark, path) == _edges(spark, scratch)
+
+
+def test_neardup_index_crash_mid_update_heals_on_replay(spark, tmp_path):
+    """The documented worst case: a crash AFTER the edges append but
+    BEFORE the toks/ append (the replay gate). The replayed batch
+    re-runs in full — edge rows double up, but consumers `.distinct()`
+    so graph results are unchanged, and the gate closes (a second
+    replay is a no-op)."""
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id < 10"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    delta = docs.filter("doc_id >= 10")
+    # simulate the crash: run the real update, then roll back toks/
+    # and bands/ to their pre-update state (edges keep the appended
+    # rows — exactly the on-disk state a kill between appends leaves)
+    import shutil
+
+    shutil.copytree(f"{path}/toks", str(tmp_path / "toks_pre"))
+    shutil.copytree(f"{path}/bands", str(tmp_path / "bands_pre"))
+    DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    )
+    edges_after = _edges(spark, path)
+    shutil.rmtree(f"{path}/toks")
+    shutil.rmtree(f"{path}/bands")
+    shutil.copytree(str(tmp_path / "toks_pre"), f"{path}/toks")
+    shutil.copytree(str(tmp_path / "bands_pre"), f"{path}/bands")
+    # the rollback happened behind Spark's back: drop the session's
+    # cached file listings (a real crash restarts the session)
+    spark.catalog.refreshByPath(f"{path}/toks")
+    spark.catalog.refreshByPath(f"{path}/bands")
+    # replay: gate is open (delta docs absent from toks/), so the
+    # batch re-applies — raw edge rows duplicate, distinct view holds
+    assert DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    ) == 4
+    raw = spark.read.parquet(f"{path}/edges").count()
+    assert raw > len(edges_after)          # duplicates exist on disk
+    assert _edges(spark, path) == edges_after  # consumers unaffected
+    # and the gate is closed now
+    assert DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    ) == 0

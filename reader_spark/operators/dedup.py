@@ -939,6 +939,13 @@ def neardup_index_update(
     )
     bands_new = pin(md5_band_rows(sigs_new, num_hashes, band_size, id_col))
     old_bands = spark.read.parquet(f"{path}/bands")
+    dead = _nd_tombstones(spark, path)
+    if dead is not None:
+        # deleted docs must not resurrect as a delta's neighbors
+        old_bands = old_bands.join(
+            F.broadcast(dead.select(F.col("doc_id").alias(id_col))),
+            id_col, "left_anti",
+        )
     no = (
         bands_new.select(
             F.col(id_col).alias("__new"), "band_id", "band_key"
@@ -970,8 +977,16 @@ def neardup_index_update(
 
 def neardup_edges(spark, path: str) -> DataFrame:
     """The materialized verified pair list (doc_a, doc_b), distinct —
-    drop-in input for every graph-family operator."""
-    return spark.read.parquet(f"{path}/edges").distinct()
+    drop-in input for every graph-family operator. Tombstoned docs
+    (see `neardup_index_delete`) are anti-joined on BOTH endpoints."""
+    edges = spark.read.parquet(f"{path}/edges").distinct()
+    dead = _nd_tombstones(spark, path)
+    if dead is None:
+        return edges
+    dead = F.broadcast(dead.select("doc_id"))
+    return edges.join(
+        dead.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+    ).join(dead.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
 
 
 def neardup_index_maintainer(
@@ -1006,3 +1021,62 @@ def neardup_index_maintainer(
         release_pins()
 
     return body
+
+
+def _nd_tombstones(spark, path: str):
+    """The published tombstone id table of the near-dup graph index,
+    or None if no delete has ever run."""
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(f"{path}/tombstones")
+    if not os.path.isdir(root):
+        return None
+    return spark.read.parquet(root)
+
+
+def neardup_index_delete(spark, path: str, doc_ids: list) -> int:
+    """Delete documents from the graph index — the BM25 tombstone
+    model: a doc's edges are scattered across the pair list and its
+    band rows across `bands/`, so rather than rewrite both, the ids
+    land in a tiny tombstone table that `neardup_edges` anti-joins on
+    BOTH endpoints and `neardup_index_update` anti-joins out of the
+    stored band rows (a deleted doc must neither appear in results
+    nor resurrect as a future delta's neighbor). Physical removal at
+    the next rebuild.
+
+    Idempotent and atomic: newly = (requested ∩ indexed) minus
+    already-tombstoned; the merged table publishes in one pointer
+    flip. Same id-discipline contract as BM25: a deleted id must not
+    be re-submitted to `update` before a rebuild (its toks/ row — the
+    replay gate — is still physically present). Returns the number
+    of newly deleted docs."""
+    from reader_spark.operators import atomic_dir
+
+    ids = spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    ).distinct()
+    newly = (
+        spark.read.parquet(f"{path}/toks")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+    )
+    existing = _nd_tombstones(spark, path)
+    if existing is not None:
+        newly = newly.join(
+            F.broadcast(existing.select("doc_id")), "doc_id", "left_anti"
+        )
+    n_new = newly.count()
+    if n_new == 0:
+        return 0
+    merged = newly if existing is None else (
+        existing.select("doc_id").unionByName(newly)
+    )
+
+    def write_fn(vdir: str) -> None:
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    atomic_dir.publish(f"{path}/tombstones", write_fn)
+    return n_new

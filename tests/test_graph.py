@@ -321,3 +321,41 @@ def test_neardup_index_crash_mid_update_heals_on_replay(spark, tmp_path):
     assert DD.neardup_index_update(
         spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
     ) == 0
+
+
+def test_neardup_index_delete_tombstones(spark, tmp_path):
+    """Delete removes a doc from every edge (both endpoints), is
+    idempotent, and a later update cannot resurrect it as a
+    neighbor — the BM25 tombstone contract on the graph index."""
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id < 12"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    assert (10, 11) in _edges(spark, path)
+    assert DD.neardup_index_delete(spark, path, [11]) == 1
+    after = _edges(spark, path)
+    assert all(11 not in p for p in after)
+    assert (1, 2) in after                      # family A untouched
+    # idempotent; unknown ids are no-ops
+    assert DD.neardup_index_delete(spark, path, [11]) == 0
+    assert DD.neardup_index_delete(spark, path, [999]) == 0
+    # doc 12 arrives later: near-dup of 10 AND 11, but 11 is dead —
+    # only the (10, 12) edge may appear
+    DD.neardup_index_update(
+        spark, path, docs.filter("doc_id = 12"), num_hashes=8,
+        band_size=2, threshold=0.8,
+    )
+    final = _edges(spark, path)
+    assert (10, 12) in final
+    assert all(11 not in p for p in final)
+    # delete == rebuild-without-the-doc, on the surviving world
+    scratch = str(tmp_path / "scratch")
+    DD.neardup_index_write(
+        docs.filter("doc_id < 13 and doc_id != 11"), scratch,
+        num_hashes=8, band_size=2, threshold=0.8,
+    )
+    assert final == _edges(spark, scratch)

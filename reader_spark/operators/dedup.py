@@ -873,7 +873,15 @@ def neardup_index_write(
     candidate-generation state incremental updates join against),
     `toks/` ((doc_id, toks) token-hash arrays — the verify state).
     Bands and toks are linear in the corpus and far smaller than the
-    text; edges are the query artifact."""
+    text; edges are the query artifact.
+
+    A write is a from-scratch REBUILD: any previous layout at `path`
+    (including pointer-flip version dirs a `neardup_index_maintain`
+    left, and tombstones) is removed first — a bare overwrite under a
+    stale `_CURRENT` pointer would be invisible to readers."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     toks = pin(token_hashes(docs, text_col, id_col))
     sigs = pin(
         minhash_signature(
@@ -921,7 +929,7 @@ def neardup_index_update(
     trigram index's duplication-immunity argument).
 
     Returns the number of newly indexed docs."""
-    old_toks = spark.read.parquet(f"{path}/toks")
+    old_toks = spark.read.parquet(_nd_root(path, "toks"))
     fresh = ensure_parallelism(new_docs).join(
         old_toks.select(id_col), id_col, "anti"
     )
@@ -938,7 +946,7 @@ def neardup_index_update(
         sigs_new, id_col=id_col, num_hashes=num_hashes, band_size=band_size
     )
     bands_new = pin(md5_band_rows(sigs_new, num_hashes, band_size, id_col))
-    old_bands = spark.read.parquet(f"{path}/bands")
+    old_bands = spark.read.parquet(_nd_root(path, "bands"))
     dead = _nd_tombstones(spark, path)
     if dead is not None:
         # deleted docs must not resurrect as a delta's neighbors
@@ -968,10 +976,10 @@ def neardup_index_update(
         cands, fresh, id_col=id_col, threshold=threshold, toks=all_toks
     )
     verified.select("doc_a", "doc_b").write.mode("append").parquet(
-        f"{path}/edges"
+        _nd_root(path, "edges")
     )
-    bands_new.write.mode("append").parquet(f"{path}/bands")
-    toks_new.write.mode("append").parquet(f"{path}/toks")
+    bands_new.write.mode("append").parquet(_nd_root(path, "bands"))
+    toks_new.write.mode("append").parquet(_nd_root(path, "toks"))
     return n_fresh
 
 
@@ -979,7 +987,7 @@ def neardup_edges(spark, path: str) -> DataFrame:
     """The materialized verified pair list (doc_a, doc_b), distinct —
     drop-in input for every graph-family operator. Tombstoned docs
     (see `neardup_index_delete`) are anti-joined on BOTH endpoints."""
-    edges = spark.read.parquet(f"{path}/edges").distinct()
+    edges = spark.read.parquet(_nd_root(path, "edges")).distinct()
     dead = _nd_tombstones(spark, path)
     if dead is None:
         return edges
@@ -1058,7 +1066,7 @@ def neardup_index_delete(spark, path: str, doc_ids: list) -> int:
         [(int(i),) for i in doc_ids], "doc_id long"
     ).distinct()
     newly = (
-        spark.read.parquet(f"{path}/toks")
+        spark.read.parquet(_nd_root(path, "toks"))
         .select("doc_id")
         .dropDuplicates(["doc_id"])
         .join(F.broadcast(ids), "doc_id", "left_semi")
@@ -1080,3 +1088,71 @@ def neardup_index_delete(spark, path: str, doc_ids: list) -> int:
 
     atomic_dir.publish(f"{path}/tombstones", write_fn)
     return n_new
+
+
+def _nd_root(path: str, sub: str) -> str:
+    """Data root of one index subdir: the live pointer-flip version
+    if `neardup_index_maintain` has ever published it, else the bare
+    layout the initial write produces."""
+    from reader_spark.operators import atomic_dir
+
+    return atomic_dir.resolve(f"{path}/{sub}")
+
+
+def neardup_index_maintain(
+    spark, path: str, target_bytes: int = 128 << 20
+) -> dict[str, int]:
+    """OPTIMIZE for the graph index: each update wave appends a file
+    set into edges/bands/toks, and a read through hundreds of tiny
+    files is scheduler-bound. Rewrites each subdir into
+    ceil(bytes/target) files behind a pointer flip (readers resolve
+    through `_nd_root`), folding in the physical work deferred by
+    the cheap verbs: tombstoned docs drop out of all three subdirs,
+    duplicate edge rows (crash-replay residue) collapse, and the
+    tombstone table is then published EMPTY — last, so a crash
+    anywhere mid-maintain leaves every reader correct (rows already
+    pruned are also still anti-joined; nothing double-applies).
+    Returns per-subdir output file counts."""
+    import math
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    dead = _nd_tombstones(spark, path)
+    dead_ids = F.broadcast(dead.select("doc_id")) if dead is not None else None
+    out: dict[str, int] = {}
+    for sub in ("edges", "bands", "toks"):
+        root = _nd_root(path, sub)
+        files = [
+            os.path.join(dp, f)
+            for dp, _dn, fns in os.walk(root)
+            for f in fns
+            if f.endswith(".parquet")
+        ]
+        n_out = max(1, math.ceil(sum(map(os.path.getsize, files)) / target_bytes))
+        df = spark.read.parquet(root)
+        if sub == "edges":
+            df = df.distinct()
+            if dead_ids is not None:
+                df = df.join(
+                    dead_ids.withColumnRenamed("doc_id", "doc_a"),
+                    "doc_a", "left_anti",
+                ).join(
+                    dead_ids.withColumnRenamed("doc_id", "doc_b"),
+                    "doc_b", "left_anti",
+                )
+        elif dead_ids is not None:
+            df = df.join(dead_ids, "doc_id", "left_anti")
+        df = df.repartition(n_out)
+        atomic_dir.publish(
+            f"{path}/{sub}",
+            lambda vdir, d=df: d.write.mode("overwrite").parquet(vdir),
+        )
+        out[sub] = n_out
+    if dead is not None:
+        empty = spark.createDataFrame([], "doc_id long")
+        atomic_dir.publish(
+            f"{path}/tombstones",
+            lambda vdir: empty.coalesce(1).write.mode("overwrite").parquet(vdir),
+        )
+    return out

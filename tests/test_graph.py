@@ -359,3 +359,51 @@ def test_neardup_index_delete_tombstones(spark, tmp_path):
         num_hashes=8, band_size=2, threshold=0.8,
     )
     assert final == _edges(spark, scratch)
+
+
+def test_neardup_index_maintain_compacts_and_purges(spark, tmp_path):
+    """OPTIMIZE: after update waves + a delete, maintain rewrites the
+    subdirs behind pointer flips — the distinct-edge view is
+    unchanged, tombstoned rows are physically gone, the tombstone
+    table empties, and later updates keep working against the
+    maintained layout."""
+    import glob
+
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id <= 2"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    for flt in ("doc_id = 3", "doc_id = 10", "doc_id = 11"):
+        DD.neardup_index_update(
+            spark, path, docs.filter(flt), num_hashes=8, band_size=2,
+            threshold=0.8,
+        )
+    assert DD.neardup_index_delete(spark, path, [3]) == 1
+    want = _edges(spark, path)
+    stats = DD.neardup_index_maintain(spark, path)
+    assert set(stats) == {"edges", "bands", "toks"}
+    assert _edges(spark, path) == want
+    # physical purge: doc 3 gone from every subdir, tombstones empty
+    from reader_spark.operators.dedup import _nd_root, _nd_tombstones
+
+    raw_edges = spark.read.parquet(_nd_root(path, "edges"))
+    assert raw_edges.filter("doc_a = 3 or doc_b = 3").count() == 0
+    assert spark.read.parquet(_nd_root(path, "toks")).filter(
+        "doc_id = 3").count() == 0
+    assert _nd_tombstones(spark, path).count() == 0
+    # compaction really reduced the file count
+    assert len(glob.glob(f"{_nd_root(path, 'toks')}/*.parquet")) == stats["toks"]
+    # updates still work against the maintained (pointer-flip) layout
+    assert DD.neardup_index_update(
+        spark, path, docs.filter("doc_id = 12"), num_hashes=8,
+        band_size=2, threshold=0.8,
+    ) == 1
+    assert (10, 12) in _edges(spark, path)
+    # and a from-scratch rebuild over the maintained layout is clean
+    DD.neardup_index_write(docs, path, num_hashes=8, band_size=2,
+                           threshold=0.8)
+    assert (1, 3) in _edges(spark, path)  # deleted doc back after rebuild

@@ -1156,3 +1156,67 @@ def neardup_index_maintain(
             lambda vdir: empty.coalesce(1).write.mode("overwrite").parquet(vdir),
         )
     return out
+
+
+def neardup_index_health(spark, path: str) -> DataFrame:
+    """One-row ops report that drives the `neardup_index_maintain`
+    cadence — the graph-index sibling of the IVF health table, but
+    direct-scan (no stored stats to keep fresh: bands/toks are linear
+    in docs and far smaller than text, one bounded aggregate each).
+
+    Signals: `dup_edge_ppm` (crash-replay residue a maintain
+    collapses), `n_tombstoned` + `dead_edge_rows` (logical deletes a
+    maintain makes physical), and per-subdir file counts (append-wave
+    small-file pressure). All integers."""
+    import os
+
+    def _n_files(sub: str) -> int:
+        root = _nd_root(path, sub)
+        return sum(
+            1
+            for _dp, _dn, fns in os.walk(root)
+            for f in fns
+            if f.endswith(".parquet")
+        )
+
+    edges_raw = spark.read.parquet(_nd_root(path, "edges"))
+    dead = _nd_tombstones(spark, path)
+    n_dead = dead.count() if dead is not None else 0
+    dead_edge_rows = 0
+    if n_dead:
+        d = F.broadcast(dead.select("doc_id"))
+        dead_edge_rows = (
+            edges_raw.join(
+                d.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+            )
+            .unionByName(
+                edges_raw.join(
+                    d.withColumnRenamed("doc_id", "doc_b"), "doc_b",
+                    "left_semi",
+                )
+            )
+            .count()
+        )
+    counts = edges_raw.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.count_distinct("doc_a", "doc_b").alias("dedup"),
+    ).collect()[0]
+    n_docs = (
+        spark.read.parquet(_nd_root(path, "toks"))
+        .select("doc_id").distinct().count()
+    )
+    dup_ppm = (
+        (counts["raw"] - counts["dedup"]) * 1_000_000 // counts["raw"]
+        if counts["raw"]
+        else 0
+    )
+    return spark.createDataFrame(
+        [(
+            n_docs, counts["raw"], counts["dedup"], dup_ppm, n_dead,
+            dead_edge_rows, _n_files("edges"), _n_files("bands"),
+            _n_files("toks"),
+        )],
+        "n_docs long, n_edges_raw long, n_edges_distinct long, "
+        "dup_edge_ppm long, n_tombstoned long, dead_edge_rows long, "
+        "files_edges long, files_bands long, files_toks long",
+    )

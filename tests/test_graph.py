@@ -407,3 +407,35 @@ def test_neardup_index_maintain_compacts_and_purges(spark, tmp_path):
     DD.neardup_index_write(docs, path, num_hashes=8, band_size=2,
                            threshold=0.8)
     assert (1, 3) in _edges(spark, path)  # deleted doc back after rebuild
+
+
+def test_neardup_index_health_drives_maintain(spark, tmp_path):
+    """The health row tells the truth before and after OPTIMIZE:
+    replay duplicates and tombstone backlog show up, maintain zeroes
+    them and the reported file counts match the compacted layout."""
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id < 12"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    # manufacture replay residue: duplicate the edge rows on disk
+    edges_root = DD._nd_root(path, "edges")
+    spark.read.parquet(edges_root).write.mode("append").parquet(edges_root)
+    spark.catalog.refreshByPath(edges_root)
+    DD.neardup_index_delete(spark, path, [11])
+    h = DD.neardup_index_health(spark, path).collect()[0]
+    assert h["n_docs"] == 5
+    assert h["n_edges_raw"] == 2 * h["n_edges_distinct"]
+    assert h["dup_edge_ppm"] == 500_000
+    assert h["n_tombstoned"] == 1
+    assert h["dead_edge_rows"] > 0
+    stats = DD.neardup_index_maintain(spark, path)
+    h2 = DD.neardup_index_health(spark, path).collect()[0]
+    assert h2["dup_edge_ppm"] == 0 and h2["n_tombstoned"] == 0
+    assert h2["dead_edge_rows"] == 0
+    assert h2["n_edges_raw"] == h2["n_edges_distinct"]
+    assert (h2["files_edges"], h2["files_bands"], h2["files_toks"]) == (
+        stats["edges"], stats["bands"], stats["toks"])

@@ -99,21 +99,25 @@ class IndexCfg:
     quantizer and writes the cell-partitioned ANN index
     (similarity.ivf_fit + ivf_index_write)."""
 
-    kind: str = "bm25"               # bm25 | ivf
+    kind: str = "bm25"               # bm25 | ivf | neardup
     n_buckets: int = 64              # bm25 term buckets
     n_clusters: int = 16             # ivf cells
     seed: int = 7
     id_column: str = "doc_id"
     text_column: str = "text"
     vector_column: str = "embedding"
+    num_hashes: int = 16             # neardup: MinHash signature size
+    band_size: int = 8               # neardup: LSH band width
+    threshold: float = 0.8           # neardup: Jaccard verify cut
     # mode 'build' writes a fresh index; mode 'maintain' compacts an
     # existing one (small-files OPTIMIZE over the bucket/cell dirs —
-    # bm25_index_maintain / ivf_index_maintain)
+    # bm25_index_maintain / ivf_index_maintain — or, for neardup,
+    # the pointer-flip rewrite that also purges tombstones)
     mode: str = "build"              # build | maintain
     max_files: int = 4               # maintain: compaction trigger
 
     def __post_init__(self) -> None:
-        if self.kind not in ("bm25", "ivf"):
+        if self.kind not in ("bm25", "ivf", "neardup"):
             raise ValueError(f"unknown index kind {self.kind!r}")
         if self.mode not in ("build", "maintain"):
             raise ValueError(f"unknown index mode {self.mode!r}")

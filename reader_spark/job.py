@@ -252,6 +252,12 @@ def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 done = bm25_index_maintain(
                     spark, out, max_files_per_bucket=cfg.max_files
                 )
+            elif cfg.kind == "neardup":
+                from reader_spark.operators.dedup import (
+                    neardup_index_maintain,
+                )
+
+                done = neardup_index_maintain(spark, out)
             else:
                 from reader_spark.operators.similarity import (
                     ivf_index_maintain,
@@ -274,6 +280,18 @@ def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 else df,
                 out,
                 n_buckets=cfg.n_buckets,
+                text_col=cfg.text_column,
+            )
+        elif cfg.kind == "neardup":
+            from reader_spark.operators.dedup import neardup_index_write
+
+            neardup_index_write(
+                df,
+                out,
+                num_hashes=cfg.num_hashes,
+                band_size=cfg.band_size,
+                threshold=cfg.threshold,
+                id_col=cfg.id_column,
                 text_col=cfg.text_column,
             )
         else:

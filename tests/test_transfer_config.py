@@ -1036,3 +1036,53 @@ def test_upsert_scd2_bucketed_matches_full_rewrite(spark, tmp_path):
     open_rows = [r for r in rows if r[3] is None]
     assert len(open_rows) == 39  # 40 keys - 1 deleted
     assert ("k1", "V1", 100, None) in rows and ("k1", "v1", 1, 100) in rows
+
+
+def test_index_job_neardup_build_and_maintain(spark, tmp_path, sf_dir):
+    """index: {kind: neardup} materializes the graph-edge artifact
+    from YAML; a later {mode: maintain} run compacts it. The edges
+    equal the hand-built pipeline's."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import dedup as DD
+    from reader_spark.session import read_table
+
+    out = str(tmp_path / "idx")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+index:
+  kind: neardup
+  num_hashes: 8
+  band_size: 2
+  threshold: 0.8
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert res == {"documents": f"{out}/documents"}
+    docs = read_table(spark, sf_dir, "documents")
+    toks = DD.token_hashes(docs)
+    sigs = DD.minhash_signature(toks, num_hashes=8, hashes_col="toks")
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    want = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in DD.jaccard_verify(pairs, docs, threshold=0.8, toks=toks)
+        .select("doc_a", "doc_b").collect()
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in DD.neardup_edges(spark, f"{out}/documents").collect()
+    )
+    assert got == want and got
+    # maintain pass over the existing artifact
+    mres = run_job(spark, load_settings(cfg.replace(
+        "threshold: 0.8", "threshold: 0.8\n  mode: maintain")))
+    assert "compacted" in mres["documents"]
+    assert sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in DD.neardup_edges(spark, f"{out}/documents").collect()
+    ) == want

@@ -944,6 +944,91 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame, width: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """The EXCISION transform paired with `duplicate_spans`' report —
+    the Lee et al. pipeline's second half (the published
+    deduplicate-text-datasets tool cuts every occurrence of a
+    duplicated substring; the report only measures them). Every
+    merged duplicated island's token positions are dropped from the
+    document; survivors re-join into the cleaned text. Deterministic:
+    same islands as the report, so cleaned + dup_tokens == n_tokens.
+
+    Scale: the island list per doc is bounded by the doc's own spans
+    (the report's argument); membership is one `exists` per token
+    over that small list — pure array expressions in the scan stage,
+    no extra shuffle beyond the report's.
+
+    Returns (doc_id, n_tokens, kept_tokens, clean_hash) — the md5 of
+    the cleaned text stands in for the text so downstream compares
+    never haul documents."""
+    from pyspark.sql import Window as W
+
+    ws = F.col("ws")
+    base = DD.ensure_parallelism(docs).select(
+        "doc_id", F.split(F.col(text_col), " ").alias("ws")
+    )
+    spans = (
+        base.filter(F.size(ws) >= width)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.size(ws) - width).cast("int"))
+            ).alias("s"),
+            ws,
+        )
+        .select(
+            "doc_id",
+            "s",
+            DD.md5_hash64(
+                F.concat_ws(" ", F.slice(ws, F.col("s") + 1, width)), "sp"
+            ).alias("sh"),
+        )
+    )
+    counts = spans.groupBy("sh").agg(F.count("*").alias("cnt"))
+    dup = spans.join(counts, "sh").filter(F.col("cnt") > 1)
+    wo = W.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max(F.col("s") + width).over(
+        wo.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = (
+        dup.select(
+            "doc_id",
+            "s",
+            F.when(prev_end.isNull() | (F.col("s") > prev_end), 1)
+            .otherwise(0)
+            .alias("new_island"),
+        )
+        .withColumn("island", F.sum("new_island").over(wo))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("s").alias("st"),
+            (F.max("s") + width).alias("en"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("st", "en")).alias("iv"))
+    )
+    no_iv = F.array().cast("array<struct<st:int,en:int>>")
+    iv = F.coalesce(F.col("iv"), no_iv)
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size(ws) - 1),
+        lambda i: ~F.exists(
+            iv, lambda v: (i >= v["st"]) & (i < v["en"])
+        ),
+    )
+    clean = F.transform(kept_idx, lambda i: F.get(ws, i))
+    return (
+        base.join(islands, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_tokens"),
+            F.size(clean).cast("long").alias("kept_tokens"),
+            F.md5(F.concat_ws(" ", clean)).alias("clean_hash"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # trained quality classifier (production path)
 

@@ -4558,6 +4558,75 @@ FROM lens l LEFT JOIN cov ON l.doc_id = cov.doc_id
 """
 
 
+def remove_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. EXCISION pass paired with duplicate_spans'
+    report (operators/curation.py::remove_duplicate_spans): every
+    merged duplicated island's tokens are cut from the document and
+    the cleaned text returns as an md5 (kept + dup == total by
+    construction). The oracle rebuilds the islands and re-joins the
+    surviving tokens position-ordered."""
+    return CU.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), width=8
+    )
+
+
+REMOVE_DUP_SPANS_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), spans AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5('sp:' ||
+            array_to_string(ws[i + 1 : i + 8], ' ')), 1, 15))::BIGINT AS sh
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS i
+    FROM base WHERE len(ws) >= 8
+  )
+), counts AS (
+  SELECT sh, count(*) AS cnt FROM spans GROUP BY 1
+), dup AS (
+  SELECT doc_id, i AS s FROM spans JOIN counts USING (sh) WHERE cnt > 1
+), isl AS (
+  SELECT doc_id, s,
+         CASE WHEN max(s + 8) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(s + 8) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM dup
+), isl2 AS (
+  SELECT doc_id, s,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM isl
+), iv AS (
+  SELECT doc_id, min(s) AS st, max(s) + 8 AS en
+  FROM isl2 GROUP BY doc_id, island
+), toks AS (
+  SELECT doc_id, unnest(ws) AS tok,
+         unnest(generate_series(0, len(ws) - 1)) AS pos
+  FROM base
+), kept AS (
+  SELECT t.doc_id, t.tok, t.pos
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv
+    WHERE iv.doc_id = t.doc_id AND t.pos >= iv.st AND t.pos < iv.en
+  )
+), clean AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS ct
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id AS doc_id,
+       len(b.ws)::BIGINT AS n_tokens,
+       coalesce(kept_tokens, 0)::BIGINT AS kept_tokens,
+       md5(coalesce(ct, '')) AS clean_hash
+FROM base b LEFT JOIN clean USING (doc_id)
+"""
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (operators/dedup.py::
     containment_pairs): docs whose rare 3-grams are >= 50% contained
@@ -7987,6 +8056,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # window (new); knn_ivf rotates out (r3 hash-green, untouched —
     # knn_ivf_sq8 / knn_pq / knn_sq8 keep the ANN tier in-window)
     "duplicate_spans": (duplicate_spans_q, DUP_SPANS_SQL),
+    "remove_dup_spans": (remove_dup_spans_q, REMOVE_DUP_SPANS_SQL),
     # knn_pq enters the window (new this round); dedup_components
     # rotates out — r3 hash-green, untouched, and canonical_docs (in
     # window) exercises the same components code path end-to-end
@@ -8286,7 +8356,9 @@ _WINDOW_R7 = [
     "hybrid_search_rrf", "heavy_hitters",
     # quality_mixture rotated out (r5/r6 double-green, code untouched)
     # for the round-7 materialized-graph-index query
-    "kmv_distinct", "mixture_apply", "lpa_communities_indexed",
+    # mixture_apply rotated out (r5/r6 double-green, code untouched)
+    # for the round-7 span-excision query
+    "kmv_distinct", "remove_dup_spans", "lpa_communities_indexed",
     "record_linkage",
     # new this round (never sampled)
     "embedding_clusters", "cluster_sample", "semdedup_prune",

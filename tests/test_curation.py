@@ -499,3 +499,34 @@ def test_budget_select_matches_greedy_reference(spark):
     assert sum(r["toks"] for r in got) <= budget
     again = CU.budget_select(docs, budget, quality).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_remove_duplicate_spans_excises_islands(spark):
+    """Two docs sharing an 8-token run: the run is cut from BOTH
+    (the published tool's remove-every-occurrence semantics),
+    surviving tokens keep their order, and a unique doc is untouched.
+    kept + dup == total against the report operator."""
+    from reader_spark.operators import curation as CU
+
+    shared = "q w e r t y u i"  # 8 shared tokens
+    rows = [
+        (1, f"a b {shared} c d"),
+        (2, f"x {shared} z"),
+        (3, "totally unique words with no duplicate run here ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           CU.remove_duplicate_spans(docs, width=8).collect()}
+    import hashlib
+
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert out[1]["kept_tokens"] == 4
+    assert out[1]["clean_hash"] == md5("a b c d")
+    assert out[2]["kept_tokens"] == 2
+    assert out[2]["clean_hash"] == md5("x z")
+    assert out[3]["kept_tokens"] == out[3]["n_tokens"]
+    assert out[3]["clean_hash"] == md5(rows[2][1])
+    rep = {r["doc_id"]: r for r in
+           CU.duplicate_spans(docs, width=8).collect()}
+    for d in out:
+        assert out[d]["kept_tokens"] + rep[d]["dup_tokens"] == rep[d]["n_tokens"]

@@ -180,6 +180,7 @@ HEADLINE = [
     "budget_select",
     "lpa_communities",
     "remove_dup_spans",
+    "decontaminate_train",
     # (lpa_communities_indexed stays out for the kcore reason: its
     # build-80% + update-20% runs the Jaccard verify twice over the
     # fixture's clique-soup pair volume — fixture-density cost, not

@@ -7876,6 +7876,81 @@ GROUP BY 1, 2
 """
 
 
+def decontaminate_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY paired with split_leakage's report: drop from the
+    train split every document with a verified near-dup in val or
+    test (threshold 0.8 — covers exact dups, jaccard 1), returning
+    the surviving train ids. The pre-training decontamination pass
+    exact-match filters miss: a test doc's near-verbatim twin in
+    train inflates eval.
+
+    Scale: the standard banded near-dup pipeline plus two broadcast
+    split-label joins and one anti-join — no new shuffle class. The
+    md5-derived split assignment is computed, not stored (same as
+    dataset_split / split_leakage)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    splits = CU.dataset_split(docs).select("doc_id", "split")
+    la = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    lb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    lab = verified.join(F.broadcast(la), "doc_a").join(F.broadcast(lb), "doc_b")
+    leaked = (
+        lab.filter((F.col("sp_a") == "train") & (F.col("sp_b") != "train"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            lab.filter((F.col("sp_b") == "train") & (F.col("sp_a") != "train"))
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    return (
+        splits.filter(F.col("split") == "train")
+        .join(leaked, "doc_id", "anti")
+        .select("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = _MH_CTE + """
+, vp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(ta.hs, tb.hs))::DOUBLE /
+           (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jac
+    FROM cand
+    JOIN hm ta ON ta.doc_id = doc_a
+    JOIN hm tb ON tb.doc_id = doc_b
+  ) WHERE jac >= 0.8
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.9 THEN 'train'
+              WHEN u < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+            % 1000000) / 1000000.0 AS u
+    FROM documents
+  )
+), leaked AS (
+  SELECT vp.doc_a AS doc_id FROM vp
+  JOIN sp sa ON sa.doc_id = vp.doc_a
+  JOIN sp sb ON sb.doc_id = vp.doc_b
+  WHERE sa.split = 'train' AND sb.split != 'train'
+  UNION
+  SELECT vp.doc_b FROM vp
+  JOIN sp sa ON sa.doc_id = vp.doc_a
+  JOIN sp sb ON sb.doc_id = vp.doc_b
+  WHERE sb.split = 'train' AND sa.split != 'train'
+)
+SELECT doc_id FROM sp
+WHERE split = 'train'
+  AND doc_id NOT IN (SELECT doc_id FROM leaked)
+"""
+
+
 def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence mining one step past the Markov matrix: the top-20
     3-step event paths (two lead windows over per-user order),
@@ -8280,6 +8355,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "curation_audit": (curation_audit, CURATION_AUDIT_SQL),
     "props_key_census": (props_key_census, PROPS_CENSUS_SQL),
     "split_leakage": (split_leakage, SPLIT_LEAKAGE_SQL),
+    "decontaminate_train": (decontaminate_train_q, DECONTAMINATE_SQL),
     "event_path_trigrams": (event_path_trigrams, EVENT_PATHS_SQL),
     "sampled_quantiles": (sampled_quantiles, SAMPLED_QUANTILES_SQL),
 }
@@ -8349,7 +8425,9 @@ _WINDOW_R7 = [
     # r5/r6 double-green fillers, heaviest operator families first
     "dedup_exact_normalized", "dedup_incremental", "semantic_dedup",
     "contamination_check", "canonical_docs", "passage_dedup",
-    "dedup_containment", "duplicate_spans", "source_overlap",
+    # source_overlap rotated out (r5/r6 double-green, code untouched)
+    # for the round-7 decontamination apply
+    "dedup_containment", "duplicate_spans", "decontaminate_train",
     "image_phash_dedup", "pagerank_neardup", "triangles_neardup",
     "kcore_neardup", "knn_pq", "knn_sq8", "knn_ivf_sq8",
     "knn_filtered", "text_bm25_indexed", "text_bm25",

@@ -530,3 +530,41 @@ def test_remove_duplicate_spans_excises_islands(spark):
            CU.duplicate_spans(docs, width=8).collect()}
     for d in out:
         assert out[d]["kept_tokens"] + rep[d]["dup_tokens"] == rep[d]["n_tokens"]
+
+
+def test_decontaminate_train_drops_near_dups_of_holdout(spark):
+    """Composable decontamination shape (the catalog query composes
+    the same primitives over md5 splits): a train doc near-dup of a
+    holdout doc is dropped, an unrelated train doc survives."""
+    import pyspark.sql.functions as F
+
+    from reader_spark.operators import dedup as DD
+
+    rows = [
+        (1, "a b c d e f g h i j", "train"),
+        (2, "a b c d e f g h i k", "test"),   # near-dup of 1
+        (3, "totally different content words here now ok fine", "train"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    toks = DD.token_hashes(docs)
+    sigs = DD.minhash_signature(toks, num_hashes=8, hashes_col="toks")
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=toks)
+    la = docs.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    lb = docs.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    lab = verified.join(la, "doc_a").join(lb, "doc_b")
+    leaked = (
+        lab.filter((F.col("sp_a") == "train") & (F.col("sp_b") != "train"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            lab.filter((F.col("sp_b") == "train") & (F.col("sp_a") != "train"))
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in docs.filter("split = 'train'")
+        .join(leaked, "doc_id", "anti").select("doc_id").collect()
+    )
+    assert kept == [3]

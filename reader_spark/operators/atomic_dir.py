@@ -150,9 +150,26 @@ def publish(path: str, write_fn, keep: int = 1) -> str:
         elif had_pointer:
             # bare legacy data (files or bucket=* dirs) is >= 2
             # publishes old once a pointer predates this publish —
-            # no reader can still hold it
+            # no reader can still hold it. A directory that is itself
+            # a pointer-published dataset (own _CURRENT, or a version
+            # dir from a mid-publish crash) is an independent NESTED
+            # artifact (e.g. <index>/health), not legacy residue of
+            # THIS dataset — never GC it.
+            if os.path.isdir(full) and _is_published_dataset(full):
+                continue
             try:
                 (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
             except OSError:
                 pass
     return os.path.join(path, vname)
+
+
+def _is_published_dataset(path: str) -> bool:
+    """True if `path` carries pointer-publication state of its own —
+    a `_CURRENT` pointer file or any `.v-*` version dir (the latter
+    covers a nested publish that crashed before its first flip)."""
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return False
+    return any(e == CURRENT or _seq_of(e) is not None for e in entries)

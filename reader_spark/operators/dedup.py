@@ -964,13 +964,25 @@ def neardup_index_update(
             ),
             ["band_id", "band_key"],
         )
+        .where(F.col("__new") != F.col("__old"))
         .select(
             F.least("__new", "__old").alias("doc_a"),
             F.greatest("__new", "__old").alias("doc_b"),
         )
         .distinct()
     )
-    cands = nn.select("doc_a", "doc_b").unionByName(no)
+    # Crash replay between the bands/ and toks/ appends leaves the
+    # replayed docs both "fresh" (toks is the replay gate) and already
+    # present in stored bands/ — without the __new != __old guard the
+    # equi-join pairs a doc with itself, Jaccard(X,X)=1.0 verifies, and
+    # a permanent self-loop lands in edges/ that .distinct() cannot
+    # absorb (graph consumers would see inflated degrees). Guard the
+    # join AND the merged candidate frame (belt and suspenders).
+    cands = (
+        nn.select("doc_a", "doc_b")
+        .unionByName(no)
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
     all_toks = old_toks.unionByName(toks_new)
     verified = jaccard_verify(
         cands, fresh, id_col=id_col, threshold=threshold, toks=all_toks
@@ -986,8 +998,14 @@ def neardup_index_update(
 def neardup_edges(spark, path: str) -> DataFrame:
     """The materialized verified pair list (doc_a, doc_b), distinct —
     drop-in input for every graph-family operator. Tombstoned docs
-    (see `neardup_index_delete`) are anti-joined on BOTH endpoints."""
-    edges = spark.read.parquet(_nd_root(path, "edges")).distinct()
+    (see `neardup_index_delete`) are anti-joined on BOTH endpoints.
+    Self-loops (legacy crash-replay residue, see the guard in
+    `neardup_index_update`) are dropped defensively."""
+    edges = (
+        spark.read.parquet(_nd_root(path, "edges"))
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
     dead = _nd_tombstones(spark, path)
     if dead is None:
         return edges
@@ -1132,7 +1150,7 @@ def neardup_index_maintain(
         n_out = max(1, math.ceil(sum(map(os.path.getsize, files)) / target_bytes))
         df = spark.read.parquet(root)
         if sub == "edges":
-            df = df.distinct()
+            df = df.where(F.col("doc_a") != F.col("doc_b")).distinct()
             if dead_ids is not None:
                 df = df.join(
                     dead_ids.withColumnRenamed("doc_id", "doc_a"),

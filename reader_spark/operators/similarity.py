@@ -881,14 +881,25 @@ def _scored_under_stored(spark, index_path: str, vecs: DataFrame) -> DataFrame:
     )
 
 
-def ivf_health_write(spark, index_path: str, health_path: str) -> None:
+def ivf_health_write(
+    spark, index_path: str, health_path: str, epoch: int | None = None
+) -> None:
     """Full health scan of a materialized IVF index: per-cell
     occupancy + integer-ppm quantization error of every stored row
     under the stored centroids, pointer-flip published (readers never
     see a torn table). Run at index build; `ivf_health_update` keeps
     it fresh per micro-batch after that. The K-row output is the
     refit trigger's input: alarm on occupancy skew or mean/worst
-    error creep, then run a full `ivf_index_write` refit."""
+    error creep, then run a full `ivf_index_write` refit.
+
+    `epoch` stamps the rebuilt table with the batch id that caused
+    it (the autorefit path passes its batch_id): without it the
+    rebuild resets the epoch to -1, and a crash between the refit
+    and the stream checkpoint commit would let the REPLAYED batch's
+    `ivf_health_update` monoid-merge a delta the rescan already
+    counted — double-counted n_members/sum_err_ppm."""
+    import os
+
     from reader_spark.operators import atomic_dir
 
     corpus = spark.read.parquet(
@@ -898,6 +909,9 @@ def ivf_health_write(spark, index_path: str, health_path: str) -> None:
 
     def write_fn(vdir: str) -> None:
         stats.coalesce(1).write.mode("overwrite").parquet(vdir)
+        if epoch is not None:
+            with open(os.path.join(vdir, "_epoch"), "w") as f:
+                f.write(str(epoch))
 
     atomic_dir.publish(health_path, write_fn)
 
@@ -1198,8 +1212,12 @@ def ivf_autorefit_maintainer(
             ).select(F.col(id_col), F.col("vec").alias(vec_col))
             model = ivf_fit(corpus, n_clusters, vec_col=vec_col)
             ivf_index_write(corpus, index_path, model, id_col, vec_col)
-            ivf_health_write(spark, index_path, health_path)
-            ivf_health_write(spark, index_path, baseline_path)
+            # Carry this batch's epoch onto the rebuilt tables: the
+            # rescan already includes this batch's rows (index_update
+            # ran first), so a crash-replay of this batch must hit
+            # the epoch skip in ivf_health_update, not re-merge.
+            ivf_health_write(spark, index_path, health_path, epoch=batch_id)
+            ivf_health_write(spark, index_path, baseline_path, epoch=batch_id)
 
     return body
 

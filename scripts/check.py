@@ -141,8 +141,13 @@ def main():
         dk, dcols_sorted = rows_key(drows, dcols)
         ok = True
         if [c.lower() for c in scols_sorted] != [c.lower() for c in dcols_sorted]:
+            # short-circuit: every later comparison assumes aligned
+            # column sets (rows_key sorts values by column name), so
+            # rowcount/value checks over mismatched sets would emit
+            # confusing duplicate FAILs or crash on tuple shapes
             print(f"FAIL {name}: columns spark={scols_sorted} duck={dcols_sorted}")
-            ok = False
+            n_fail += 1
+            continue
         bad_dtypes = dtype_mismatches(sdf, duck_df)
         if bad_dtypes:
             print(f"FAIL {name}: dtype parity: {'; '.join(bad_dtypes)}")

@@ -160,3 +160,37 @@ def test_transfer_writer_time_travel(spark, tmp_path):
     assert [r["val"] for r in tw.read("t").collect()] == ["c"]
     assert [r["val"] for r in tw.read("t", version=0).collect()] == ["a"]
     assert [r["val"] for r in tw.read("t", version=1).collect()] == ["b"]
+
+
+def test_publish_gc_spares_nested_published_dataset(tmp_path):
+    """Legacy GC must not destroy an independent pointer-published
+    artifact nested under the dataset root (the documented
+    `<index>/health` layout): once the parent has a pointer, a
+    refit publish used to rmtree ANY non-retained entry — including
+    the nested health table, silently destroying it if the recreate
+    window was interrupted."""
+    idx = str(tmp_path / "idx")
+    A.publish(idx, _write_marker("v0"))
+    health = os.path.join(idx, "health")
+    A.publish(health, _write_marker("h0"))
+    # parent publish with a pointer already present -> legacy GC arm
+    A.publish(idx, _write_marker("v1"))
+    assert _read(idx) == "v1"
+    assert _read(health) == "h0"  # nested artifact intact
+    # a nested publish that crashed before its FIRST flip (version
+    # dir, no pointer yet) is also spared
+    crashed = os.path.join(idx, "baseline")
+    os.makedirs(os.path.join(crashed, ".v-00000000-deadbeef"))
+    with open(os.path.join(crashed, "legacy.parquet"), "w") as f:
+        f.write("pre-flip data")
+    A.publish(idx, _write_marker("v2"))
+    assert os.path.isfile(os.path.join(crashed, "legacy.parquet"))
+    # plain legacy residue (no publication state) is still GC'd
+    stray = os.path.join(idx, "stray_dir")
+    os.makedirs(stray)
+    with open(os.path.join(idx, "stray.parquet"), "w") as f:
+        f.write("x")
+    A.publish(idx, _write_marker("v3"))
+    assert not os.path.exists(stray)
+    assert not os.path.exists(os.path.join(idx, "stray.parquet"))
+    assert _read(health) == "h0"

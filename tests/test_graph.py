@@ -439,3 +439,47 @@ def test_neardup_index_health_drives_maintain(spark, tmp_path):
     assert h2["n_edges_raw"] == h2["n_edges_distinct"]
     assert (h2["files_edges"], h2["files_bands"], h2["files_toks"]) == (
         stats["edges"], stats["bands"], stats["toks"])
+
+
+def test_neardup_index_crash_between_bands_and_toks_no_self_loops(
+    spark, tmp_path
+):
+    """The OTHER crash point: bands/ appended, toks/ not (toks is the
+    replay gate). The replayed batch's docs are still 'fresh' but
+    their band rows already sit in stored bands/ — the delta-vs-stored
+    equi-join would pair each doc with itself (Jaccard(X,X)=1.0
+    verifies) and land a PERMANENT self-loop that .distinct() cannot
+    absorb, inflating degrees for every graph consumer. The __new !=
+    __old guard must keep the raw edge file self-loop-free and the
+    replay must converge to the clean-run edge set."""
+    import shutil
+
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id < 10"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    delta = docs.filter("doc_id >= 10")
+    shutil.copytree(f"{path}/toks", str(tmp_path / "toks_pre"))
+    DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    )
+    edges_clean = _edges(spark, path)
+    # crash simulation: edges + bands appended, toks rolled back
+    shutil.rmtree(f"{path}/toks")
+    shutil.copytree(str(tmp_path / "toks_pre"), f"{path}/toks")
+    spark.catalog.refreshByPath(f"{path}/toks")
+    assert DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    ) == 4
+    raw = spark.read.parquet(f"{path}/edges")
+    assert raw.filter("doc_a = doc_b").count() == 0  # no self-loops on disk
+    assert _edges(spark, path) == edges_clean
+    # degrees (what pagerank/kcore/LPA consume) match a scratch build
+    scratch = str(tmp_path / "scratch")
+    DD.neardup_index_write(docs, scratch, num_hashes=8, band_size=2,
+                           threshold=0.8)
+    assert _edges(spark, path) == _edges(spark, scratch)

@@ -226,6 +226,22 @@ def test_autorefit_triggers_on_drift_and_rebaselines(spark, sf_dir, tmp_path):
     # the refit index holds every row exactly once
     n = spark.read.parquet(f"{atomic_dir.resolve(idx)}/corpus").count()
     assert n == 300 + 50 + 100
+    # crash-replay ACROSS the refit: if the stream dies after the
+    # refit but before the checkpoint commits, batch 1 replays in
+    # full. The index upserts (idempotent); the health update must
+    # hit the epoch skip — the refit rescan already counted this
+    # batch's rows, so a monoid re-merge would double-count them.
+    # ivf_health_write stamping the batch's epoch makes this hold.
+    v_refit = atomic_dir.versions(idx)[-1]
+    stats_refit = {tuple(r) for r in SIM.ivf_health_read(spark, hp).collect()}
+    body(drifted, 1)
+    assert {tuple(r) for r in SIM.ivf_health_read(spark, hp).collect()} == (
+        stats_refit
+    )
+    assert atomic_dir.versions(idx)[-1] == v_refit  # no spurious re-refit
+    assert spark.read.parquet(
+        f"{atomic_dir.resolve(idx)}/corpus"
+    ).count() == n
 
 
 @pytest.mark.parametrize(

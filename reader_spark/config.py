@@ -109,6 +109,8 @@ class IndexCfg:
     num_hashes: int = 16             # neardup: MinHash signature size
     band_size: int = 8               # neardup: LSH band width
     threshold: float = 0.8           # neardup: Jaccard verify cut
+    components: bool = False         # neardup: also materialize cc/
+    cc_buckets: int = 32             # neardup: cc/ label buckets
     # mode 'build' writes a fresh index; mode 'maintain' compacts an
     # existing one (small-files OPTIMIZE over the bucket/cell dirs —
     # bm25_index_maintain / ivf_index_maintain — or, for neardup,

@@ -294,6 +294,10 @@ def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 id_col=cfg.id_column,
                 text_col=cfg.text_column,
             )
+            if cfg.components:
+                from reader_spark.operators.dedup import neardup_cc_write
+
+                neardup_cc_write(spark, out, n_buckets=cfg.cc_buckets)
         else:
             from reader_spark.operators.similarity import (
                 ivf_fit,

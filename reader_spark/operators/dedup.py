@@ -990,6 +990,19 @@ def neardup_index_update(
     verified.select("doc_a", "doc_b").write.mode("append").parquet(
         _nd_root(path, "edges")
     )
+    # component map, if materialized: resolve merges on the label
+    # graph and rewrite only affected label buckets. Ordered BEFORE
+    # the toks/ append (the replay gate) so a crash anywhere leaves a
+    # replay that converges: endpoints already merged -> identity
+    # mapping, ids already stored -> empty new-row set.
+    import os
+
+    if os.path.isdir(f"{path}/cc"):
+        _neardup_cc_update(
+            spark, path,
+            verified.select("doc_a", "doc_b"),
+            toks_new.select(F.col(id_col).alias("doc_id")),
+        )
     bands_new.write.mode("append").parquet(_nd_root(path, "bands"))
     toks_new.write.mode("append").parquet(_nd_root(path, "toks"))
     return n_fresh
@@ -1167,6 +1180,14 @@ def neardup_index_maintain(
             lambda vdir, d=df: d.write.mode("overwrite").parquet(vdir),
         )
         out[sub] = n_out
+    # the component map cannot be incrementally repaired across a
+    # delete (removing a cut vertex SPLITS a component — invisible to
+    # any relabel that never re-reads edges), so maintain rebuilds it
+    # from the freshly compacted edges, BEFORE the tombstones are
+    # cleared (the rebuild must still exclude them)
+    if os.path.isdir(f"{path}/cc"):
+        n_buckets = _cc_meta(_nd_root(path, "cc"))
+        out["cc"] = neardup_cc_write(spark, path, n_buckets=n_buckets)
     if dead is not None:
         empty = spark.createDataFrame([], "doc_id long")
         atomic_dir.publish(
@@ -1237,4 +1258,256 @@ def neardup_index_health(spark, path: str) -> DataFrame:
         "n_docs long, n_edges_raw long, n_edges_distinct long, "
         "dup_edge_ppm long, n_tombstoned long, dead_edge_rows long, "
         "files_edges long, files_bands long, files_toks long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained connected components over the graph index.
+#
+# The dedup pipeline's most expensive recurring step at 100 TB is not
+# finding pairs — the graph index already makes that incremental — but
+# CLUSTER ASSIGNMENT: a full connected-components run per ingest wave
+# re-shuffles every edge ever verified. The cc/ artifact removes that:
+# labels (doc_id -> component min) are stored bucketed BY LABEL, and a
+# micro-batch's merges are resolved on the COMPONENT graph (nodes =
+# current labels touched by the delta — delta-bounded, not
+# corpus-bounded), then applied by rewriting only the label buckets the
+# merge touches (dynamic partition overwrite, the IVF-cell contract).
+# Reference parity: the reference has no graph operators; this extends
+# its incremental-artifact design (offsets/high-water resume,
+# lib/rdbms/scan/scan.go keyset model) to the dedup cluster map.
+
+
+def _cc_meta(root: str) -> int:
+    import os
+
+    with open(os.path.join(root, "_ccmeta")) as f:
+        return int(f.read().strip())
+
+
+def neardup_cc_write(spark, path: str, n_buckets: int = 32) -> int:
+    """Build (or rebuild) the materialized component map of the graph
+    index: one full `connected_components` run over the stored edges,
+    singletons (indexed docs with no verified neighbor) labeled with
+    their own id, pointer-flip published at `{path}/cc` partitioned by
+    `bucket = pmod(xxhash64(label), n_buckets)`.
+
+    Bucketing by LABEL (not doc_id) is the load-bearing choice: a
+    merge relabels every member of the merged components, and those
+    members live ONLY in the buckets of the labels being retired — so
+    `neardup_cc_update` rewrites a bounded bucket set per batch. The
+    price is that looking up the delta's CURRENT labels is a
+    column-pruned scan of the 2-column map instead of a pruned read;
+    at the 10^10-doc tier add a doc_id-keyed reverse map if that scan
+    ever dominates (it is ~16 bytes/doc).
+
+    Returns the number of labeled docs."""
+    from reader_spark.operators import atomic_dir
+
+    edges = neardup_edges(spark, path)
+    nodes = spark.read.parquet(_nd_root(path, "toks")).select("doc_id").distinct()
+    dead = _nd_tombstones(spark, path)
+    if dead is not None:
+        nodes = nodes.join(
+            F.broadcast(dead.select("doc_id")), "doc_id", "left_anti"
+        )
+    comp = connected_components(edges)
+    labels = (
+        nodes.join(comp, nodes.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("label"),
+        )
+    )
+    n = labels.count()
+
+    def write_fn(vdir: str) -> None:
+        import os
+
+        (
+            labels.withColumn(
+                "bucket", F.pmod(F.xxhash64("label"), F.lit(n_buckets))
+            )
+            .repartition(F.col("bucket"))
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(vdir)
+        )
+        with open(os.path.join(vdir, "_ccmeta"), "w") as f:
+            f.write(str(n_buckets))
+
+    atomic_dir.publish(f"{path}/cc", write_fn)
+    return n
+
+
+def _neardup_cc_update(spark, path: str, new_edges, new_ids) -> None:
+    """Apply one delta to the materialized component map: resolve the
+    merges on the label graph (delta-bounded), then rewrite only the
+    affected label buckets. Called by `neardup_index_update` when
+    `{path}/cc` exists; replay-idempotent — a replayed batch's
+    endpoints already share merged labels (identity mapping) and its
+    ids are already stored (empty new-row set), so the rewrite set is
+    empty and nothing changes."""
+    root = _nd_root(path, "cc")
+    n_buckets = _cc_meta(root)
+    # a previous update rewrote bucket files in place: drop the
+    # session's cached file listing before reading (and again after
+    # this rewrite) or a later scan resolves to deleted part files
+    spark.catalog.refreshByPath(root)
+    stored = spark.read.parquet(root)
+    ends = new_edges.select("doc_a", "doc_b")
+    ep = (
+        ends.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(ends.select(F.col("doc_b").alias("doc_id")))
+        .unionByName(new_ids.select("doc_id"))
+        .distinct()
+    )
+    # current label of every touched doc: stored rows for old docs
+    # (column-pruned scan, delta-bounded output), self for new docs
+    known = pin(
+        stored.join(F.broadcast(ep), "doc_id", "left_semi").select(
+            "doc_id", "label"
+        )
+    )
+    fresh_ids = pin(new_ids.join(known.select("doc_id"), "doc_id", "left_anti"))
+    cur = known.unionByName(
+        fresh_ids.select("doc_id", F.col("doc_id").alias("label"))
+    )
+    la = cur.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
+    lb = cur.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
+    t_edges = (
+        ends.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .select("la", "lb")
+        .where(F.col("la") != F.col("lb"))
+        .distinct()
+    )
+    # merges on the label graph: node = a current label, label = the
+    # merged component's new minimum. The label graph is bounded by
+    # the DELTA's edge count (a micro-batch), not the corpus — under
+    # the control-plane cap resolve it with a driver union-find (one
+    # collect, zero iterative jobs; the distributed propagation costs
+    # ~2 shuffles + an action PER ROUND, which dominates maintenance
+    # latency); past the cap fall back to the distributed CC.
+    mapping = pin(_label_graph_min(spark, t_edges))
+    new_rows = (
+        fresh_ids.join(
+            mapping.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("label"),
+        )
+    )
+    bkt = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))  # noqa: E731
+    touched = {
+        r["b"]
+        for r in mapping.select(bkt(F.col("node")).alias("b"))
+        .unionByName(mapping.select(bkt(F.col("label")).alias("b")))
+        .unionByName(new_rows.select(bkt(F.col("label")).alias("b")))
+        .distinct()
+        .collect()
+    }
+    if not touched:
+        return
+    aff = stored.where(F.col("bucket").isin(sorted(touched)))
+    relabeled = (
+        aff.join(
+            F.broadcast(
+                mapping.select(
+                    F.col("node").alias("label"), F.col("label").alias("__new")
+                )
+            ),
+            "label",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+        )
+    )
+    merged = (
+        relabeled.unionByName(new_rows)
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+        .withColumn("bucket", bkt(F.col("label")))
+    )
+    # dynamic overwrite cannot express an EMPTY partition: a bucket
+    # whose every row moved to a merged label's bucket would keep its
+    # stale files and resurrect the old labels (the _overwrite_cells
+    # caveat, similarity.py) — remove emptied touched buckets after
+    import shutil
+
+    surviving = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if surviving:
+            (
+                merged.repartition(F.col("bucket"))
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(root)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    import os
+
+    for b in touched - surviving:
+        shutil.rmtree(os.path.join(root, f"bucket={b}"), ignore_errors=True)
+    spark.catalog.refreshByPath(root)
+
+
+_CC_DRIVER_CAP = 500_000  # label-graph edges; ~8 MB of id pairs
+
+
+def _label_graph_min(spark, t_edges) -> DataFrame:
+    """(node, label) for every node of the label graph whose
+    component minimum differs from itself — the merge mapping.
+    Driver union-find under `_CC_DRIVER_CAP` edges (exact, one
+    collect of an already-delta-bounded frame), distributed
+    `connected_components` past it."""
+    rows = t_edges.limit(_CC_DRIVER_CAP + 1).collect()
+    if len(rows) > _CC_DRIVER_CAP:  # pragma: no cover - huge-delta tier
+        return connected_components(t_edges, id_a="la", id_b="lb").where(
+            F.col("node") != F.col("label")
+        )
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(r["la"]), find(r["lb"])
+        if a != b:
+            # union by MIN keeps every root the component minimum
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    changed = [(n, l) for n, l in out if n != l]
+    return spark.createDataFrame(
+        changed or [], "node long, label long"
+    )
+
+
+def neardup_canonical(spark, path: str) -> DataFrame:
+    """The component map (doc_id, component_id) from the materialized
+    cc/ artifact — cluster assignment with NO connected-components
+    run at read time. Tombstoned docs drop out of the output; their
+    merges are only undone physically at the next
+    `neardup_cc_write` / `neardup_index_maintain` (a delete can SPLIT
+    a component, which no incremental relabel can see without edges —
+    same deferred-physical-work contract as the rest of the index)."""
+    out = spark.read.parquet(_nd_root(path, "cc")).select(
+        "doc_id", F.col("label").alias("component_id")
+    )
+    dead = _nd_tombstones(spark, path)
+    if dead is None:
+        return out
+    return out.join(
+        F.broadcast(dead.select("doc_id")), "doc_id", "left_anti"
     )

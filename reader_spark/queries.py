@@ -6664,6 +6664,50 @@ def lpa_communities_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.lpa_communities(DD.neardup_edges(spark, work), iterations=4)
 
 
+def canonical_docs_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over the MATERIALIZED component map
+    (operators/dedup.py::neardup_cc_write/_neardup_cc_update): the
+    index is built on 80% of the corpus with its cc/ artifact, then
+    incrementally updated with the other 20% — merges are resolved on
+    the delta-bounded label graph and applied by rewriting only the
+    affected label buckets, never a corpus-wide
+    connected-components run. Same oracle as `canonical_docs`: the
+    materialization changes the plan (no CC at read time), not the
+    answer. The 100 TB story: cluster assignment becomes an O(delta)
+    maintenance verb instead of the per-wave full-graph shuffle
+    SCALE.md's LPA probe measured as the single-box limit."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ccidx_")
+    DD.neardup_index_write(
+        docs.filter(F.col("doc_id") % 5 != 0), work,
+        num_hashes=_MH_K, band_size=_MH_BAND, threshold=0.8,
+    )
+    DD.neardup_cc_write(spark, work, n_buckets=8)
+    DD.neardup_index_update(
+        spark, work, docs.filter(F.col("doc_id") % 5 == 0),
+        num_hashes=_MH_K, band_size=_MH_BAND, threshold=0.8,
+    )
+    comp = DD.neardup_canonical(spark, work)
+    q = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    members = q.join(comp, "doc_id")
+    best = members.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b"),
+    )
+    return best.select(
+        "component_id",
+        (-F.col("b.neg_id")).cast("long").alias("kept_doc_id"),
+        "n_members",
+        F.col("b.quality").alias("best_quality"),
+    )
+
+
 def _lpa_sql(iterations: int) -> str:
     head = DEDUP_COMPONENTS_SQL.split(", e AS (")[0] + """
 , e AS (
@@ -8253,6 +8297,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
     "lpa_communities": (lpa_communities_q, LPA_SQL),
     "lpa_communities_indexed": (lpa_communities_indexed_q, LPA_SQL),
+    "canonical_docs_indexed": (canonical_docs_indexed_q, CANONICAL_SQL),
     "record_linkage": (record_linkage, RECORD_LINKAGE_SQL),
     "doc_keywords": (doc_keywords, DOC_KEYWORDS_SQL),
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),

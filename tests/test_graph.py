@@ -483,3 +483,170 @@ def test_neardup_index_crash_between_bands_and_toks_no_self_loops(
     DD.neardup_index_write(docs, scratch, num_hashes=8, band_size=2,
                            threshold=0.8)
     assert _edges(spark, path) == _edges(spark, scratch)
+
+
+# ---------------------------------------------------------------------------
+# Materialized component map (dedup.py::neardup_cc_*)
+
+
+def _cc_map(spark, path):
+    from reader_spark.operators import dedup as DD
+
+    return {
+        r["doc_id"]: r["component_id"]
+        for r in DD.neardup_canonical(spark, path).collect()
+    }
+
+
+def _cc_rebuild_map(spark, path, tmp_str):
+    """Scratch rebuild of the component map at a throwaway path."""
+    import shutil
+
+    from reader_spark.operators import dedup as DD
+
+    shutil.copytree(path, tmp_str)
+    DD.neardup_cc_write(spark, tmp_str, n_buckets=4)
+    return _cc_map(spark, tmp_str)
+
+
+def _bridge_docs(spark):
+    """Two sub-0.8 families whose union doc merges them: X (1, 2: t*)
+    and Y (10, 11: 8 shared t's + u's, J(X,Y)=8/12=0.67), bridge 30 =
+    X ∪ Y tokens (J=10/12=0.83 with each), singleton 20."""
+    t = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (1, f"{t} t9 t10"),
+        (2, f"{t} t9 t11"),
+        (10, f"{t} u1 u2"),
+        (11, f"{t} u1 u3"),
+        (20, "m n o p q r s aa bb cc"),
+        (30, f"{t} t9 t10 u1 u2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_cc_update_equals_rebuild_and_merges(spark, tmp_path):
+    """Incremental component maintenance == scratch rebuild across a
+    wave that (a) adds members to existing components, (b) MERGES two
+    components via a bridge doc, and (c) adds a singleton — labels
+    stay the component minimum throughout."""
+    from reader_spark.operators import dedup as DD
+
+    docs = _bridge_docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id in (1, 10)"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    DD.neardup_cc_write(spark, path, n_buckets=4)
+    assert _cc_map(spark, path) == {1: 1, 10: 10}  # two components
+    n = DD.neardup_index_update(
+        spark, path, docs.filter("doc_id not in (1, 10)"),
+        num_hashes=8, band_size=2, threshold=0.8,
+    )
+    assert n == 4
+    got = _cc_map(spark, path)
+    assert got == _cc_rebuild_map(spark, path, str(tmp_path / "scratch"))
+    assert got[20] == 20  # singleton labels itself
+    # the bridge merged X and Y iff the LSH found both sides; either
+    # way incremental == rebuild, and every label is a component min
+    for d, lbl in got.items():
+        assert lbl <= d and got[lbl] == lbl
+
+
+def test_neardup_cc_update_touches_only_affected_buckets(spark, tmp_path):
+    """A delta that only extends ONE component leaves every other
+    label bucket's files byte-identical — the rewrite is bounded by
+    the merge set, not the corpus (the 100 TB economics)."""
+    import glob
+    import os
+
+    from reader_spark.operators import dedup as DD
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id != 3"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    DD.neardup_cc_write(spark, path, n_buckets=16)
+    root = DD._nd_root(path, "cc")
+    before = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{root}/bucket=*/*.parquet")
+    }
+    DD.neardup_index_update(
+        spark, path, docs.filter("doc_id = 3"), num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    after = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{root}/bucket=*/*.parquet")
+    }
+    # doc 3 joins family A (label 1): only label-1's bucket rewrites
+    untouched = [f for f in before if f in after and before[f] == after[f]]
+    changed_dirs = {
+        os.path.dirname(f)
+        for f in set(before) ^ set(after)
+        | {f for f in before if f in after and before[f] != after[f]}
+    }
+    assert len(changed_dirs) == 1  # exactly one bucket dir touched
+    assert len(untouched) == len(before) - sum(
+        1 for f in before if os.path.dirname(f) in changed_dirs
+    )
+    got = _cc_map(spark, path)
+    assert got[3] == got[1]
+    assert got == _cc_rebuild_map(spark, path, str(tmp_path / "scratch"))
+
+
+def test_neardup_cc_replay_is_noop(spark, tmp_path):
+    """Crash after the cc rewrite, before the toks/ append: the
+    replayed batch's endpoints already share merged labels (identity
+    mapping) and its ids are already stored, so nothing changes."""
+    import shutil
+
+    from reader_spark.operators import dedup as DD
+
+    docs = _bridge_docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id in (1, 10)"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    DD.neardup_cc_write(spark, path, n_buckets=4)
+    delta = docs.filter("doc_id not in (1, 10)")
+    shutil.copytree(f"{path}/toks", str(tmp_path / "toks_pre"))
+    DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    )
+    want = _cc_map(spark, path)
+    shutil.rmtree(f"{path}/toks")
+    shutil.copytree(str(tmp_path / "toks_pre"), f"{path}/toks")
+    spark.catalog.refreshByPath(f"{path}/toks")
+    assert DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    ) == 4
+    assert _cc_map(spark, path) == want
+
+
+def test_neardup_cc_delete_then_maintain_rebuilds(spark, tmp_path):
+    """Tombstoned docs drop out of the component map immediately; the
+    physical rebuild at maintain() undoes any split the delete caused
+    (removing a cut vertex is invisible to incremental relabeling)."""
+    from reader_spark.operators import dedup as DD
+
+    docs = _bridge_docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(docs, path, num_hashes=8, band_size=2,
+                           threshold=0.8)
+    DD.neardup_cc_write(spark, path, n_buckets=4)
+    before = _cc_map(spark, path)
+    merged = before[1] == before[10]  # bridge 30 united X and Y?
+    DD.neardup_index_delete(spark, path, [30])
+    assert 30 not in _cc_map(spark, path)
+    out = DD.neardup_index_maintain(spark, path)
+    assert out["cc"] == 5
+    got = _cc_map(spark, path)
+    assert got == _cc_rebuild_map(spark, path, str(tmp_path / "scratch"))
+    if merged:
+        assert got[10] == 10  # the split is physical again

@@ -1061,6 +1061,8 @@ index:
   num_hashes: 8
   band_size: 2
   threshold: 0.8
+  components: true
+  cc_buckets: 4
 """
     res = run_job(spark, load_settings(cfg))
     assert res == {"documents": f"{out}/documents"}
@@ -1078,6 +1080,26 @@ index:
         for r in DD.neardup_edges(spark, f"{out}/documents").collect()
     )
     assert got == want and got
+    # components: true also materialized the cc/ map == a direct CC run
+    from pyspark.sql import functions as F
+
+    comp = DD.connected_components(
+        DD.neardup_edges(spark, f"{out}/documents")
+    )
+    want_cc = {
+        r["doc_id"]: r["label"]
+        for r in docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id", F.coalesce(comp.label, docs.doc_id).alias("label")
+        )
+        .collect()
+    }
+    got_cc = {
+        r["doc_id"]: r["component_id"]
+        for r in DD.neardup_canonical(spark, f"{out}/documents").collect()
+    }
+    assert got_cc == want_cc
     # maintain pass over the existing artifact
     mres = run_job(spark, load_settings(cfg.replace(
         "threshold: 0.8", "threshold: 0.8\n  mode: maintain")))

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (value_v1_subset / value_v2_subset) so totals compare like-for-like
 # across rounds even as the set grows. Add new queries only by
 # bumping the version and appending (never reordering/removing).
-QUERY_SET_VERSION = 8
+QUERY_SET_VERSION = 9
 V1_LEN = 29
 V2_LEN = 45
 V3_LEN = 58
@@ -33,6 +33,7 @@ V4_LEN = 70
 V5_LEN = 92
 V6_LEN = 96
 V7_LEN = 104
+V8_LEN = 115
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -185,6 +186,12 @@ HEADLINE = [
     # build-80% + update-20% runs the Jaccard verify twice over the
     # fixture's clique-soup pair volume — fixture-density cost, not
     # plan cost; the artifact-reading query path is lpa_communities'.)
+    # v9 (r8): KMV cross-source overlap — the bounded-sketch screen
+    # that decides which source pairs deserve the exact source_overlap
+    # pass. (canonical_docs_indexed stays out with the other iterative
+    # CC fixpoints — canonical_docs/dedup_components/pagerank — its
+    # cc_write runs a full connected-components build by definition.)
+    "source_overlap_kmv",
 ]
 
 
@@ -274,6 +281,9 @@ def main() -> None:
                 ),
                 "value_v7_subset": round(
                     sum(timings.get(n, 0.0) for n in HEADLINE[:V7_LEN]), 3
+                ),
+                "value_v8_subset": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:V8_LEN]), 3
                 ),
             }
         )

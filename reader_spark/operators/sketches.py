@@ -468,3 +468,54 @@ def quantiles_from_tiles(
     return out.select(
         *keys, F.size("__vals").cast("long").alias("n_sampled"), *cols
     )
+
+
+def kmv_overlap(tiles: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Pairwise set-overlap estimates between key groups from their
+    KMV sketches ALONE — the bounded-state alternative to the exact
+    overlap join. For each unordered group pair: take the k smallest
+    of the two sketches' union (the union's own KMV sketch — exact,
+    because the global k smallest live inside the per-group k
+    smallest), count how many of those appear in BOTH sketches, and
+    estimate Jaccard = n_common / m (the classic KMV resemblance
+    estimator; exact when the union is smaller than k).
+
+    Integer output (ppm) per the repo float rule, bit-reproducible
+    in the oracle: the hashes are deterministic md5, so the sketch —
+    not just the query around it — is value-checked.
+
+    Scale: the expensive part is building `tiles` (one distinct +
+    one bounded groupBy, state k longs per group); this step joins
+    only the GROUP-count-sized sketch table with itself — at 100 TB
+    the sources/splits axis is hundreds of rows, so the pair join is
+    a broadcast nested loop over kilobytes, and the underlying
+    corpora are never compared row-to-row."""
+    a = tiles.select(F.col(key_col).alias("key_a"), F.col("kmv").alias("ka"))
+    b = tiles.select(F.col(key_col).alias("key_b"), F.col("kmv").alias("kb"))
+    staged = (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            "ka",
+            "kb",
+            F.slice(
+                F.array_sort(F.array_union(F.col("ka"), F.col("kb"))), 1, k
+            ).alias("u"),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.size("u").alias("m"),
+            F.size(
+                F.array_intersect(F.array_intersect(F.col("u"), F.col("ka")), F.col("kb"))
+            ).cast("long").alias("n_common"),
+        )
+    )
+    return staged.select(
+        "key_a",
+        "key_b",
+        F.col("m").cast("long").alias("m"),
+        "n_common",
+        F.expr("(n_common * 1000000) div m").alias("jaccard_est_ppm"),
+    )

@@ -6888,6 +6888,57 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap from KMV sketches alone
+    (operators/sketches.py::kmv_tiles + kmv_overlap): per source,
+    the k = 64 smallest md5 text hashes; per source pair, the KMV
+    resemblance estimate as integer ppm. The bounded-state sibling of
+    `source_overlap` — that one JOINS the corpora (near-dup pipeline,
+    shuffle proportional to the data); this one compares
+    kilobyte sketches, the shape a 100 TB provenance audit runs
+    FIRST to decide which source pairs deserve the exact pass.
+    Deterministic md5 hashes make the sketch itself value-checked
+    against the oracle, not just the query around it."""
+    from reader_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    tiles = SK.kmv_tiles(docs, ["source"], "text", k=64)
+    out = SK.kmv_overlap(tiles, "source", k=64)
+    return out.select(
+        F.col("key_a").alias("source_a"),
+        F.col("key_b").alias("source_b"),
+        "m",
+        "n_common",
+        "jaccard_est_ppm",
+    )
+
+
+SOURCE_OVERLAP_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('kmv:' || text), 1, 15))::BIGINT AS h
+  FROM documents
+), sk AS (
+  SELECT source, list(h ORDER BY h) AS kmv FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM h
+  ) WHERE r <= 64 GROUP BY source
+), pr AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.kmv AS ka, b.kmv AS kb,
+         list_slice(list_sort(list_distinct(a.kmv || b.kmv)), 1, 64) AS u
+  FROM sk a JOIN sk b ON a.source < b.source
+)
+SELECT source_a, source_b,
+       len(u)::BIGINT AS m,
+       len(list_intersect(list_intersect(u, ka), kb))::BIGINT AS n_common,
+       (len(list_intersect(list_intersect(u, ka), kb)) * 1000000) // len(u)
+         AS jaccard_est_ppm
+FROM pr
+"""
+
+
 KMV_SQL = """
 WITH h AS (
   SELECT DISTINCT event_type,
@@ -8294,6 +8345,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "price_outliers_mad": (price_outliers_mad, PRICE_MAD_SQL),
     "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     "kmv_distinct": (kmv_distinct, KMV_SQL),
+    "source_overlap_kmv": (source_overlap_kmv, SOURCE_OVERLAP_KMV_SQL),
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
     "lpa_communities": (lpa_communities_q, LPA_SQL),
     "lpa_communities_indexed": (lpa_communities_indexed_q, LPA_SQL),

@@ -286,3 +286,40 @@ def test_cms_update_crash_replay_exactly_once(spark, tmp_path, monkeypatch):
     assert counts(torn) == base  # previous counters still live
     SK.cms_tiles_update(spark, torn, toks(delta), width=16, depth=2, epoch=5)
     assert counts(torn) == want
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    """kmv_overlap from sketches alone: exact Jaccard when the union
+    fits inside k (the estimator degenerates to the true value), a
+    close ppm estimate when it does not, zero for disjoint sets —
+    and the underlying corpora are never joined."""
+    from reader_spark.operators import sketches as SK
+
+    rows = (
+        [("a", f"shared-{i}") for i in range(60)]
+        + [("a", f"only-a-{i}") for i in range(20)]
+        + [("b", f"shared-{i}") for i in range(60)]
+        + [("b", f"only-b-{i}") for i in range(20)]
+        + [("c", f"only-c-{i}") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "src string, v string")
+    # k larger than every union -> estimates are EXACT
+    tiles = SK.kmv_tiles(df, ["src"], "v", k=256)
+    got = {
+        (r["key_a"], r["key_b"]): r
+        for r in SK.kmv_overlap(tiles, "src", k=256).collect()
+    }
+    ab = got[("a", "b")]
+    assert ab["m"] == 100 and ab["n_common"] == 60
+    assert ab["jaccard_est_ppm"] == 600_000
+    assert got[("a", "c")]["n_common"] == 0
+    assert got[("a", "c")]["jaccard_est_ppm"] == 0
+    assert got[("b", "c")]["jaccard_est_ppm"] == 0
+    # k smaller than the union -> a bounded-state ESTIMATE of 0.6
+    tiles32 = SK.kmv_tiles(df, ["src"], "v", k=32)
+    est = {
+        (r["key_a"], r["key_b"]): r["jaccard_est_ppm"]
+        for r in SK.kmv_overlap(tiles32, "src", k=32).collect()
+    }
+    assert est[("a", "c")] == 0
+    assert 350_000 <= est[("a", "b")] <= 850_000  # ±0.25 at k=32

@@ -8541,9 +8541,47 @@ _WINDOW_R7 = [
     "knn_ivf_pq", "budget_select", "lpa_communities",
 ]
 assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
+
+# --- r8 driver-window rotation -------------------------------------
+# With round 7 green, EVERY catalog entry now has a green driver
+# verdict (r1 union ... r7). Round-8 window: the two NEW queries
+# (canonical_docs_indexed — the incremental component map — and
+# source_overlap_kmv), lpa_communities_indexed (reads the graph index
+# whose update path gained the self-loop guard this round), then the
+# STALEST greens: all 23 entries last sampled in round 1, and 24 of
+# the round-3 cohort (dedup/knn/envelope families first — several sit
+# behind this round's atomic_dir and dedup.py edits). Rotated-out
+# entries are all round-7 green with code untouched since, except the
+# r3 leftovers (TPC-H batch + converters) which stay multi-round
+# green and rotate in next round.
+_WINDOW_R8 = [
+    # new this round (never sampled)
+    "canonical_docs_indexed", "source_overlap_kmv",
+    # reads code changed this round (self-loop guard, cc hook)
+    "lpa_communities_indexed",
+    # stalest: last sampled round 1
+    "anti_join_customers", "approx_distinct_users", "date_functions",
+    "events_hourly", "events_resample_locf", "lead_lag_events",
+    "max_order_per_customer", "percentiles", "pivot_status",
+    "q13_customer_distribution", "q16_supplier_count",
+    "q20_excess_supply", "q2_min_supplier", "q4_order_priority",
+    "rollup_sales", "running_totals", "sample_hash_mod",
+    "semi_join_customers", "sessionization", "set_ops_customers",
+    "small_quantity_orders", "string_functions", "topk_per_group",
+    # last sampled round 3: dedup/knn/scan/envelope families
+    "k3_transfer_dedupe", "asof_join_orders", "b1_chunked_scan",
+    "c10_json_extract", "dedup_components", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_near_dup", "dedup_ngram",
+    "dedup_simhash", "dedup_simhash_pairs", "embedding_near_dup",
+    "knn_bruteforce", "knn_ivf", "multimodal_features",
+    "p1_projection", "p2_value_parse", "p3_wire_converters",
+    "p5_envelope", "s1_snapshot_scan", "s2_pk_bounds",
+    "text_winnowing", "q1_pricing_summary", "q3_shipping_priority",
+]
+assert len(_WINDOW_R8) == 50 and set(_WINDOW_R8) <= set(CATALOG)
 CATALOG = {
-    **{k: CATALOG[k] for k in _WINDOW_R7},
-    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R7},
+    **{k: CATALOG[k] for k in _WINDOW_R8},
+    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R8},
 }
 
 CATALOG = {k: (_fresh_entry(fn), sql) for k, (fn, sql) in CATALOG.items()}

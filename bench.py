@@ -192,6 +192,9 @@ HEADLINE = [
     # CC fixpoints — canonical_docs/dedup_components/pagerank — its
     # cc_write runs a full connected-components build by definition.)
     "source_overlap_kmv",
+    # v9 (r8): snapshot drift — integer-exact TVD/L-inf distribution
+    # check between a reference and a current ingest wave
+    "snapshot_drift",
 ]
 
 

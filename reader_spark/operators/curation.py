@@ -1317,3 +1317,100 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Distribution drift between two snapshots of the same column —
+    the check a recurring ingest runs before appending a new wave to
+    training data (did the upstream change under us?).
+
+    Fixed-width buckets are anchored on the REFERENCE min/max (one
+    2-scalar aggregate, broadcast back; identical IEEE double
+    arithmetic on both engines — the value_histogram contract);
+    current values outside the reference range clamp into the edge
+    buckets, so range escape shows up as edge-bucket mass instead of
+    dropped rows. Per bucket: counts and integer-ppm shares for both
+    snapshots and the share delta. Total-variation distance is
+    sum(abs(delta_ppm)) // 2 over the output (see drift_summary).
+
+    Scale: two map-only bucket assignments + two bounded (n_buckets-
+    row) aggregates; nothing is ever joined row-to-row, so the two
+    snapshots can be 100 TB each. All-constant reference columns
+    degenerate to one bucket by construction (width 0 guard)."""
+    stats = ref.agg(
+        F.min(value_col).cast("double").alias("lo"),
+        F.max(value_col).cast("double").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / float(n_buckets)
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(value_col).cast("double") - F.col("lo")) / width
+                    ).cast("int"),
+                ),
+            )
+        )
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    r = bucketed(ref, "ref_n")
+    c = bucketed(cur, "cur_n")
+    joined = (
+        r.join(c, "bucket", "full")
+        .fillna(0, subset=["ref_n", "cur_n"])
+    )
+    totals = joined.agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "ref_n",
+            "cur_n",
+            F.expr("(ref_n * 1000000) div ref_total").alias("ref_ppm"),
+            F.expr("(cur_n * 1000000) div cur_total").alias("cur_ppm"),
+            (
+                F.expr("(cur_n * 1000000) div cur_total")
+                - F.expr("(ref_n * 1000000) div ref_total")
+            ).alias("delta_ppm"),
+        )
+    )
+
+
+def drift_summary(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_buckets: int = 20,
+    alert_ppm: int = 50_000,
+) -> DataFrame:
+    """One-row drift verdict over `drift_report`'s buckets: total-
+    variation distance and L-infinity of the share deltas (integer
+    ppm — exact, unlike PSI's logs), the count of buckets past
+    `alert_ppm`, and both snapshot sizes. TVD in [0, 1e6]: the
+    fraction of mass that moved."""
+    rep = drift_report(ref, cur, value_col, n_buckets)
+    return rep.agg(
+        (F.sum(F.abs(F.col("delta_ppm"))) / 2).cast("long").alias("tvd_ppm"),
+        F.max(F.abs(F.col("delta_ppm"))).alias("linf_ppm"),
+        F.sum(
+            (F.abs(F.col("delta_ppm")) > alert_ppm).cast("long")
+        ).alias("n_drifted_buckets"),
+        F.sum("ref_n").alias("n_ref"),
+        F.sum("cur_n").alias("n_cur"),
+    )

@@ -5763,6 +5763,56 @@ FROM events WHERE value IS NULL
 """
 
 
+def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two snapshots of the same column
+    (operators/curation.py::drift_report): fixed-width buckets
+    anchored on the REFERENCE snapshot's min/max (orders before 1996
+    vs from 1996, o_totalprice), per-bucket counts and integer-ppm
+    shares for both sides, and the share delta — the check a
+    recurring ingest runs before appending a wave to training data.
+    TVD = sum(abs(delta_ppm)) // 2; L-inf = max. Exact-integer drift
+    metrics, unlike PSI's engine-varying logs. Scale: two map-only
+    bucket passes + two 20-row aggregates; the snapshots are never
+    joined row-to-row."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    cur = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    return CU.drift_report(ref, cur, "o_totalprice", n_buckets=20)
+
+
+SNAPSHOT_DRIFT_SQL = """
+WITH ref AS (
+  SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+), cur AS (
+  SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+), st AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM ref
+), rb AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))::INT))
+         END AS bucket, count(*) AS ref_n
+  FROM ref, st GROUP BY 1
+), cb AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))::INT))
+         END AS bucket, count(*) AS cur_n
+  FROM cur, st GROUP BY 1
+), j AS (
+  SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+         coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+  FROM rb FULL JOIN cb ON rb.bucket = cb.bucket
+), t AS (
+  SELECT sum(ref_n) AS ref_total, sum(cur_n) AS cur_total FROM j
+)
+SELECT bucket, ref_n::BIGINT AS ref_n, cur_n::BIGINT AS cur_n,
+       ((ref_n * 1000000) // ref_total)::BIGINT AS ref_ppm,
+       ((cur_n * 1000000) // cur_total)::BIGINT AS cur_ppm,
+       ((cur_n * 1000000) // cur_total
+        - (ref_n * 1000000) // ref_total)::BIGINT AS delta_ppm
+FROM j, t
+"""
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 20-bucket histogram of events.value — the
     distribution profile a curation dashboard draws. One 2-scalar
@@ -8236,6 +8286,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # / embedding_near_dup — r3 hash-green, code untouched)
     "data_quality_report": (data_quality_report, QUALITY_REPORT_SQL),
     "value_histogram": (value_histogram, HISTOGRAM_SQL),
+    "snapshot_drift": (snapshot_drift, SNAPSHOT_DRIFT_SQL),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —
     # image_phash_dedup exercises the same synthesize/decode path

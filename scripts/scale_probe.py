@@ -768,7 +768,78 @@ def cdc_mode(rows: int) -> None:
     )
 
 
+def r8cc_mode(copies: int) -> None:
+    """Round-8 probe: component-map maintenance economics. Per ingest
+    wave, compare the incremental cc update (label-graph resolve +
+    bounded bucket rewrite, riding inside neardup_index_update)
+    against the alternative a waveful pipeline would otherwise pay —
+    a full connected-components rebuild over all stored edges."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import dedup as DD
+    from reader_spark.session import get_spark
+
+    path = build(copies)
+    spark = get_spark("scale_r8", extra_conf={"spark.ui.enabled": "true"})
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(path)
+    print(f"corpus: {docs.count()} docs ({copies}x)")
+    idx = os.path.join(TMP, f"ccidx_x{copies}")
+    shutil.rmtree(idx, ignore_errors=True)
+    last = [_shuffle_bytes(spark)]
+
+    def timed(name, fn):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        sb = _shuffle_bytes(spark)
+        delta = sb - last[0] if sb >= 0 and last[0] >= 0 else -1
+        last[0] = sb
+        print(f"{name}: {wall:.2f}s  shuffle_write={delta / 1e6:.1f}MB")
+        return out
+
+    seed = docs.filter(F.col("doc_id") % 20 != 0)
+    delta = docs.filter(F.col("doc_id") % 20 == 0)
+    timed("index_write (95%)", lambda: DD.neardup_index_write(seed, idx))
+    timed(
+        "cc_write (full CC build, one-time)",
+        lambda: DD.neardup_cc_write(spark, idx, n_buckets=64),
+    )
+    # isolate the cc increment: same wave against a cc-less clone
+    nocc = idx + "_nocc"
+    shutil.rmtree(nocc, ignore_errors=True)
+    shutil.copytree(idx, nocc)
+    shutil.rmtree(os.path.join(nocc, "cc"))
+    timed(
+        "wave baseline: index_update(5%), NO cc artifact",
+        lambda: DD.neardup_index_update(spark, nocc, delta),
+    )
+    timed(
+        "wave: index_update(5%) incl. incremental cc",
+        lambda: DD.neardup_index_update(spark, idx, delta),
+    )
+    got = timed(
+        "read component map",
+        lambda: DD.neardup_canonical(spark, idx).count(),
+    )
+    timed(
+        "ALTERNATIVE per wave: full cc rebuild",
+        lambda: DD.neardup_cc_write(spark, idx, n_buckets=64),
+    )
+    want = DD.neardup_canonical(spark, idx).count()
+    print(f"labeled docs: incremental={got} rebuild={want} (must match)")
+    from reader_spark.cache import release_pins
+
+    release_pins()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "r8cc":
+        r8cc_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "tpch":
         tpch_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return

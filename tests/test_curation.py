@@ -568,3 +568,36 @@ def test_decontaminate_train_drops_near_dups_of_holdout(spark):
         .join(leaked, "doc_id", "anti").select("doc_id").collect()
     )
     assert kept == [3]
+
+
+def test_drift_report_and_summary(spark):
+    """Identical distributions -> zero drift; a shifted current
+    snapshot -> mass moves to higher buckets, out-of-range values
+    clamp into the edge bucket instead of dropping, and the exact
+    integer TVD/L-inf metrics reflect it."""
+    from reader_spark.operators import curation as CU
+
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    same = CU.drift_summary(ref, ref, "v", n_buckets=10).collect()[0]
+    assert same["tvd_ppm"] == 0 and same["linf_ppm"] == 0
+    assert same["n_drifted_buckets"] == 0
+    assert same["n_ref"] == same["n_cur"] == 1000
+
+    # shift by +50 (half the range): half of cur lands beyond ref's
+    # max and must clamp into the top bucket
+    cur = spark.createDataFrame(
+        [(float(i % 100) + 50.0,) for i in range(1000)], "v double"
+    )
+    rep = {r["bucket"]: r for r in
+           CU.drift_report(ref, cur, "v", n_buckets=10).collect()}
+    assert sum(r["cur_n"] for r in rep.values()) == 1000  # nothing dropped
+    assert rep[9]["cur_n"] > rep[9]["ref_n"]  # clamped mass on top
+    assert all(rep[b]["cur_n"] == 0 for b in range(0, 5))  # low buckets empty
+    summ = CU.drift_summary(ref, cur, "v", n_buckets=10).collect()[0]
+    assert summ["tvd_ppm"] >= 490_000  # ~half the mass moved
+    assert summ["n_drifted_buckets"] >= 5
+    # ppm shares are exact integers: recompute TVD from the report
+    tvd = sum(abs(r["delta_ppm"]) for r in rep.values()) // 2
+    assert summ["tvd_ppm"] == tvd

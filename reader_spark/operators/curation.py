@@ -1414,3 +1414,154 @@ def drift_summary(
         F.sum("ref_n").alias("n_ref"),
         F.sum("cur_n").alias("n_cur"),
     )
+
+
+def drift_ref_write(
+    ref: DataFrame, path: str, value_col: str, n_buckets: int = 20
+) -> None:
+    """Publish the reference side of a drift watch: the bucket
+    histogram of the reference snapshot plus its anchoring bounds
+    (lo/hi carried on every row — K-row table, the IVF-health shape),
+    pointer-flip published so a checker never sees a torn reference.
+    Re-run to re-baseline after an accepted distribution change."""
+    from reader_spark.operators import atomic_dir
+
+    stats = ref.agg(
+        F.min(value_col).cast("double").alias("lo"),
+        F.max(value_col).cast("double").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / float(n_buckets)
+    b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("lo")) / width
+                ).cast("int"),
+            ),
+        )
+    )
+    # nb is carried explicitly: deriving it from the stored row count
+    # would mis-size the bucket width whenever reference buckets are
+    # EMPTY (absent rows), silently misaligning every later check
+    hist = (
+        ref.crossJoin(F.broadcast(stats))
+        .select(b.alias("bucket"), "lo", "hi")
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("ref_n"))
+        .withColumn("nb", F.lit(n_buckets))
+    )
+
+    def write_fn(vdir: str) -> None:
+        hist.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    atomic_dir.publish(path, write_fn)
+
+
+def drift_check(
+    spark, path: str, cur: DataFrame, value_col: str, alert_ppm: int = 50_000
+) -> DataFrame:
+    """One-row drift verdict of `cur` against the PUBLISHED reference
+    histogram (drift_ref_write): the stored bounds bucket the current
+    rows identically, shares compare in exact integer ppm (TVD /
+    L-inf / drifted-bucket count — drift_summary's metrics). Reads a
+    K-row reference + one map-only pass over the batch; the reference
+    snapshot itself is never re-scanned — that is the point of
+    materializing it."""
+    from reader_spark.operators import atomic_dir
+
+    ref = spark.read.parquet(atomic_dir.resolve(path))
+    bounds = ref.select("lo", "hi").limit(1)
+    width_expr = "(hi - lo) / nb"
+    cb = (
+        cur.crossJoin(F.broadcast(bounds))
+        .crossJoin(
+            F.broadcast(
+                ref.agg(
+                    F.max("nb").alias("nb"),
+                    (F.max("nb") - 1).alias("top"),
+                )
+            )
+        )
+        .select(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.col("top"),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(value_col).cast("double") - F.col("lo"))
+                            / F.expr(width_expr)
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    joined = (
+        ref.select("bucket", "ref_n")
+        .join(cb, "bucket", "full")
+        .fillna(0, subset=["ref_n", "cur_n"])
+    )
+    totals = joined.agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    per = joined.crossJoin(F.broadcast(totals)).select(
+        (
+            F.expr("(cur_n * 1000000) div cur_total")
+            - F.expr("(ref_n * 1000000) div ref_total")
+        ).alias("delta_ppm"),
+        "ref_n",
+        "cur_n",
+    )
+    return per.agg(
+        (F.sum(F.abs(F.col("delta_ppm"))) / 2).cast("long").alias("tvd_ppm"),
+        F.max(F.abs(F.col("delta_ppm"))).alias("linf_ppm"),
+        F.sum(
+            (F.abs(F.col("delta_ppm")) > alert_ppm).cast("long")
+        ).alias("n_drifted_buckets"),
+        F.sum("cur_n").alias("n_cur"),
+    )
+
+
+def drift_watch(
+    ref_path: str,
+    log_path: str,
+    value_col: str,
+    alert_ppm: int = 50_000,
+):
+    """`foreachBatch` body logging each micro-batch's drift verdict
+    against the published reference — the streaming member of the
+    drift family (maintainer-family shape). The log is partitioned by
+    batch id and written with dynamic partition overwrite, so a
+    crash-replayed batch REPLACES its own row instead of duplicating
+    it (exactly-once without a dedup read).
+
+        stream.writeStream.foreachBatch(
+            drift_watch(ref, log, "value")).start()
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        row = drift_check(
+            spark, ref_path, batch_df, value_col, alert_ppm
+        ).withColumn("batch", F.lit(batch_id))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            row.coalesce(1).write.partitionBy("batch").mode(
+                "overwrite"
+            ).parquet(log_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return body

@@ -601,3 +601,72 @@ def test_drift_report_and_summary(spark):
     # ppm shares are exact integers: recompute TVD from the report
     tvd = sum(abs(r["delta_ppm"]) for r in rep.values()) // 2
     assert summ["tvd_ppm"] == tvd
+
+
+def test_drift_check_matches_summary_and_watch_stream(spark, tmp_path):
+    """drift_check against the PUBLISHED reference == drift_summary
+    computed directly from both frames; the streaming drift_watch
+    logs one verdict row per micro-batch keyed by batch id (dynamic
+    overwrite: a replayed batch replaces, never duplicates)."""
+    import json
+
+    from reader_spark.operators import curation as CU
+
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "value double"
+    )
+    ref_path = str(tmp_path / "drift_ref")
+    CU.drift_ref_write(ref, ref_path, "value", n_buckets=10)
+    cur = spark.createDataFrame(
+        [(float(i % 100) + 50.0,) for i in range(500)], "value double"
+    )
+    got = CU.drift_check(spark, ref_path, cur, "value").collect()[0]
+    want = CU.drift_summary(ref, cur, "value", n_buckets=10).collect()[0]
+    assert (got["tvd_ppm"], got["linf_ppm"], got["n_drifted_buckets"]) == (
+        want["tvd_ppm"], want["linf_ppm"], want["n_drifted_buckets"]
+    )
+    assert got["n_cur"] == 500
+
+    # streaming watch: two batches, one stable and one shifted
+    src = tmp_path / "stream"
+    src.mkdir()
+    with open(src / "b0.jsonl", "w") as f:
+        for i in range(400):
+            f.write(json.dumps({"value": float(i % 100)}) + "\n")
+    log = str(tmp_path / "drift_log")
+    stream = spark.readStream.schema("value double").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            CU.drift_watch(ref_path, log, "value")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(60)
+    with open(src / "b1.jsonl", "w") as f:
+        for i in range(400):
+            f.write(json.dumps({"value": float(i % 100) + 70.0}) + "\n")
+    q = (
+        spark.readStream.schema("value double").option(
+            "maxFilesPerTrigger", 1
+        ).json(str(src))
+        .writeStream.foreachBatch(CU.drift_watch(ref_path, log, "value"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["batch"]: r for r in spark.read.parquet(log).collect()}
+    assert len(rows) == 2
+    stable, shifted = rows[min(rows)], rows[max(rows)]
+    assert stable["tvd_ppm"] == 0 and stable["n_drifted_buckets"] == 0
+    assert shifted["tvd_ppm"] >= 600_000  # 70% of mass out of place
+    assert shifted["n_drifted_buckets"] >= 7
+    # replay idempotence: re-running a batch's body replaces its row
+    batch_df = spark.read.schema("value double").json(str(src / "b1.jsonl"))
+    CU.drift_watch(ref_path, log, "value")(batch_df, max(rows))
+    again = {r["batch"]: r for r in spark.read.parquet(log).collect()}
+    assert len(again) == 2 and again[max(rows)] == shifted

@@ -253,6 +253,9 @@ def test_neardup_index_maintainer_stream(spark, tmp_path):
         docs.filter("doc_id < 10"), path, num_hashes=8, band_size=2,
         threshold=0.8,
     )
+    # the component map rides inside index_update: streamed batches
+    # must keep it equal to a scratch rebuild too
+    DD.neardup_cc_write(spark, path, n_buckets=4)
     src = tmp_path / "docs_stream"
     src.mkdir()
     with open(src / "d.jsonl", "w") as f:
@@ -273,6 +276,8 @@ def test_neardup_index_maintainer_stream(spark, tmp_path):
     DD.neardup_index_write(docs, scratch, num_hashes=8, band_size=2,
                            threshold=0.8)
     assert _edges(spark, path) == _edges(spark, scratch)
+    DD.neardup_cc_write(spark, scratch, n_buckets=4)
+    assert _cc_map(spark, path) == _cc_map(spark, scratch)
 
 
 def test_neardup_index_crash_mid_update_heals_on_replay(spark, tmp_path):

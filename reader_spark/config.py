@@ -126,11 +126,30 @@ class IndexCfg:
 
 
 @dataclass
+class DriftCfg:
+    """Drift job: baseline a reference histogram of a column, or
+    verdict the source against a published baseline (operators/
+    curation.py drift_ref_write / drift_check). mode 'baseline'
+    (re)publishes the reference at `<destination>/<table>/_driftref`;
+    mode 'check' reads it and writes a one-row verdict."""
+
+    value_column: str
+    n_buckets: int = 20
+    alert_ppm: int = 50_000
+    mode: str = "baseline"           # baseline | check
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("baseline", "check"):
+            raise ValueError(f"unknown drift mode {self.mode!r}")
+
+
+@dataclass
 class Settings:
     source: SourceCfg
     destination: DestinationCfg
     curate: CurateCfg | None = None
     index: IndexCfg | None = None
+    drift: DriftCfg | None = None
 
 
 def load_settings(path_or_str: str) -> Settings:
@@ -151,6 +170,8 @@ def load_settings(path_or_str: str) -> Settings:
     destination = DestinationCfg(**raw["destination"])
     curate = CurateCfg(**raw["curate"]) if raw.get("curate") else None
     index = IndexCfg(**raw["index"]) if raw.get("index") else None
+    drift = DriftCfg(**raw["drift"]) if raw.get("drift") else None
     return Settings(
-        source=source, destination=destination, curate=curate, index=index
+        source=source, destination=destination, curate=curate, index=index,
+        drift=drift,
     )

@@ -103,6 +103,8 @@ def _publish(env: DataFrame, settings: Settings, table: str) -> str:
 def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
     """Execute one configured job; returns {table: destination}."""
     src = settings.source
+    if settings.drift is not None:
+        return _run_drift(spark, settings)
     if settings.index is not None:
         return _run_index(spark, settings)
     if settings.curate is not None:
@@ -227,6 +229,43 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("reader_spark_job")
     for table, where in run_job(spark, settings).items():
         print(f"{table}\t{where}")
+
+
+def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
+    """Drift job (`drift:` block): per table, mode 'baseline'
+    publishes the reference histogram at
+    `<destination>/<table>/_driftref`; mode 'check' verdicts the
+    source against it and appends the one-row result (keyed by
+    check time is the CALLER's concern — the row carries counts
+    only) at `<destination>/<table>/_driftlog`."""
+    cfg = settings.drift
+    results: dict[str, str] = {}
+    for table in settings.source.tables:
+        df = _read_table(spark, settings.source, table)
+        base = f"{settings.destination.path}/{table.name}"
+        ref_path = f"{base}/_driftref"
+        from reader_spark.operators.curation import (
+            drift_check,
+            drift_ref_write,
+        )
+
+        if cfg.mode == "baseline":
+            drift_ref_write(df, ref_path, cfg.value_column, cfg.n_buckets)
+            results[table.name] = ref_path
+        else:
+            verdict = drift_check(
+                spark, ref_path, df, cfg.value_column, cfg.alert_ppm
+            )
+            r = verdict.collect()[0]  # one row; compute exactly once
+            log = f"{base}/_driftlog"
+            spark.createDataFrame([r], verdict.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(log)
+            results[table.name] = (
+                f"{log} (tvd_ppm={r['tvd_ppm']} "
+                f"drifted_buckets={r['n_drifted_buckets']})"
+            )
+    return results
 
 
 def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:

@@ -501,6 +501,10 @@ def connected_components(
             .groupBy(F.col("d").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # a node's label changes iff a neighbor offered a smaller one
+        # — carry that as a flag through the SAME checkpoint, so
+        # convergence detection is a filter over materialized rows
+        # instead of a second join-the-old-labels job per round
         new_labels = (
             labels.alias("l")
             .join(nbr_min.alias("m"), "node", "left")
@@ -509,17 +513,14 @@ def connected_components(
                 F.least(
                     F.col("l.label"), F.coalesce(F.col("m.nbr_min"), F.col("l.label"))
                 ).alias("label"),
+                F.coalesce(
+                    F.col("m.nbr_min") < F.col("l.label"), F.lit(False)
+                ).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("__chg").limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     edges.unpersist()

@@ -1108,3 +1108,32 @@ index:
         (r["doc_a"], r["doc_b"])
         for r in DD.neardup_edges(spark, f"{out}/documents").collect()
     ) == want
+
+
+def test_drift_job_baseline_then_check(spark, tmp_path, sf_dir):
+    """drift: {mode: baseline} publishes the reference histogram from
+    YAML; a later {mode: check} run verdicts the (here: identical)
+    source against it and appends to the drift log."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "dq")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  value_column: value
+  n_buckets: 10
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert res == {"events": f"{out}/events/_driftref"}
+    chk = run_job(spark, load_settings(cfg.replace(
+        "n_buckets: 10", "n_buckets: 10\n  mode: check")))
+    assert "tvd_ppm=0" in chk["events"]  # identical source: no drift
+    log = spark.read.parquet(f"{out}/events/_driftlog").collect()
+    assert len(log) == 1 and log[0]["n_drifted_buckets"] == 0

@@ -988,20 +988,25 @@ def neardup_index_update(
     verified = jaccard_verify(
         cands, fresh, id_col=id_col, threshold=threshold, toks=all_toks
     )
-    verified.select("doc_a", "doc_b").write.mode("append").parquet(
-        _nd_root(path, "edges")
-    )
+    import os
+
+    has_cc = os.path.isdir(f"{path}/cc")
+    edges_out = verified.select("doc_a", "doc_b")
+    if has_cc:
+        # two consumers (edges append + cc update): pin, or the
+        # second one re-runs the whole LSH verify — measured as the
+        # bulk of the cc increment at the 10x probe
+        edges_out = pin(edges_out)
+    edges_out.write.mode("append").parquet(_nd_root(path, "edges"))
     # component map, if materialized: resolve merges on the label
     # graph and rewrite only affected label buckets. Ordered BEFORE
     # the toks/ append (the replay gate) so a crash anywhere leaves a
     # replay that converges: endpoints already merged -> identity
     # mapping, ids already stored -> empty new-row set.
-    import os
-
-    if os.path.isdir(f"{path}/cc"):
+    if has_cc:
         _neardup_cc_update(
             spark, path,
-            verified.select("doc_a", "doc_b"),
+            edges_out,
             toks_new.select(F.col(id_col).alias("doc_id")),
         )
     bands_new.write.mode("append").parquet(_nd_root(path, "bands"))
@@ -1144,7 +1149,8 @@ def neardup_index_maintain(
     tombstone table is then published EMPTY — last, so a crash
     anywhere mid-maintain leaves every reader correct (rows already
     pruned are also still anti-joined; nothing double-applies).
-    Returns per-subdir output file counts."""
+    Returns per-subdir output file counts (plus, when the component
+    map is materialized, `cc` = its rebuilt doc count)."""
     import math
     import os
 
@@ -1426,7 +1432,8 @@ def _neardup_cc_update(spark, path: str, new_edges, new_ids) -> None:
             "doc_id", F.coalesce(F.col("__new"), F.col("label")).alias("label")
         )
     )
-    merged = (
+    # two consumers (surviving-bucket collect + the write): pin
+    merged = pin(
         relabeled.unionByName(new_rows)
         .groupBy("doc_id")
         .agg(F.min("label").alias("label"))

@@ -655,3 +655,34 @@ def test_neardup_cc_delete_then_maintain_rebuilds(spark, tmp_path):
     assert got == _cc_rebuild_map(spark, path, str(tmp_path / "scratch"))
     if merged:
         assert got[10] == 10  # the split is physical again
+
+
+def test_neardup_cc_distributed_fallback_matches_driver_path(
+    spark, tmp_path, monkeypatch
+):
+    """Past the control-plane cap the label graph is resolved by the
+    distributed CC instead of the driver union-find — same mapping,
+    same final component map (cap monkeypatched to force the
+    fallback on the same delta)."""
+    from reader_spark.operators import dedup as DD
+
+    docs = _bridge_docs(spark)
+
+    def run(cap):
+        import shutil
+
+        path = str(tmp_path / f"idx_cap{cap}")
+        shutil.rmtree(path, ignore_errors=True)
+        DD.neardup_index_write(
+            docs.filter("doc_id in (1, 10)"), path, num_hashes=8,
+            band_size=2, threshold=0.8,
+        )
+        DD.neardup_cc_write(spark, path, n_buckets=4)
+        monkeypatch.setattr(DD, "_CC_DRIVER_CAP", cap)
+        DD.neardup_index_update(
+            spark, path, docs.filter("doc_id not in (1, 10)"),
+            num_hashes=8, band_size=2, threshold=0.8,
+        )
+        return _cc_map(spark, path)
+
+    assert run(0) == run(500_000)  # distributed == driver union-find

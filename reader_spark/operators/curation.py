@@ -1342,9 +1342,15 @@ def drift_report(
     row) aggregates; nothing is ever joined row-to-row, so the two
     snapshots can be 100 TB each. All-constant reference columns
     degenerate to one bucket by construction (width 0 guard)."""
-    stats = ref.agg(
-        F.min(value_col).cast("double").alias("lo"),
-        F.max(value_col).cast("double").alias("hi"),
+    from reader_spark.cache import pin
+
+    # 1-row frame consumed by BOTH bucketing passes: pin it, or the
+    # reference snapshot is scanned once per side just for min/max
+    stats = pin(
+        ref.agg(
+            F.min(value_col).cast("double").alias("lo"),
+            F.max(value_col).cast("double").alias("hi"),
+        )
     )
     width = (F.col("hi") - F.col("lo")) / float(n_buckets)
 

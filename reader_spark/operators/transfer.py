@@ -39,6 +39,37 @@ def latest_changes(
     return transfer_dedupe(changes, pk_cols, seq_col)
 
 
+def align_schemas(
+    base: DataFrame,
+    changes: DataFrame,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> tuple[DataFrame, DataFrame]:
+    """Destination schema evolution for MERGE (the reference's
+    transfer contract: upstream DDL must not break the warehouse
+    load — /root/reference/lib/debezium/schema.go carries the wire
+    schema precisely so destinations can evolve):
+
+    * a NEW change column is added to the destination — existing
+      rows read NULL for it (previously it was silently dropped);
+    * a column MISSING from the change set (dropped upstream) stays
+      in the destination — new rows carry NULL (previously the MERGE
+      crashed on the select).
+
+    Types come from whichever side has the column; no cast of
+    existing data is attempted (a type CHANGE upstream is a rename in
+    disguise — route it through the DDL history, not the merge)."""
+    base_cols = set(base.columns)
+    for f in changes.schema.fields:
+        if f.name not in base_cols and f.name not in (op_col, seq_col):
+            base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+    chg_cols = set(changes.columns)
+    for f in base.schema.fields:
+        if f.name not in chg_cols:
+            changes = changes.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return base, changes
+
+
 def apply_changes(
     base: DataFrame,
     changes: DataFrame,
@@ -48,7 +79,11 @@ def apply_changes(
 ) -> DataFrame:
     """MERGE semantics as a plan: delete rows whose terminal event is
     'd', upsert the rest. One shuffle on the PK for the anti-join;
-    the change set is typically << base, so Catalyst broadcasts it."""
+    the change set is typically << base, so Catalyst broadcasts it.
+    Schemas evolve (`align_schemas`) before merging, so upstream
+    column adds/drops land as NULL-padded columns instead of dropped
+    data or a crashed load."""
+    base, changes = align_schemas(base, changes, op_col, seq_col)
     value_cols = [c for c in base.columns]
     term = latest_changes(changes, pk_cols, seq_col)
     keys = term.select(*pk_cols)
@@ -94,7 +129,15 @@ class TransferWriter:
             return self.spark.read.parquet(
                 atomic_dir.resolve(self._path(table), version)
             )
-        return self.spark.read.parquet(self._data_root(table))
+        # mergeSchema: a bucketed upsert that evolved the schema only
+        # rewrote the TOUCHED buckets, so files legitimately disagree
+        # — without the merge, the read schema comes from one sampled
+        # footer and a freshly added column can silently vanish.
+        # Footer-only cost; at the many-thousand-file tier carry the
+        # schema in the pointer file instead (the manifest answer).
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self._data_root(table)
+        )
 
     def versions(self, table: str) -> list[int]:
         """Retained snapshot sequence numbers, oldest first."""

@@ -1137,3 +1137,51 @@ drift:
     assert "tvd_ppm=0" in chk["events"]  # identical source: no drift
     log = spark.read.parquet(f"{out}/events/_driftlog").collect()
     assert len(log) == 1 and log[0]["n_drifted_buckets"] == 0
+
+
+def test_upsert_schema_evolution_add_and_drop(spark, tmp_path):
+    """Upstream DDL lands as NULL-padded evolution, not dropped data
+    or a crashed merge: a NEW change column appears on the
+    destination (existing rows NULL), a DROPPED column stays (new
+    rows NULL)."""
+    tw = TransferWriter(spark, str(tmp_path))
+    tw.append("t", base_df(spark))
+    added = spark.createDataFrame(
+        [(4, "d", "extra4", "c", 1), (1, "a1", "extra1", "u", 2)],
+        "id long, val string, note string, op string, seq long",
+    )
+    tw.upsert("t", added, ["id"], "seq")
+    got = {r["id"]: (r["val"], r["note"]) for r in tw.read("t").collect()}
+    assert got[4] == ("d", "extra4") and got[1] == ("a1", "extra1")
+    assert got[2] == ("b", None) and got[3] == ("c", None)  # evolved NULLs
+    # dropped column: the change set no longer carries `note`
+    dropped = spark.createDataFrame(
+        [(5, "e", "c", 3), (4, "d2", "u", 4)],
+        "id long, val string, op string, seq long",
+    )
+    tw.upsert("t", dropped, ["id"], "seq")
+    got = {r["id"]: (r["val"], r["note"]) for r in tw.read("t").collect()}
+    assert got[5] == ("e", None) and got[4] == ("d2", None)
+    assert got[1] == ("a1", "extra1")  # untouched rows keep their data
+
+
+def test_bucketed_upsert_schema_evolution_untouched_buckets(spark, tmp_path):
+    """Evolution under the bucketed layout: only touched buckets are
+    rewritten, so files legitimately disagree on schema — the
+    mergeSchema read must still surface the new column (NULL on
+    untouched buckets) and preserve every row."""
+    tw = TransferWriter(spark, str(tmp_path))
+    seed = spark.range(0, 100).selectExpr(
+        "id", "concat('v', id) AS v", "'c' AS op", "0L AS seq"
+    )
+    tw.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=8)
+    changes = spark.createDataFrame(
+        [(7, "V7", "N7", "u", 1)],
+        "id long, v string, note string, op string, seq long",
+    )
+    touched = tw.upsert_bucketed("t", changes, ["id"], "seq", n_buckets=8)
+    assert len(touched) == 1
+    out = {r["id"]: (r["v"], r["note"]) for r in tw.read("t").collect()}
+    assert len(out) == 100
+    assert out[7] == ("V7", "N7")
+    assert out[0] == ("v0", None)  # untouched bucket: evolved NULL

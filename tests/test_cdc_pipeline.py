@@ -499,3 +499,54 @@ def test_pipeline_capped_trigger_drains_exactly_once(spark, tmp_path):
             for r in spark.read.parquet(f"{sink}/users").collect()]
     assert sorted(rows) == sorted(set(rows)), f"duplicates: {rows}"
     assert sorted(int(i) for i in rows) == list(range(2, 12))
+
+
+def test_merge_pipeline_destination_evolves_on_alter_add(spark, tmp_path):
+    """Mid-stream ALTER ADD COLUMN must reach the MERGED destination:
+    decode widens (SchemaAdapter) and the warehouse MERGE evolves
+    (align_schemas) — pre-ALTER rows read NULL for the new column, no
+    row lost, no crashed load. The reference's end-to-end schema
+    contract (debezium schema carriage -> destination evolution)."""
+    from reader_spark.plans.cdc_mysql import run_pipeline_merge
+
+    log = tmp_path / "log"
+    log.mkdir()
+    dest = str(tmp_path / "dest")
+    ck = str(tmp_path / "ck")
+    hist = str(tmp_path / "history.jsonl")
+
+    _append(log / "binlog.jsonl", [
+        rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+        rec(2, "dml", op="c", after='{"id": 1, "name": "ada"}'),
+        rec(3, "dml", op="c", after='{"id": 2, "name": "bob"}'),
+    ])
+    adapter = SchemaAdapter()
+    q = run_pipeline_merge(spark, str(log), dest, ck, "app", ["users"],
+                           adapter, history_path=hist)
+    q.awaitTermination(90)
+
+    _append(log / "binlog.jsonl", [
+        rec(4, "ddl", statement="ALTER TABLE users ADD COLUMN email text"),
+        rec(5, "dml", op="u",
+            before='{"id": 1, "name": "ada", "email": null}',
+            after='{"id": 1, "name": "ada", "email": "a@x.io"}'),
+        rec(6, "dml", op="c",
+            after='{"id": 3, "name": "cyd", "email": "c@x.io"}'),
+    ])
+    q2 = run_pipeline_merge(
+        spark, str(log), dest, ck, "app", ["users"],
+        SchemaAdapter.replay(hist), history_path=hist,
+    )
+    q2.awaitTermination(90)
+
+    from reader_spark.operators.transfer import TransferWriter
+
+    got = {
+        r["id"]: (r["name"], r["email"])
+        for r in TransferWriter(spark, dest).read("users").collect()
+    }
+    assert got == {
+        "1": ("ada", "a@x.io"),  # updated through the evolved merge
+        "2": ("bob", None),      # pre-ALTER row: evolved NULL
+        "3": ("cyd", "c@x.io"),  # post-ALTER insert carries the column
+    }

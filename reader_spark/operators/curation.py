@@ -1571,3 +1571,46 @@ def drift_watch(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return body
+
+
+def split_by_component(
+    docs: DataFrame,
+    components: DataFrame,
+    fractions: tuple[float, float] = (0.9, 0.95),
+    id_col: str = "doc_id",
+    comp_col: str = "component_id",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: the md5-uniform draw
+    is taken on the near-dup COMPONENT id, so every member of a
+    near-dup family lands in the same split — the guard
+    `split_leakage` measures, enforced by construction instead of
+    audited after the fact (a doc-id draw strands near-identical
+    twins across the train/test boundary, the classic benchmark
+    leak). `components` is (id, component) — neardup_canonical's
+    output, or any cluster map; docs absent from it are singletons
+    (component = own id), so the assignment is total.
+
+    Map-only after one equi-join against the component map (at 100 TB
+    the map is 2 longs/doc — sort-merge on uniform ids; with the
+    materialized cc/ artifact it is already laid out and never
+    derived at split time). A component's split never changes as the
+    corpus grows, and ADDING a member to a family cannot move it
+    across splits — the component minimum is stable under growth
+    only if ids grow upward, which the index's monotone doc-id
+    contract provides."""
+    comp = components.select(
+        F.col(id_col), F.col(comp_col).alias("__comp")
+    )
+    joined = docs.select(id_col).join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__comp"), F.col(id_col)).alias("__comp"),
+    )
+    u = _hash_unit(F.col("__comp"), "split")
+    return joined.select(
+        id_col,
+        F.col("__comp").alias(comp_col),
+        F.when(u < fractions[0], F.lit("train"))
+        .when(u < fractions[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -4912,6 +4912,44 @@ FROM ranked WHERE r = 1
 """
 
 
+def split_by_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free dataset split (operators/curation.py::
+    split_by_component): the train/val/test draw is taken on the
+    near-dup COMPONENT id, so no near-dup family ever straddles the
+    train/test boundary — the leak `split_leakage` audits is
+    impossible by construction. Components from the same verified
+    pipeline as canonical_docs; singletons split on their own id."""
+    docs = _t(spark, sf_dir, "documents")
+    base = pin(DD.token_hashes(docs))
+    sigs = pin(DD.minhash_signature(base, num_hashes=_MH_K, hashes_col="toks"))
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=_MH_K, band_size=_MH_BAND)
+    verified = DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    comp = DD.connected_components(verified).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+    return CU.split_by_component(docs, comp)
+
+
+SPLIT_BY_COMPONENT_SQL = _COMP_CTES + """
+, compmap AS (
+  SELECT docs.doc_id, coalesce(mr.comp, docs.doc_id) AS component_id
+  FROM documents docs
+  LEFT JOIN (SELECT n, min(m) AS comp FROM reach GROUP BY n) mr
+    ON mr.n = docs.doc_id
+)
+SELECT doc_id, component_id,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, component_id,
+         (('0x' || substr(md5('split:' || component_id::VARCHAR), 1, 8))::BIGINT
+          % 1000000) / 1000000.0 AS u
+  FROM compmap
+)
+"""
+
+
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
 _MIX_BUDGET = 100_000
 
@@ -8401,6 +8439,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lpa_communities": (lpa_communities_q, LPA_SQL),
     "lpa_communities_indexed": (lpa_communities_indexed_q, LPA_SQL),
     "canonical_docs_indexed": (canonical_docs_indexed_q, CANONICAL_SQL),
+    "split_by_component": (split_by_component_q, SPLIT_BY_COMPONENT_SQL),
     "record_linkage": (record_linkage, RECORD_LINKAGE_SQL),
     "doc_keywords": (doc_keywords, DOC_KEYWORDS_SQL),
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),

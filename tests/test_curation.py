@@ -670,3 +670,29 @@ def test_drift_check_matches_summary_and_watch_stream(spark, tmp_path):
     CU.drift_watch(ref_path, log, "value")(batch_df, max(rows))
     again = {r["batch"]: r for r in spark.read.parquet(log).collect()}
     assert len(again) == 2 and again[max(rows)] == shifted
+
+
+def test_split_by_component_is_leakage_free(spark):
+    """Every member of a component gets the component's split (no
+    near-dup family straddles train/test); docs absent from the map
+    split as singletons; fractions behave on singleton mass."""
+    from reader_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1000)], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        [(i, i - (i % 10)) for i in range(500)],  # families of 10
+        "doc_id long, component_id long",
+    )
+    out = CU.split_by_component(docs, comp).collect()
+    assert len(out) == 1000
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())  # no straddling
+    # docs 500..999 are singletons: component == own id
+    singles = {r["doc_id"]: r["component_id"] for r in out if r["doc_id"] >= 500}
+    assert singles == {i: i for i in range(500, 1000)}
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "val", "test"}

@@ -82,12 +82,18 @@ class CurateCfg:
     epoch: int = 0
     chunk_width: int = 0             # 0 = no chunking
     chunk_overlap: int = 0
+    # "" = no split; "doc" = md5 draw per doc id; "component" = the
+    # leakage-free draw per near-dup component (family never
+    # straddles train/test) — shards land under <out>/<split>/
+    split: str = ""
 
     def __post_init__(self) -> None:
         if self.dedup not in ("exact", "normalized", "minhash", "none"):
             raise ValueError(f"unknown dedup mode {self.dedup!r}")
         if self.chunk_width and self.chunk_overlap >= self.chunk_width:
             raise ValueError("chunk_overlap must be < chunk_width")
+        if self.split not in ("", "doc", "component"):
+            raise ValueError(f"unknown split mode {self.split!r}")
 
 
 @dataclass

@@ -408,7 +408,10 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 .select("doc_id")
             )
             docs = docs.join(keep, "doc_id")
-        elif cfg.dedup == "minhash":
+        comp = None
+        if cfg.dedup == "minhash" or cfg.split == "component":
+            # one near-dup derivation feeds BOTH the keep-one dedup
+            # and the leakage-free split when both are configured
             from reader_spark.cache import pin
 
             base = pin(DD.token_hashes(docs))
@@ -419,7 +422,8 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             verified = DD.jaccard_verify(
                 pairs, docs, threshold=0.8, toks=base
             )
-            comp = DD.connected_components(verified)
+            comp = pin(DD.connected_components(verified))
+        if cfg.dedup == "minhash":
             # keep each component's minimum id; isolated docs keep
             # themselves (label is null after the left join)
             docs = (
@@ -430,6 +434,23 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 )
                 .drop("node", "label")
             )
+        if cfg.split:
+            from reader_spark.operators.curation import (
+                dataset_split,
+                split_by_component,
+            )
+
+            if cfg.split == "component":
+                assignment = split_by_component(
+                    docs,
+                    comp.select(
+                        F.col("node").alias("doc_id"),
+                        F.col("label").alias("component_id"),
+                    ),
+                ).select("doc_id", "split")
+            else:
+                assignment = dataset_split(docs)
+            docs = docs.join(assignment, "doc_id")
         if cfg.chunk_width:
             # dedup first, chunk after: near-dup families are decided
             # on whole documents, then survivors split into training
@@ -444,18 +465,38 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 overlap=cfg.chunk_overlap,
                 emit_text=True,
             )
+            if cfg.split:
+                # a chunk inherits its parent's split (the leakage
+                # guard must hold at window granularity too); the
+                # chunker emits (doc_id, chunk...) only, so re-attach
+                chunks = chunks.join(
+                    docs.select("doc_id", "split"), "doc_id"
+                )
             docs = chunks.select(
                 (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias(
                     "doc_id"
                 ),
                 F.col("chunk_text").alias("text"),
+                *(["split"] if cfg.split else []),
             )
         out = f"{settings.destination.path}/{table.name}"
-        manifest = write_training_shards(
-            docs, out, n_shards=cfg.n_shards, epoch=cfg.epoch
-        )
-        results[table.name] = out
-        results[f"manifest:{table.name}"] = str(sum(manifest.values()))
+        if cfg.split:
+            for s in ("train", "val", "test"):
+                part = docs.filter(F.col("split") == s).drop("split")
+                manifest = write_training_shards(
+                    part, f"{out}/{s}", n_shards=cfg.n_shards,
+                    epoch=cfg.epoch,
+                )
+                results[f"manifest:{table.name}/{s}"] = str(
+                    sum(manifest.values())
+                )
+            results[table.name] = out
+        else:
+            manifest = write_training_shards(
+                docs, out, n_shards=cfg.n_shards, epoch=cfg.epoch
+            )
+            results[table.name] = out
+            results[f"manifest:{table.name}"] = str(sum(manifest.values()))
         # shard write materialized everything — drop the pinned
         # token-hash/signature frames before the next table
         from reader_spark.cache import release_pins

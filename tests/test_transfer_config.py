@@ -1185,3 +1185,58 @@ def test_bucketed_upsert_schema_evolution_untouched_buckets(spark, tmp_path):
     assert len(out) == 100
     assert out[7] == ("V7", "N7")
     assert out[0] == ("v0", None)  # untouched bucket: evolved NULL
+
+
+def test_curation_job_component_split(spark, tmp_path, sf_dir):
+    """curate: {split: component} writes per-split shard trees whose
+    union is the gated corpus, with every near-dup family entirely
+    inside ONE split (the leakage guard, asserted against an
+    independently derived component map)."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import dedup as DD
+    from reader_spark.session import read_table
+
+    out = str(tmp_path / "shards")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  dedup: none
+  split: component
+  n_shards: 2
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert res["documents"] == f"{out}/documents"
+    docs = read_table(spark, sf_dir, "documents")
+    parts = {}
+    total = 0
+    for s in ("train", "val", "test"):
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/documents/{s}")
+            .select("doc_id").collect()
+        }
+        parts[s] = ids
+        total += len(ids)
+        assert int(res[f"manifest:documents/{s}"]) == len(ids)
+    assert total == docs.count()  # partition of the corpus
+    # independent component derivation: no family straddles splits
+    base = DD.token_hashes(docs)
+    sigs = DD.minhash_signature(base, num_hashes=16, hashes_col="toks")
+    pairs = DD.lsh_candidate_pairs(sigs, num_hashes=16, band_size=8)
+    comp = DD.connected_components(
+        DD.jaccard_verify(pairs, docs, threshold=0.8, toks=base)
+    )
+    fam = {}
+    for r in comp.collect():
+        fam.setdefault(r["label"], set()).add(r["node"])
+    where = {s: ids for s, ids in parts.items()}
+    for members in fam.values():
+        homes = {s for s, ids in where.items() if members & ids}
+        assert len(homes) == 1, f"family straddles splits: {members}"

@@ -86,6 +86,10 @@ class CurateCfg:
     # leakage-free draw per near-dup component (family never
     # straddles train/test) — shards land under <out>/<split>/
     split: str = ""
+    # with split: component, read the component map from this graph
+    # index's materialized cc/ artifact (neardup_cc_write) instead of
+    # re-deriving minhash -> LSH -> verify -> CC per run
+    component_index: str = ""
 
     def __post_init__(self) -> None:
         if self.dedup not in ("exact", "normalized", "minhash", "none"):

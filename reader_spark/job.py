@@ -409,7 +409,10 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             )
             docs = docs.join(keep, "doc_id")
         comp = None
-        if cfg.dedup == "minhash" or cfg.split == "component":
+        need_derive = cfg.dedup == "minhash" or (
+            cfg.split == "component" and not cfg.component_index
+        )
+        if need_derive:
             # one near-dup derivation feeds BOTH the keep-one dedup
             # and the leakage-free split when both are configured
             from reader_spark.cache import pin
@@ -440,7 +443,13 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 split_by_component,
             )
 
-            if cfg.split == "component":
+            if cfg.split == "component" and cfg.component_index:
+                from reader_spark.operators.dedup import neardup_canonical
+
+                assignment = split_by_component(
+                    docs, neardup_canonical(spark, cfg.component_index)
+                ).select("doc_id", "split")
+            elif cfg.split == "component":
                 assignment = split_by_component(
                     docs,
                     comp.select(

@@ -1240,3 +1240,45 @@ curate:
     for members in fam.values():
         homes = {s for s, ids in where.items() if members & ids}
         assert len(homes) == 1, f"family straddles splits: {members}"
+
+
+def test_curation_split_from_materialized_index(spark, tmp_path, sf_dir):
+    """curate: {split: component, component_index: <idx>} reads the
+    cc/ artifact instead of re-deriving the near-dup pipeline — same
+    assignment as the derive path (labels differ only in never being
+    computed twice)."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import dedup as DD
+    from reader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "ndidx")
+    DD.neardup_index_write(docs, idx)
+    DD.neardup_cc_write(spark, idx, n_buckets=8)
+    out = str(tmp_path / "shards")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  dedup: none
+  split: component
+  component_index: {idx}
+  n_shards: 2
+"""
+    res = run_job(spark, load_settings(cfg))
+    out2 = str(tmp_path / "shards_derive")
+    res2 = run_job(spark, load_settings(
+        cfg.replace(f"component_index: {idx}\n  ", "").replace(out, out2)
+    ))
+    for s in ("train", "val", "test"):
+        a = {r["doc_id"] for r in spark.read.parquet(
+            f"{out}/documents/{s}").select("doc_id").collect()}
+        b = {r["doc_id"] for r in spark.read.parquet(
+            f"{out2}/documents/{s}").select("doc_id").collect()}
+        assert a == b  # index path == derive path, split for split

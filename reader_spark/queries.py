@@ -8646,13 +8646,15 @@ assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 # green and rotate in next round.
 _WINDOW_R8 = [
     # new this round (never sampled)
-    "canonical_docs_indexed", "source_overlap_kmv",
+    "canonical_docs_indexed", "source_overlap_kmv", "snapshot_drift",
+    "split_by_component",
     # reads code changed this round (self-loop guard, cc hook)
     "lpa_communities_indexed",
-    # stalest: last sampled round 1
+    # stalest: last sampled round 1 (percentiles/pivot_status stay
+    # r1-green with untouched code; they rotate in next round)
     "anti_join_customers", "approx_distinct_users", "date_functions",
     "events_hourly", "events_resample_locf", "lead_lag_events",
-    "max_order_per_customer", "percentiles", "pivot_status",
+    "max_order_per_customer",
     "q13_customer_distribution", "q16_supplier_count",
     "q20_excess_supply", "q2_min_supplier", "q4_order_priority",
     "rollup_sales", "running_totals", "sample_hash_mod",

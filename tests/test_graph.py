@@ -686,3 +686,42 @@ def test_neardup_cc_distributed_fallback_matches_driver_path(
         return _cc_map(spark, path)
 
     assert run(0) == run(500_000)  # distributed == driver union-find
+
+
+def test_neardup_cc_crash_after_edges_before_cc_heals(spark, tmp_path):
+    """First crash point in the edges -> cc -> bands -> toks order:
+    edges appended, component map untouched. The replay re-runs the
+    full update (toks gate open) and must land on the clean-run
+    state — edge rows may duplicate on disk (absorbed by .distinct),
+    the component map must converge exactly."""
+    import shutil
+
+    from reader_spark.operators import dedup as DD
+
+    docs = _bridge_docs(spark)
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id in (1, 10)"), path, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
+    DD.neardup_cc_write(spark, path, n_buckets=4)
+    delta = docs.filter("doc_id not in (1, 10)")
+    pre = str(tmp_path / "pre")
+    for sub in ("cc", "bands", "toks"):
+        shutil.copytree(f"{path}/{sub}", f"{pre}/{sub}")
+    DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    )
+    want_edges, want_cc = _edges(spark, path), _cc_map(spark, path)
+    # crash simulation: only the edges append survived
+    for sub in ("cc", "bands", "toks"):
+        shutil.rmtree(f"{path}/{sub}")
+        shutil.copytree(f"{pre}/{sub}", f"{path}/{sub}")
+        spark.catalog.refreshByPath(f"{path}/{sub}")
+    assert DD.neardup_index_update(
+        spark, path, delta, num_hashes=8, band_size=2, threshold=0.8
+    ) == 4
+    assert _edges(spark, path) == want_edges
+    assert _cc_map(spark, path) == want_cc
+    assert spark.read.parquet(f"{path}/edges").filter(
+        "doc_a = doc_b").count() == 0

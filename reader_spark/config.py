@@ -124,14 +124,17 @@ class IndexCfg:
     # mode 'build' writes a fresh index; mode 'maintain' compacts an
     # existing one (small-files OPTIMIZE over the bucket/cell dirs —
     # bm25_index_maintain / ivf_index_maintain — or, for neardup,
-    # the pointer-flip rewrite that also purges tombstones)
-    mode: str = "build"              # build | maintain
+    # the pointer-flip rewrite that also purges tombstones); mode
+    # 'stream' keeps an EXISTING index fresh from a document stream
+    # (the maintainer family as foreachBatch bodies; availableNow —
+    # one run drains the backlog and exits, re-run on your cadence)
+    mode: str = "build"              # build | maintain | stream
     max_files: int = 4               # maintain: compaction trigger
 
     def __post_init__(self) -> None:
         if self.kind not in ("bm25", "ivf", "neardup"):
             raise ValueError(f"unknown index kind {self.kind!r}")
-        if self.mode not in ("build", "maintain"):
+        if self.mode not in ("build", "maintain", "stream"):
             raise ValueError(f"unknown index mode {self.mode!r}")
 
 

@@ -231,6 +231,85 @@ def main(argv: list[str] | None = None) -> None:
         print(f"{table}\t{where}")
 
 
+def _run_index_stream(
+    spark: SparkSession, settings: Settings
+) -> dict[str, str]:
+    """index: {mode: stream} — keep an EXISTING index fresh from a
+    document/vector stream: jsonl (or parquet) files landing under
+    `<options.path>/<table>` stream through the kind's maintainer
+    body (neardup_index_maintainer / bm25_index_maintainer /
+    ivf_index_maintainer) with availableNow semantics: one run drains
+    the backlog exactly-once (checkpointed) and returns. Build the
+    index first with mode: build; replay safety is each maintainer's
+    own contract (toks-gate / bare-append / cell upsert)."""
+    cfg = settings.index
+    src = settings.source
+    dest = settings.destination
+    results: dict[str, str] = {}
+    for table in src.tables:
+        out = f"{dest.path}/{table.name}"
+        ck = src.options.get(
+            "checkpoint_dir", f"{out}/_stream_ckpt"
+        )
+        if cfg.kind == "ivf":
+            schema = (
+                f"{cfg.id_column} long, "
+                f"{cfg.vector_column} array<double>"
+            )
+        else:
+            schema = f"{cfg.id_column} long, {cfg.text_column} string"
+        in_dir = f"{src.options['path']}/{table.name}"
+        if src.kind == "parquet":
+            stream = spark.readStream.schema(schema).parquet(in_dir)
+        else:
+            stream = spark.readStream.schema(schema).json(in_dir)
+        if cfg.kind == "neardup":
+            from reader_spark.operators.dedup import (
+                neardup_index_maintainer,
+            )
+
+            body = neardup_index_maintainer(
+                out, num_hashes=cfg.num_hashes, band_size=cfg.band_size,
+                threshold=cfg.threshold, id_col=cfg.id_column,
+                text_col=cfg.text_column,
+            )
+        elif cfg.kind == "bm25":
+            from reader_spark.operators.retrieval import (
+                bm25_index_maintainer,
+            )
+
+            if cfg.id_column != "doc_id":
+                inner = bm25_index_maintainer(
+                    out, n_buckets=cfg.n_buckets, text_col=cfg.text_column
+                )
+
+                def body(df, bid, _inner=inner):
+                    _inner(
+                        df.withColumnRenamed(cfg.id_column, "doc_id"), bid
+                    )
+            else:
+                body = bm25_index_maintainer(
+                    out, n_buckets=cfg.n_buckets, text_col=cfg.text_column
+                )
+        else:
+            from reader_spark.operators.similarity import (
+                ivf_index_maintainer,
+            )
+
+            body = ivf_index_maintainer(
+                out, id_col=cfg.id_column, vec_col=cfg.vector_column
+            )
+        q = (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results[table.name] = f"{out} (stream backlog drained)"
+    return results
+
+
 def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
     """Drift job (`drift:` block): per table, mode 'baseline'
     publishes the reference histogram at
@@ -278,6 +357,8 @@ def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
     cfg = settings.index
     src = settings.source
     results: dict[str, str] = {}
+    if cfg.mode == "stream":
+        return _run_index_stream(spark, settings)
     if cfg.mode == "maintain":
         # compaction pass over an EXISTING index: no source read at
         # all — the OPTIMIZE verb of the index lifecycle

@@ -1282,3 +1282,71 @@ curate:
         b = {r["doc_id"] for r in spark.read.parquet(
             f"{out2}/documents/{s}").select("doc_id").collect()}
         assert a == b  # index path == derive path, split for split
+
+
+def test_index_job_stream_mode_maintains_neardup(spark, tmp_path, sf_dir):
+    """index: {mode: stream} drains a jsonl backlog through the
+    neardup maintainer from YAML: edges AND component map equal a
+    scratch rebuild over the full corpus; a second run with nothing
+    new is a checkpointed no-op."""
+    import json as _json
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import dedup as DD
+    from reader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 400")
+    out = str(tmp_path / "idx")
+    DD.neardup_index_write(
+        docs.filter("doc_id % 5 != 0"), f"{out}/documents",
+        num_hashes=8, band_size=2, threshold=0.8,
+    )
+    DD.neardup_cc_write(spark, f"{out}/documents", n_buckets=4)
+    stream_dir = tmp_path / "in" / "documents"
+    stream_dir.mkdir(parents=True)
+    with open(stream_dir / "delta.jsonl", "w") as f:
+        for r in docs.filter("doc_id % 5 = 0").collect():
+            f.write(_json.dumps(
+                {"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    cfg = f"""
+source:
+  kind: jsonl
+  streaming: true
+  options: {{path: {tmp_path / 'in'}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+index:
+  kind: neardup
+  mode: stream
+  num_hashes: 8
+  band_size: 2
+  threshold: 0.8
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert "drained" in res["documents"]
+    scratch = str(tmp_path / "scratch")
+    DD.neardup_index_write(docs, scratch, num_hashes=8, band_size=2,
+                           threshold=0.8)
+    DD.neardup_cc_write(spark, scratch, n_buckets=4)
+
+    def edges(p):
+        return sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in DD.neardup_edges(spark, p).collect()
+        )
+
+    def cc(p):
+        return {
+            r["doc_id"]: r["component_id"]
+            for r in DD.neardup_canonical(spark, p).collect()
+        }
+
+    assert edges(f"{out}/documents") == edges(scratch)
+    assert cc(f"{out}/documents") == cc(scratch)
+    # re-run: checkpoint replays nothing
+    before = edges(f"{out}/documents")
+    run_job(spark, load_settings(cfg))
+    assert edges(f"{out}/documents") == before

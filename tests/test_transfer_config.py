@@ -1350,3 +1350,59 @@ index:
     before = edges(f"{out}/documents")
     run_job(spark, load_settings(cfg))
     assert edges(f"{out}/documents") == before
+
+
+def test_index_job_stream_mode_maintains_ivf(spark, tmp_path, sf_dir):
+    """index: {kind: ivf, mode: stream}: a parquet vector backlog
+    drains through ivf_index_maintainer; the updated index returns
+    search results identical to a full re-index under the same
+    stored quantizer."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import similarity as SIM
+    from reader_spark.session import read_table
+
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 300")
+    seed = emb.filter("vec_id % 3 != 0")
+    out = str(tmp_path / "idx")
+    model = SIM.ivf_fit(seed, 8, seed=7)
+    SIM.ivf_index_write(seed, f"{out}/embeddings", model)
+    in_dir = tmp_path / "in" / "embeddings"
+    in_dir.mkdir(parents=True)
+    emb.filter("vec_id % 3 = 0").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).coalesce(1).write.mode("overwrite").parquet(str(in_dir))
+    cfg = f"""
+source:
+  kind: parquet
+  streaming: true
+  options: {{path: {tmp_path / 'in'}}}
+  tables: [{{name: embeddings}}]
+destination:
+  kind: parquet
+  path: {out}
+index:
+  kind: ivf
+  mode: stream
+  id_column: vec_id
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert "drained" in res["embeddings"]
+    queries = emb.filter("vec_id % 50 = 1").limit(5)
+    got = sorted(
+        tuple(r) for r in SIM.knn_ivf_indexed(
+            spark, f"{out}/embeddings", queries, k=3, nprobe=8
+        ).collect()
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    SIM.ivf_index_write(emb, rebuilt, model)
+    want = sorted(
+        tuple(r) for r in SIM.knn_ivf_indexed(
+            spark, rebuilt, queries, k=3, nprobe=8
+        ).collect()
+    )
+    assert got == want

@@ -130,6 +130,13 @@ class IndexCfg:
     # one run drains the backlog and exits, re-run on your cadence)
     mode: str = "build"              # build | maintain | stream
     max_files: int = 4               # maintain: compaction trigger
+    # ivf stream mode only: run the full closed loop (index update +
+    # K-row health merge + measured-drift refit with re-baselining —
+    # similarity.ivf_autorefit_maintainer) instead of index updates
+    # alone; health/baseline live at <index>/health and
+    # <index>/baseline (nested published artifacts — atomic_dir's
+    # legacy GC explicitly spares them)
+    autorefit: bool = False
 
     def __post_init__(self) -> None:
         if self.kind not in ("bm25", "ivf", "neardup"):

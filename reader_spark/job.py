@@ -291,6 +291,23 @@ def _run_index_stream(
                 body = bm25_index_maintainer(
                     out, n_buckets=cfg.n_buckets, text_col=cfg.text_column
                 )
+        elif cfg.autorefit:
+            import os
+
+            from reader_spark.operators.similarity import (
+                ivf_autorefit_maintainer,
+                ivf_health_write,
+            )
+
+            hp, bp = f"{out}/health", f"{out}/baseline"
+            if not os.path.isdir(hp):
+                ivf_health_write(spark, out, hp)
+            if not os.path.isdir(bp):
+                ivf_health_write(spark, out, bp)
+            body = ivf_autorefit_maintainer(
+                out, hp, bp, n_clusters=cfg.n_clusters,
+                id_col=cfg.id_column, vec_col=cfg.vector_column,
+            )
         else:
             from reader_spark.operators.similarity import (
                 ivf_index_maintainer,

@@ -1406,3 +1406,61 @@ index:
         ).collect()
     )
     assert got == want
+
+
+def test_index_job_stream_autorefit_closed_loop(spark, tmp_path, sf_dir):
+    """index: {kind: ivf, mode: stream, autorefit: true} runs the
+    full closed loop from YAML: health tables bootstrap on first run,
+    a stable backlog leaves the index version alone, and the health
+    table equals a full rescan (the monoid-merge contract)."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import atomic_dir
+    from reader_spark.operators import similarity as SIM
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 300")
+    seed = emb.filter("vec_id % 3 != 0")
+    out = str(tmp_path / "idx")
+    idx = f"{out}/embeddings"
+    model = SIM.ivf_fit(seed, 8, seed=7)
+    SIM.ivf_index_write(seed, idx, model)
+    in_dir = tmp_path / "in" / "embeddings"
+    in_dir.mkdir(parents=True)
+    emb.filter("vec_id % 3 = 0").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).coalesce(1).write.mode("overwrite").parquet(str(in_dir))
+    cfg = f"""
+source:
+  kind: parquet
+  streaming: true
+  options: {{path: {tmp_path / 'in'}}}
+  tables: [{{name: embeddings}}]
+destination:
+  kind: parquet
+  path: {out}
+index:
+  kind: ivf
+  mode: stream
+  autorefit: true
+  id_column: vec_id
+  n_clusters: 8
+"""
+    v0 = atomic_dir.versions(idx)[-1] if atomic_dir.versions(idx) else None
+    res = run_job(spark, load_settings(cfg))
+    assert "drained" in res["embeddings"]
+    # same-distribution backlog: no refit fired
+    v1 = atomic_dir.versions(idx)[-1] if atomic_dir.versions(idx) else None
+    assert v0 == v1
+    # health == full rescan after the drain
+    got = {tuple(r) for r in SIM.ivf_health_read(
+        spark, f"{idx}/health").collect()}
+    hp2 = str(tmp_path / "rescan")
+    SIM.ivf_health_write(spark, idx, hp2)
+    want = {tuple(r) for r in SIM.ivf_health_read(spark, hp2).collect()}
+    assert got == want
+    assert sum(r[1] for r in got) == emb.count()

@@ -195,6 +195,7 @@ HEADLINE = [
     # v9 (r8): snapshot drift — integer-exact TVD/L-inf distribution
     # check between a reference and a current ingest wave
     "snapshot_drift",
+    "snapshot_drift_summary",
 ]
 
 

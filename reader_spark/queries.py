@@ -5851,6 +5851,37 @@ FROM j, t
 """
 
 
+def snapshot_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row drift verdict (operators/curation.py::drift_summary)
+    over the same orders split as `snapshot_drift`: total-variation
+    distance and L-infinity of the bucket share deltas in exact
+    integer ppm, the drifted-bucket count at the 50k-ppm alert, and
+    both snapshot sizes — the row a scheduler alerts on."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    cur = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    return CU.drift_summary(ref, cur, "o_totalprice", n_buckets=20)
+
+
+_DRIFT_BUCKETS_CTE = SNAPSHOT_DRIFT_SQL.rsplit("SELECT bucket,", 1)[0]
+
+SNAPSHOT_DRIFT_SUMMARY_SQL = _DRIFT_BUCKETS_CTE + """
+, rep AS (
+  SELECT ((cur_n * 1000000) // cur_total
+          - (ref_n * 1000000) // ref_total) AS delta_ppm,
+         ref_n, cur_n
+  FROM j, t
+)
+SELECT (sum(abs(delta_ppm)) // 2)::BIGINT AS tvd_ppm,
+       max(abs(delta_ppm))::BIGINT AS linf_ppm,
+       sum(CASE WHEN abs(delta_ppm) > 50000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_drifted_buckets,
+       sum(ref_n)::BIGINT AS n_ref,
+       sum(cur_n)::BIGINT AS n_cur
+FROM rep
+"""
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 20-bucket histogram of events.value — the
     distribution profile a curation dashboard draws. One 2-scalar
@@ -8325,6 +8356,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "data_quality_report": (data_quality_report, QUALITY_REPORT_SQL),
     "value_histogram": (value_histogram, HISTOGRAM_SQL),
     "snapshot_drift": (snapshot_drift, SNAPSHOT_DRIFT_SQL),
+    "snapshot_drift_summary": (
+        snapshot_drift_summary, SNAPSHOT_DRIFT_SUMMARY_SQL,
+    ),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —
     # image_phash_dedup exercises the same synthesize/decode path

@@ -519,3 +519,100 @@ def kmv_overlap(tiles: DataFrame, key_col: str, k: int = 64) -> DataFrame:
         "n_common",
         F.expr("(n_common * 1000000) div m").alias("jaccard_est_ppm"),
     )
+
+
+def kmv_tiles_write(
+    df: DataFrame, path: str, key_cols: list[str], value_col: str,
+    k: int = 64,
+) -> None:
+    """Materialize the per-key KMV sketch table (kmv_tiles) behind an
+    atomic pointer flip — the stored side of a maintained distinct /
+    overlap dashboard. Read back with `kmv_tiles_read`."""
+    from reader_spark.operators import atomic_dir
+
+    tiles = kmv_tiles(df, key_cols, value_col, k)
+
+    def write_fn(vdir: str) -> None:
+        import os
+
+        tiles.coalesce(1).write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_epoch"), "w") as f:
+            f.write("-1")
+
+    atomic_dir.publish(path, write_fn)
+
+
+def kmv_tiles_read(spark, path: str) -> DataFrame:
+    """Read a materialized KMV tile table (pointer-resolved)."""
+    from reader_spark.operators import atomic_dir
+
+    return spark.read.parquet(atomic_dir.resolve(path))
+
+
+def kmv_tiles_update(
+    spark, path: str, batch: DataFrame, key_cols: list[str],
+    value_col: str, k: int = 64, epoch: int | None = None,
+) -> None:
+    """Incremental KMV maintenance: sketch the delta and merge tile-
+    wise with the stored table (union hashes, keep the k smallest —
+    EXACT, the kmv_merge containment property: update == rebuild over
+    the concatenated corpus, asserted in test_sketches.py). The
+    rewrite touches a key-count-sized frame of k-long arrays — KB,
+    nothing to partition; the pointer flip keeps readers consistent.
+
+    KMV merge is idempotent (re-merging the same hashes changes
+    nothing), but the epoch marker still gates replays for symmetry
+    with the CMS/health maintainers and to skip the wasted work."""
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    ep = os.path.join(root, "_epoch")
+    stored_epoch = -1
+    if os.path.isfile(ep):
+        with open(ep) as f:
+            stored_epoch = int(f.read().strip() or -1)
+    if epoch is not None and stored_epoch >= epoch:
+        return
+    new_epoch = epoch if epoch is not None else stored_epoch
+    delta = kmv_tiles(batch, key_cols, value_col, k)
+    merged = (
+        kmv_tiles_read(spark, path)
+        .unionByName(delta)
+        .select(*key_cols, F.explode("kmv").alias("h"))
+        .distinct()
+        .groupBy(*key_cols)
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmv"))
+    )
+
+    def write_fn(vdir: str) -> None:
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_epoch"), "w") as f:
+            f.write(str(new_epoch))
+
+    atomic_dir.publish(path, write_fn)
+
+
+def kmv_maintainer(
+    path: str, key_cols: list[str], value_col: str, k: int = 64
+):
+    """`foreachBatch` body keeping a materialized KMV tile table
+    fresh from a stream — the overlap/distinct dashboard member of
+    the maintainer family: `kmv_overlap(kmv_tiles_read(...))` gives
+    the cross-key overlap matrix at any moment from KB of state,
+    and the merge is exact (not approximate-on-approximate).
+
+        rows.writeStream.foreachBatch(
+            kmv_maintainer(path, ["source"], "text")).start()
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kmv_tiles_update(
+            batch_df.sparkSession, path, batch_df, key_cols, value_col,
+            k=k, epoch=batch_id,
+        )
+
+    return body

@@ -323,3 +323,71 @@ def test_kmv_overlap_estimates_jaccard(spark):
     }
     assert est[("a", "c")] == 0
     assert 350_000 <= est[("a", "b")] <= 850_000  # ±0.25 at k=32
+
+
+def test_kmv_tiles_maintained_stream_equals_direct(spark, tmp_path):
+    """Streamed KMV tile maintenance == direct sketch over the full
+    corpus (the kmv_merge containment property makes the merge
+    EXACT), the overlap matrix from maintained tiles matches the
+    direct one, and a replayed epoch is a no-op."""
+    import json
+
+    from reader_spark.operators import sketches as SK
+
+    rows = (
+        [("a", f"shared-{i}") for i in range(80)]
+        + [("a", f"only-a-{i}") for i in range(40)]
+        + [("b", f"shared-{i}") for i in range(80)]
+        + [("b", f"only-b-{i}") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "src string, v string")
+    path = str(tmp_path / "kmv")
+    SK.kmv_tiles_write(
+        df.filter("v like 'shared%'"), path, ["src"], "v", k=32
+    )
+    src_dir = tmp_path / "stream"
+    src_dir.mkdir()
+    with open(src_dir / "delta.jsonl", "w") as f:
+        for r in df.filter("v not like 'shared%'").collect():
+            f.write(json.dumps({"src": r["src"], "v": r["v"]}) + "\n")
+    q = (
+        spark.readStream.schema("src string, v string")
+        .json(str(src_dir))
+        .writeStream.foreachBatch(SK.kmv_maintainer(path, ["src"], "v", k=32))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["src"]: list(r["kmv"])
+        for r in SK.kmv_tiles_read(spark, path).collect()
+    }
+    want = {
+        r["src"]: list(r["kmv"])
+        for r in SK.kmv_tiles(df, ["src"], "v", k=32).collect()
+    }
+    assert got == want  # maintained == direct, hash-for-hash
+    ov_maint = {
+        (r["key_a"], r["key_b"]): r["jaccard_est_ppm"]
+        for r in SK.kmv_overlap(
+            SK.kmv_tiles_read(spark, path), "src", k=32
+        ).collect()
+    }
+    ov_direct = {
+        (r["key_a"], r["key_b"]): r["jaccard_est_ppm"]
+        for r in SK.kmv_overlap(
+            SK.kmv_tiles(df, ["src"], "v", k=32), "src", k=32
+        ).collect()
+    }
+    assert ov_maint == ov_direct
+    # replayed epoch: no-op (same batch id re-applied by hand)
+    batch = spark.read.schema("src string, v string").json(
+        str(src_dir / "delta.jsonl")
+    )
+    SK.kmv_tiles_update(spark, path, batch, ["src"], "v", k=32, epoch=0)
+    again = {
+        r["src"]: list(r["kmv"])
+        for r in SK.kmv_tiles_read(spark, path).collect()
+    }
+    assert again == got

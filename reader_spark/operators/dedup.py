@@ -931,8 +931,13 @@ def neardup_index_update(
 
     Returns the number of newly indexed docs."""
     old_toks = spark.read.parquet(_nd_root(path, "toks"))
-    fresh = ensure_parallelism(new_docs).join(
-        old_toks.select(id_col), id_col, "anti"
+    # within-batch duplicate ids would land duplicate toks/band rows
+    # (harmless for edges — .distinct absorbs — but they bloat the
+    # replay gate and the cc new-row set); keep first occurrence
+    fresh = (
+        ensure_parallelism(new_docs)
+        .dropDuplicates([id_col])
+        .join(old_toks.select(id_col), id_col, "anti")
     )
     toks_new = pin(token_hashes(fresh, text_col, id_col))
     n_fresh = toks_new.count()

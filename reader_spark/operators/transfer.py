@@ -82,7 +82,14 @@ def apply_changes(
     the change set is typically << base, so Catalyst broadcasts it.
     Schemas evolve (`align_schemas`) before merging, so upstream
     column adds/drops land as NULL-padded columns instead of dropped
-    data or a crashed load."""
+    data or a crashed load. The PRIMARY KEY is exempt from evolution:
+    a change set without it is unmergeable and must fail loudly, not
+    null-fill into one giant group."""
+    missing_pk = [c for c in pk_cols if c not in changes.columns]
+    if missing_pk:
+        raise ValueError(
+            f"change set is missing primary-key column(s) {missing_pk}"
+        )
     base, changes = align_schemas(base, changes, op_col, seq_col)
     value_cols = [c for c in base.columns]
     term = latest_changes(changes, pk_cols, seq_col)

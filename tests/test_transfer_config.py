@@ -1464,3 +1464,16 @@ index:
     want = {tuple(r) for r in SIM.ivf_health_read(spark, hp2).collect()}
     assert got == want
     assert sum(r[1] for r in got) == emb.count()
+
+
+def test_upsert_missing_pk_fails_loudly(spark, tmp_path):
+    """Schema evolution must never null-fill the PRIMARY KEY: a
+    change set without it is unmergeable and raises instead of
+    collapsing into one null-key group."""
+    tw = TransferWriter(spark, str(tmp_path))
+    tw.append("t", base_df(spark))
+    bad = spark.createDataFrame(
+        [("x", "c", 1)], "val string, op string, seq long"
+    )
+    with pytest.raises(ValueError, match="missing primary-key"):
+        tw.upsert("t", bad, ["id"], "seq")

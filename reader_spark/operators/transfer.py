@@ -31,6 +31,31 @@ from reader_spark.operators import atomic_dir
 from reader_spark.plans.snapshot import transfer_dedupe
 
 
+def _write_schema_manifest(root: str, df) -> None:
+    """Persist the table schema as a manifest next to the data
+    (underscore-prefixed: invisible to Spark's file listing).
+    Written via tmp + os.replace so readers never see a torn file."""
+    import uuid as _uuid
+
+    tmp = os.path.join(root, "._schema.tmp-" + _uuid.uuid4().hex[:8])
+    with open(tmp, "w") as f:
+        f.write(df.schema.json())
+    os.replace(tmp, os.path.join(root, "_schema.json"))
+
+
+def _read_schema_manifest(root: str):
+    """The pinned table schema, or None for legacy layouts."""
+    import json as _json
+
+    from pyspark.sql import types as _T
+
+    p = os.path.join(root, "_schema.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return _T.StructType.fromJson(_json.load(f))
+
+
 def latest_changes(
     changes: DataFrame, pk_cols: list[str], seq_col: str
 ) -> DataFrame:
@@ -136,15 +161,19 @@ class TransferWriter:
             return self.spark.read.parquet(
                 atomic_dir.resolve(self._path(table), version)
             )
-        # mergeSchema: a bucketed upsert that evolved the schema only
-        # rewrote the TOUCHED buckets, so files legitimately disagree
-        # — without the merge, the read schema comes from one sampled
-        # footer and a freshly added column can silently vanish.
-        # Footer-only cost; at the many-thousand-file tier carry the
-        # schema in the pointer file instead (the manifest answer).
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            self._data_root(table)
-        )
+        # A bucketed upsert that evolved the schema only rewrote the
+        # TOUCHED buckets, so files legitimately disagree — the read
+        # schema from one sampled footer could silently drop a fresh
+        # column. The upsert verbs therefore carry the merged schema
+        # as a manifest (`_schema.json`) next to the data: reads pin
+        # it (missing columns in old files null-fill by name, no
+        # footer pass at all). Legacy layouts without a manifest pay
+        # the footer merge instead.
+        root = self._data_root(table)
+        schema = _read_schema_manifest(root)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(root)
+        return self.spark.read.option("mergeSchema", "true").parquet(root)
 
     def versions(self, table: str) -> list[int]:
         """Retained snapshot sequence numbers, oldest first."""
@@ -182,10 +211,13 @@ class TransferWriter:
         else:
             base = self.read(table)
         merged = apply_changes(base, changes, pk_cols, seq_col, op_col)
+
+        def write_fn(vdir: str) -> None:
+            merged.write.mode("overwrite").parquet(vdir)
+            _write_schema_manifest(vdir, merged)
+
         atomic_dir.publish(
-            self._path(table),
-            lambda vdir: merged.write.mode("overwrite").parquet(vdir),
-            keep=self.keep_versions,
+            self._path(table), write_fn, keep=self.keep_versions
         )
 
     def upsert_bucketed(
@@ -222,6 +254,7 @@ class TransferWriter:
             first.repartition(n_buckets, "bucket").write.mode(
                 "overwrite"
             ).partitionBy("bucket").parquet(path)
+            _write_schema_manifest(path, first)
             # read the written layout, never recompute the input: a
             # distinct() over `first` would re-run the whole upstream
             # pipeline a second time (measured 3x seed cost on a
@@ -241,6 +274,9 @@ class TransferWriter:
             "overwrite"
         ).partitionBy("bucket").parquet(staging)
         self._swap_buckets(path, staging, touched)
+        # evolution may have widened the schema: re-pin the manifest
+        # AFTER the swap so readers of the new layout see every column
+        _write_schema_manifest(path, merged)
         return touched
 
     @staticmethod
@@ -378,10 +414,13 @@ class TransferWriter:
         containing changed keys."""
         base = self.read(table) if self.exists(table) else None
         merged = self._scd2_merge(base, changes, pk_cols, seq_col, op_col)
+
+        def write_fn(vdir: str) -> None:
+            merged.write.mode("overwrite").parquet(vdir)
+            _write_schema_manifest(vdir, merged)
+
         atomic_dir.publish(
-            self._path(table),
-            lambda vdir: merged.write.mode("overwrite").parquet(vdir),
-            keep=self.keep_versions,
+            self._path(table), write_fn, keep=self.keep_versions
         )
 
     def upsert_scd2_bucketed(
@@ -416,6 +455,7 @@ class TransferWriter:
             merged.repartition(n_buckets, "bucket").write.mode(
                 "overwrite"
             ).partitionBy("bucket").parquet(path)
+            _write_schema_manifest(path, merged)
             return sorted(
                 int(d.split("=", 1)[1])
                 for d in os.listdir(path)
@@ -431,6 +471,7 @@ class TransferWriter:
             "overwrite"
         ).partitionBy("bucket").parquet(staging)
         self._swap_buckets(path, staging, touched)
+        _write_schema_manifest(path, merged)
         return touched
 
     def compact(self, table: str, target_bytes: int = 128 << 20) -> int:

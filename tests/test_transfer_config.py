@@ -1477,3 +1477,37 @@ def test_upsert_missing_pk_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="missing primary-key"):
         tw.upsert("t", bad, ["id"], "seq")
+
+
+def test_schema_manifest_pins_reads_no_footer_merge(spark, tmp_path):
+    """Upsert verbs pin the table schema as _schema.json next to the
+    data; reads use it (old-file missing columns null-fill by name)
+    instead of footer-merging every file — the manifest answer at
+    the many-thousand-file tier."""
+    import json
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    tw = TransferWriter(spark, str(tmp_path))
+    seed = spark.range(0, 100).selectExpr(
+        "id", "concat('v', id) AS v", "'c' AS op", "0L AS seq"
+    )
+    tw.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=8)
+    assert os.path.isfile(str(tmp_path / "t" / "_schema.json"))
+    changes = spark.createDataFrame(
+        [(7, "V7", "N7", "u", 1)],
+        "id long, v string, note string, op string, seq long",
+    )
+    tw.upsert_bucketed("t", changes, ["id"], "seq", n_buckets=8)
+    with open(str(tmp_path / "t" / "_schema.json")) as f:
+        names = [fld["name"] for fld in json.load(f)["fields"]]
+    assert "note" in names  # manifest re-pinned after evolution
+    out = {r["id"]: (r["v"], r["note"]) for r in tw.read("t").collect()}
+    assert out[7] == ("V7", "N7") and out[0] == ("v0", None)
+    # full-rewrite upsert carries the manifest inside the version dir
+    tw2 = TransferWriter(spark, str(tmp_path / "full"))
+    tw2.upsert("u", changes, ["id"], "seq")
+    root = atomic_dir.resolve(str(tmp_path / "full" / "u"))
+    assert os.path.isfile(os.path.join(root, "_schema.json"))
+    assert {r["id"] for r in tw2.read("u").collect()} == {7}

@@ -1614,3 +1614,82 @@ def split_by_component(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def drift_report_grouped(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_buckets: int = 20,
+    alert_ppm: int = 50_000,
+) -> DataFrame:
+    """Per-group drift verdicts in one pass: the drift family's
+    monitoring shape for multi-source corpora — each group (source /
+    lang / shard family) gets its own bucket anchoring (that group's
+    reference min/max) and its own exact-ppm TVD / L-infinity /
+    drifted-bucket row, so a drifting MINORITY source alarms even
+    when the corpus-level mixture hides it.
+
+    Scale: the per-group stats table is group-cardinality-sized and
+    broadcast back; both snapshots take one map-only bucket pass and
+    one bounded aggregate — grouping adds no extra shuffle class over
+    `drift_report`. Groups absent from the reference are skipped by
+    the inner join (a NEW source has no baseline — baseline it first;
+    that appearance is `schema_drift`/census territory, not a bucket
+    delta)."""
+    from reader_spark.cache import pin
+
+    stats = pin(
+        ref.groupBy(group_col).agg(
+            F.min(value_col).cast("double").alias("lo"),
+            F.max(value_col).cast("double").alias("hi"),
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / float(n_buckets)
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(value_col).cast("double") - F.col("lo")) / width
+                    ).cast("int"),
+                ),
+            )
+        )
+        return (
+            df.join(F.broadcast(stats), group_col)
+            .select(group_col, b.alias("bucket"))
+            .groupBy(group_col, "bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    joined = (
+        bucketed(ref, "ref_n")
+        .join(bucketed(cur, "cur_n"), [group_col, "bucket"], "full")
+        .fillna(0, subset=["ref_n", "cur_n"])
+    )
+    totals = joined.groupBy(group_col).agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    per = joined.join(F.broadcast(totals), group_col).select(
+        group_col,
+        "ref_n",
+        "cur_n",
+        (
+            F.expr("(cur_n * 1000000) div greatest(cur_total, 1)")
+            - F.expr("(ref_n * 1000000) div greatest(ref_total, 1)")
+        ).alias("delta_ppm"),
+    )
+    return per.groupBy(group_col).agg(
+        F.expr("sum(abs(delta_ppm)) div 2").alias("tvd_ppm"),
+        F.max(F.abs(F.col("delta_ppm"))).alias("linf_ppm"),
+        F.sum(
+            (F.abs(F.col("delta_ppm")) > alert_ppm).cast("long")
+        ).alias("n_drifted_buckets"),
+        F.sum("ref_n").alias("n_ref"),
+        F.sum("cur_n").alias("n_cur"),
+    )

@@ -5882,6 +5882,63 @@ FROM rep
 """
 
 
+def snapshot_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group drift verdicts (operators/curation.py::
+    drift_report_grouped): each order priority gets its own bucket
+    anchoring and its own exact-ppm TVD/L-inf row over the same
+    before/after-1996 split — the monitoring shape that catches a
+    drifting MINORITY group the corpus-level mixture hides."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    cur = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    return CU.drift_report_grouped(
+        ref, cur, "o_totalprice", "o_orderpriority", n_buckets=20
+    )
+
+
+SNAPSHOT_DRIFT_GROUPED_SQL = """
+WITH ref AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01'
+), cur AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+), st AS (
+  SELECT g, min(v) AS lo, max(v) AS hi FROM ref GROUP BY g
+), rb AS (
+  SELECT ref.g, CASE WHEN hi = lo THEN 0
+              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))::INT))
+         END AS bucket, count(*) AS ref_n
+  FROM ref JOIN st ON ref.g = st.g GROUP BY 1, 2
+), cb AS (
+  SELECT cur.g, CASE WHEN hi = lo THEN 0
+              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))::INT))
+         END AS bucket, count(*) AS cur_n
+  FROM cur JOIN st ON cur.g = st.g GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(rb.g, cb.g) AS g, coalesce(rb.bucket, cb.bucket) AS bucket,
+         coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+  FROM rb FULL JOIN cb ON rb.g = cb.g AND rb.bucket = cb.bucket
+), t AS (
+  SELECT g, sum(ref_n) AS ref_total, sum(cur_n) AS cur_total
+  FROM j GROUP BY g
+), rep AS (
+  SELECT j.g, ref_n, cur_n,
+         ((cur_n * 1000000) // greatest(cur_total, 1)
+          - (ref_n * 1000000) // greatest(ref_total, 1)) AS delta_ppm
+  FROM j JOIN t ON j.g = t.g
+)
+SELECT g AS o_orderpriority,
+       (sum(abs(delta_ppm)) // 2)::BIGINT AS tvd_ppm,
+       max(abs(delta_ppm))::BIGINT AS linf_ppm,
+       sum(CASE WHEN abs(delta_ppm) > 50000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_drifted_buckets,
+       sum(ref_n)::BIGINT AS n_ref,
+       sum(cur_n)::BIGINT AS n_cur
+FROM rep GROUP BY g
+"""
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 20-bucket histogram of events.value — the
     distribution profile a curation dashboard draws. One 2-scalar
@@ -8358,6 +8415,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "snapshot_drift": (snapshot_drift, SNAPSHOT_DRIFT_SQL),
     "snapshot_drift_summary": (
         snapshot_drift_summary, SNAPSHOT_DRIFT_SUMMARY_SQL,
+    ),
+    "snapshot_drift_by_group": (
+        snapshot_drift_by_group, SNAPSHOT_DRIFT_GROUPED_SQL,
     ),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —

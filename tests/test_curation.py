@@ -696,3 +696,32 @@ def test_split_by_component_is_leakage_free(spark):
     assert singles == {i: i for i in range(500, 1000)}
     splits = {r["split"] for r in out}
     assert splits == {"train", "val", "test"}
+
+
+def test_drift_report_grouped_isolates_minority_drift(spark):
+    """A drifting minority group alarms in its own row while the
+    stable majority stays at zero — the signal corpus-level drift
+    dilutes away; a group that vanished from cur alarms maximally."""
+    from reader_spark.operators import curation as CU
+
+    ref = spark.createDataFrame(
+        [("big", float(i % 100)) for i in range(900)]
+        + [("small", float(i % 100)) for i in range(100)]
+        + [("gone", float(i % 100)) for i in range(50)],
+        "src string, v double",
+    )
+    cur = spark.createDataFrame(
+        [("big", float(i % 100)) for i in range(900)]
+        + [("small", float(i % 100) + 80.0) for i in range(100)],
+        "src string, v double",
+    )
+    out = {
+        r["src"]: r
+        for r in CU.drift_report_grouped(
+            ref, cur, "v", "src", n_buckets=10
+        ).collect()
+    }
+    assert out["big"]["tvd_ppm"] == 0 and out["big"]["n_drifted_buckets"] == 0
+    assert out["small"]["tvd_ppm"] >= 700_000  # 80% of range shifted
+    assert out["gone"]["n_cur"] == 0
+    assert out["gone"]["tvd_ppm"] >= 499_999  # vanished source alarms

@@ -196,6 +196,7 @@ HEADLINE = [
     # check between a reference and a current ingest wave
     "snapshot_drift",
     "snapshot_drift_summary",
+    "snapshot_drift_by_group",
 ]
 
 

@@ -616,3 +616,101 @@ def kmv_maintainer(
         )
 
     return body
+
+
+def bottomk_tiles_write(
+    df: DataFrame, path: str, key_cols: list[str], value_col: str,
+    k: int = 128, id_col: str | None = None,
+) -> None:
+    """Materialize the per-key bottom-k sample table behind an atomic
+    pointer flip — the stored side of maintained quantiles/previews.
+    Read back with `bottomk_tiles_read`."""
+    from reader_spark.operators import atomic_dir
+
+    tiles = bottomk_sample_tiles(df, key_cols, value_col, k, id_col=id_col)
+
+    def write_fn(vdir: str) -> None:
+        import os
+
+        tiles.coalesce(1).write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_epoch"), "w") as f:
+            f.write("-1")
+
+    atomic_dir.publish(path, write_fn)
+
+
+def bottomk_tiles_read(spark, path: str) -> DataFrame:
+    """Read a materialized bottom-k sample table (pointer-resolved);
+    feed straight into `quantiles_from_tiles`."""
+    from reader_spark.operators import atomic_dir
+
+    return spark.read.parquet(atomic_dir.resolve(path))
+
+
+def bottomk_tiles_update(
+    spark, path: str, batch: DataFrame, key_cols: list[str],
+    value_col: str, k: int = 128, id_col: str | None = None,
+    epoch: int | None = None,
+) -> None:
+    """Incremental maintenance of the stored sample: sketch the delta
+    and keep each key's global bottom k of the union — EXACT (the
+    union's bottom k is contained in the sides' bottom k's), so the
+    maintained sample equals a direct sample over the whole corpus
+    row-for-row, and quantiles read off it are the same data. KB of
+    state per key; pointer flip + epoch replay gate (the merge is
+    idempotent — the gate just skips wasted work)."""
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    ep = os.path.join(root, "_epoch")
+    stored_epoch = -1
+    if os.path.isfile(ep):
+        with open(ep) as f:
+            stored_epoch = int(f.read().strip() or -1)
+    if epoch is not None and stored_epoch >= epoch:
+        return
+    new_epoch = epoch if epoch is not None else stored_epoch
+    delta = bottomk_sample_tiles(batch, key_cols, value_col, k, id_col=id_col)
+    merged = (
+        bottomk_tiles_read(spark, path)
+        .unionByName(delta)
+        .select(*key_cols, F.explode("sample").alias("s"))
+        .distinct()
+        .groupBy(*key_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("sample"))
+    )
+
+    def write_fn(vdir: str) -> None:
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_epoch"), "w") as f:
+            f.write(str(new_epoch))
+
+    atomic_dir.publish(path, write_fn)
+
+
+def bottomk_maintainer(
+    path: str, key_cols: list[str], value_col: str, k: int = 128,
+    id_col: str | None = None,
+):
+    """`foreachBatch` body keeping a materialized bottom-k sample
+    fresh from a stream — maintained QUANTILES (and data previews)
+    from KB of state: `quantiles_from_tiles(bottomk_tiles_read(...))`
+    at any moment equals quantiles off a direct sample of everything
+    ever streamed (exact merge, not approximate-on-approximate).
+
+        rows.writeStream.foreachBatch(
+            bottomk_maintainer(path, ["event_type"], "value",
+                               id_col="event_id")).start()
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bottomk_tiles_update(
+            batch_df.sparkSession, path, batch_df, key_cols, value_col,
+            k=k, id_col=id_col, epoch=batch_id,
+        )
+
+    return body

@@ -391,3 +391,77 @@ def test_kmv_tiles_maintained_stream_equals_direct(spark, tmp_path):
         for r in SK.kmv_tiles_read(spark, path).collect()
     }
     assert again == got
+
+
+def test_bottomk_tiles_maintained_stream_equals_direct(spark, tmp_path):
+    """Streamed bottom-k sample maintenance == a direct sample over
+    everything streamed, ROW-FOR-ROW (exact containment merge), so
+    maintained quantiles equal direct-sample quantiles on the same
+    data; replayed epoch is a no-op."""
+    import json
+
+    from reader_spark.operators import sketches as SK
+
+    rows = [(i, "a" if i % 3 else "b", float((i * 37) % 1000))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, et string, value double")
+    path = str(tmp_path / "bk")
+    SK.bottomk_tiles_write(
+        df.filter("event_id < 1200"), path, ["et"], "value", k=64,
+        id_col="event_id",
+    )
+    src = tmp_path / "stream"
+    src.mkdir()
+    with open(src / "delta.jsonl", "w") as f:
+        for r in df.filter("event_id >= 1200").collect():
+            f.write(json.dumps({
+                "event_id": r["event_id"], "et": r["et"],
+                "value": r["value"]}) + "\n")
+    q = (
+        spark.readStream.schema("event_id long, et string, value double")
+        .json(str(src))
+        .writeStream.foreachBatch(
+            SK.bottomk_maintainer(path, ["et"], "value", k=64,
+                                  id_col="event_id")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["et"]: [tuple(s) for s in r["sample"]]
+        for r in SK.bottomk_tiles_read(spark, path).collect()
+    }
+    want = {
+        r["et"]: [tuple(s) for s in r["sample"]]
+        for r in SK.bottomk_sample_tiles(
+            df, ["et"], "value", k=64, id_col="event_id"
+        ).collect()
+    }
+    assert got == want  # maintained sample == direct, row-for-row
+    qm = {
+        r["et"]: (r["p50"], r["p95"])
+        for r in SK.quantiles_from_tiles(
+            SK.bottomk_tiles_read(spark, path), [0.5, 0.95]
+        ).collect()
+    }
+    qd = {
+        r["et"]: (r["p50"], r["p95"])
+        for r in SK.quantiles_from_tiles(
+            SK.bottomk_sample_tiles(df, ["et"], "value", k=64,
+                                    id_col="event_id"),
+            [0.5, 0.95],
+        ).collect()
+    }
+    assert qm == qd
+    # replayed epoch: no-op
+    batch = spark.read.schema("event_id long, et string, value double").json(
+        str(src / "delta.jsonl"))
+    SK.bottomk_tiles_update(spark, path, batch, ["et"], "value", k=64,
+                            id_col="event_id", epoch=0)
+    again = {
+        r["et"]: [tuple(s) for s in r["sample"]]
+        for r in SK.bottomk_tiles_read(spark, path).collect()
+    }
+    assert again == got

@@ -8741,7 +8741,8 @@ assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 _WINDOW_R8 = [
     # new this round (never sampled)
     "canonical_docs_indexed", "source_overlap_kmv", "snapshot_drift",
-    "split_by_component",
+    "split_by_component", "snapshot_drift_summary",
+    "snapshot_drift_by_group",
     # reads code changed this round (self-loop guard, cc hook)
     "lpa_communities_indexed",
     # stalest: last sampled round 1 (percentiles/pivot_status stay
@@ -8752,7 +8753,7 @@ _WINDOW_R8 = [
     "q13_customer_distribution", "q16_supplier_count",
     "q20_excess_supply", "q2_min_supplier", "q4_order_priority",
     "rollup_sales", "running_totals", "sample_hash_mod",
-    "semi_join_customers", "sessionization", "set_ops_customers",
+    "sessionization",
     "small_quantity_orders", "string_functions", "topk_per_group",
     # last sampled round 3: dedup/knn/scan/envelope families
     "k3_transfer_dedupe", "asof_join_orders", "b1_chunked_scan",

@@ -619,3 +619,68 @@ def test_ddl_lexer_roundtrips_generated_column_lists(
     )
     assert ad2.tables["t"] == ["seed"] + names
     assert ad2.unmatched == []
+
+
+@given(
+    base_rows=st.dictionaries(
+        st.integers(0, 30), st.integers(-100, 100), min_size=0, max_size=15
+    ),
+    change_ops=st.lists(
+        st.tuples(
+            st.integers(0, 30),                      # pk
+            st.sampled_from(["c", "u", "d"]),        # op
+            st.integers(-100, 100),                  # val in kept col
+            st.integers(-100, 100),                  # val in new col
+        ),
+        min_size=0, max_size=15,
+    ),
+    drop_old=st.booleans(),
+    add_new=st.booleans(),
+)
+@SET
+def test_apply_changes_evolution_invariants(
+    spark, base_rows, change_ops, drop_old, add_new
+):
+    """MERGE under arbitrary add/drop schema drift: the survivor set
+    is exactly (base keys not in changes) + (keys whose terminal op
+    isn't delete); evolved columns appear NULL-padded on the side
+    that lacked them; no row and no column is ever lost."""
+    from reader_spark.operators.transfer import apply_changes
+
+    base = spark.createDataFrame(
+        [(k, v, f"o{k}") for k, v in base_rows.items()] or [],
+        "id long, a long, legacy string",
+    )
+    cols = "id long, a long, op string, seq long"
+    rows = [(k, va, op, i) for i, (k, op, va, _vn) in enumerate(change_ops)]
+    if drop_old:
+        cols = "id long, op string, seq long"
+        rows = [(k, op, i) for i, (k, op, _va, _vn) in enumerate(change_ops)]
+    if add_new:
+        cols = cols.replace(", op", ", extra long, op")
+        idx = 2 if not drop_old else 1
+        rows = [r[:idx] + (change_ops[i][3],) + r[idx:]
+                for i, r in enumerate(rows)]
+    changes = spark.createDataFrame(rows or [], cols)
+    out = apply_changes(base, changes, ["id"], "seq")
+    got = {r["id"]: r for r in out.collect()}
+    # expected key set
+    terminal = {}
+    for i, (k, op, _va, _vn) in enumerate(change_ops):
+        terminal[k] = op  # increasing seq: the last wins
+    want = {k for k in base_rows if k not in terminal} | {
+        k for k, op in terminal.items() if op != "d"
+    }
+    assert set(got) == want
+    # column union preserved, never dropped
+    expect_cols = {"id", "a", "legacy"} | ({"extra"} if add_new else set())
+    assert set(out.columns) == expect_cols
+    for k, r in got.items():
+        if k in terminal:  # upserted row
+            assert r["legacy"] is None  # changes never carried legacy
+            if drop_old:
+                assert r["a"] is None  # dropped upstream -> NULL
+        else:  # carried-through base row
+            assert r["legacy"] == f"o{k}" and r["a"] == base_rows[k]
+            if add_new:
+                assert r["extra"] is None  # evolved NULL on old rows

@@ -1382,17 +1382,24 @@ def drift_report(
     totals = joined.agg(
         F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
     )
+    # greatest(total, 1): an EMPTY current wave is a legitimate input
+    # (the ingest produced nothing — that IS the drift signal, all
+    # shares read 0 and TVD ~= 1e6), not a divide-by-zero crash
     return (
         joined.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             "ref_n",
             "cur_n",
-            F.expr("(ref_n * 1000000) div ref_total").alias("ref_ppm"),
-            F.expr("(cur_n * 1000000) div cur_total").alias("cur_ppm"),
+            F.expr("(ref_n * 1000000) div greatest(ref_total, 1)").alias(
+                "ref_ppm"
+            ),
+            F.expr("(cur_n * 1000000) div greatest(cur_total, 1)").alias(
+                "cur_ppm"
+            ),
             (
-                F.expr("(cur_n * 1000000) div cur_total")
-                - F.expr("(ref_n * 1000000) div ref_total")
+                F.expr("(cur_n * 1000000) div greatest(cur_total, 1)")
+                - F.expr("(ref_n * 1000000) div greatest(ref_total, 1)")
             ).alias("delta_ppm"),
         )
     )
@@ -1519,8 +1526,8 @@ def drift_check(
     )
     per = joined.crossJoin(F.broadcast(totals)).select(
         (
-            F.expr("(cur_n * 1000000) div cur_total")
-            - F.expr("(ref_n * 1000000) div ref_total")
+            F.expr("(cur_n * 1000000) div greatest(cur_total, 1)")
+            - F.expr("(ref_n * 1000000) div greatest(ref_total, 1)")
         ).alias("delta_ppm"),
         "ref_n",
         "cur_n",

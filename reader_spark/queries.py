@@ -5843,10 +5843,10 @@ WITH ref AS (
   SELECT sum(ref_n) AS ref_total, sum(cur_n) AS cur_total FROM j
 )
 SELECT bucket, ref_n::BIGINT AS ref_n, cur_n::BIGINT AS cur_n,
-       ((ref_n * 1000000) // ref_total)::BIGINT AS ref_ppm,
-       ((cur_n * 1000000) // cur_total)::BIGINT AS cur_ppm,
-       ((cur_n * 1000000) // cur_total
-        - (ref_n * 1000000) // ref_total)::BIGINT AS delta_ppm
+       ((ref_n * 1000000) // greatest(ref_total, 1))::BIGINT AS ref_ppm,
+       ((cur_n * 1000000) // greatest(cur_total, 1))::BIGINT AS cur_ppm,
+       ((cur_n * 1000000) // greatest(cur_total, 1)
+        - (ref_n * 1000000) // greatest(ref_total, 1))::BIGINT AS delta_ppm
 FROM j, t
 """
 
@@ -5867,8 +5867,8 @@ _DRIFT_BUCKETS_CTE = SNAPSHOT_DRIFT_SQL.rsplit("SELECT bucket,", 1)[0]
 
 SNAPSHOT_DRIFT_SUMMARY_SQL = _DRIFT_BUCKETS_CTE + """
 , rep AS (
-  SELECT ((cur_n * 1000000) // cur_total
-          - (ref_n * 1000000) // ref_total) AS delta_ppm,
+  SELECT ((cur_n * 1000000) // greatest(cur_total, 1)
+          - (ref_n * 1000000) // greatest(ref_total, 1)) AS delta_ppm,
          ref_n, cur_n
   FROM j, t
 )

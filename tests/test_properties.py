@@ -684,3 +684,46 @@ def test_apply_changes_evolution_invariants(
             assert r["legacy"] == f"o{k}" and r["a"] == base_rows[k]
             if add_new:
                 assert r["extra"] is None  # evolved NULL on old rows
+
+
+@given(
+    ref_vals=st.lists(
+        st.floats(-1000, 1000, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    ),
+    cur_vals=st.lists(
+        st.floats(-2000, 2000, allow_nan=False, allow_infinity=False),
+        min_size=0, max_size=40,
+    ),
+    dup=st.integers(1, 3),
+    nb=st.integers(2, 8),
+)
+@SET
+def test_drift_summary_invariants(spark, ref_vals, cur_vals, dup, nb):
+    """Drift metrics are shares, not counts: duplicating every row of
+    both sides k times changes nothing; TVD/L-inf live in [0, 1e6];
+    identical snapshots read zero; no current row is ever dropped
+    (out-of-range values clamp)."""
+    from reader_spark.operators.curation import drift_summary
+
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "v double")
+    cur = spark.createDataFrame(
+        [(v,) for v in cur_vals] or [], "v double"
+    )
+    one = drift_summary(ref, cur, "v", n_buckets=nb).collect()[0]
+    assert 0 <= one["tvd_ppm"] <= 1_000_000
+    assert 0 <= one["linf_ppm"] <= 1_000_000
+    assert one["n_ref"] == len(ref_vals)
+    assert one["n_cur"] == len(cur_vals)  # clamped, never dropped
+    refk = spark.createDataFrame(
+        [(v,) for v in ref_vals for _ in range(dup)], "v double"
+    )
+    curk = spark.createDataFrame(
+        [(v,) for v in cur_vals for _ in range(dup)] or [], "v double"
+    )
+    both = drift_summary(refk, curk, "v", n_buckets=nb).collect()[0]
+    assert (both["tvd_ppm"], both["linf_ppm"], both["n_drifted_buckets"]) == (
+        one["tvd_ppm"], one["linf_ppm"], one["n_drifted_buckets"]
+    )
+    same = drift_summary(ref, ref, "v", n_buckets=nb).collect()[0]
+    assert same["tvd_ppm"] == 0 and same["linf_ppm"] == 0

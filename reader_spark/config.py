@@ -153,14 +153,20 @@ class DriftCfg:
     (re)publishes the reference at `<destination>/<table>/_driftref`;
     mode 'check' reads it and writes a one-row verdict."""
 
-    value_column: str
+    value_column: str | None = None       # numeric family
+    category_column: str | None = None    # categorical family (r9)
     n_buckets: int = 20
+    top_k: int = 50                       # categorical: top-K + OTHER
     alert_ppm: int = 50_000
     mode: str = "baseline"           # baseline | check
 
     def __post_init__(self) -> None:
         if self.mode not in ("baseline", "check"):
             raise ValueError(f"unknown drift mode {self.mode!r}")
+        if (self.value_column is None) == (self.category_column is None):
+            raise ValueError(
+                "drift needs exactly one of value_column / category_column"
+            )
 
 
 @dataclass

@@ -342,16 +342,33 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
         ref_path = f"{base}/_driftref"
         from reader_spark.operators.curation import (
             drift_check,
+            drift_check_categorical,
             drift_ref_write,
+            drift_ref_write_categorical,
         )
 
+        categorical = cfg.category_column is not None
         if cfg.mode == "baseline":
-            drift_ref_write(df, ref_path, cfg.value_column, cfg.n_buckets)
+            if categorical:
+                drift_ref_write_categorical(
+                    df, ref_path, cfg.category_column, cfg.top_k
+                )
+            else:
+                drift_ref_write(
+                    df, ref_path, cfg.value_column, cfg.n_buckets
+                )
             results[table.name] = ref_path
         else:
-            verdict = drift_check(
-                spark, ref_path, df, cfg.value_column, cfg.alert_ppm
-            )
+            if categorical:
+                verdict = drift_check_categorical(
+                    spark, ref_path, df, cfg.category_column, cfg.alert_ppm
+                )
+                drifted_col = "n_drifted_categories"
+            else:
+                verdict = drift_check(
+                    spark, ref_path, df, cfg.value_column, cfg.alert_ppm
+                )
+                drifted_col = "n_drifted_buckets"
             r = verdict.collect()[0]  # one row; compute exactly once
             log = f"{base}/_driftlog"
             spark.createDataFrame([r], verdict.schema).coalesce(1).write.mode(
@@ -359,7 +376,7 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
             ).parquet(log)
             results[table.name] = (
                 f"{log} (tvd_ppm={r['tvd_ppm']} "
-                f"drifted_buckets={r['n_drifted_buckets']})"
+                f"drifted={r[drifted_col]})"
             )
     return results
 

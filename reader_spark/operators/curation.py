@@ -1355,16 +1355,21 @@ def drift_report(
     width = (F.col("hi") - F.col("lo")) / float(n_buckets)
 
     def bucketed(df: DataFrame, out: str) -> DataFrame:
+        # Clamp in BIGINT, THEN narrow: floor() of a far-out-of-range
+        # double saturates to Long.MaxValue, and casting that to int
+        # before least() raises CAST_OVERFLOW — the exact anomaly the
+        # operator exists to flag (a corrupted sentinel epoch, a bad
+        # encoder's float overflow) would kill the drift job.
         b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
             F.least(
-                F.lit(n_buckets - 1),
+                F.lit(n_buckets - 1).cast("long"),
                 F.greatest(
-                    F.lit(0),
+                    F.lit(0).cast("long"),
                     F.floor(
                         (F.col(value_col).cast("double") - F.col("lo")) / width
-                    ).cast("int"),
+                    ),
                 ),
-            )
+            ).cast("int")
         )
         return (
             df.crossJoin(F.broadcast(stats))
@@ -1383,8 +1388,12 @@ def drift_report(
         F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
     )
     # greatest(total, 1): an EMPTY current wave is a legitimate input
-    # (the ingest produced nothing — that IS the drift signal, all
-    # shares read 0 and TVD ~= 1e6), not a divide-by-zero crash
+    # (the ingest produced nothing — that IS the drift signal: all
+    # cur shares read 0, so TVD = sum(ref_ppm) div 2 ~= 5e5, the
+    # half-the-mass-moved ceiling of one vanished side), not a
+    # divide-by-zero crash. Alerting should key on n_cur = 0 or
+    # tvd_ppm >= ~499_999, NOT on a ~1e6 reading TVD never reaches
+    # for a one-sided wipe.
     return (
         joined.crossJoin(F.broadcast(totals))
         .select(
@@ -1444,16 +1453,19 @@ def drift_ref_write(
         F.max(value_col).cast("double").alias("hi"),
     )
     width = (F.col("hi") - F.col("lo")) / float(n_buckets)
+    # Clamp in BIGINT before the int cast (see drift_report): an
+    # out-of-range value saturates floor() to Long.MaxValue, which
+    # must hit least() before any narrowing.
     b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
         F.least(
-            F.lit(n_buckets - 1),
+            F.lit(n_buckets - 1).cast("long"),
             F.greatest(
-                F.lit(0),
+                F.lit(0).cast("long"),
                 F.floor(
                     (F.col(value_col).cast("double") - F.col("lo")) / width
-                ).cast("int"),
+                ),
             ),
-        )
+        ).cast("int")
     )
     # nb is carried explicitly: deriving it from the stored row count
     # would mis-size the bucket width whenever reference buckets are
@@ -1500,16 +1512,17 @@ def drift_check(
         .select(
             F.when(F.col("hi") == F.col("lo"), F.lit(0))
             .otherwise(
+                # clamp in BIGINT, then narrow (see drift_report)
                 F.least(
-                    F.col("top"),
+                    F.col("top").cast("long"),
                     F.greatest(
-                        F.lit(0),
+                        F.lit(0).cast("long"),
                         F.floor(
                             (F.col(value_col).cast("double") - F.col("lo"))
                             / F.expr(width_expr)
-                        ).cast("int"),
+                        ),
                     ),
-                )
+                ).cast("int")
             )
             .alias("bucket")
         )
@@ -1560,8 +1573,11 @@ def drift_watch(
     """
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # An EMPTY micro-batch is a verdict, not a skip: the wave
+        # produced nothing (n_cur=0, tvd_ppm ~= 5e5 — all reference
+        # mass unmatched), and a crash-replayed batch that is now
+        # empty must still REPLACE its stale row to keep the
+        # per-batch-id exactly-once contract.
         spark = batch_df.sparkSession
         row = drift_check(
             spark, ref_path, batch_df, value_col, alert_ppm
@@ -1656,16 +1672,17 @@ def drift_report_grouped(
     width = (F.col("hi") - F.col("lo")) / float(n_buckets)
 
     def bucketed(df: DataFrame, out: str) -> DataFrame:
+        # clamp in BIGINT, then narrow (see drift_report)
         b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
             F.least(
-                F.lit(n_buckets - 1),
+                F.lit(n_buckets - 1).cast("long"),
                 F.greatest(
-                    F.lit(0),
+                    F.lit(0).cast("long"),
                     F.floor(
                         (F.col(value_col).cast("double") - F.col("lo")) / width
-                    ).cast("int"),
+                    ),
                 ),
-            )
+            ).cast("int")
         )
         return (
             df.join(F.broadcast(stats), group_col)
@@ -1697,6 +1714,352 @@ def drift_report_grouped(
         F.sum(
             (F.abs(F.col("delta_ppm")) > alert_ppm).cast("long")
         ).alias("n_drifted_buckets"),
+        F.sum("ref_n").alias("n_ref"),
+        F.sum("cur_n").alias("n_cur"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical drift: the drift a multi-source text corpus shows FIRST
+# is a mix shift over a discrete column (source / language / format
+# shares), not a numeric histogram move. Same exact-integer-ppm
+# TVD / L-infinity verdicts as the numeric family, over a bounded
+# partition of the category space: the reference's top-K categories
+# by count plus one OTHER bucket, so published state and per-batch
+# compares stay K+1 rows no matter how many distinct categories the
+# corpus grows. The reference has no counterpart (its monitoring is
+# a Kafka lag gauge, lib/kafkalib/writer.go:131) — this extends the
+# r8 drift family to the categorical case.
+
+#: OTHER bucket sentinel — dunder-framed so a real category value is
+#: vanishingly unlikely to collide (a collision merely folds that
+#: category's counts into the tail bucket, never crashes).
+_CAT_OTHER = "__other__"
+
+
+def _cat_expr(cat_col: str):
+    """Normalized category: stringified, NULL as a visible bucket
+    ('(null)' — a missing label is itself a share worth watching)."""
+    return F.coalesce(F.col(cat_col).cast("string"), F.lit("(null)"))
+
+
+def drift_report_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    top_k: int = 50,
+) -> DataFrame:
+    """Per-category share drift between two snapshots of a discrete
+    column. Categories are the REFERENCE's top-`top_k` by count
+    (ties broken by category value — a deterministic total order, so
+    Spark and the DuckDB oracle select the same set); everything
+    else on either side folds into `__other__`. Per row: counts and
+    exact integer-ppm shares for both snapshots plus the share
+    delta; both totals count ALL rows, so the K+1 buckets partition
+    the mass and TVD over them is exact for the coarsened view.
+
+    Scale: one category-cardinality aggregate per side (map-side
+    combined), the top-K selection is a distributed TakeOrdered (no
+    global sort shuffle), and the fold joins against a broadcast
+    K-row frame — the two snapshots are never joined row-to-row and
+    nothing driver-side ever exceeds K+1 rows."""
+    from reader_spark.cache import pin
+
+    ref_counts = pin(
+        ref.groupBy(_cat_expr(cat_col).alias("category")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    top = ref_counts.orderBy(F.desc("n"), F.asc("category")).limit(
+        top_k
+    ).select("category", F.lit(True).alias("__top"))
+
+    # ref side folds the ALREADY-AGGREGATED counts (no second corpus
+    # scan); cur side folds raw rows first so the groupBy output is
+    # bounded at K+1 whatever the batch's category cardinality
+    r = (
+        ref_counts.join(F.broadcast(top), "category", "left")
+        .select(
+            F.when(F.col("__top"), F.col("category"))
+            .otherwise(F.lit(_CAT_OTHER))
+            .alias("category"),
+            "n",
+        )
+        .groupBy("category")
+        .agg(F.sum("n").alias("ref_n"))
+    )
+    c = (
+        cur.select(_cat_expr(cat_col).alias("category"))
+        .join(F.broadcast(top), "category", "left")
+        .select(
+            F.when(F.col("__top"), F.col("category"))
+            .otherwise(F.lit(_CAT_OTHER))
+            .alias("category")
+        )
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    joined = r.join(c, "category", "full").fillna(
+        0, subset=["ref_n", "cur_n"]
+    )
+    totals = joined.agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "category",
+            "ref_n",
+            "cur_n",
+            F.expr("(ref_n * 1000000) div greatest(ref_total, 1)").alias(
+                "ref_ppm"
+            ),
+            F.expr("(cur_n * 1000000) div greatest(cur_total, 1)").alias(
+                "cur_ppm"
+            ),
+            (
+                F.expr("(cur_n * 1000000) div greatest(cur_total, 1)")
+                - F.expr("(ref_n * 1000000) div greatest(ref_total, 1)")
+            ).alias("delta_ppm"),
+        )
+    )
+
+
+def drift_summary_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    top_k: int = 50,
+    alert_ppm: int = 50_000,
+) -> DataFrame:
+    """One-row verdict over `drift_report_categorical`: exact-ppm
+    TVD / L-infinity of the share deltas, categories past
+    `alert_ppm`, and both snapshot sizes. An empty current wave
+    reads tvd_ppm = sum(ref_ppm) div 2 ~= 5e5 with n_cur = 0 (see
+    drift_report's empty-wave note)."""
+    rep = drift_report_categorical(ref, cur, cat_col, top_k)
+    return rep.agg(
+        F.expr("sum(abs(delta_ppm)) div 2").alias("tvd_ppm"),
+        F.max(F.abs(F.col("delta_ppm"))).alias("linf_ppm"),
+        F.sum(
+            (F.abs(F.col("delta_ppm")) > alert_ppm).cast("long")
+        ).alias("n_drifted_categories"),
+        F.sum("ref_n").alias("n_ref"),
+        F.sum("cur_n").alias("n_cur"),
+    )
+
+
+def drift_ref_write_categorical(
+    ref: DataFrame, path: str, cat_col: str, top_k: int = 50
+) -> None:
+    """Publish the categorical reference: the folded top-K + OTHER
+    histogram (K+1 rows — category, ref_n), pointer-flip published
+    so a checker never sees a torn baseline. The published category
+    set IS the fold rule at check time; re-run to re-baseline after
+    an accepted mix change."""
+    from reader_spark.cache import pin
+    from reader_spark.operators import atomic_dir
+
+    ref_counts = pin(
+        ref.groupBy(_cat_expr(cat_col).alias("category")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    top = ref_counts.orderBy(F.desc("n"), F.asc("category")).limit(
+        top_k
+    ).select("category", F.lit(True).alias("__top"))
+    hist = (
+        ref_counts.join(F.broadcast(top), "category", "left")
+        .select(
+            F.when(F.col("__top"), F.col("category"))
+            .otherwise(F.lit(_CAT_OTHER))
+            .alias("category"),
+            "n",
+        )
+        .groupBy("category")
+        .agg(F.sum("n").alias("ref_n"))
+    )
+
+    def write_fn(vdir: str) -> None:
+        hist.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    atomic_dir.publish(path, write_fn)
+
+
+def drift_check_categorical(
+    spark,
+    path: str,
+    cur: DataFrame,
+    cat_col: str,
+    alert_ppm: int = 50_000,
+) -> DataFrame:
+    """One-row categorical drift verdict of `cur` against the
+    PUBLISHED reference histogram (drift_ref_write_categorical).
+    Current categories outside the published set fold into OTHER —
+    a brand-new source showing up reads as OTHER share growth, which
+    is exactly the alarm. Reads a K+1-row reference + one map-only
+    pass over the batch."""
+    from reader_spark.operators import atomic_dir
+
+    ref = spark.read.parquet(atomic_dir.resolve(path))
+    keep = ref.select("category").where(
+        F.col("category") != _CAT_OTHER
+    ).withColumn("__top", F.lit(True))
+    cb = (
+        cur.select(_cat_expr(cat_col).alias("category"))
+        .join(F.broadcast(keep), "category", "left")
+        .select(
+            F.when(F.col("__top"), F.col("category"))
+            .otherwise(F.lit(_CAT_OTHER))
+            .alias("category")
+        )
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    joined = (
+        ref.select("category", "ref_n")
+        .join(cb, "category", "full")
+        .fillna(0, subset=["ref_n", "cur_n"])
+    )
+    totals = joined.agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    per = joined.crossJoin(F.broadcast(totals)).select(
+        (
+            F.expr("(cur_n * 1000000) div greatest(cur_total, 1)")
+            - F.expr("(ref_n * 1000000) div greatest(ref_total, 1)")
+        ).alias("delta_ppm"),
+        "ref_n",
+        "cur_n",
+    )
+    return per.agg(
+        F.expr("sum(abs(delta_ppm)) div 2").alias("tvd_ppm"),
+        F.max(F.abs(F.col("delta_ppm"))).alias("linf_ppm"),
+        F.sum(
+            (F.abs(F.col("delta_ppm")) > alert_ppm).cast("long")
+        ).alias("n_drifted_categories"),
+        F.sum("cur_n").alias("n_cur"),
+    )
+
+
+def drift_watch_categorical(
+    ref_path: str,
+    log_path: str,
+    cat_col: str,
+    alert_ppm: int = 50_000,
+):
+    """`foreachBatch` body logging each micro-batch's categorical
+    drift verdict against the published reference — the streaming
+    member (maintainer-family shape, dynamic partition overwrite by
+    batch id: a crash-replayed batch REPLACES its row). An empty
+    batch logs a verdict (n_cur=0 — the wave producing nothing IS
+    the signal) rather than skipping."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        row = drift_check_categorical(
+            spark, ref_path, batch_df, cat_col, alert_ppm
+        ).withColumn("batch", F.lit(batch_id))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            row.coalesce(1).write.partitionBy("batch").mode(
+                "overwrite"
+            ).parquet(log_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return body
+
+
+def drift_report_categorical_grouped(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    group_col: str,
+    top_k: int = 50,
+    alert_ppm: int = 50_000,
+) -> DataFrame:
+    """Per-group categorical drift verdicts in one pass: each group
+    (language / shard family / format) gets its own top-K anchoring
+    from ITS reference slice and its own exact-ppm TVD / L-inf /
+    drifted-category row — a minority group's mix shift alarms even
+    when the corpus-level mixture hides it. Groups absent from the
+    reference are skipped by the inner join (a new group has no
+    baseline — baseline it first).
+
+    Scale: per-side one (group, category)-cardinality aggregate;
+    top-K selection is a group-partitioned window over that
+    AGGREGATED frame (never over raw rows); the fold joins on the
+    broadcast per-group top table (groups x K rows)."""
+    from pyspark.sql import Window
+
+    from reader_spark.cache import pin
+
+    ref_counts = pin(
+        ref.groupBy(
+            F.col(group_col), _cat_expr(cat_col).alias("category")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n"), F.asc("category")
+    )
+    top = (
+        ref_counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .select(group_col, "category", F.lit(True).alias("__top"))
+    )
+    r = (
+        ref_counts.join(F.broadcast(top), [group_col, "category"], "left")
+        .select(
+            group_col,
+            F.when(F.col("__top"), F.col("category"))
+            .otherwise(F.lit(_CAT_OTHER))
+            .alias("category"),
+            "n",
+        )
+        .groupBy(group_col, "category")
+        .agg(F.sum("n").alias("ref_n"))
+    )
+    # groups with no baseline are skipped (numeric grouped contract):
+    # the semi join keeps only reference groups before the fold
+    ref_groups = ref_counts.select(group_col).distinct()
+    c = (
+        cur.select(F.col(group_col), _cat_expr(cat_col).alias("category"))
+        .join(F.broadcast(ref_groups), group_col, "semi")
+        .join(F.broadcast(top), [group_col, "category"], "left")
+        .select(
+            group_col,
+            F.when(F.col("__top"), F.col("category"))
+            .otherwise(F.lit(_CAT_OTHER))
+            .alias("category"),
+        )
+        .groupBy(group_col, "category")
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    joined = r.join(c, [group_col, "category"], "full").fillna(
+        0, subset=["ref_n", "cur_n"]
+    )
+    totals = joined.groupBy(group_col).agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    per = joined.join(F.broadcast(totals), group_col).select(
+        group_col,
+        "ref_n",
+        "cur_n",
+        (
+            F.expr("(cur_n * 1000000) div greatest(cur_total, 1)")
+            - F.expr("(ref_n * 1000000) div greatest(ref_total, 1)")
+        ).alias("delta_ppm"),
+    )
+    return per.groupBy(group_col).agg(
+        F.expr("sum(abs(delta_ppm)) div 2").alias("tvd_ppm"),
+        F.max(F.abs(F.col("delta_ppm"))).alias("linf_ppm"),
+        F.sum(
+            (F.abs(F.col("delta_ppm")) > alert_ppm).cast("long")
+        ).alias("n_drifted_categories"),
         F.sum("ref_n").alias("n_ref"),
         F.sum("cur_n").alias("n_cur"),
     )

@@ -273,10 +273,14 @@ class TransferWriter:
         merged.repartition(max(1, len(touched)), "bucket").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(staging)
-        self._swap_buckets(path, staging, touched)
-        # evolution may have widened the schema: re-pin the manifest
-        # AFTER the swap so readers of the new layout see every column
+        # Pin the (possibly widened) manifest BEFORE the swap: a crash
+        # between the two must err toward advertising a column old
+        # files lack (pinned reads null-fill by name — harmless), never
+        # toward a stale manifest that HIDES a just-evolved column (the
+        # next upsert would then read base without it and overwrite
+        # real values with NULLs — silent data loss from one crash).
         _write_schema_manifest(path, merged)
+        self._swap_buckets(path, staging, touched)
         return touched
 
     @staticmethod
@@ -470,8 +474,11 @@ class TransferWriter:
         merged.repartition(max(1, len(touched)), "bucket").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(staging)
-        self._swap_buckets(path, staging, touched)
+        # manifest BEFORE swap — same crash-ordering argument as
+        # upsert_bucketed: widened-but-unswapped is safe, swapped-but-
+        # stale loses data on the next merge
         _write_schema_manifest(path, merged)
+        self._swap_buckets(path, staging, touched)
         return touched
 
     def compact(self, table: str, target_bytes: int = 128 << 20) -> int:

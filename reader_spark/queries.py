@@ -5827,12 +5827,12 @@ WITH ref AS (
   SELECT min(v) AS lo, max(v) AS hi FROM ref
 ), rb AS (
   SELECT CASE WHEN hi = lo THEN 0
-              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))::INT))
+              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))))::INT
          END AS bucket, count(*) AS ref_n
   FROM ref, st GROUP BY 1
 ), cb AS (
   SELECT CASE WHEN hi = lo THEN 0
-              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))::INT))
+              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))))::INT
          END AS bucket, count(*) AS cur_n
   FROM cur, st GROUP BY 1
 ), j AS (
@@ -5907,12 +5907,12 @@ WITH ref AS (
   SELECT g, min(v) AS lo, max(v) AS hi FROM ref GROUP BY g
 ), rb AS (
   SELECT ref.g, CASE WHEN hi = lo THEN 0
-              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))::INT))
+              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))))::INT
          END AS bucket, count(*) AS ref_n
   FROM ref JOIN st ON ref.g = st.g GROUP BY 1, 2
 ), cb AS (
   SELECT cur.g, CASE WHEN hi = lo THEN 0
-              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))::INT))
+              ELSE least(19, greatest(0, floor((v - lo) / ((hi - lo) / 20.0))))::INT
          END AS bucket, count(*) AS cur_n
   FROM cur JOIN st ON cur.g = st.g GROUP BY 1, 2
 ), j AS (
@@ -5933,6 +5933,176 @@ SELECT g AS o_orderpriority,
        max(abs(delta_ppm))::BIGINT AS linf_ppm,
        sum(CASE WHEN abs(delta_ppm) > 50000 THEN 1 ELSE 0 END)::BIGINT
          AS n_drifted_buckets,
+       sum(ref_n)::BIGINT AS n_ref,
+       sum(cur_n)::BIGINT AS n_cur
+FROM rep GROUP BY g
+"""
+
+
+def snapshot_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix drift (operators/curation.py::
+    drift_report_categorical): per-source share deltas between two
+    corpus halves, with three sources withheld from the current wave
+    — the source/language mix shift a multi-source corpus shows
+    FIRST. Categories are the reference's top-12 by count (ties by
+    name — deterministic on both engines), the remaining 8 sources
+    fold into `__other__`; shares compare in exact integer ppm.
+    Scale: one category-cardinality aggregate per side + a broadcast
+    K-row fold — the snapshots never join row-to-row."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(
+        (F.col("doc_id") % 2 == 1)
+        & ~F.col("source").isin("src0", "src1", "src2")
+    )
+    return CU.drift_report_categorical(ref, cur, "source", top_k=12)
+
+
+SNAPSHOT_DRIFT_CAT_SQL = """
+WITH ref AS (
+  SELECT coalesce(CAST(source AS VARCHAR), '(null)') AS category
+  FROM documents WHERE doc_id % 2 = 0
+), cur AS (
+  SELECT coalesce(CAST(source AS VARCHAR), '(null)') AS category
+  FROM documents
+  WHERE doc_id % 2 = 1 AND source NOT IN ('src0', 'src1', 'src2')
+), rc AS (
+  SELECT category, count(*) AS n FROM ref GROUP BY 1
+), top AS (
+  SELECT category FROM rc ORDER BY n DESC, category LIMIT 12
+), rh AS (
+  SELECT CASE WHEN category IN (SELECT category FROM top)
+              THEN category ELSE '__other__' END AS category,
+         sum(n) AS ref_n
+  FROM rc GROUP BY 1
+), ch AS (
+  SELECT CASE WHEN category IN (SELECT category FROM top)
+              THEN category ELSE '__other__' END AS category,
+         count(*) AS cur_n
+  FROM cur GROUP BY 1
+), j AS (
+  SELECT coalesce(rh.category, ch.category) AS category,
+         coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+  FROM rh FULL JOIN ch ON rh.category = ch.category
+), t AS (
+  SELECT sum(ref_n) AS ref_total, sum(cur_n) AS cur_total FROM j
+)
+SELECT category, ref_n::BIGINT AS ref_n, cur_n::BIGINT AS cur_n,
+       ((ref_n * 1000000) // greatest(ref_total, 1))::BIGINT AS ref_ppm,
+       ((cur_n * 1000000) // greatest(cur_total, 1))::BIGINT AS cur_ppm,
+       ((cur_n * 1000000) // greatest(cur_total, 1)
+        - (ref_n * 1000000) // greatest(ref_total, 1))::BIGINT AS delta_ppm
+FROM j, t
+"""
+
+
+def snapshot_drift_categorical_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row categorical drift verdict (operators/curation.py::
+    drift_summary_categorical) over the same documents split: exact
+    integer-ppm TVD / L-infinity of the source-share deltas and the
+    drifted-category count at the 50k-ppm alert — the row a
+    scheduler alerts on when an upstream source vanishes."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(
+        (F.col("doc_id") % 2 == 1)
+        & ~F.col("source").isin("src0", "src1", "src2")
+    )
+    return CU.drift_summary_categorical(ref, cur, "source", top_k=12)
+
+
+_DRIFT_CAT_CTE = SNAPSHOT_DRIFT_CAT_SQL.rsplit("SELECT category,", 1)[0]
+
+SNAPSHOT_DRIFT_CAT_SUMMARY_SQL = _DRIFT_CAT_CTE + """
+, rep AS (
+  SELECT ((cur_n * 1000000) // greatest(cur_total, 1)
+          - (ref_n * 1000000) // greatest(ref_total, 1)) AS delta_ppm,
+         ref_n, cur_n
+  FROM j, t
+)
+SELECT (sum(abs(delta_ppm)) // 2)::BIGINT AS tvd_ppm,
+       max(abs(delta_ppm))::BIGINT AS linf_ppm,
+       sum(CASE WHEN abs(delta_ppm) > 50000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_drifted_categories,
+       sum(ref_n)::BIGINT AS n_ref,
+       sum(cur_n)::BIGINT AS n_cur
+FROM rep
+"""
+
+
+def snapshot_drift_categorical_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language categorical drift verdicts (operators/
+    curation.py::drift_report_categorical_grouped): each language
+    gets its own top-3 source anchoring from ITS reference slice and
+    its own exact-ppm TVD / L-inf / drifted-category row — a
+    minority language's source-mix shift alarms even when the
+    corpus-level mixture hides it."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(
+        (F.col("doc_id") % 2 == 1)
+        & ~F.col("source").isin("src0", "src1", "src2")
+    )
+    return CU.drift_report_categorical_grouped(
+        ref, cur, "source", "lang", top_k=3
+    )
+
+
+SNAPSHOT_DRIFT_CAT_GROUPED_SQL = """
+WITH ref AS (
+  SELECT lang AS g, coalesce(CAST(source AS VARCHAR), '(null)') AS category
+  FROM documents WHERE doc_id % 2 = 0
+), cur0 AS (
+  SELECT lang AS g, coalesce(CAST(source AS VARCHAR), '(null)') AS category
+  FROM documents
+  WHERE doc_id % 2 = 1 AND source NOT IN ('src0', 'src1', 'src2')
+), rc AS (
+  SELECT g, category, count(*) AS n FROM ref GROUP BY 1, 2
+), cur AS (
+  SELECT * FROM cur0 WHERE g IN (SELECT DISTINCT g FROM rc)
+), top AS (
+  SELECT g, category FROM (
+    SELECT g, category,
+           row_number() OVER (PARTITION BY g ORDER BY n DESC, category) AS rk
+    FROM rc
+  ) WHERE rk <= 3
+), rh AS (
+  SELECT rc.g,
+         CASE WHEN EXISTS (SELECT 1 FROM top t
+                           WHERE t.g = rc.g AND t.category = rc.category)
+              THEN rc.category ELSE '__other__' END AS category,
+         sum(n) AS ref_n
+  FROM rc GROUP BY 1, 2
+), ch AS (
+  SELECT cur.g,
+         CASE WHEN EXISTS (SELECT 1 FROM top t
+                           WHERE t.g = cur.g AND t.category = cur.category)
+              THEN cur.category ELSE '__other__' END AS category,
+         count(*) AS cur_n
+  FROM cur GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(rh.g, ch.g) AS g,
+         coalesce(rh.category, ch.category) AS category,
+         coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+  FROM rh FULL JOIN ch ON rh.g = ch.g AND rh.category = ch.category
+), t AS (
+  SELECT g, sum(ref_n) AS ref_total, sum(cur_n) AS cur_total
+  FROM j GROUP BY g
+), rep AS (
+  SELECT j.g, ref_n, cur_n,
+         ((cur_n * 1000000) // greatest(cur_total, 1)
+          - (ref_n * 1000000) // greatest(ref_total, 1)) AS delta_ppm
+  FROM j JOIN t ON j.g = t.g
+)
+SELECT g AS lang,
+       (sum(abs(delta_ppm)) // 2)::BIGINT AS tvd_ppm,
+       max(abs(delta_ppm))::BIGINT AS linf_ppm,
+       sum(CASE WHEN abs(delta_ppm) > 50000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_drifted_categories,
        sum(ref_n)::BIGINT AS n_ref,
        sum(cur_n)::BIGINT AS n_cur
 FROM rep GROUP BY g
@@ -8418,6 +8588,16 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "snapshot_drift_by_group": (
         snapshot_drift_by_group, SNAPSHOT_DRIFT_GROUPED_SQL,
+    ),
+    # r9: categorical drift family (top-K + OTHER source-mix shares)
+    "snapshot_drift_categorical": (
+        snapshot_drift_categorical, SNAPSHOT_DRIFT_CAT_SQL,
+    ),
+    "snapshot_drift_categorical_summary": (
+        snapshot_drift_categorical_summary, SNAPSHOT_DRIFT_CAT_SUMMARY_SQL,
+    ),
+    "snapshot_drift_categorical_by_group": (
+        snapshot_drift_categorical_by_group, SNAPSHOT_DRIFT_CAT_GROUPED_SQL,
     ),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —

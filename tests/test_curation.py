@@ -672,6 +672,174 @@ def test_drift_check_matches_summary_and_watch_stream(spark, tmp_path):
     assert len(again) == 2 and again[max(rows)] == shifted
 
 
+def test_drift_extreme_outliers_clamp_not_crash(spark, tmp_path):
+    """Regression (r8 verdict): a current value FAR outside the
+    reference range used to CAST_OVERFLOW — floor() saturates to
+    Long.MaxValue and the int cast ran before the clamp — killing
+    every drift entry point on exactly the anomaly (corrupted
+    sentinel epoch, encoder float overflow) the family exists to
+    flag. All four paths must clamp into the edge buckets."""
+    from reader_spark.operators import curation as CU
+
+    ref = spark.createDataFrame([(0.0,), (1.0,)], "v double")
+    cur = spark.createDataFrame(
+        [(1e18,), (-1e18,), (float("inf"),), (0.5,)], "v double"
+    )
+    rep = {r["bucket"]: r for r in CU.drift_report(ref, cur, "v").collect()}
+    assert sum(r["cur_n"] for r in rep.values()) == 4  # nothing dropped
+    assert rep[19]["cur_n"] == 2 and rep[0]["cur_n"] == 1  # edge mass
+    summ = CU.drift_summary(ref, cur, "v").collect()[0]
+    assert summ["tvd_ppm"] > 0 and summ["n_cur"] == 4
+
+    refg = spark.createDataFrame([("a", 0.0), ("a", 1.0)], "g string, v double")
+    curg = spark.createDataFrame([("a", 1e18)], "g string, v double")
+    grow = CU.drift_report_grouped(refg, curg, "v", "g").collect()[0]
+    assert grow["n_cur"] == 1 and grow["tvd_ppm"] == 500_000
+
+    ref_path = str(tmp_path / "xref")
+    CU.drift_ref_write(ref, ref_path, "v")
+    chk = CU.drift_check(spark, ref_path, cur, "v").collect()[0]
+    assert chk["n_cur"] == 4 and chk["tvd_ppm"] == summ["tvd_ppm"]
+
+
+def test_drift_watch_logs_empty_batch_verdict(spark, tmp_path):
+    """An empty micro-batch is the drift signal, not a skip: the
+    watch logs a verdict row with n_cur=0 and the one-sided-wipe TVD
+    (sum(ref_ppm) div 2 ~= 5e5), and a replayed now-empty batch
+    still replaces its stale row."""
+    from reader_spark.operators import curation as CU
+
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "value double"
+    )
+    ref_path = str(tmp_path / "eref")
+    CU.drift_ref_write(ref, ref_path, "value", n_buckets=10)
+    log = str(tmp_path / "elog")
+    empty = spark.createDataFrame([], "value double")
+    CU.drift_watch(ref_path, log, "value")(empty, 7)
+    rows = spark.read.parquet(log).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["batch"] == 7 and r["n_cur"] == 0
+    assert 499_999 <= r["tvd_ppm"] <= 500_000
+    # replay with data replaces the empty-batch row, not duplicates
+    full = spark.createDataFrame(
+        [(float(i % 100),) for i in range(200)], "value double"
+    )
+    CU.drift_watch(ref_path, log, "value")(full, 7)
+    again = spark.read.parquet(log).collect()
+    assert len(again) == 1 and again[0]["n_cur"] == 200
+    assert again[0]["tvd_ppm"] == 0
+
+
+def test_drift_categorical_report_and_summary(spark):
+    """Identical mixes -> zero drift; a vanished category's mass
+    redistributes (its share delta is negative, survivors positive);
+    categories outside the reference top-K fold into __other__ and
+    NOTHING is ever dropped from either side's totals."""
+    from reader_spark.operators import curation as CU
+
+    rows = [(f"s{i % 4}",) for i in range(400)]  # 4 sources, 100 each
+    ref = spark.createDataFrame(rows, "src string")
+    same = CU.drift_summary_categorical(ref, ref, "src").collect()[0]
+    assert same["tvd_ppm"] == 0 and same["linf_ppm"] == 0
+    assert same["n_drifted_categories"] == 0
+    assert same["n_ref"] == same["n_cur"] == 400
+
+    # s3 vanishes; a NEW source s9 appears (not in ref top-K -> OTHER)
+    cur = spark.createDataFrame(
+        [(f"s{i % 3}",) for i in range(300)] + [("s9",)] * 100, "src string"
+    )
+    rep = {r["category"]: r for r in
+           CU.drift_report_categorical(ref, cur, "src", top_k=4).collect()}
+    assert sum(r["cur_n"] for r in rep.values()) == 400  # nothing dropped
+    assert rep["s3"]["cur_n"] == 0 and rep["s3"]["delta_ppm"] == -250_000
+    assert rep["__other__"]["cur_n"] == 100  # the unknown source
+    assert rep["s0"]["cur_ppm"] == 250_000  # 100/400
+    summ = CU.drift_summary_categorical(ref, cur, "src", top_k=4).collect()[0]
+    tvd = sum(abs(r["delta_ppm"]) for r in rep.values()) // 2
+    assert summ["tvd_ppm"] == tvd == 250_000
+    assert summ["n_drifted_categories"] == 2  # s3 down 25pp, OTHER up 25pp
+
+    # top-K fold: with top_k=2 only the 2 winners keep their name
+    # (ties broken by category value: s0, s1) — the rest are OTHER
+    rep2 = {r["category"] for r in
+            CU.drift_report_categorical(ref, ref, "src", top_k=2).collect()}
+    assert rep2 == {"s0", "s1", "__other__"}
+    # nulls are a visible bucket, not dropped rows
+    refn = spark.createDataFrame([("a",), (None,)], "src string")
+    repn = {r["category"]: r for r in
+            CU.drift_report_categorical(refn, refn, "src").collect()}
+    assert repn["(null)"]["ref_n"] == 1
+
+
+def test_drift_categorical_check_and_watch(spark, tmp_path):
+    """drift_check_categorical against the PUBLISHED reference ==
+    drift_summary_categorical computed directly; the streaming watch
+    logs per-batch verdict rows keyed by batch id, including for an
+    EMPTY batch (n_cur=0 is the signal, not a skip)."""
+    from reader_spark.operators import curation as CU
+
+    ref = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(400)], "src string"
+    )
+    ref_path = str(tmp_path / "catref")
+    CU.drift_ref_write_categorical(ref, ref_path, "src", top_k=3)
+    cur = spark.createDataFrame(
+        [(f"s{i % 3}",) for i in range(300)] + [("s9",)] * 100, "src string"
+    )
+    got = CU.drift_check_categorical(spark, ref_path, cur, "src").collect()[0]
+    want = CU.drift_summary_categorical(
+        ref, cur, "src", top_k=3
+    ).collect()[0]
+    assert (got["tvd_ppm"], got["linf_ppm"], got["n_drifted_categories"]) == (
+        want["tvd_ppm"], want["linf_ppm"], want["n_drifted_categories"]
+    )
+    assert got["n_cur"] == 400
+
+    log = str(tmp_path / "catlog")
+    watch = CU.drift_watch_categorical(ref_path, log, "src")
+    watch(ref, 0)      # stable batch
+    watch(cur, 1)      # drifted batch
+    watch(spark.createDataFrame([], "src string"), 2)  # empty batch
+    rows = {r["batch"]: r for r in spark.read.parquet(log).collect()}
+    assert len(rows) == 3
+    assert rows[0]["tvd_ppm"] == 0
+    assert rows[1]["tvd_ppm"] == got["tvd_ppm"]
+    assert rows[2]["n_cur"] == 0 and rows[2]["tvd_ppm"] >= 499_999
+    # replay replaces, never duplicates
+    watch(cur, 2)
+    again = {r["batch"]: r for r in spark.read.parquet(log).collect()}
+    assert len(again) == 3 and again[2]["n_cur"] == 400
+
+
+def test_drift_categorical_grouped_isolates_minority(spark):
+    """Per-group anchoring: a mix shift confined to a minority group
+    alarms on ITS row while the majority group reads zero; groups
+    absent from the reference are skipped (no baseline)."""
+    from reader_spark.operators import curation as CU
+
+    ref = spark.createDataFrame(
+        [("big", f"s{i % 2}") for i in range(900)]
+        + [("small", f"m{i % 2}") for i in range(100)],
+        "g string, src string",
+    )
+    # big unchanged; small flips entirely to one source
+    cur = spark.createDataFrame(
+        [("big", f"s{i % 2}") for i in range(900)]
+        + [("small", "m0") for i in range(100)]
+        + [("brandnew", "x") for i in range(50)],
+        "g string, src string",
+    )
+    out = {r["g"]: r for r in CU.drift_report_categorical_grouped(
+        ref, cur, "src", "g", top_k=5
+    ).collect()}
+    assert set(out) == {"big", "small"}  # brandnew skipped: no baseline
+    assert out["big"]["tvd_ppm"] == 0
+    assert out["small"]["tvd_ppm"] == 500_000  # half the mass moved
+    assert out["small"]["n_drifted_categories"] == 2
+
+
 def test_split_by_component_is_leakage_free(spark):
     """Every member of a component gets the component's split (no
     near-dup family straddles train/test); docs absent from the map

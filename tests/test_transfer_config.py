@@ -1139,6 +1139,45 @@ drift:
     assert len(log) == 1 and log[0]["n_drifted_buckets"] == 0
 
 
+def test_drift_job_categorical_yaml(spark, tmp_path, sf_dir):
+    """drift: {category_column} drives the categorical family from
+    YAML: baseline publishes the top-K + OTHER share histogram, a
+    later check verdicts the source's category mix against it and
+    appends to the drift log (identical source -> zero drift)."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "dqc")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  category_column: source
+  top_k: 12
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert res == {"documents": f"{out}/documents/_driftref"}
+    chk = run_job(spark, load_settings(cfg.replace(
+        "top_k: 12", "top_k: 12\n  mode: check")))
+    assert "tvd_ppm=0" in chk["documents"]
+    log = spark.read.parquet(f"{out}/documents/_driftlog").collect()
+    assert len(log) == 1 and log[0]["n_drifted_categories"] == 0
+    # exactly one of value_column / category_column is enforced
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        load_settings(cfg.replace(
+            "category_column: source",
+            "category_column: source\n  value_column: n_chars"))
+    with _pt.raises(ValueError):
+        load_settings(cfg.replace("category_column: source\n", ""))
+
+
 def test_upsert_schema_evolution_add_and_drop(spark, tmp_path):
     """Upstream DDL lands as NULL-padded evolution, not dropped data
     or a crashed merge: a NEW change column appears on the
@@ -1185,6 +1224,54 @@ def test_bucketed_upsert_schema_evolution_untouched_buckets(spark, tmp_path):
     assert len(out) == 100
     assert out[7] == ("V7", "N7")
     assert out[0] == ("v0", None)  # untouched bucket: evolved NULL
+
+
+def test_bucketed_evolution_manifest_pinned_before_swap(spark, tmp_path):
+    """Crash-ordering invariant (r8 advice): the widened manifest is
+    written BEFORE the bucket swap. A crash between the two leaves a
+    manifest advertising a column old files lack (pinned reads
+    null-fill — harmless); the old order left a STALE manifest that
+    hid the evolved column, so the next upsert read base without it
+    and rewrote touched buckets with NULLs over real values."""
+    import json
+
+    from reader_spark.operators import transfer as TR
+
+    tw = TransferWriter(spark, str(tmp_path))
+    seed = spark.range(0, 100).selectExpr(
+        "id", "concat('v', id) AS v", "'c' AS op", "0L AS seq"
+    )
+    tw.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=8)
+    changes = spark.createDataFrame(
+        [(7, "V7", "N7", "u", 1)],
+        "id long, v string, note string, op string, seq long",
+    )
+    # crash INSIDE the swap, after the manifest write
+    orig = TR.TransferWriter.__dict__["_swap_buckets"]
+
+    def boom(path, staging, touched):
+        raise RuntimeError("crash before swap")
+
+    TR.TransferWriter._swap_buckets = staticmethod(boom)
+    try:
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError):
+            tw.upsert_bucketed("t", changes, ["id"], "seq", n_buckets=8)
+    finally:
+        TR.TransferWriter._swap_buckets = orig
+    root = tw._data_root("t")
+    with open(f"{root}/_schema.json") as f:
+        pinned = [fl["name"] for fl in json.load(f)["fields"]]
+    assert "note" in pinned  # widened manifest already pinned
+    # the live data was never swapped: read null-fills the new column
+    out = {r["id"]: (r["v"], r["note"]) for r in tw.read("t").collect()}
+    assert len(out) == 100 and out[7] == ("v7", None)
+    # retrying the merge applies cleanly and LOSES NOTHING
+    tw.upsert_bucketed("t", changes, ["id"], "seq", n_buckets=8)
+    out = {r["id"]: (r["v"], r["note"]) for r in tw.read("t").collect()}
+    assert out[7] == ("V7", "N7") and out[0] == ("v0", None)
+    assert len(out) == 100
 
 
 def test_curation_job_component_split(spark, tmp_path, sf_dir):

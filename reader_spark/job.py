@@ -248,8 +248,15 @@ def _run_index_stream(
     results: dict[str, str] = {}
     for table in src.tables:
         out = f"{dest.path}/{table.name}"
-        ck = src.options.get(
-            "checkpoint_dir", f"{out}/_stream_ckpt"
+        # a user-provided checkpoint_dir is still suffixed per table:
+        # sequential streaming queries over DIFFERENT input dirs must
+        # never share one checkpoint (Spark's offset/seen-files logs
+        # would mix across sources — backlog silently skipped or
+        # misattributed for the second and later tables)
+        ck = (
+            f"{src.options['checkpoint_dir']}/{table.name}"
+            if "checkpoint_dir" in src.options
+            else f"{out}/_stream_ckpt"
         )
         if cfg.kind == "ivf":
             schema = (

@@ -1359,7 +1359,15 @@ def _neardup_cc_update(spark, path: str, new_edges, new_ids) -> None:
     `{path}/cc` exists; replay-idempotent — a replayed batch's
     endpoints already share merged labels (identity mapping) and its
     ids are already stored (empty new-row set), so the rewrite set is
-    empty and nothing changes."""
+    empty and nothing changes.
+
+    Skew caveat (documented cap): the rewrite unit is the label
+    bucket, and a component lives entirely in its label's bucket — a
+    mega family degrades "bounded bucket rewrite" to "rewrite that
+    family's bucket" for updates touching it (correctness unaffected;
+    updates NOT touching the mega label never rewrite its bucket —
+    file-level tested). Monitor with `neardup_cc_occupancy`;
+    mitigations in its docstring."""
     root = _nd_root(path, "cc")
     n_buckets = _cc_meta(root)
     # a previous update rewrote bucket files in place: drop the
@@ -1437,13 +1445,22 @@ def _neardup_cc_update(spark, path: str, new_edges, new_ids) -> None:
             "doc_id", F.coalesce(F.col("__new"), F.col("label")).alias("label")
         )
     )
-    # two consumers (surviving-bucket collect + the write): pin
-    merged = pin(
+    # merged derives from the SAME cc/ files the overwrite below
+    # deletes — an EAGER localCheckpoint materializes it and cuts the
+    # lineage first, so nothing can ever recompute from deleted part
+    # files (cache eviction under a mere persist() would). It also
+    # serves the two consumers (surviving-bucket collect + write).
+    # Concurrency contract: single writer per index (the maintainer
+    # loop); a concurrent neardup_canonical reader can observe torn
+    # labels between per-bucket commits of one update — readers that
+    # need a consistent map snapshot the cc/ dir or read between
+    # maintenance runs.
+    merged = (
         relabeled.unionByName(new_rows)
         .groupBy("doc_id")
         .agg(F.min("label").alias("label"))
         .withColumn("bucket", bkt(F.col("label")))
-    )
+    ).localCheckpoint()
     # dynamic overwrite cannot express an EMPTY partition: a bucket
     # whose every row moved to a merged label's bucket would keep its
     # stale files and resurrect the old labels (the _overwrite_cells
@@ -1523,4 +1540,63 @@ def neardup_canonical(spark, path: str) -> DataFrame:
         return out
     return out.join(
         F.broadcast(dead.select("doc_id")), "doc_id", "left_anti"
+    )
+
+
+def neardup_cc_occupancy(spark, path: str) -> DataFrame:
+    """Bucket-occupancy report for the materialized component map —
+    the `join_skew_report` shape applied to cc/'s layout hazard:
+    buckets key on LABEL, so every member of a component shares one
+    bucket, and a mega near-dup family (CommonCrawl boilerplate, a
+    site template with millions of near-identical pages) concentrates
+    its whole component there. Correctness is unaffected, but the
+    "bounded bucket rewrite" economics of `_neardup_cc_update`
+    silently degrade to rewrite-the-giant-bucket for every update
+    that touches that label — this report is the monitoring hook.
+
+    Per bucket: rows, distinct labels, the heaviest label and its
+    member count, and occupancy vs the uniform share in exact integer
+    ppm (rows * n_buckets * 1e6 div total — ~1e6 means balanced,
+    orders of magnitude above means one family owns the bucket).
+    Mitigations, in order: alert on `max_label_rows` (a mega family
+    usually means boilerplate worth excising upstream — see
+    `remove_duplicate_spans` / canonical-only retention); rebuild
+    with a larger `n_buckets` (`neardup_cc_write` re-buckets, which
+    isolates the family in its own bucket but cannot shrink it); at
+    the extreme, canonical-only cc retention for that label. The
+    rewrite-work bound that always holds regardless of skew: updates
+    whose merge set does not touch the mega label NEVER rewrite its
+    bucket (file-level test).
+
+    Scale: one count aggregate over the 2-column map, map-side
+    combined to n_buckets x labels partials, then an n_buckets-row
+    struct-max — never a sort."""
+    root = _nd_root(path, "cc")
+    n_buckets = _cc_meta(root)
+    per_label = (
+        spark.read.parquet(root)
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_bucket = per_label.groupBy("bucket").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max("n").alias("max_label_rows"),
+        F.max(F.struct(F.col("n"), (-F.col("label")).alias("nl"))).alias(
+            "__m"
+        ),
+    )
+    total = per_bucket.agg(F.sum("n_rows").alias("total"))
+    return (
+        per_bucket.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_rows",
+            "n_labels",
+            "max_label_rows",
+            (-F.col("__m.nl")).cast("long").alias("heaviest_label"),
+            F.expr(
+                f"(n_rows * {n_buckets} * 1000000L) div greatest(total, 1)"
+            ).alias("occupancy_ppm"),
+        )
     )

@@ -7054,6 +7054,94 @@ def canonical_docs_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def component_census_indexed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row skew census of the materialized component map — the
+    engine-neutral core of `neardup_cc_occupancy` (operators/
+    dedup.py): corpus size, component count, singleton count, the
+    heaviest component (size + min-tiebreak label) and its corpus
+    share in exact integer ppm. This is the alarm for the cc/ layout
+    hazard: buckets key on label, so a mega near-dup family owns its
+    bucket and update economics degrade to rewriting it — top1_share
+    is the number a 100 TB operator watches (the per-bucket
+    occupancy_ppm view is layout-specific and file-level tested).
+    Built over the same 80% write + 20% incremental update as
+    `canonical_docs_indexed`."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ccocc_")
+    DD.neardup_index_write(
+        docs.filter(F.col("doc_id") % 5 != 0), work,
+        num_hashes=_MH_K, band_size=_MH_BAND, threshold=0.8,
+    )
+    DD.neardup_cc_write(spark, work, n_buckets=8)
+    DD.neardup_index_update(
+        spark, work, docs.filter(F.col("doc_id") % 5 == 0),
+        num_hashes=_MH_K, band_size=_MH_BAND, threshold=0.8,
+    )
+    occ = DD.neardup_cc_occupancy(spark, work)
+    # layout-level facts reduce to engine-neutral ones: every label
+    # lives in exactly ONE bucket, so the global max of per-bucket
+    # max_label_rows IS the heaviest component's size
+    heavy = occ.agg(
+        F.sum("n_rows").alias("n_docs"),
+        F.max(
+            F.struct(
+                F.col("max_label_rows"), (-F.col("heaviest_label")).alias("nl")
+            )
+        ).alias("__m"),
+    ).select(
+        "n_docs",
+        F.col("__m.max_label_rows").alias("top1_members"),
+        (-F.col("__m.nl")).cast("long").alias("top1_component"),
+    )
+    comp = DD.neardup_canonical(spark, work)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("n"))
+    census = sizes.agg(
+        F.count("*").alias("n_components"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_singletons"),
+    )
+    return (
+        heavy.crossJoin(F.broadcast(census))
+        .select(
+            "n_docs",
+            "n_components",
+            "n_singletons",
+            "top1_component",
+            "top1_members",
+            F.expr(
+                "(top1_members * 1000000) div greatest(n_docs, 1)"
+            ).alias("top1_share_ppm"),
+        )
+    )
+
+
+COMPONENT_CENSUS_SQL = _COMP_CTES + """
+, compmap AS (
+  SELECT docs.doc_id, coalesce(mr.comp, docs.doc_id) AS component_id
+  FROM documents docs
+  LEFT JOIN (SELECT n, min(m) AS comp FROM reach GROUP BY n) mr
+    ON mr.n = docs.doc_id
+), sizes AS (
+  SELECT component_id, count(*) AS n FROM compmap GROUP BY 1
+), heavy AS (
+  SELECT n AS top1_members, component_id AS top1_component
+  FROM sizes ORDER BY n DESC, component_id ASC LIMIT 1
+)
+SELECT (SELECT sum(n) FROM sizes)::BIGINT AS n_docs,
+       (SELECT count(*) FROM sizes)::BIGINT AS n_components,
+       (SELECT sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) FROM sizes)::BIGINT
+         AS n_singletons,
+       top1_component,
+       top1_members::BIGINT AS top1_members,
+       ((top1_members * 1000000) // greatest((SELECT sum(n) FROM sizes), 1))::BIGINT
+         AS top1_share_ppm
+FROM heavy
+"""
+
+
 def _lpa_sql(iterations: int) -> str:
     head = DEDUP_COMPONENTS_SQL.split(", e AS (")[0] + """
 , e AS (
@@ -8713,6 +8801,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lpa_communities": (lpa_communities_q, LPA_SQL),
     "lpa_communities_indexed": (lpa_communities_indexed_q, LPA_SQL),
     "canonical_docs_indexed": (canonical_docs_indexed_q, CANONICAL_SQL),
+    # r9: component-map skew census (neardup_cc_occupancy core)
+    "component_census": (component_census_indexed_q, COMPONENT_CENSUS_SQL),
     "split_by_component": (split_by_component_q, SPLIT_BY_COMPONENT_SQL),
     "record_linkage": (record_linkage, RECORD_LINKAGE_SQL),
     "doc_keywords": (doc_keywords, DOC_KEYWORDS_SQL),

@@ -725,3 +725,72 @@ def test_neardup_cc_crash_after_edges_before_cc_heals(spark, tmp_path):
     assert _cc_map(spark, path) == want_cc
     assert spark.read.parquet(f"{path}/edges").filter(
         "doc_a = doc_b").count() == 0
+
+
+def test_cc_occupancy_flags_mega_component_and_rewrite_stays_bounded(
+    spark, tmp_path
+):
+    """Skew guard (r8 verdict): a mega near-dup family (boilerplate
+    template) concentrates its whole component in ONE label bucket.
+    `neardup_cc_occupancy` flags it (max_label_rows ~ the family,
+    occupancy far above the 1e6 uniform share), and the documented
+    rewrite bound holds at the file level: an update whose merge set
+    does not touch the mega label never rewrites the mega bucket."""
+    import glob
+    import os
+
+    from reader_spark.operators import dedup as DD
+
+    nb = 16
+    # pick a mega-family base id whose LABEL bucket differs from
+    # family A's label bucket (1) — the assertion needs them apart
+    buckets = {
+        r["id"]: r["b"]
+        for r in spark.range(1, 200).selectExpr(
+            "id", f"pmod(xxhash64(id), {nb}) AS b"
+        ).collect()
+    }
+    base = next(i for i in range(100, 200) if buckets[i] != buckets[1])
+    mega_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i k"),
+    ] + [(base + i, mega_text) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    DD.neardup_index_write(docs, path, num_hashes=8, band_size=2,
+                           threshold=0.8)
+    DD.neardup_cc_write(spark, path, n_buckets=nb)
+
+    occ = {r["bucket"]: r for r in
+           DD.neardup_cc_occupancy(spark, path).collect()}
+    assert sum(r["n_rows"] for r in occ.values()) == 42
+    mega = occ[buckets[base]]
+    assert mega["max_label_rows"] == 40 and mega["heaviest_label"] == base
+    # 40/42 of the corpus in one of 16 buckets: ~15x the uniform share
+    assert mega["occupancy_ppm"] > 10_000_000
+    assert occ[buckets[1]]["max_label_rows"] == 2
+
+    root = DD._nd_root(path, "cc")
+    mega_dir = f"{root}/bucket={buckets[base]}"
+    before = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{mega_dir}/*.parquet")
+    }
+    assert before  # the mega bucket exists
+    # doc 3 joins family A only — the mega label is not in the merge
+    # set, so its bucket's files must remain byte-identical
+    delta = spark.createDataFrame(
+        [(3, "a b c d e f g h i l")], "doc_id long, text string"
+    )
+    DD.neardup_index_update(spark, path, delta, num_hashes=8, band_size=2,
+                            threshold=0.8)
+    after = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{mega_dir}/*.parquet")
+    }
+    assert after == before
+    got = {r["doc_id"]: r["component_id"]
+           for r in DD.neardup_canonical(spark, path).collect()}
+    assert got[3] == got[1] == 1
+    assert got[base + 7] == base

@@ -1439,6 +1439,66 @@ index:
     assert edges(f"{out}/documents") == before
 
 
+def test_index_job_stream_explicit_checkpoint_is_per_table(
+    spark, tmp_path, sf_dir
+):
+    """An explicit source options.checkpoint_dir is suffixed per
+    table (r8 advice): two tables looping through sequential
+    streaming queries must never share one checkpoint — Spark's
+    offset/seen-files logs would mix across sources and the second
+    table's backlog would be silently skipped."""
+    import json as _json
+    import os as _os
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import dedup as DD
+    from reader_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    out = str(tmp_path / "idx")
+    for t in ("ta", "tb"):
+        DD.neardup_index_write(
+            docs.filter("doc_id % 5 != 0"), f"{out}/{t}",
+            num_hashes=8, band_size=2, threshold=0.8,
+        )
+        d = tmp_path / "in" / t
+        d.mkdir(parents=True)
+        with open(d / "delta.jsonl", "w") as f:
+            for r in docs.filter("doc_id % 5 = 0").collect():
+                f.write(_json.dumps(
+                    {"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    cfg = f"""
+source:
+  kind: jsonl
+  streaming: true
+  options:
+    path: {tmp_path / 'in'}
+    checkpoint_dir: {tmp_path / 'sharedck'}
+  tables: [{{name: ta}}, {{name: tb}}]
+destination:
+  kind: parquet
+  path: {out}
+index:
+  kind: neardup
+  mode: stream
+  num_hashes: 8
+  band_size: 2
+  threshold: 0.8
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert "drained" in res["ta"] and "drained" in res["tb"]
+    # per-table checkpoints exist under the user-provided dir
+    kids = set(_os.listdir(tmp_path / "sharedck"))
+    assert {"ta", "tb"} <= kids
+    # BOTH tables drained their identical backlog: same edge sets
+    ea = sorted((r["doc_a"], r["doc_b"])
+                for r in DD.neardup_edges(spark, f"{out}/ta").collect())
+    eb = sorted((r["doc_a"], r["doc_b"])
+                for r in DD.neardup_edges(spark, f"{out}/tb").collect())
+    assert ea == eb and len(ea) > 0
+
+
 def test_index_job_stream_mode_maintains_ivf(spark, tmp_path, sf_dir):
     """index: {kind: ivf, mode: stream}: a parquet vector backlog
     drains through ivf_index_maintainer; the updated index returns

@@ -186,6 +186,32 @@ class TransferWriter:
         """Pre-backfill truncate/drop (writer.go:310-327)."""
         shutil.rmtree(self._path(table), ignore_errors=True)
 
+    def truncate(self, table: str) -> None:
+        """The transfer TRUNCATE verb (writer.go:310-327): clear the
+        table's rows while KEEPING its schema, behind a pointer flip.
+        This is what a replicated `TRUNCATE TABLE` maps onto — unlike
+        `truncate_for_backfill` the table stays readable (zero rows,
+        same columns) before, during and after the clear, a crash at
+        any point leaves either the old rows or the empty state live
+        (never a half-deleted layout), and a replayed micro-batch
+        re-truncating is a no-op. Subsequent upserts seed the bucketed
+        layout afresh under the published version dir."""
+        if not self.exists(table):
+            return
+        empty = self.read(table).limit(0)
+        path = self._path(table)
+
+        # The version dir holds ONLY the schema manifest — no data
+        # files. Reads pin the manifest schema, so an empty dir scans
+        # to zero rows without inference; and a later bucketed upsert
+        # swaps `bucket=` dirs in without colliding with a root-level
+        # part file (mixed-level layouts break partition discovery).
+        def write_empty(vdir: str) -> None:
+            os.makedirs(vdir, exist_ok=True)
+            _write_schema_manifest(vdir, empty)
+
+        atomic_dir.publish(path, write_empty, keep=self.keep_versions)
+
     def create_empty(self, table: str, df: DataFrame) -> None:
         """K4: empty-table path — persist schema with zero rows
         (sources/mysql/snapshot.go:49-66)."""

@@ -115,7 +115,9 @@ def _apply_ddl_batch(
         .collect()
     )
     for r in ddl:
-        adapter.apply_ddl(r["statement"], int(r["ts_ms"] or 0))
+        adapter.apply_ddl(
+            r["statement"], int(r["ts_ms"] or 0), seq=int(r["seq"] or -1)
+        )
     if history_path and ddl:
         adapter.dump(history_path)
 
@@ -162,6 +164,12 @@ def process_batch(
                 "unix_ts long, tbl string, statement string, reason string",
             ).write.mode("append").json(f"{quarantine_path}/_ddl")
         adapter.unmatched.clear()
+    # Envelope mode has no destination table state to clear — the
+    # TRUNCATE maps to the transfer verb only in the MERGE pipeline
+    # (run_pipeline_merge). Drain the queue here so it cannot grow
+    # unbounded; downstream envelope consumers see the statement in
+    # the DDL/schema-history stream.
+    adapter.truncates.clear()
 
     first_version = adapter.history[0]["unix_ts"] if adapter.history else None
     out: dict[str, DataFrame] = {}
@@ -330,9 +338,28 @@ def run_pipeline_merge(
     )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        for table, changes in decoded_changes(
-            batch, adapter, db, tables, history_path
-        ).items():
+        changed = decoded_changes(batch, adapter, db, tables, history_path)
+        # Replicated TRUNCATE TABLE maps onto the transfer truncate
+        # verb (writer.go:310-327): clear the destination behind a
+        # pointer flip, discard this batch's DML at-or-before the
+        # truncate's log position (the truncate wiped those rows at
+        # the source too), and let later DML apply normally. Replays
+        # are safe: re-truncating an already-cleared table is a no-op
+        # and the post-truncate rows re-merge last-write-wins.
+        trunc_seq: dict[str, int] = {}
+        for t in adapter.truncates:
+            trunc_seq[t["table"]] = max(
+                trunc_seq.get(t["table"], -1), int(t.get("seq") or -1)
+            )
+        adapter.truncates.clear()
+        for table in trunc_seq:
+            if writer.exists(table):
+                writer.truncate(table)
+        for table, changes in changed.items():
+            if table in trunc_seq and trunc_seq[table] >= 0:
+                changes = changes.filter(
+                    F.col("seq") > F.lit(trunc_seq[table])
+                )
             pk = adapter.tables[table][0]
             if scd2 and scd2_bucketed:
                 writer.upsert_scd2_bucketed(

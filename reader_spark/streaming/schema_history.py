@@ -287,6 +287,17 @@ _DROP_NAME_RE = re.compile(
     rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})",
     re.IGNORECASE,
 )
+# TRUNCATE [TABLE] t — a DATA operation, not a schema mutation: the
+# column registry is untouched, but the destination must clear its
+# rows (the reference's transfer truncate verb,
+# writers/transfer/writer.go:310-327). The dispatcher queues it on
+# `SchemaAdapter.truncates` for the merge pipeline to drain, the same
+# drain-per-batch contract as `unmatched`.
+_TRUNCATE_RE = re.compile(
+    rf"^\s*TRUNCATE\s+(?:TABLE\s+)?"
+    rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -314,6 +325,14 @@ class SchemaAdapter:
     # them with their position instead of silently no-opping — a
     # missed schema mutation corrupts every later positional decode.
     unmatched: list[dict] = field(default_factory=list)
+    # TRUNCATE TABLE statements against a REPLICATED table, queued for
+    # the merge pipeline to apply as the transfer truncate verb
+    # (writer.go:310-327): each entry carries the log position (`seq`)
+    # so in-batch DML BEFORE the truncate can be discarded and DML
+    # AFTER it still applies. NOT recorded in `history` — replaying
+    # the schema history must never re-truncate a destination that
+    # has since accumulated rows.
+    truncates: list[dict] = field(default_factory=list)
 
     def _foreign(self, qualifier: str | None) -> bool:
         """A db qualifier names a different database than the one
@@ -324,7 +343,9 @@ class SchemaAdapter:
             and qualifier != self.database
         )
 
-    def apply_ddl(self, statement: str, unix_ts: int) -> bool:
+    def apply_ddl(
+        self, statement: str, unix_ts: int, seq: int | None = None
+    ) -> bool:
         """Returns True if the statement mutated the schema.
 
         Statements whose table names are qualified with a database
@@ -339,6 +360,23 @@ class SchemaAdapter:
         original = statement
         statement = _strip_comments(statement)
         if DDL_SKIP_RE.search(statement):
+            return False
+        m = _TRUNCATE_RE.match(statement)
+        if m:
+            # data op, not a schema mutation: columns unchanged, no
+            # history version cut. Queue the destination-clear for a
+            # replicated table; TRUNCATE of an unknown/foreign table
+            # is irrelevant here (same convention as DROP of one).
+            if not self._foreign(
+                _unquote(m.group("db") or "") or None
+            ) and _unquote(m.group("tbl")) in self.tables:
+                self.truncates.append(
+                    {
+                        "unix_ts": unix_ts,
+                        "table": _unquote(m.group("tbl")),
+                        "seq": -1 if seq is None else int(seq),
+                    }
+                )
             return False
         m = _CREATE_LIKE_RE.match(statement)
         if m:

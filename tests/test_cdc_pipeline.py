@@ -550,3 +550,80 @@ def test_merge_pipeline_destination_evolves_on_alter_add(spark, tmp_path):
         "2": ("bob", None),      # pre-ALTER row: evolved NULL
         "3": ("cyd", "c@x.io"),  # post-ALTER insert carries the column
     }
+
+
+def test_truncate_mid_stream_empties_merged_destination(spark, tmp_path):
+    """A replicated TRUNCATE TABLE maps onto the transfer truncate
+    verb (writer.go:310-327): the merged destination empties behind a
+    pointer flip, same-batch DML at-or-before the truncate's log
+    position is discarded (the source wiped those rows too), and
+    subsequent inserts apply onto the cleared state."""
+    from reader_spark.operators.transfer import TransferWriter
+    from reader_spark.plans.cdc_mysql import run_pipeline_merge
+
+    log = tmp_path / "log"
+    log.mkdir()
+    dest = str(tmp_path / "dest")
+    ck = str(tmp_path / "ck")
+
+    _append(log / "binlog.jsonl", [
+        rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+        rec(2, "dml", op="c", after='{"id": 1, "name": "ada"}'),
+        rec(3, "dml", op="c", after='{"id": 2, "name": "bob"}'),
+    ])
+    adapter = SchemaAdapter()
+    q = run_pipeline_merge(spark, str(log), dest, ck, "app", ["users"],
+                           adapter, n_buckets=4)
+    q.awaitTermination(90)
+    writer = TransferWriter(spark, dest)
+    assert writer.read("users").count() == 2
+
+    # one batch carrying: a pre-truncate insert (wiped at the source
+    # before it could survive), the TRUNCATE, then fresh inserts
+    _append(log / "binlog.jsonl", [
+        rec(4, "dml", op="c", after='{"id": 9, "name": "doomed"}'),
+        rec(5, "ddl", statement="TRUNCATE TABLE users"),
+        rec(6, "dml", op="c", after='{"id": 3, "name": "cy"}'),
+        rec(7, "dml", op="u", before='{"id": 3, "name": "cy"}',
+            after='{"id": 3, "name": "cy2"}'),
+    ])
+    q2 = run_pipeline_merge(spark, str(log), dest, ck, "app", ["users"],
+                            adapter, n_buckets=4)
+    q2.awaitTermination(90)
+
+    got = {r["id"]: r["name"] for r in writer.read("users").collect()}
+    assert got == {"3": "cy2"}  # pre-truncate rows + doomed insert gone
+    # schema untouched: TRUNCATE is a data op, no history version cut
+    assert adapter.tables["users"] == ["id", "name"]
+    assert all(
+        "TRUNCATE" not in h["statement"].upper() for h in adapter.history
+    )
+    assert adapter.truncates == []  # drained, not leaked
+
+    # inserts after the truncate batch still apply onto cleared state
+    _append(log / "binlog.jsonl", [
+        rec(8, "dml", op="c", after='{"id": 4, "name": "di"}'),
+    ])
+    q3 = run_pipeline_merge(spark, str(log), dest, ck, "app", ["users"],
+                            adapter, n_buckets=4)
+    q3.awaitTermination(90)
+    got = {r["id"]: r["name"] for r in writer.read("users").collect()}
+    assert got == {"3": "cy2", "4": "di"}
+
+
+def test_truncate_foreign_db_and_unknown_table_ignored(spark, tmp_path):
+    """TRUNCATE against another database's table or an unreplicated
+    table never queues a destination clear (ShouldReplicate gate,
+    sources/mysql/streaming/dml.go:24-40)."""
+    a = SchemaAdapter(database="app")
+    a.apply_ddl("CREATE TABLE users (id int, name text)", 1, seq=1)
+    assert not a.apply_ddl("TRUNCATE TABLE otherdb.users", 2, seq=2)
+    assert not a.apply_ddl("TRUNCATE TABLE ghosts", 3, seq=3)
+    assert a.truncates == []
+    # replicated table, bare + qualified + no-TABLE-keyword forms
+    a.apply_ddl("TRUNCATE TABLE users", 4, seq=4)
+    a.apply_ddl("TRUNCATE app.users;", 5, seq=5)
+    a.apply_ddl("/* gh-ost */ TRUNCATE `users`", 6, seq=6)
+    assert [t["seq"] for t in a.truncates] == [4, 5, 6]
+    assert all(t["table"] == "users" for t in a.truncates)
+    assert a.tables["users"] == ["id", "name"]

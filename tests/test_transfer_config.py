@@ -1658,3 +1658,45 @@ def test_schema_manifest_pins_reads_no_footer_merge(spark, tmp_path):
     root = atomic_dir.resolve(str(tmp_path / "full" / "u"))
     assert os.path.isfile(os.path.join(root, "_schema.json"))
     assert {r["id"] for r in tw2.read("u").collect()} == {7}
+
+
+def test_truncate_verb_keeps_schema_and_versions(spark, tmp_path):
+    """TransferWriter.truncate: rows clear behind a pointer flip, the
+    schema stays readable (zero rows, same columns incl. evolved
+    ones), the displaced snapshot stays time-travelable, and a later
+    bucketed upsert seeds cleanly onto the cleared layout."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import atomic_dir
+    from reader_spark.operators.transfer import TransferWriter
+
+    w = TransferWriter(spark, str(tmp_path / "dest"), keep_versions=2)
+    seed = spark.range(6).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name"),
+        F.lit("c").alias("op"), F.lit(1).alias("seq"),
+    )
+    w.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=4)
+    assert w.read("t").count() == 6
+    pre = atomic_dir.current_version(str(tmp_path / "dest" / "t"))
+
+    w.truncate("t")
+    emptied = w.read("t")
+    assert emptied.count() == 0
+    assert {"id", "name"} <= set(emptied.columns)  # schema survives
+    # truncate twice = no-op (replayed micro-batch)
+    w.truncate("t")
+    assert w.read("t").count() == 0
+    # the pre-truncate snapshot is still time-travelable
+    if pre is not None:
+        assert w.read("t", version=pre).count() == 6
+
+    post = spark.range(2).select(
+        (F.col("id") + 10).alias("id"),
+        F.lit("x").alias("name"),
+        F.lit("c").alias("op"), F.lit(2).alias("seq"),
+    )
+    w.upsert_bucketed("t", post, ["id"], "seq", n_buckets=4)
+    assert sorted(r["id"] for r in w.read("t").collect()) == [10, 11]
+
+    # truncate of a table that never existed is a silent no-op
+    w.truncate("missing")

@@ -1164,6 +1164,40 @@ def ivf_refit_check(
     }
 
 
+def ivf_drift_check(
+    spark,
+    health_path: str,
+    baseline_path: str,
+    max_skew_ppm: int = 4_000_000,
+    max_err_growth_ppm: int = 300_000,
+) -> "DataFrame":
+    """`ivf_refit_check`'s evidence as a ONE-ROW drift verdict frame —
+    the vector-index member of the drift family, shaped like
+    `drift_check`/`drift_summary_categorical` so the same alerting
+    path consumes scalar, categorical, and embedding drift. Occupancy
+    skew and quantization-error growth vs the fit-time baseline ARE
+    distribution drift as the index experiences it: vectors moving
+    away from their centroids. Reads two K-row health tables, never
+    the corpus."""
+    ev = ivf_refit_check(
+        spark, health_path, baseline_path, max_skew_ppm, max_err_growth_ppm
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(ev["n_members"]),
+                int(ev["skew_ppm"]),
+                int(ev["err_growth_ppm"]),
+                int(ev["mean_err_ppm"]),
+                int(ev["baseline_mean_err_ppm"]),
+                bool(ev["refit"]),
+            )
+        ],
+        "n_members long, skew_ppm long, err_growth_ppm long, "
+        "mean_err_ppm long, baseline_mean_err_ppm long, drifted boolean",
+    )
+
+
 def ivf_autorefit_maintainer(
     index_path: str,
     health_path: str,
@@ -2413,4 +2447,112 @@ def knn_binary(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution drift: the vector-side member of the drift
+# family (operators/curation.py::drift_report covers scalars,
+# drift_report_categorical covers discrete mixes). An embedding
+# corpus drifts when a new encoder version, a new source mix, or a
+# preprocessing bug shifts where vectors live; per-dimension means
+# are the cheapest complete signal (any mean-shift along any axis is
+# visible, and a 100 TB pass reduces to D partial aggregates). The
+# reference has no vector monitoring counterpart (its gauge is Kafka
+# lag, lib/kafkalib/writer.go:131); semantics follow the scalar
+# drift contract so all three families alert the same way.
+# ---------------------------------------------------------------------------
+
+
+def _dim_means(df, vec_col: str, suffix: str):
+    """Per-dimension mean over an embedding column: posexplode to
+    (dim, value), then a map-side-combined groupBy over D groups —
+    the shuffle carries D rows per input partition regardless of
+    corpus size."""
+    return (
+        df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "dim", "v"
+            )
+        )
+        .groupBy("dim")
+        .agg(F.avg("v").alias(f"mean_{suffix}"))
+    )
+
+
+def embedding_drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension drift report between a reference embedding wave
+    and a current one: (dim, mean_ref, mean_cur, delta), delta =
+    |mean_ref - mean_cur| rounded to 6 (the engine-parity float
+    convention). Dimensions present in only one wave (ragged arrays,
+    an encoder that changed output width — itself a drift signal)
+    survive the join with the missing side's mean NULL and delta
+    NULL, never silently dropped."""
+    r = _dim_means(ref, vec_col, "ref")
+    c = _dim_means(cur, vec_col, "cur")
+    return (
+        r.join(c, "dim", "full_outer")
+        .select(
+            "dim",
+            F.round("mean_ref", 6).alias("mean_ref"),
+            F.round("mean_cur", 6).alias("mean_cur"),
+            F.round(
+                F.abs(F.col("mean_ref") - F.col("mean_cur")), 6
+            ).alias("delta"),
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_drift_summary(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    alert_delta: float = 0.05,
+) -> DataFrame:
+    """One-row verdict over `embedding_drift_report` plus the norm
+    health the per-dim means can't see (a rescaled encoder keeps
+    directions but moves L2 norms): n_ref/n_cur, n_dims, max & mean
+    per-dim delta, mean L2 norm per wave, and `drifted` when any
+    dimension's delta clears `alert_delta`. Norms fold sequentially
+    per row (F.aggregate — same element order as the oracle's
+    list_sum), so only the cross-row avg is subject to float order;
+    round(6) absorbs it."""
+    rep = embedding_drift_report(ref, cur, vec_col)
+    sq = lambda c: F.aggregate(  # noqa: E731 - local fold
+        F.col(c).cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    norm = lambda df: df.select(  # noqa: E731
+        F.sqrt(sq(vec_col)).alias("l2")
+    ).agg(F.avg("l2").alias("norm"), F.count("*").alias("n"))
+    stats = rep.agg(
+        F.count("*").alias("n_dims"),
+        F.max("delta").alias("max_delta"),
+        F.round(F.avg("delta"), 6).alias("mean_delta"),
+    )
+    nr = norm(ref).select(
+        F.col("n").alias("n_ref"), F.round("norm", 6).alias("norm_ref")
+    )
+    nc = norm(cur).select(
+        F.col("n").alias("n_cur"), F.round("norm", 6).alias("norm_cur")
+    )
+    return (
+        stats.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_ref",
+            "n_cur",
+            "n_dims",
+            "max_delta",
+            "mean_delta",
+            "norm_ref",
+            "norm_cur",
+            (F.col("max_delta") > F.lit(alert_delta)).alias("drifted"),
+        )
     )

@@ -8621,6 +8621,93 @@ FROM est JOIN ex ON ex.event_type = est.event_type
 """
 
 
+def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift (operators/similarity.py::
+    embedding_drift_report): per-dimension mean deltas between a
+    reference wave (labels 0-6) and a current wave (labels 7-9) —
+    the drift a new encoder version or a shifted source mix leaves
+    on a vector corpus. Scale: posexplode + map-side-combined
+    groupBy, so the shuffle carries D(=64) rows per input partition
+    regardless of corpus size; the waves never join row-to-row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("label") <= 6)
+    cur = emb.filter(F.col("label") >= 7)
+    return SIM.embedding_drift_report(ref, cur, "embedding")
+
+
+EMBEDDING_DRIFT_SQL = """
+WITH r AS (
+  SELECT unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE label <= 6
+), c AS (
+  SELECT unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE label >= 7
+), rm AS (
+  SELECT dim, avg(v) AS m FROM r GROUP BY dim
+), cm AS (
+  SELECT dim, avg(v) AS m FROM c GROUP BY dim
+)
+SELECT coalesce(rm.dim, cm.dim)::INT AS dim,
+       round(rm.m, 6) AS mean_ref,
+       round(cm.m, 6) AS mean_cur,
+       round(abs(rm.m - cm.m), 6) AS delta
+FROM rm FULL JOIN cm ON rm.dim = cm.dim
+ORDER BY dim
+"""
+
+
+def embedding_drift_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row embedding drift verdict (operators/similarity.py::
+    embedding_drift_summary): wave sizes, max/mean per-dimension
+    delta, mean L2 norm per wave (a rescaled encoder moves norms
+    while keeping directions), and the drifted flag at 0.05 — the
+    row a scheduler alerts on before retraining on a drifted
+    corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("label") <= 6)
+    cur = emb.filter(F.col("label") >= 7)
+    return SIM.embedding_drift_summary(ref, cur, "embedding", alert_delta=0.05)
+
+
+EMBEDDING_DRIFT_SUMMARY_SQL = """
+WITH r AS (
+  SELECT unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE label <= 6
+), c AS (
+  SELECT unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE label >= 7
+), rm AS (
+  SELECT dim, avg(v) AS m FROM r GROUP BY dim
+), cm AS (
+  SELECT dim, avg(v) AS m FROM c GROUP BY dim
+), rep AS (
+  SELECT round(abs(rm.m - cm.m), 6) AS delta
+  FROM rm FULL JOIN cm ON rm.dim = cm.dim
+), stats AS (
+  SELECT count(*)::BIGINT AS n_dims, max(delta) AS max_delta,
+         round(avg(delta), 6) AS mean_delta
+  FROM rep
+), nr AS (
+  SELECT count(*)::BIGINT AS n_ref,
+         round(avg(sqrt(list_sum(
+           list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS norm_ref
+  FROM embeddings WHERE label <= 6
+), nc AS (
+  SELECT count(*)::BIGINT AS n_cur,
+         round(avg(sqrt(list_sum(
+           list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS norm_cur
+  FROM embeddings WHERE label >= 7
+)
+SELECT n_ref, n_cur, n_dims, max_delta, mean_delta, norm_ref, norm_cur,
+       (max_delta > 0.05) AS drifted
+FROM stats, nr, nc
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -8686,6 +8773,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "snapshot_drift_categorical_by_group": (
         snapshot_drift_categorical_by_group, SNAPSHOT_DRIFT_CAT_GROUPED_SQL,
+    ),
+    # r9: embedding-distribution drift (the vector-side member of the
+    # drift family; per-dim mean deltas + one-row norm/delta verdict)
+    "embedding_drift": (embedding_drift_q, EMBEDDING_DRIFT_SQL),
+    "embedding_drift_summary": (
+        embedding_drift_summary_q, EMBEDDING_DRIFT_SUMMARY_SQL,
     ),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —

@@ -170,12 +170,44 @@ class DriftCfg:
 
 
 @dataclass
+class SketchCfg:
+    """Sketch-table job (operators/sketches.py tile family): mode
+    'build' materializes the per-key tiles from the source table —
+    kmv (distinct/overlap), bottomk (quantiles/previews), or cms
+    (point frequencies). mode 'rebuild' is the DOCUMENTED delete
+    path: the tile merges are monotone (a KMV union, a bottom-k
+    containment, a CMS increment can never be un-merged), so
+    right-to-be-forgotten for a maintained sketch table is a rebuild
+    from the SURVIVING corpus — one `*_tiles_write` pass whose result
+    equals a fresh build over what remains (test_transfer_config.py
+    roundtrip). Same code path as build; the separate verb exists so
+    job configs state intent and schedulers can audit that the
+    deletion had its rebuild."""
+
+    kind: str = "kmv"                # kmv | bottomk | cms
+    key_columns: list[str] = field(default_factory=lambda: ["source"])
+    value_column: str = "doc_id"
+    k: int = 64                      # kmv hashes / bottomk sample size
+    width: int = 256                 # cms counter columns
+    depth: int = 4                   # cms hash rows
+    id_column: str | None = None     # bottomk deterministic tie-break
+    mode: str = "build"              # build | rebuild
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("kmv", "bottomk", "cms"):
+            raise ValueError(f"unknown sketch kind {self.kind!r}")
+        if self.mode not in ("build", "rebuild"):
+            raise ValueError(f"unknown sketch mode {self.mode!r}")
+
+
+@dataclass
 class Settings:
     source: SourceCfg
     destination: DestinationCfg
     curate: CurateCfg | None = None
     index: IndexCfg | None = None
     drift: DriftCfg | None = None
+    sketch: SketchCfg | None = None
 
 
 def load_settings(path_or_str: str) -> Settings:
@@ -197,7 +229,8 @@ def load_settings(path_or_str: str) -> Settings:
     curate = CurateCfg(**raw["curate"]) if raw.get("curate") else None
     index = IndexCfg(**raw["index"]) if raw.get("index") else None
     drift = DriftCfg(**raw["drift"]) if raw.get("drift") else None
+    sketch = SketchCfg(**raw["sketch"]) if raw.get("sketch") else None
     return Settings(
         source=source, destination=destination, curate=curate, index=index,
-        drift=drift,
+        drift=drift, sketch=sketch,
     )

@@ -103,6 +103,8 @@ def _publish(env: DataFrame, settings: Settings, table: str) -> str:
 def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
     """Execute one configured job; returns {table: destination}."""
     src = settings.source
+    if settings.sketch is not None:
+        return _run_sketch(spark, settings)
     if settings.drift is not None:
         return _run_drift(spark, settings)
     if settings.index is not None:
@@ -475,6 +477,53 @@ def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 df, out, model, id_col=cfg.id_column, vec_col=cfg.vector_column
             )
         results[table.name] = out
+    return results
+
+
+def _run_sketch(spark: SparkSession, settings: Settings) -> dict[str, str]:
+    """sketch: job — (re)materialize a maintained sketch-tile table
+    per source table at destination.path/<table>. mode 'rebuild' is
+    the delete path for the monotone tile family: a KMV union /
+    bottom-k containment / CMS increment cannot be un-merged, so
+    forgetting documents from a MAINTAINED sketch means one
+    `*_tiles_write` pass over the surviving corpus — the published
+    result equals a fresh build over what remains, and the pointer
+    flip retires the pre-deletion tiles atomically (readers never
+    see a half-forgotten state). Epoch restarts at -1; run rebuilds
+    BETWEEN maintainer drains (the stream jobs are availableNow —
+    each run empties the backlog and exits), never concurrently: a
+    replayed pre-rebuild batch would pass the reset epoch gate and,
+    for the non-idempotent CMS counters, re-apply rows the rebuild
+    already counted."""
+    cfg = settings.sketch
+    src = settings.source
+    results: dict[str, str] = {}
+    for table in src.tables:
+        df = _read_table(spark, src, table)
+        out = f"{settings.destination.path}/{table.name}"
+        if cfg.kind == "kmv":
+            from reader_spark.operators.sketches import kmv_tiles_write
+
+            kmv_tiles_write(
+                df, out, cfg.key_columns, cfg.value_column, k=cfg.k
+            )
+        elif cfg.kind == "bottomk":
+            from reader_spark.operators.sketches import bottomk_tiles_write
+
+            bottomk_tiles_write(
+                df, out, cfg.key_columns, cfg.value_column,
+                k=cfg.k, id_col=cfg.id_column,
+            )
+        else:  # cms
+            from pyspark.sql import functions as F
+
+            from reader_spark.operators.sketches import cms_tiles_write
+
+            cms_tiles_write(
+                df.select(F.col(cfg.value_column).alias("term")),
+                out, width=cfg.width, depth=cfg.depth,
+            )
+        results[table.name] = f"{out} ({cfg.mode})"
     return results
 
 

@@ -276,10 +276,25 @@ def count_min_estimate(
 def cms_tiles_write(
     tokens: DataFrame, path: str, width: int = 256, depth: int = 4
 ) -> None:
-    """Materialize a Count-Min counter frame (seed build)."""
-    count_min_tiles(tokens, width=width, depth=depth).write.mode(
-        "overwrite"
-    ).parquet(path)
+    """Materialize a Count-Min counter frame (seed build — also the
+    REBUILD verb, the delete path for a monotone sketch) behind the
+    same atomic pointer flip the update path uses: a rebuild over an
+    already-maintained (pointer-published) table must retire the old
+    counters atomically, never leave readers a half-written bare
+    overwrite. `_epoch` restarts at -1 so stream maintainers resume
+    cleanly against the rebuilt table."""
+    from reader_spark.operators import atomic_dir
+
+    tiles = count_min_tiles(tokens, width=width, depth=depth)
+
+    def write_fn(vdir: str) -> None:
+        import os
+
+        tiles.coalesce(1).write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_epoch"), "w") as f:
+            f.write("-1")
+
+    atomic_dir.publish(path, write_fn)
 
 
 def _cms_epoch(data_root: str) -> int:

@@ -1700,3 +1700,95 @@ def test_truncate_verb_keeps_schema_and_versions(spark, tmp_path):
 
     # truncate of a table that never existed is a silent no-op
     w.truncate("missing")
+
+
+def test_sketch_rebuild_is_the_delete_path(spark, tmp_path, sf_dir):
+    """sketch: {mode: rebuild} — the documented right-to-be-forgotten
+    verb for maintained sketch tables: monotone tile merges (KMV
+    union, bottom-k containment, CMS increment) cannot un-merge a
+    forgotten document, so deletion = rebuild from the surviving
+    corpus. Roundtrip: build tiles, maintain them past the build
+    (so the stored table provably diverges from any fresh build),
+    delete documents, rebuild — the published tiles equal a fresh
+    build over the survivors, for all three kinds."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = docs.limit(200)
+    survivors = full.filter(F.col("doc_id") % 3 != 0)
+    corpus = str(tmp_path / "corpus")
+    full.write.parquet(f"{corpus}/documents.parquet")
+
+    def cfg(mode, kind, extra=""):
+        return f"""
+source:
+  kind: parquet
+  options: {{path: {corpus}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {tmp_path}/tiles_{kind}
+sketch:
+  kind: {kind}
+  key_columns: [source]
+  value_column: doc_id
+  k: 16
+  mode: {mode}{extra}
+"""
+
+    def rows(df):
+        def norm(v):
+            return tuple(v) if isinstance(v, list) else v
+
+        return sorted(tuple(norm(v) for v in r) for r in df.collect())
+
+    # --- kmv ---------------------------------------------------------
+    out = f"{tmp_path}/tiles_kmv/documents"
+    res = run_job(spark, load_settings(cfg("build", "kmv")))
+    assert res == {"documents": f"{out} (build)"}
+    # maintain past the build: stored tiles now cover rows a fresh
+    # build over the ORIGINAL corpus would too, but the update proves
+    # the rebuild truly resets (epoch) rather than merging
+    SK.kmv_tiles_update(
+        spark, out, full.limit(50), ["source"], "doc_id", k=16, epoch=7
+    )
+    # the deletion: survivors replace the corpus, then rebuild
+    survivors.write.mode("overwrite").parquet(
+        f"{corpus}/documents.parquet"
+    )
+    run_job(spark, load_settings(cfg("rebuild", "kmv")))
+    fresh = str(tmp_path / "fresh_kmv")
+    SK.kmv_tiles_write(survivors, fresh, ["source"], "doc_id", k=16)
+    got = rows(SK.kmv_tiles_read(spark, out))
+    want = rows(SK.kmv_tiles_read(spark, fresh))
+    assert got == want
+
+    # --- bottomk -----------------------------------------------------
+    out = f"{tmp_path}/tiles_bottomk/documents"
+    run_job(spark, load_settings(
+        cfg("rebuild", "bottomk", "\n  id_column: doc_id")))
+    fresh = str(tmp_path / "fresh_bottomk")
+    SK.bottomk_tiles_write(
+        survivors, fresh, ["source"], "doc_id", k=16, id_col="doc_id"
+    )
+    got = rows(SK.bottomk_tiles_read(spark, out))
+    want = rows(SK.bottomk_tiles_read(spark, fresh))
+    assert got == want
+
+    # --- cms (rebuild atomically retires a MAINTAINED published
+    # layout — cms_tiles_write now pointer-flips like the others) ----
+    out = f"{tmp_path}/tiles_cms/documents"
+    run_job(spark, load_settings(cfg("build", "cms")))
+    SK.cms_tiles_update(
+        spark, out, full.select(F.col("doc_id").alias("term")), epoch=3
+    )
+    run_job(spark, load_settings(cfg("rebuild", "cms")))
+    fresh = str(tmp_path / "fresh_cms")
+    SK.cms_tiles_write(survivors.select(F.col("doc_id").alias("term")), fresh)
+    got = rows(SK.cms_tiles_read(spark, out))
+    want = rows(SK.cms_tiles_read(spark, fresh))
+    assert got == want

@@ -155,17 +155,27 @@ class DriftCfg:
 
     value_column: str | None = None       # numeric family
     category_column: str | None = None    # categorical family (r9)
+    vector_column: str | None = None      # embedding family (r9)
     n_buckets: int = 20
     top_k: int = 50                       # categorical: top-K + OTHER
     alert_ppm: int = 50_000
+    alert_delta: float = 0.05             # embedding: per-dim mean cut
     mode: str = "baseline"           # baseline | check
 
     def __post_init__(self) -> None:
         if self.mode not in ("baseline", "check"):
             raise ValueError(f"unknown drift mode {self.mode!r}")
-        if (self.value_column is None) == (self.category_column is None):
+        chosen = [
+            c
+            for c in (
+                self.value_column, self.category_column, self.vector_column
+            )
+            if c is not None
+        ]
+        if len(chosen) != 1:
             raise ValueError(
-                "drift needs exactly one of value_column / category_column"
+                "drift needs exactly one of value_column / "
+                "category_column / vector_column"
             )
 
 

@@ -356,9 +356,17 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
             drift_ref_write_categorical,
         )
 
+        from reader_spark.operators.similarity import (
+            embedding_drift_check,
+            embedding_drift_ref_write,
+        )
+
         categorical = cfg.category_column is not None
+        vector = cfg.vector_column is not None
         if cfg.mode == "baseline":
-            if categorical:
+            if vector:
+                embedding_drift_ref_write(df, ref_path, cfg.vector_column)
+            elif categorical:
                 drift_ref_write_categorical(
                     df, ref_path, cfg.category_column, cfg.top_k
                 )
@@ -368,25 +376,36 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 )
             results[table.name] = ref_path
         else:
-            if categorical:
+            if vector:
+                verdict = embedding_drift_check(
+                    spark, ref_path, df, cfg.vector_column, cfg.alert_delta
+                )
+            elif categorical:
                 verdict = drift_check_categorical(
                     spark, ref_path, df, cfg.category_column, cfg.alert_ppm
                 )
-                drifted_col = "n_drifted_categories"
             else:
                 verdict = drift_check(
                     spark, ref_path, df, cfg.value_column, cfg.alert_ppm
                 )
-                drifted_col = "n_drifted_buckets"
             r = verdict.collect()[0]  # one row; compute exactly once
             log = f"{base}/_driftlog"
             spark.createDataFrame([r], verdict.schema).coalesce(1).write.mode(
                 "append"
             ).parquet(log)
-            results[table.name] = (
-                f"{log} (tvd_ppm={r['tvd_ppm']} "
-                f"drifted={r[drifted_col]})"
-            )
+            if vector:
+                gist = f"max_delta={r['max_delta']} drifted={r['drifted']}"
+            elif categorical:
+                gist = (
+                    f"tvd_ppm={r['tvd_ppm']} "
+                    f"drifted={r['n_drifted_categories']}"
+                )
+            else:
+                gist = (
+                    f"tvd_ppm={r['tvd_ppm']} "
+                    f"drifted={r['n_drifted_buckets']}"
+                )
+            results[table.name] = f"{log} ({gist})"
     return results
 
 

@@ -2556,3 +2556,123 @@ def embedding_drift_summary(
             (F.col("max_delta") > F.lit(alert_delta)).alias("drifted"),
         )
     )
+
+
+def embedding_drift_ref_write(
+    ref: DataFrame, path: str, vec_col: str = "embedding"
+) -> None:
+    """Publish the reference side of an embedding drift watch: the
+    per-dimension means plus the wave's mean L2 norm and row count
+    (carried on every row — the K-row IVF-health shape), pointer-flip
+    published so a checker never sees a torn reference. D rows total;
+    the reference corpus is never re-scanned by later checks — that
+    is the point of materializing it. Re-run to re-baseline after an
+    accepted encoder/distribution change."""
+    from reader_spark.operators import atomic_dir
+
+    sq = F.aggregate(
+        F.col(vec_col).cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    stats = ref.agg(
+        F.avg(F.sqrt(sq)).alias("norm_ref"), F.count("*").alias("n_ref")
+    )
+    tiles = _dim_means(ref, vec_col, "ref").crossJoin(F.broadcast(stats))
+
+    def write_fn(vdir: str) -> None:
+        tiles.coalesce(1).write.mode("overwrite").parquet(vdir)
+
+    atomic_dir.publish(path, write_fn)
+
+
+def embedding_drift_check(
+    spark,
+    path: str,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    alert_delta: float = 0.05,
+) -> DataFrame:
+    """One-row embedding drift verdict of `cur` against the PUBLISHED
+    per-dimension reference (embedding_drift_ref_write): max/mean
+    |mean delta| across dimensions, mean L2 norm of both waves, and
+    `drifted` when any dimension clears `alert_delta`. One map-only
+    pass over the batch + a D-row broadcast join. An EMPTY current
+    wave is a verdict, not a skip: n_cur=0, deltas NULL, drifted=true
+    (all reference mass unmatched — the scalar family's empty-wave
+    contract)."""
+    from reader_spark.operators import atomic_dir
+
+    ref = spark.read.parquet(atomic_dir.resolve(path))
+    sq = F.aggregate(
+        F.col(vec_col).cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    curstats = cur.agg(
+        F.avg(F.sqrt(sq)).alias("norm_cur"), F.count("*").alias("n_cur")
+    )
+    cm = _dim_means(cur, vec_col, "cur")
+    per = ref.join(cm, "dim", "full_outer").select(
+        F.round(F.abs(F.col("mean_ref") - F.col("mean_cur")), 6).alias(
+            "delta"
+        ),
+        "norm_ref",
+        "n_ref",
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max("delta").alias("max_delta"),
+        F.round(F.avg("delta"), 6).alias("mean_delta"),
+        F.max("norm_ref").alias("norm_ref"),
+        F.max("n_ref").alias("n_ref"),
+    )
+    return agg.crossJoin(F.broadcast(curstats)).select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        "n_dims",
+        "max_delta",
+        "mean_delta",
+        F.round("norm_ref", 6).alias("norm_ref"),
+        F.round("norm_cur", 6).alias("norm_cur"),
+        F.when(F.col("n_cur") == 0, F.lit(True))
+        .otherwise(F.col("max_delta") > F.lit(alert_delta))
+        .alias("drifted"),
+    )
+
+
+def embedding_drift_watch(
+    ref_path: str,
+    log_path: str,
+    vec_col: str = "embedding",
+    alert_delta: float = 0.05,
+):
+    """`foreachBatch` body logging each micro-batch's embedding drift
+    verdict against the published per-dim reference — the vector
+    member of the streaming drift family. The log is partitioned by
+    batch id and written with dynamic partition overwrite, so a
+    crash-replayed batch REPLACES its own row (exactly-once without a
+    dedup read); an empty micro-batch still logs its n_cur=0 verdict
+    for the same reason the scalar watch does."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        row = embedding_drift_check(
+            spark, ref_path, batch_df, vec_col, alert_delta
+        ).withColumn("batch", F.lit(batch_id))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            row.coalesce(1).write.partitionBy("batch").mode(
+                "overwrite"
+            ).parquet(log_path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return body

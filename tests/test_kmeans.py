@@ -363,3 +363,89 @@ def test_health_machinery_serves_pq_layout(spark, sf_dir, tmp_path):
     after = {tuple(r) for r in SIM.ivf_health_read(spark, hp_pq).collect()}
     fresh = {tuple(r) for r in SIM.ivf_health_read(spark, hp3).collect()}
     assert after == fresh
+
+
+def test_embedding_drift_family(spark, sf_dir, tmp_path):
+    """The vector member of the drift family: an identical wave reads
+    no drift; a mean-shifted wave trips the per-dim delta; the
+    published reference (embedding_drift_ref_write) gives the same
+    verdict as the direct summary; an empty wave logs a defined
+    n_cur=0 / drifted verdict; the watch body is exactly-once per
+    batch id."""
+    emb = _emb(spark, sf_dir)
+    ref = emb.filter("vec_id < 300").select("vec_id", "embedding")
+    same = emb.filter("vec_id >= 300").select("vec_id", "embedding")
+
+    # identical distribution: tiny deltas, no drift at 0.05
+    s = SIM.embedding_drift_summary(ref, same, "embedding").collect()[0]
+    assert not s["drifted"] and s["n_dims"] == 64
+    assert s["n_ref"] == 300 and s["n_cur"] == ref.count() + same.count() - 300
+
+    # shifted wave: +0.2 on every dim -> every dim clears the cut
+    shifted = same.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + 0.2
+        ).alias("embedding"),
+    )
+    rep = SIM.embedding_drift_report(ref, shifted, "embedding")
+    assert rep.filter(F.col("delta") > 0.05).count() == 64
+    s2 = SIM.embedding_drift_summary(ref, shifted, "embedding").collect()[0]
+    assert s2["drifted"] and s2["max_delta"] > 0.15
+
+    # published reference == direct summary verdict
+    rp = str(tmp_path / "edriftref")
+    SIM.embedding_drift_ref_write(ref, rp, "embedding")
+    chk = SIM.embedding_drift_check(spark, rp, shifted, "embedding")
+    c = chk.collect()[0]
+    assert c["drifted"] and c["n_dims"] == 64 and c["n_ref"] == 300
+    assert abs(c["max_delta"] - s2["max_delta"]) < 2e-6
+    ok = SIM.embedding_drift_check(spark, rp, same, "embedding").collect()[0]
+    assert not ok["drifted"]
+
+    # empty wave: a verdict, not a skip
+    empty = same.limit(0)
+    e = SIM.embedding_drift_check(spark, rp, empty, "embedding").collect()[0]
+    assert e["n_cur"] == 0 and e["drifted"] and e["max_delta"] is None
+
+    # watch body: per-batch rows, replay REPLACES (exactly-once)
+    log = str(tmp_path / "edriftlog")
+    body = SIM.embedding_drift_watch(rp, log, "embedding")
+    body(same, 0)
+    body(shifted, 1)
+    body(shifted, 1)  # crash replay
+    body(empty, 2)    # empty wave still logs
+    rows = {r["batch"]: r for r in spark.read.parquet(log).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert not rows[0]["drifted"] and rows[1]["drifted"]
+    assert rows[2]["n_cur"] == 0 and rows[2]["drifted"]
+
+
+def test_ivf_drift_check_verdict_row(spark, sf_dir, tmp_path):
+    """ivf_drift_check exposes refit evidence as the one-row drift
+    verdict shape: stable health vs its own baseline reads no drift;
+    a health table rebuilt after a drifted ingest trips it."""
+    emb = _emb(spark, sf_dir)
+    seed = emb.filter("vec_id < 300")
+    idx = str(tmp_path / "idx")
+    hp = str(tmp_path / "health")
+    bp = str(tmp_path / "baseline")
+    model = SIM.ivf_fit(seed, 8, seed=7)
+    SIM.ivf_index_write(seed, idx, model)
+    SIM.ivf_health_write(spark, idx, hp)
+    SIM.ivf_health_write(spark, idx, bp)
+
+    row = SIM.ivf_drift_check(spark, hp, bp).collect()[0]
+    assert not row["drifted"] and row["err_growth_ppm"] == 0
+    assert row["n_members"] == 300
+
+    drifted = emb.filter("vec_id >= 300 and vec_id < 400").select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + 40.0
+        ).alias("embedding"),
+    )
+    SIM.ivf_index_update(spark, idx, drifted)
+    SIM.ivf_health_write(spark, idx, hp)
+    row2 = SIM.ivf_drift_check(spark, hp, bp).collect()[0]
+    assert row2["drifted"] and row2["err_growth_ppm"] > 300_000

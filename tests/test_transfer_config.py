@@ -1792,3 +1792,38 @@ sketch:
     got = rows(SK.cms_tiles_read(spark, out))
     want = rows(SK.cms_tiles_read(spark, fresh))
     assert got == want
+
+
+def test_drift_job_vector_yaml(spark, tmp_path, sf_dir):
+    """drift: {vector_column} drives the embedding family from YAML:
+    baseline publishes the per-dimension mean reference, a later
+    check verdicts the source's embeddings against it and appends to
+    the drift log (identical source -> no drift); exactly-one-family
+    validation rejects ambiguous configs."""
+    import pytest
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "dqv")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: embeddings}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  vector_column: embedding
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert res == {"embeddings": f"{out}/embeddings/_driftref"}
+    chk = run_job(spark, load_settings(
+        cfg + "  mode: check\n"))
+    assert "drifted=False" in chk["embeddings"]
+    log = spark.read.parquet(f"{out}/embeddings/_driftlog").collect()
+    assert len(log) == 1 and log[0]["n_dims"] == 64
+
+    with pytest.raises(ValueError):
+        load_settings(cfg + "  value_column: v\n")

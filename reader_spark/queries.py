@@ -9101,6 +9101,42 @@ assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 # entries are all round-7 green with code untouched since, except the
 # r3 leftovers (TPC-H batch + converters) which stay multi-round
 # green and rotate in next round.
+# --- r9 driver-window rotation --------------------------------------
+# 6 never-sampled queries (the r8 post-window categorical-drift family
+# + census, and this round's embedding drift), 4 entries whose code
+# paths changed this round (transfer.py truncate/manifest ordering ->
+# k3/cdc_reconcile; similarity.py additions -> knn_ivf; sketches.py
+# cms pointer-flip -> cms_term_freq), then the stalest greens: the 4
+# remaining r1-sampled entries, the full 23-wide r3 cohort, and 13 of
+# the r4 cohort. Every window entry is multi-round green except the
+# never-sampled six.
+_WINDOW_R9 = [
+    # new / never driver-sampled
+    "snapshot_drift_categorical", "snapshot_drift_categorical_summary",
+    "snapshot_drift_categorical_by_group", "embedding_drift",
+    "embedding_drift_summary", "component_census",
+    # reads code changed this round
+    "k3_transfer_dedupe", "cdc_reconcile", "knn_ivf", "cms_term_freq",
+    # stalest: last sampled round 1
+    "percentiles", "pivot_status", "semi_join_customers",
+    "set_ops_customers",
+    # last sampled round 3
+    "events_cube", "events_rollup_multigrain", "p4_invalid_nulling",
+    "p7_ddl_filter", "q10_returned_items", "q11_important_parts",
+    "q12_ship_priority", "q14_promo_effect", "q15_top_supplier",
+    "q18_large_volume", "q19_discounted_revenue", "q22_global_sales",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "range_join_bands",
+    "text_fingerprint", "text_lang_id", "text_quality", "text_tokens",
+    "window_frames",
+    # last sampled round 4 (first 13; the rest rotate in next round)
+    "array_functions", "audio_spectrum", "clean_corpus",
+    "data_quality_report", "doc_chunks", "json_props_stats",
+    "multimodal_resize", "pii_scrub", "pmi_bigrams",
+    "q21_waiting_supplier", "quality_repetition", "reservoir_sample",
+    "shard_pack_concat",
+]
+
 _WINDOW_R8 = [
     # new this round (never sampled)
     "canonical_docs_indexed", "source_overlap_kmv", "snapshot_drift",
@@ -9129,9 +9165,10 @@ _WINDOW_R8 = [
     "text_winnowing", "q1_pricing_summary", "q3_shipping_priority",
 ]
 assert len(_WINDOW_R8) == 50 and set(_WINDOW_R8) <= set(CATALOG)
+assert len(_WINDOW_R9) == 50 and set(_WINDOW_R9) <= set(CATALOG)
 CATALOG = {
-    **{k: CATALOG[k] for k in _WINDOW_R8},
-    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R8},
+    **{k: CATALOG[k] for k in _WINDOW_R9},
+    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R9},
 }
 
 CATALOG = {k: (_fresh_entry(fn), sql) for k, (fn, sql) in CATALOG.items()}

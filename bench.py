@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (value_v1_subset / value_v2_subset) so totals compare like-for-like
 # across rounds even as the set grows. Add new queries only by
 # bumping the version and appending (never reordering/removing).
-QUERY_SET_VERSION = 9
+QUERY_SET_VERSION = 10
 V1_LEN = 29
 V2_LEN = 45
 V3_LEN = 58
@@ -34,6 +34,7 @@ V5_LEN = 92
 V6_LEN = 96
 V7_LEN = 104
 V8_LEN = 115
+V9_LEN = 119
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -197,6 +198,16 @@ HEADLINE = [
     "snapshot_drift",
     "snapshot_drift_summary",
     "snapshot_drift_by_group",
+    # v10 (r9): the drift family's other two modalities — categorical
+    # top-K+OTHER mix shares and per-dimension embedding means.
+    # (component_census stays out with canonical_docs_indexed and the
+    # other iterative-CC queries: it runs a full neardup index + cc
+    # build by definition — 28.7 s at sf0.1, all build — while the
+    # occupancy-report read it exists to time is sub-second.)
+    "snapshot_drift_categorical",
+    "snapshot_drift_categorical_summary",
+    "embedding_drift",
+    "embedding_drift_summary",
 ]
 
 
@@ -289,6 +300,9 @@ def main() -> None:
                 ),
                 "value_v8_subset": round(
                     sum(timings.get(n, 0.0) for n in HEADLINE[:V8_LEN]), 3
+                ),
+                "value_v9_subset": round(
+                    sum(timings.get(n, 0.0) for n in HEADLINE[:V9_LEN]), 3
                 ),
             }
         )

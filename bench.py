@@ -208,6 +208,10 @@ HEADLINE = [
     "snapshot_drift_categorical_summary",
     "embedding_drift",
     "embedding_drift_summary",
+    # v10 (r9): quantile drift (tail movement between waves) and the
+    # freshness/lag gauge as a query
+    "snapshot_drift_quantiles",
+    "source_freshness",
 ]
 
 

@@ -2063,3 +2063,40 @@ def drift_report_categorical_grouped(
         F.sum("ref_n").alias("n_ref"),
         F.sum("cur_n").alias("n_cur"),
     )
+
+
+def drift_report_quantiles(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile drift between two snapshot waves: per requested
+    quantile, the exact interpolated percentile of each wave and the
+    absolute shift — the drift signal histogram buckets blur (a p99
+    creeping up inside one wide bucket moves no bucket mass) and the
+    one tail-latency/size regressions show first. One exact
+    `percentile` aggregate per wave (no window, no row-to-row join);
+    at the 100 TB tier swap the exact aggregate for
+    `percentile_approx` or read the maintained bottom-k tiles
+    (sketches.py::quantiles_from_tiles) — the report shape is
+    identical. Values are actual interpolated data points, rounded 6
+    (the engine-parity convention shared with the `percentiles`
+    query)."""
+    arr = f"array({', '.join(str(q) for q in qs)})"
+    r = ref.agg(F.expr(f"percentile({value_col}, {arr})").alias("rv"))
+    c = cur.agg(F.expr(f"percentile({value_col}, {arr})").alias("cv"))
+    q_lit = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        r.crossJoin(F.broadcast(c))
+        .select(
+            F.posexplode(F.arrays_zip("rv", "cv")).alias("idx", "z")
+        )
+        .select(
+            F.element_at(q_lit, F.col("idx") + 1).alias("q"),
+            F.round(F.col("z.rv"), 6).alias("ref_v"),
+            F.round(F.col("z.cv"), 6).alias("cur_v"),
+            F.round(F.abs(F.col("z.rv") - F.col("z.cv")), 6).alias("delta"),
+        )
+        .orderBy("q")
+    )

@@ -8708,6 +8708,104 @@ FROM stats, nr, nc
 """
 
 
+def snapshot_drift_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile drift (operators/curation.py::drift_report_quantiles)
+    between two event waves: exact interpolated p50/p90/p99 of
+    `value` per wave and the absolute shift — the tail movement the
+    bucketed `snapshot_drift` histogram blurs. One percentile
+    aggregate per wave; no window, no row-to-row join (the 100 TB
+    swap — percentile_approx or the maintained bottom-k tiles — is
+    documented on the operator)."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return CU.drift_report_quantiles(ref, cur, "value", (0.5, 0.9, 0.99))
+
+
+SNAPSHOT_DRIFT_QUANTILES_SQL = """
+WITH r AS (
+  SELECT quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.9) AS q90,
+         quantile_cont(value, 0.99) AS q99
+  FROM events WHERE event_id % 2 = 0
+), c AS (
+  SELECT quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.9) AS q90,
+         quantile_cont(value, 0.99) AS q99
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT 0.5::DOUBLE AS q, round(r.q50, 6) AS ref_v, round(c.q50, 6) AS cur_v,
+       round(abs(r.q50 - c.q50), 6) AS delta FROM r, c
+UNION ALL
+SELECT 0.9::DOUBLE, round(r.q90, 6), round(c.q90, 6),
+       round(abs(r.q90 - c.q90), 6) FROM r, c
+UNION ALL
+SELECT 0.99::DOUBLE, round(r.q99, 6), round(c.q99, 6),
+       round(abs(r.q99 - c.q99), 6) FROM r, c
+"""
+
+
+def source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness/lag monitor — the reference's one
+    operational gauge (publish lag, lib/kafkalib/writer.go:131) as a
+    query over event time: per event_type, row count, last-seen
+    timestamp, lag behind the corpus high-water mark in exact whole
+    seconds (microsecond-integer arithmetic — no float time math),
+    trailing-24h volume, and a stale flag at 1h. Scale: two
+    partial-agg passes + a broadcast 1-row high-water join; event
+    waves never join row-to-row."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("corpus_max"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    recent = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("corpus_max") - F.expr("INTERVAL 1 DAY"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_last_day"))
+    )
+    lag_s = (
+        (F.unix_micros("corpus_max") - F.unix_micros("last_ts"))
+        / F.lit(1_000_000)
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .join(recent, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+            lag_s.alias("lag_s"),
+            F.coalesce(F.col("n_last_day"), F.lit(0)).alias("n_last_day"),
+            (lag_s > F.lit(3600)).alias("stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SOURCE_FRESHNESS_SQL = """
+WITH mx AS (
+  SELECT max(ts) AS m FROM events
+), per AS (
+  SELECT event_type, count(*) AS n_events, max(ts) AS last_ts
+  FROM events GROUP BY 1
+), recent AS (
+  SELECT event_type, count(*) AS n_last_day
+  FROM events, mx WHERE ts >= m - INTERVAL 1 DAY GROUP BY 1
+)
+SELECT p.event_type,
+       p.n_events::BIGINT AS n_events,
+       strftime(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       ((epoch_us(mx.m) - epoch_us(p.last_ts)) // 1000000)::BIGINT AS lag_s,
+       coalesce(r.n_last_day, 0)::BIGINT AS n_last_day,
+       ((epoch_us(mx.m) - epoch_us(p.last_ts)) // 1000000) > 3600 AS stale
+FROM per p CROSS JOIN mx LEFT JOIN recent r ON r.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -8780,6 +8878,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_drift_summary": (
         embedding_drift_summary_q, EMBEDDING_DRIFT_SUMMARY_SQL,
     ),
+    # r9: quantile drift (tail movement histograms blur) + the
+    # freshness/lag gauge (kafkalib/writer.go:131) as a query
+    "snapshot_drift_quantiles": (
+        snapshot_drift_quantiles, SNAPSHOT_DRIFT_QUANTILES_SQL,
+    ),
+    "source_freshness": (source_freshness, SOURCE_FRESHNESS_SQL),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —
     # image_phash_dedup exercises the same synthesize/decode path
@@ -9102,12 +9206,12 @@ assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 # r3 leftovers (TPC-H batch + converters) which stay multi-round
 # green and rotate in next round.
 # --- r9 driver-window rotation --------------------------------------
-# 6 never-sampled queries (the r8 post-window categorical-drift family
-# + census, and this round's embedding drift), 4 entries whose code
+# 8 never-sampled queries (the r8 post-window categorical-drift family
+# + census, and this round's embedding/quantile drift + freshness), 4 entries whose code
 # paths changed this round (transfer.py truncate/manifest ordering ->
 # k3/cdc_reconcile; similarity.py additions -> knn_ivf; sketches.py
 # cms pointer-flip -> cms_term_freq), then the stalest greens: the 4
-# remaining r1-sampled entries, the full 23-wide r3 cohort, and 13 of
+# remaining r1-sampled entries, the full 23-wide r3 cohort, and 11 of
 # the r4 cohort. Every window entry is multi-round green except the
 # never-sampled six.
 _WINDOW_R9 = [
@@ -9115,6 +9219,7 @@ _WINDOW_R9 = [
     "snapshot_drift_categorical", "snapshot_drift_categorical_summary",
     "snapshot_drift_categorical_by_group", "embedding_drift",
     "embedding_drift_summary", "component_census",
+    "snapshot_drift_quantiles", "source_freshness",
     # reads code changed this round
     "k3_transfer_dedupe", "cdc_reconcile", "knn_ivf", "cms_term_freq",
     # stalest: last sampled round 1
@@ -9129,12 +9234,11 @@ _WINDOW_R9 = [
     "q8_market_share", "q9_product_profit", "range_join_bands",
     "text_fingerprint", "text_lang_id", "text_quality", "text_tokens",
     "window_frames",
-    # last sampled round 4 (first 13; the rest rotate in next round)
+    # last sampled round 4 (first 11; the rest rotate in next round)
     "array_functions", "audio_spectrum", "clean_corpus",
     "data_quality_report", "doc_chunks", "json_props_stats",
     "multimodal_resize", "pii_scrub", "pmi_bigrams",
-    "q21_waiting_supplier", "quality_repetition", "reservoir_sample",
-    "shard_pack_concat",
+    "q21_waiting_supplier", "quality_repetition",
 ]
 
 _WINDOW_R8 = [

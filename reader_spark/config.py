@@ -160,10 +160,15 @@ class DriftCfg:
     top_k: int = 50                       # categorical: top-K + OTHER
     alert_ppm: int = 50_000
     alert_delta: float = 0.05             # embedding: per-dim mean cut
-    mode: str = "baseline"           # baseline | check
+    # mode 'watch' streams files landing under <source>/<table>
+    # through the family's foreachBatch watch body (availableNow —
+    # one run drains the backlog exactly-once and exits): one verdict
+    # row PER MICRO-BATCH, replace-on-replay by batch id, at
+    # <destination>/<table>/_driftwatch
+    mode: str = "baseline"           # baseline | check | watch
 
     def __post_init__(self) -> None:
-        if self.mode not in ("baseline", "check"):
+        if self.mode not in ("baseline", "check", "watch"):
             raise ValueError(f"unknown drift mode {self.mode!r}")
         chosen = [
             c

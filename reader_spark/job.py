@@ -344,6 +344,8 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
     check time is the CALLER's concern — the row carries counts
     only) at `<destination>/<table>/_driftlog`."""
     cfg = settings.drift
+    if cfg.mode == "watch":
+        return _run_drift_watch(spark, settings)
     results: dict[str, str] = {}
     for table in settings.source.tables:
         df = _read_table(spark, settings.source, table)
@@ -496,6 +498,66 @@ def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 df, out, model, id_col=cfg.id_column, vec_col=cfg.vector_column
             )
         results[table.name] = out
+    return results
+
+
+def _run_drift_watch(
+    spark: SparkSession, settings: Settings
+) -> dict[str, str]:
+    """drift: {mode: watch} — stream files landing under
+    `<source options.path>/<table>` through the drift family's
+    foreachBatch watch body against the PUBLISHED reference
+    (`<destination>/<table>/_driftref`, from a prior mode: baseline
+    run). availableNow semantics: one run drains the backlog
+    exactly-once (checkpointed) and returns; each micro-batch logs
+    one verdict row at `<destination>/<table>/_driftwatch`
+    (replace-on-replay by batch id — the watch bodies' contract).
+    All three families route by the configured column kind."""
+    from reader_spark.operators.curation import (
+        drift_watch,
+        drift_watch_categorical,
+    )
+    from reader_spark.operators.similarity import embedding_drift_watch
+
+    cfg = settings.drift
+    src = settings.source
+    dest = settings.destination
+    results: dict[str, str] = {}
+    for table in src.tables:
+        base = f"{dest.path}/{table.name}"
+        ref_path = f"{base}/_driftref"
+        log = f"{base}/_driftwatch"
+        ck = (
+            f"{src.options['checkpoint_dir']}/{table.name}"
+            if "checkpoint_dir" in src.options
+            else f"{base}/_driftwatch_ckpt"
+        )
+        if cfg.vector_column is not None:
+            schema = f"{cfg.vector_column} array<double>"
+            body = embedding_drift_watch(
+                ref_path, log, cfg.vector_column, cfg.alert_delta
+            )
+        elif cfg.category_column is not None:
+            schema = f"{cfg.category_column} string"
+            body = drift_watch_categorical(
+                ref_path, log, cfg.category_column, cfg.alert_ppm
+            )
+        else:
+            schema = f"{cfg.value_column} double"
+            body = drift_watch(ref_path, log, cfg.value_column, cfg.alert_ppm)
+        in_dir = f"{src.options['path']}/{table.name}"
+        if src.kind == "parquet":
+            stream = spark.readStream.schema(schema).parquet(in_dir)
+        else:
+            stream = spark.readStream.schema(schema).json(in_dir)
+        q = (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results[table.name] = log
     return results
 
 

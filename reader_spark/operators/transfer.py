@@ -212,6 +212,42 @@ class TransferWriter:
 
         atomic_dir.publish(path, write_empty, keep=self.keep_versions)
 
+    def scd2_close_all(self, table: str, at_seq: int) -> None:
+        """The TRUNCATE verb for a HISTORY-PRESERVING (SCD2)
+        destination: a replicated `TRUNCATE TABLE` means every
+        source row ceased to exist at that log position — so every
+        open interval closes at `at_seq`, and nothing is deleted
+        (wiping an SCD2 table on truncate would destroy exactly the
+        history the layout exists to keep). One map-only rewrite
+        behind a pointer flip; re-applying on a crash replay is a
+        no-op (coalesce only fills NULL eff_to). Post-truncate
+        inserts open fresh interval chains through the normal merge.
+        Bucketed layouts keep their `bucket=` dirs so later
+        `upsert_scd2_bucketed` calls still swap per-bucket."""
+        if not self.exists(table):
+            return
+        base = self.read(table)
+        closed = base.withColumn(
+            "eff_to",
+            F.coalesce(
+                F.col("eff_to"),
+                F.lit(at_seq).cast(dict(base.dtypes)["eff_to"]),
+            ),
+        )
+
+        def write_fn(vdir: str) -> None:
+            if "bucket" in closed.columns:
+                closed.repartition("bucket").write.partitionBy(
+                    "bucket"
+                ).parquet(vdir)
+            else:
+                closed.write.parquet(vdir)
+            _write_schema_manifest(vdir, closed)
+
+        atomic_dir.publish(
+            self._path(table), write_fn, keep=self.keep_versions
+        )
+
     def create_empty(self, table: str, df: DataFrame) -> None:
         """K4: empty-table path — persist schema with zero rows
         (sources/mysql/snapshot.go:49-66)."""

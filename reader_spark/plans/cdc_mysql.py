@@ -352,8 +352,16 @@ def run_pipeline_merge(
                 trunc_seq.get(t["table"], -1), int(t.get("seq") or -1)
             )
         adapter.truncates.clear()
-        for table in trunc_seq:
-            if writer.exists(table):
+        for table, hi_seq in trunc_seq.items():
+            if not writer.exists(table):
+                continue
+            if scd2:
+                # history-preserving destination: close every open
+                # interval at the truncate's position instead of
+                # wiping the table — truncate means the rows ceased
+                # to exist, not that their history did
+                writer.scd2_close_all(table, max(hi_seq, 0))
+            else:
                 writer.truncate(table)
         for table, changes in changed.items():
             if table in trunc_seq and trunc_seq[table] >= 0:

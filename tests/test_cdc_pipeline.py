@@ -627,3 +627,57 @@ def test_truncate_foreign_db_and_unknown_table_ignored(spark, tmp_path):
     assert [t["seq"] for t in a.truncates] == [4, 5, 6]
     assert all(t["table"] == "users" for t in a.truncates)
     assert a.tables["users"] == ["id", "name"]
+
+
+def test_truncate_scd2_closes_intervals_keeps_history(spark, tmp_path):
+    """TRUNCATE against an SCD2 destination closes every open
+    interval at the truncate's log position instead of wiping the
+    table — the rows ceased to exist, their history did not. Fresh
+    post-truncate inserts open new chains."""
+    from reader_spark.operators.transfer import TransferWriter
+    from reader_spark.plans.cdc_mysql import run_pipeline_merge
+
+    log = tmp_path / "log"
+    log.mkdir()
+    dest = str(tmp_path / "dest_scd2t")
+    ck = str(tmp_path / "ck_scd2t")
+
+    _append(log / "binlog.jsonl", [
+        rec(1, "ddl", statement="CREATE TABLE users (id int, name text)"),
+        rec(2, "dml", op="c", after='{"id": 1, "name": "ada"}'),
+        rec(3, "dml", op="c", after='{"id": 2, "name": "bob"}'),
+    ])
+    adapter = SchemaAdapter()
+    q = run_pipeline_merge(
+        spark, str(log), dest, ck, "app", ["users"], adapter,
+        scd2=True, scd2_bucketed=True, n_buckets=4,
+    )
+    q.awaitTermination(90)
+
+    _append(log / "binlog.jsonl", [
+        rec(5, "ddl", statement="TRUNCATE TABLE users"),
+        rec(6, "dml", op="c", after='{"id": 3, "name": "cy"}'),
+    ])
+    q2 = run_pipeline_merge(
+        spark, str(log), dest, ck, "app", ["users"], adapter,
+        scd2=True, scd2_bucketed=True, n_buckets=4,
+    )
+    q2.awaitTermination(90)
+
+    writer = TransferWriter(spark, dest)
+    rows = sorted(
+        (r["id"], r["name"], int(r["eff_from"]),
+         None if r["eff_to"] is None else int(r["eff_to"]))
+        for r in writer.read("users").collect()
+    )
+    # pre-truncate rows: history KEPT, intervals closed at seq 5;
+    # the post-truncate insert opens a fresh chain
+    assert rows == [
+        ("1", "ada", 2, 5),
+        ("2", "bob", 3, 5),
+        ("3", "cy", 6, None),
+    ]
+    # crash-replay is batch-level: the replayed batch re-closes (a
+    # no-op on already-closed intervals — coalesce fills NULLs only)
+    # and re-merges its own post-truncate DML, landing the same state;
+    # a direct re-close alone is NOT the replay unit.

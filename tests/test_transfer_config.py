@@ -1827,3 +1827,73 @@ drift:
 
     with pytest.raises(ValueError):
         load_settings(cfg + "  value_column: v\n")
+
+
+def test_drift_job_watch_yaml(spark, tmp_path, sf_dir):
+    """drift: {mode: watch} drives the streaming drift family from
+    YAML: a baseline run publishes the reference, then a watch run
+    drains jsonl files landing under <source>/<table> exactly-once
+    (availableNow) and logs one verdict row per micro-batch at
+    <destination>/<table>/_driftwatch; a re-run with no new files
+    adds nothing."""
+    import json as _json
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "dqw")
+    # baseline from the parquet events table
+    base_cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  value_column: value
+  n_buckets: 10
+"""
+    run_job(spark, load_settings(base_cfg))
+
+    stream_dir = tmp_path / "incoming" / "events"
+    stream_dir.mkdir(parents=True)
+    vals = [r["value"] for r in spark.read.parquet(
+        f"{sf_dir}/events.parquet").limit(50).collect()]
+    with open(stream_dir / "wave1.jsonl", "w") as f:
+        for v in vals:
+            f.write(_json.dumps({"value": v}) + "\n")
+
+    watch_cfg = f"""
+source:
+  kind: jsonl
+  options: {{path: {tmp_path}/incoming}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  value_column: value
+  n_buckets: 10
+  mode: watch
+"""
+    res = run_job(spark, load_settings(watch_cfg))
+    assert res == {"events": f"{out}/events/_driftwatch"}
+    log = spark.read.parquet(f"{out}/events/_driftwatch").collect()
+    assert len(log) == 1 and log[0]["n_cur"] == 50
+
+    # drained backlog: a re-run adds no rows (exactly-once)
+    run_job(spark, load_settings(watch_cfg))
+    assert len(spark.read.parquet(f"{out}/events/_driftwatch").collect()) == 1
+
+    # a second wave appends exactly one more verdict row
+    with open(stream_dir / "wave2.jsonl", "w") as f:
+        for v in vals[:10]:
+            f.write(_json.dumps({"value": v * 1000.0}) + "\n")
+    run_job(spark, load_settings(watch_cfg))
+    rows = {r["batch"]: r for r in
+            spark.read.parquet(f"{out}/events/_driftwatch").collect()}
+    assert len(rows) == 2
+    shifted = rows[max(rows)]
+    assert shifted["n_cur"] == 10 and shifted["tvd_ppm"] > 0

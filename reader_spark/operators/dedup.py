@@ -1445,45 +1445,45 @@ def _neardup_cc_update(spark, path: str, new_edges, new_ids) -> None:
             "doc_id", F.coalesce(F.col("__new"), F.col("label")).alias("label")
         )
     )
-    # merged derives from the SAME cc/ files the overwrite below
-    # deletes — an EAGER localCheckpoint materializes it and cuts the
-    # lineage first, so nothing can ever recompute from deleted part
-    # files (cache eviction under a mere persist() would). It also
-    # serves the two consumers (surviving-bucket collect + write).
-    # Concurrency contract: single writer per index (the maintainer
-    # loop); a concurrent neardup_canonical reader can observe torn
-    # labels between per-bucket commits of one update — readers that
-    # need a consistent map snapshot the cc/ dir or read between
-    # maintenance runs.
     merged = (
         relabeled.unionByName(new_rows)
         .groupBy("doc_id")
         .agg(F.min("label").alias("label"))
         .withColumn("bucket", bkt(F.col("label")))
-    ).localCheckpoint()
-    # dynamic overwrite cannot express an EMPTY partition: a bucket
-    # whose every row moved to a merged label's bucket would keep its
-    # stale files and resurrect the old labels (the _overwrite_cells
-    # caveat, similarity.py) — remove emptied touched buckets after
-    import shutil
-
-    surviving = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        if surviving:
-            (
-                merged.repartition(F.col("bucket"))
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(root)
-            )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    )
+    # Stage-then-swap (TransferWriter._swap_buckets): the merged
+    # frame writes COMPLETELY into a sibling staging dir while every
+    # live cc/ file is still intact — nothing can ever recompute from
+    # deleted part files (no eager materialization needed), a crash
+    # mid-write leaves the live map untouched, and each touched
+    # bucket commits via one atomic rename. A touched bucket absent
+    # from staging (every row moved to a merged label's bucket) is
+    # emptied by the swap — the stale-files-resurrect-old-labels
+    # hazard dynamic overwrite had (the _overwrite_cells caveat,
+    # similarity.py). Concurrency contract: single writer per index
+    # (the maintainer loop); a reader between two bucket renames of
+    # ONE update can still observe torn labels across buckets —
+    # readers needing a consistent map snapshot the cc/ dir or read
+    # between maintenance runs.
     import os
+    import shutil
+    import uuid as _uuid
 
-    for b in touched - surviving:
-        shutil.rmtree(os.path.join(root, f"bucket={b}"), ignore_errors=True)
+    from reader_spark.operators.transfer import TransferWriter
+
+    # GC staging dirs a crashed earlier update leaked (siblings of
+    # root, never visible to Spark's listing of root itself)
+    parent, name = os.path.split(root.rstrip("/"))
+    for entry in os.listdir(parent):
+        if entry.startswith(name + ".staging-"):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+    staging = root + ".staging-" + _uuid.uuid4().hex[:8]
+    (
+        merged.repartition(F.col("bucket"))
+        .write.partitionBy("bucket")
+        .parquet(staging)
+    )
+    TransferWriter._swap_buckets(root, staging, sorted(touched))
     spark.catalog.refreshByPath(root)
 
 

@@ -727,3 +727,104 @@ def test_drift_summary_invariants(spark, ref_vals, cur_vals, dup, nb):
     )
     same = drift_summary(ref, ref, "v", n_buckets=nb).collect()[0]
     assert same["tvd_ppm"] == 0 and same["linf_ppm"] == 0
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # key
+            st.sampled_from(["c", "c", "u", "d", "t"]),  # op (t=TRUNCATE)
+        ),
+        min_size=1, max_size=16,
+    ),
+    batch_size=st.integers(4, 8),
+)
+@SET
+def test_truncate_merge_matches_sequential_model(
+    spark, ops, batch_size, tmp_path_factory
+):
+    """The merge pipeline's TRUNCATE handling under arbitrary op
+    interleavings equals a sequential one-op-at-a-time model: within
+    a batch, DML at-or-before the truncate's position is discarded
+    and later DML applies — for ANY batching of the same op stream
+    the final destination state is identical (the associativity the
+    exactly-once story rests on)."""
+    from reader_spark.operators.transfer import TransferWriter
+
+    # sequential reference model over the full stream
+    model: dict[int, str] = {}
+    seq_ops = list(enumerate(ops, start=1))
+    for s, (k, op) in seq_ops:
+        if op == "t":
+            model.clear()
+        elif op == "d":
+            model.pop(k, None)
+        else:
+            model[k] = f"v{s}"
+
+    w = TransferWriter(spark, str(tmp_path_factory.mktemp("truncprop")))
+    for i in range(0, len(seq_ops), batch_size):
+        batch = seq_ops[i : i + batch_size]
+        trunc_hi = max(
+            (s for s, (_k, op) in batch if op == "t"), default=None
+        )
+        rows = [
+            (str(k), f"v{s}", s, op)
+            for s, (k, op) in batch
+            if op != "t" and (trunc_hi is None or s > trunc_hi)
+        ]
+        if trunc_hi is not None and w.exists("t"):
+            w.truncate("t")
+        if rows:
+            changes = spark.createDataFrame(
+                rows, "id string, val string, seq long, op string"
+            )
+            w.upsert_bucketed("t", changes, ["id"], "seq", n_buckets=4)
+
+    got = (
+        {r["id"]: r["val"] for r in w.read("t").collect()}
+        if w.exists("t")
+        else {}
+    )
+    assert got == {str(k): v for k, v in model.items()}
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=12,
+    ),
+    shift=st.floats(0.06, 4.0, allow_nan=False),
+)
+@SET
+def test_embedding_drift_invariants(spark, vecs, shift):
+    """Embedding drift invariants under arbitrary vector waves: an
+    identical wave reads zero delta on every dimension and never
+    alarms; shifting every vector by a constant >= the alert cut on
+    one dimension alarms with max_delta == that shift (rounded);
+    wave sizes are reported exactly."""
+    from reader_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "id long, embedding array<float>",
+    )
+    same = SIM.embedding_drift_summary(df, df, "embedding").collect()[0]
+    assert not same["drifted"] and same["max_delta"] == 0.0
+    assert same["n_ref"] == same["n_cur"] == len(vecs)
+
+    shifted = df.select(
+        "id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(float(shift)),
+        ).alias("embedding"),
+    )
+    row = SIM.embedding_drift_summary(
+        df, shifted, "embedding", alert_delta=0.05
+    ).collect()[0]
+    assert row["drifted"]
+    assert abs(row["max_delta"] - shift) < 1e-5

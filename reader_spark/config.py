@@ -206,12 +206,20 @@ class SketchCfg:
     width: int = 256                 # cms counter columns
     depth: int = 4                   # cms hash rows
     id_column: str | None = None     # bottomk deterministic tie-break
-    mode: str = "build"              # build | rebuild
+    # stream mode: the jsonl/parquet field type of value_column
+    # (keys stream as strings)
+    value_type: str = "string"
+    # mode 'stream' keeps EXISTING tiles fresh from files landing
+    # under <source options.path>/<table> via the kind's maintainer
+    # body (kmv/bottomk/cms_maintainer) with availableNow semantics:
+    # one run drains the backlog exactly-once (checkpointed, epoch-
+    # gated merges) and returns. Build the tiles first (mode: build).
+    mode: str = "build"              # build | rebuild | stream
 
     def __post_init__(self) -> None:
         if self.kind not in ("kmv", "bottomk", "cms"):
             raise ValueError(f"unknown sketch kind {self.kind!r}")
-        if self.mode not in ("build", "rebuild"):
+        if self.mode not in ("build", "rebuild", "stream"):
             raise ValueError(f"unknown sketch mode {self.mode!r}")
 
 

@@ -578,6 +578,8 @@ def _run_sketch(spark: SparkSession, settings: Settings) -> dict[str, str]:
     already counted."""
     cfg = settings.sketch
     src = settings.source
+    if cfg.mode == "stream":
+        return _run_sketch_stream(spark, settings)
     results: dict[str, str] = {}
     for table in src.tables:
         df = _read_table(spark, src, table)
@@ -605,6 +607,68 @@ def _run_sketch(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 out, width=cfg.width, depth=cfg.depth,
             )
         results[table.name] = f"{out} ({cfg.mode})"
+    return results
+
+
+def _run_sketch_stream(
+    spark: SparkSession, settings: Settings
+) -> dict[str, str]:
+    """sketch: {mode: stream} — keep EXISTING tiles fresh from files
+    landing under `<source options.path>/<table>` via the kind's
+    maintainer body (kmv_maintainer / bottomk_maintainer /
+    cms_maintainer) with availableNow semantics: one run drains the
+    backlog exactly-once (checkpointed; the tile merges themselves
+    are epoch-gated against crash replay) and returns. Build the
+    tiles first with mode: build; the delete path stays mode:
+    rebuild (monotone merges cannot un-merge)."""
+    from reader_spark.operators.sketches import (
+        bottomk_maintainer,
+        cms_maintainer,
+        kmv_maintainer,
+    )
+
+    cfg = settings.sketch
+    src = settings.source
+    dest = settings.destination
+    results: dict[str, str] = {}
+    for table in src.tables:
+        out = f"{dest.path}/{table.name}"
+        ck = (
+            f"{src.options['checkpoint_dir']}/{table.name}"
+            if "checkpoint_dir" in src.options
+            else f"{out}_stream_ckpt"
+        )
+        if cfg.kind == "cms":
+            schema = f"{cfg.value_column} {cfg.value_type}"
+            body = cms_maintainer(
+                out, term_col=cfg.value_column,
+                width=cfg.width, depth=cfg.depth,
+            )
+        else:
+            keys = ", ".join(f"{k} string" for k in cfg.key_columns)
+            schema = f"{keys}, {cfg.value_column} {cfg.value_type}"
+            if cfg.kind == "kmv":
+                body = kmv_maintainer(
+                    out, cfg.key_columns, cfg.value_column, k=cfg.k
+                )
+            else:
+                body = bottomk_maintainer(
+                    out, cfg.key_columns, cfg.value_column,
+                    k=cfg.k, id_col=cfg.id_column,
+                )
+        in_dir = f"{src.options['path']}/{table.name}"
+        if src.kind == "parquet":
+            stream = spark.readStream.schema(schema).parquet(in_dir)
+        else:
+            stream = spark.readStream.schema(schema).json(in_dir)
+        q = (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results[table.name] = out
     return results
 
 

@@ -1897,3 +1897,86 @@ drift:
     assert len(rows) == 2
     shifted = rows[max(rows)]
     assert shifted["n_cur"] == 10 and shifted["tvd_ppm"] > 0
+
+
+def test_sketch_stream_maintains_tiles(spark, tmp_path, sf_dir):
+    """sketch: {mode: stream} drains jsonl waves through the kind's
+    maintainer exactly-once: after two waves the stored KMV tiles
+    equal a fresh build over seed + both waves (exact containment
+    merge), and a re-run with no new files changes nothing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    w1 = docs.filter(F.col("doc_id") % 3 == 1)
+    w2 = docs.filter(F.col("doc_id") % 3 == 2)
+    corpus = str(tmp_path / "corpus")
+    seed.write.parquet(f"{corpus}/documents.parquet")
+
+    out_base = str(tmp_path / "tiles")
+    build_cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {corpus}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out_base}
+sketch:
+  kind: kmv
+  key_columns: [source]
+  value_column: doc_id
+  k: 16
+"""
+    run_job(spark, load_settings(build_cfg))
+
+    incoming = tmp_path / "incoming" / "documents"
+    incoming.mkdir(parents=True)
+
+    def dump(df, name):
+        with open(incoming / name, "w") as f:
+            for r in df.select("source", "doc_id").collect():
+                f.write(_json.dumps(
+                    {"source": r["source"], "doc_id": r["doc_id"]}) + "\n")
+
+    stream_cfg = f"""
+source:
+  kind: jsonl
+  options: {{path: {tmp_path}/incoming}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out_base}
+sketch:
+  kind: kmv
+  key_columns: [source]
+  value_column: doc_id
+  k: 16
+  value_type: long
+  mode: stream
+"""
+    dump(w1, "w1.jsonl")
+    run_job(spark, load_settings(stream_cfg))
+    dump(w2, "w2.jsonl")
+    run_job(spark, load_settings(stream_cfg))
+
+    def rows(df):
+        def norm(v):
+            return tuple(v) if isinstance(v, list) else v
+
+        return sorted(tuple(norm(v) for v in r) for r in df.collect())
+
+    fresh = str(tmp_path / "fresh")
+    SK.kmv_tiles_write(docs, fresh, ["source"], "doc_id", k=16)
+    got = rows(SK.kmv_tiles_read(spark, f"{out_base}/documents"))
+    assert got == rows(SK.kmv_tiles_read(spark, fresh))
+
+    # drained: a re-run with no new files changes nothing
+    run_job(spark, load_settings(stream_cfg))
+    assert got == rows(SK.kmv_tiles_read(spark, f"{out_base}/documents"))

@@ -694,6 +694,23 @@ def reconcile(
     Comparison hashes the compared columns to one 128-bit value per
     side BEFORE the join, so the shuffle carries (pk, hash) only —
     never the full row width."""
+    return (
+        reconcile_keys(source, sink, pk_cols, compare_cols)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def reconcile_keys(
+    source: DataFrame,
+    sink: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key reconcile classification (the frame `reconcile`
+    summarizes): one row per PK with status ok / missing / extra /
+    mismatch. Hashing happens BEFORE the join so the shuffle carries
+    (pk, hash) only — never the full row width."""
     compare_cols = compare_cols or [
         c for c in source.columns if c not in pk_cols
     ]
@@ -720,11 +737,62 @@ def reconcile(
         .when(F.col("__h_src") == F.col("__h_snk"), F.lit("ok"))
         .otherwise(F.lit("mismatch"))
     )
-    return (
-        joined.select(status.alias("status"))
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n_keys"))
+    return joined.select(*pk_cols, status.alias("status"))
+
+
+def reconcile_repair(
+    writer: "TransferWriter",
+    table: str,
+    source: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+    n_buckets: int = 64,
+) -> dict[str, int]:
+    """Anti-entropy REPAIR: apply the reconcile verdict instead of
+    just reporting it — missing/mismatched keys upsert their source
+    row, extra keys delete, ok keys are untouched (and their buckets
+    never rewrite: the change set is exactly the divergent keys, so
+    `upsert_bucketed`'s touched-bucket economics bound the repair to
+    the damage, not the table). The divergence census is returned so
+    operators can log WHAT was repaired; a follow-up `reconcile` run
+    reads all-ok by construction. The reference trusts
+    write-then-commit and has no repair verb (writer.go:44-50) — at
+    warehouse scale you verify the pipe AND heal it."""
+    sink = writer.read(table)
+    keys = reconcile_keys(source, sink, pk_cols, compare_cols)
+    counts = {
+        r["status"]: r["n"]
+        for r in keys.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bad = keys.filter(
+        F.col("status").isin("missing", "mismatch")
+    ).select(*pk_cols)
+    ups = source.join(bad, pk_cols, "left_semi").select(
+        *source.columns,
+        F.lit("c").alias("op"),
+        F.lit(1).alias("__repair_seq"),
     )
+    dels = (
+        keys.filter(F.col("status") == "extra")
+        .select(
+            *pk_cols,
+            *[
+                F.lit(None).cast(dict(source.dtypes)[c]).alias(c)
+                for c in source.columns
+                if c not in pk_cols
+            ],
+            F.lit("d").alias("op"),
+            F.lit(1).alias("__repair_seq"),
+        )
+    )
+    changes = ups.unionByName(dels)
+    if changes.limit(1).count() > 0:
+        writer.upsert_bucketed(
+            table, changes, pk_cols, "__repair_seq", n_buckets=n_buckets
+        )
+    return counts
 
 
 def write_training_shards(

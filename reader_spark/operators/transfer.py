@@ -795,6 +795,44 @@ def reconcile_repair(
     return counts
 
 
+def table_diff(
+    writer: "TransferWriter",
+    table: str,
+    version_old: int,
+    pk_cols: list[str],
+    version_new: int | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-travel diff between two retained snapshots of a transfer
+    table: one row per key that changed — status added / removed /
+    changed (unchanged keys are filtered out, so the result is
+    delta-sized). `version_new=None` diffs the retained snapshot
+    against the LIVE state — "what did the pipeline do since I
+    pinned this version", the audit a training run asks before
+    re-reading a pinned dataset. Same (pk, hash)-only shuffle as
+    `reconcile`; the snapshots never join row-to-row at full width."""
+    old = writer.read(table, version=version_old)
+    new = (
+        writer.read(table)
+        if version_new is None
+        else writer.read(table, version=version_new)
+    )
+    # `bucket` is layout, not data: comparing it would flag every key
+    # as changed after an n_buckets change between versions
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in pk_cols and c != "bucket"
+    ]
+    keys = reconcile_keys(new, old, pk_cols, compare_cols)
+    status = (
+        F.when(F.col("status") == "missing", F.lit("added"))
+        .when(F.col("status") == "extra", F.lit("removed"))
+        .when(F.col("status") == "mismatch", F.lit("changed"))
+    )
+    return keys.filter(F.col("status") != "ok").select(
+        *pk_cols, status.alias("status")
+    )
+
+
 def write_training_shards(
     docs: DataFrame,
     out_dir: str,

@@ -2043,3 +2043,42 @@ def test_reconcile_repair_heals_divergence(spark, tmp_path):
         for f in fs
     }
     assert before_files == after_files  # byte-level: nothing touched
+
+
+def test_table_diff_between_versions(spark, tmp_path):
+    """table_diff classifies per-key changes between two retained
+    snapshots (or a snapshot and live): added / removed / changed,
+    unchanged keys absent — the audit a run pinned to a version asks
+    before re-reading."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import atomic_dir
+    from reader_spark.operators.transfer import TransferWriter, table_diff
+
+    w = TransferWriter(spark, str(tmp_path / "dest"), keep_versions=3)
+
+    def changes(rows, seq):
+        return spark.createDataFrame(
+            [(i, v, "c" if v is not None else "d", seq) for i, v in rows],
+            "id long, val string, op string, seq long",
+        )
+
+    # v_pin: full-rewrite upsert publishes a version we can pin
+    w.upsert("t", changes([(i, f"v{i}") for i in range(5)], 1), ["id"], "seq")
+    pin = atomic_dir.current_version(str(tmp_path / "dest" / "t"))
+    # evolve live: change id 1, delete id 2, add id 9
+    w.upsert(
+        "t",
+        changes([(1, "CHANGED"), (2, None), (9, "v9")], 2),
+        ["id"],
+        "seq",
+    )
+
+    diff = {
+        r["id"]: r["status"]
+        for r in table_diff(w, "t", pin, ["id"]).collect()
+    }
+    assert diff == {1: "changed", 2: "removed", 9: "added"}
+
+    # same version vs itself: empty diff
+    assert table_diff(w, "t", pin, ["id"], version_new=pin).count() == 0

@@ -759,39 +759,47 @@ def reconcile_repair(
     write-then-commit and has no repair verb (writer.go:44-50) — at
     warehouse scale you verify the pipe AND heal it."""
     sink = writer.read(table)
-    keys = reconcile_keys(source, sink, pk_cols, compare_cols)
-    counts = {
-        r["status"]: r["n"]
-        for r in keys.groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    bad = keys.filter(
-        F.col("status").isin("missing", "mismatch")
-    ).select(*pk_cols)
-    ups = source.join(bad, pk_cols, "left_semi").select(
-        *source.columns,
-        F.lit("c").alias("op"),
-        F.lit(1).alias("__repair_seq"),
-    )
-    dels = (
-        keys.filter(F.col("status") == "extra")
-        .select(
-            *pk_cols,
-            *[
-                F.lit(None).cast(dict(source.dtypes)[c]).alias(c)
-                for c in source.columns
-                if c not in pk_cols
-            ],
-            F.lit("d").alias("op"),
+    # the full-outer classification is consumed three times (census,
+    # upsert side, delete side) — persist it so the (pk, hash) join
+    # runs once, not per consumer (measured 12.3 s -> one join's
+    # worth on the 2M-row probe, scripts/probe_repair.py)
+    keys = reconcile_keys(source, sink, pk_cols, compare_cols).persist()
+    try:
+        counts = {
+            r["status"]: r["n"]
+            for r in keys.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if set(counts) <= {"ok"}:
+            return counts  # healthy: no damage, nothing to write
+        bad = keys.filter(
+            F.col("status").isin("missing", "mismatch")
+        ).select(*pk_cols)
+        ups = source.join(bad, pk_cols, "left_semi").select(
+            *source.columns,
+            F.lit("c").alias("op"),
             F.lit(1).alias("__repair_seq"),
         )
-    )
-    changes = ups.unionByName(dels)
-    if changes.limit(1).count() > 0:
+        dels = (
+            keys.filter(F.col("status") == "extra")
+            .select(
+                *pk_cols,
+                *[
+                    F.lit(None).cast(dict(source.dtypes)[c]).alias(c)
+                    for c in source.columns
+                    if c not in pk_cols
+                ],
+                F.lit("d").alias("op"),
+                F.lit(1).alias("__repair_seq"),
+            )
+        )
+        changes = ups.unionByName(dels)
         writer.upsert_bucketed(
             table, changes, pk_cols, "__repair_seq", n_buckets=n_buckets
         )
+    finally:
+        keys.unpersist()
     return counts
 
 

@@ -208,10 +208,11 @@ HEADLINE = [
     "snapshot_drift_categorical_summary",
     "embedding_drift",
     "embedding_drift_summary",
-    # v10 (r9): quantile drift (tail movement between waves) and the
-    # freshness/lag gauge as a query
+    # v10 (r9): quantile drift (tail movement between waves), the
+    # freshness/lag gauge as a query, and per-group embedding drift
     "snapshot_drift_quantiles",
     "source_freshness",
+    "embedding_drift_by_group",
 ]
 
 

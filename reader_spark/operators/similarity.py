@@ -2676,3 +2676,76 @@ def embedding_drift_watch(
             )
 
     return body
+
+
+def embedding_drift_grouped(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    alert_delta: float = 0.05,
+) -> DataFrame:
+    """Per-group embedding drift verdicts — the grouped member of the
+    vector family (drift_report_grouped's shape for embeddings): each
+    group gets its own per-dimension mean comparison and its own
+    one-row verdict (n_ref/n_cur, n_dims, max/mean delta, drifted),
+    so a minority slice's encoder or mix shift alarms even when the
+    corpus-level means hide it. A group present in only one wave
+    still gets a row (the missing side reads n=0, deltas NULL,
+    drifted=true — a vanished group IS the drift). Same scale shape
+    as the ungrouped form: posexplode + map-side-combined groupBy —
+    G×D rows cross the shuffle per partition, never corpus-sized."""
+    def dims(df, tag):
+        return (
+            df.select(
+                F.col(group_col).alias("g"),
+                F.posexplode(
+                    F.col(vec_col).cast("array<double>")
+                ).alias("dim", "v"),
+            )
+            .groupBy("g", "dim")
+            .agg(F.avg("v").alias(f"mean_{tag}"))
+        )
+
+    def counts(df, tag):
+        return df.groupBy(F.col(group_col).alias("g")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}")
+        )
+
+    per = (
+        dims(ref, "ref")
+        .join(dims(cur, "cur"), ["g", "dim"], "full_outer")
+        .select(
+            "g",
+            F.round(
+                F.abs(F.col("mean_ref") - F.col("mean_cur")), 6
+            ).alias("delta"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.max("delta").alias("max_delta"),
+            F.round(F.avg("delta"), 6).alias("mean_delta"),
+        )
+    )
+    out = (
+        per.join(counts(ref, "ref"), "g", "full_outer")
+        .join(counts(cur, "cur"), "g", "full_outer")
+        .select(
+            F.col("g").alias(group_col),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            "n_dims",
+            "max_delta",
+            "mean_delta",
+            F.when(
+                (F.coalesce("n_ref", F.lit(0)) == 0)
+                | (F.coalesce("n_cur", F.lit(0)) == 0),
+                F.lit(True),
+            )
+            .otherwise(F.col("max_delta") > F.lit(alert_delta))
+            .alias("drifted"),
+        )
+        .orderBy(group_col)
+    )
+    return out

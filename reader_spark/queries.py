@@ -8708,6 +8708,63 @@ FROM stats, nr, nc
 """
 
 
+def embedding_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift verdicts (operators/similarity.py::
+    embedding_drift_grouped): each label compares its own
+    per-dimension means between waves — a minority slice's shift (or
+    disappearance: labels 8-9 are withheld from the current wave
+    here, and a vanished group IS the drift) alarms even when
+    corpus-level means hide it. G x D rows cross the shuffle per
+    partition; never corpus-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 4 != 0)
+    cur = emb.filter(
+        (F.col("vec_id") % 4 == 0) & (F.col("label") <= 7)
+    )
+    return SIM.embedding_drift_grouped(ref, cur, "embedding", "label")
+
+
+EMBEDDING_DRIFT_GROUPED_SQL = """
+WITH r AS (
+  SELECT label AS g, unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE vec_id % 4 <> 0
+), c AS (
+  SELECT label AS g, unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE vec_id % 4 = 0 AND label <= 7
+), rm AS (
+  SELECT g, dim, avg(v) AS m FROM r GROUP BY g, dim
+), cm AS (
+  SELECT g, dim, avg(v) AS m FROM c GROUP BY g, dim
+), per AS (
+  SELECT coalesce(rm.g, cm.g) AS g,
+         round(abs(rm.m - cm.m), 6) AS delta
+  FROM rm FULL JOIN cm ON rm.g = cm.g AND rm.dim = cm.dim
+), agg AS (
+  SELECT g, count(*)::BIGINT AS n_dims, max(delta) AS max_delta,
+         round(avg(delta), 6) AS mean_delta
+  FROM per GROUP BY g
+), nr AS (
+  SELECT label AS g, count(*)::BIGINT AS n
+  FROM embeddings WHERE vec_id % 4 <> 0 GROUP BY 1
+), nc AS (
+  SELECT label AS g, count(*)::BIGINT AS n
+  FROM embeddings WHERE vec_id % 4 = 0 AND label <= 7 GROUP BY 1
+)
+SELECT agg.g::INT AS label,
+       coalesce(nr.n, 0)::BIGINT AS n_ref,
+       coalesce(nc.n, 0)::BIGINT AS n_cur,
+       n_dims, max_delta, mean_delta,
+       CASE WHEN coalesce(nr.n, 0) = 0 OR coalesce(nc.n, 0) = 0
+            THEN TRUE ELSE max_delta > 0.05 END AS drifted
+FROM agg
+LEFT JOIN nr ON nr.g = agg.g
+LEFT JOIN nc ON nc.g = agg.g
+ORDER BY label
+"""
+
+
 def snapshot_drift_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile drift (operators/curation.py::drift_report_quantiles)
     between two event waves: exact interpolated p50/p90/p99 of
@@ -8884,6 +8941,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         snapshot_drift_quantiles, SNAPSHOT_DRIFT_QUANTILES_SQL,
     ),
     "source_freshness": (source_freshness, SOURCE_FRESHNESS_SQL),
+    "embedding_drift_by_group": (
+        embedding_drift_by_group, EMBEDDING_DRIFT_GROUPED_SQL,
+    ),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —
     # image_phash_dedup exercises the same synthesize/decode path
@@ -9206,7 +9266,7 @@ assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 # r3 leftovers (TPC-H batch + converters) which stay multi-round
 # green and rotate in next round.
 # --- r9 driver-window rotation --------------------------------------
-# 8 never-sampled queries (the r8 post-window categorical-drift family
+# 9 never-sampled queries (the r8 post-window categorical-drift family
 # + census, and this round's embedding/quantile drift + freshness), 4 entries whose code
 # paths changed this round (transfer.py truncate/manifest ordering ->
 # k3/cdc_reconcile; similarity.py additions -> knn_ivf; sketches.py
@@ -9220,6 +9280,7 @@ _WINDOW_R9 = [
     "snapshot_drift_categorical_by_group", "embedding_drift",
     "embedding_drift_summary", "component_census",
     "snapshot_drift_quantiles", "source_freshness",
+    "embedding_drift_by_group",
     # reads code changed this round
     "k3_transfer_dedupe", "cdc_reconcile", "knn_ivf", "cms_term_freq",
     # stalest: last sampled round 1
@@ -9234,11 +9295,11 @@ _WINDOW_R9 = [
     "q8_market_share", "q9_product_profit", "range_join_bands",
     "text_fingerprint", "text_lang_id", "text_quality", "text_tokens",
     "window_frames",
-    # last sampled round 4 (first 11; the rest rotate in next round)
+    # last sampled round 4 (first 10; the rest rotate in next round)
     "array_functions", "audio_spectrum", "clean_corpus",
     "data_quality_report", "doc_chunks", "json_props_stats",
     "multimodal_resize", "pii_scrub", "pmi_bigrams",
-    "q21_waiting_supplier", "quality_repetition",
+    "q21_waiting_supplier",
 ]
 
 _WINDOW_R8 = [

@@ -729,3 +729,61 @@ def bottomk_maintainer(
         )
 
     return body
+
+
+def quantile_drift_from_tiles(
+    ref_tiles: DataFrame,
+    cur_tiles: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alert_ppm: int = 100_000,
+) -> DataFrame:
+    """Maintained quantile drift: per key, compare nearest-rank
+    quantiles read off a REFERENCE bottom-k tile table against a
+    CURRENT one (both maintained by `bottomk_maintainer` /
+    rebuilt by the sketch job) — the drift verdict costs two
+    KB-sized tile reads, never a corpus scan; the corpus-priced path
+    (`drift_report_quantiles`) is for ad-hoc waves, this is the
+    standing dashboard. Per key and quantile: both values, the
+    relative shift in integer ppm of the reference magnitude, and a
+    drifted flag when any quantile's shift clears `alert_ppm`. A key
+    present in only one table still gets a row (missing side NULL,
+    drifted=true — a vanished key IS the drift)."""
+    keys = [c for c in ref_tiles.columns if c != "sample"]
+
+    def q(tiles, tag):
+        out = quantiles_from_tiles(tiles, list(probs))
+        renames = {"n_sampled": f"n_{tag}"}
+        renames.update(
+            {f"p{int(p * 100)}": f"p{int(p * 100)}_{tag}" for p in probs}
+        )
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        return out
+
+    j = q(ref_tiles, "ref").join(q(cur_tiles, "cur"), keys, "full_outer")
+    rel = [
+        F.ceil(
+            F.abs(
+                F.col(f"p{int(p * 100)}_ref") - F.col(f"p{int(p * 100)}_cur")
+            )
+            / F.greatest(F.abs(F.col(f"p{int(p * 100)}_ref")), F.lit(1e-12))
+            * F.lit(1_000_000)
+        ).cast("long")
+        for p in probs
+    ]
+    worst = F.greatest(*rel) if len(rel) > 1 else rel[0]
+    return j.select(
+        *keys,
+        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        *[F.col(f"p{int(p * 100)}_ref") for p in probs],
+        *[F.col(f"p{int(p * 100)}_cur") for p in probs],
+        worst.alias("max_rel_ppm"),
+        F.when(
+            (F.coalesce(F.col("n_ref"), F.lit(0)) == 0)
+            | (F.coalesce(F.col("n_cur"), F.lit(0)) == 0),
+            F.lit(True),
+        )
+        .otherwise(worst > F.lit(alert_ppm))
+        .alias("drifted"),
+    )

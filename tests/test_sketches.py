@@ -465,3 +465,48 @@ def test_bottomk_tiles_maintained_stream_equals_direct(spark, tmp_path):
         for r in SK.bottomk_tiles_read(spark, path).collect()
     }
     assert again == got
+
+
+def test_quantile_drift_from_tiles(spark, sf_dir, tmp_path):
+    """Maintained quantile drift: identical tile tables read zero
+    drift; a scaled current wave trips every key; a key missing from
+    the current table alarms as vanished. Verdicts read two KB-sized
+    tile tables, never the corpus."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value", "event_id"
+    )
+    ref = str(tmp_path / "ref")
+    SK.bottomk_tiles_write(ev, ref, ["event_type"], "value",
+                           k=64, id_col="event_id")
+    cur_same = str(tmp_path / "cur_same")
+    SK.bottomk_tiles_write(ev, cur_same, ["event_type"], "value",
+                           k=64, id_col="event_id")
+    same = SK.quantile_drift_from_tiles(
+        SK.bottomk_tiles_read(spark, ref),
+        SK.bottomk_tiles_read(spark, cur_same),
+    ).collect()
+    assert same and all(not r["drifted"] for r in same)
+    assert all(r["max_rel_ppm"] == 0 for r in same)
+
+    # x3 shift on values, and one event_type vanishes entirely
+    types = [r["event_type"] for r in
+             ev.select("event_type").distinct().collect()]
+    gone = sorted(types)[0]
+    shifted = ev.filter(F.col("event_type") != gone).select(
+        "event_type", (F.col("value") * 3).alias("value"), "event_id"
+    )
+    cur_shift = str(tmp_path / "cur_shift")
+    SK.bottomk_tiles_write(shifted, cur_shift, ["event_type"], "value",
+                           k=64, id_col="event_id")
+    rows = {r["event_type"]: r for r in SK.quantile_drift_from_tiles(
+        SK.bottomk_tiles_read(spark, ref),
+        SK.bottomk_tiles_read(spark, cur_shift),
+        alert_ppm=100_000,
+    ).collect()}
+    assert rows[gone]["n_cur"] == 0 and rows[gone]["drifted"]
+    for t in types:
+        if t != gone:
+            # a 3x scale is a ~2,000,000 ppm relative shift
+            assert rows[t]["drifted"] and rows[t]["max_rel_ppm"] > 1_000_000

@@ -213,6 +213,9 @@ HEADLINE = [
     "snapshot_drift_quantiles",
     "source_freshness",
     "embedding_drift_by_group",
+    # v10 (r9): the LSH screen acceptance gate (sample-bounded exact
+    # ground truth vs the banded candidates — the S-curve observable)
+    "lsh_recall_audit",
 ]
 
 

@@ -1600,3 +1600,85 @@ def neardup_cc_occupancy(spark, path: str) -> DataFrame:
             ).alias("occupancy_ppm"),
         )
     )
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 8,
+    threshold: float = 0.8,
+    sample: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Acceptance gate for the banded MinHash-LSH screen — the
+    near-dup analogue of `ann_recall_report`: on a deterministic
+    md5-ordered document sample, compare the LSH candidate pairs
+    against the EXACT all-pairs Jaccard ground truth. One row:
+    sample size, true pairs (exact Jaccard >= threshold), candidate
+    pairs the banding surfaced, hits (true ∩ candidate),
+    `recall_ppm` (of real near-dup pairs, how many the screen
+    catches — the number the num_hashes/band_size S-curve promises)
+    and `screen_precision_ppm` (of surfaced candidates, how many
+    verify — the banding selectivity that prices the verify stage).
+
+    Scale: the ground truth is all-pairs EXACT Jaccard, so it runs on
+    a SAMPLE by construction — sample^2/2 pairs via a broadcast
+    nested-loop self-join (the knn ground-truth shape), never the
+    corpus; the audited LSH pipeline runs on the same sample. The
+    operator takes the frame, so the sampling frame IS the argument
+    at 100 TB (stratify it upstream if one slice matters)."""
+    samp = (
+        docs.select(id_col, text_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample)
+    )
+    base = token_hashes(samp, text_col=text_col, id_col=id_col).persist()
+    try:
+        sigs = minhash_signature(
+            base, num_hashes=num_hashes, hashes_col="toks", id_col=id_col
+        )
+        cand = lsh_candidate_pairs(
+            sigs, id_col=id_col, num_hashes=num_hashes, band_size=band_size
+        )
+        ta = base.select(
+            F.col(id_col).alias("doc_a"), F.col("toks").alias("__ta")
+        )
+        tb = base.select(
+            F.col(id_col).alias("doc_b"), F.col("toks").alias("__tb")
+        )
+        inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+        jac = F.round(
+            inter
+            / (F.size("__ta") + F.size("__tb") - inter).cast("double"),
+            6,
+        )
+        truth = (
+            ta.join(F.broadcast(tb), F.col("doc_a") < F.col("doc_b"))
+            .filter(jac >= F.lit(threshold))
+            .select("doc_a", "doc_b")
+        )
+        hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+        n = lambda df, a: df.agg(F.count(F.lit(1)).alias(a))  # noqa: E731
+        out = (
+            n(base, "n_sample")
+            .crossJoin(F.broadcast(n(truth, "n_true")))
+            .crossJoin(F.broadcast(n(cand, "n_candidates")))
+            .crossJoin(F.broadcast(n(hits, "n_hits")))
+            .select(
+                "n_sample",
+                "n_true",
+                "n_candidates",
+                "n_hits",
+                F.expr(
+                    "(n_hits * 1000000) div greatest(n_true, 1)"
+                ).alias("recall_ppm"),
+                F.expr(
+                    "(n_hits * 1000000) div greatest(n_candidates, 1)"
+                ).alias("screen_precision_ppm"),
+            )
+        )
+        # materialize before unpersist: callers get a computed row
+        return out.localCheckpoint()
+    finally:
+        base.unpersist()

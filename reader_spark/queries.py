@@ -8708,6 +8708,59 @@ FROM stats, nr, nc
 """
 
 
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH screen acceptance gate (operators/dedup.py::
+    lsh_recall_report): on a deterministic 64-doc sample, exact
+    all-pairs Jaccard ground truth vs the banded MinHash candidates —
+    recall of real near-dup pairs and the screen's verify-rate, in
+    integer ppm. The near-dup analogue of `ann_recall_report`; the
+    ground truth is sample-bounded by construction (the all-pairs
+    stage is the reason this is an AUDIT, not the pipeline).
+
+    The number is the banding S-curve made observable: with r=8 rows
+    x b=2 bands, P(candidate | j) = 1-(1-j^8)^2 is ~0.31 AT j=0.8
+    and climbs steeply above — the fixture reads ~46% recall because
+    much of its true-pair mass sits near the threshold. Raising b
+    (more, narrower bands) buys recall at the price of
+    screen_precision (more candidates to verify); this audit is the
+    gauge for that knob."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.lsh_recall_report(
+        docs, num_hashes=_MH_K, band_size=_MH_BAND,
+        threshold=0.8, sample=64,
+    )
+
+
+_MH_SAMPLED_CTE = _MH_CTE.replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, text FROM documents "
+    "ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 64)",
+)
+
+LSH_RECALL_SQL = _MH_SAMPLED_CTE + """
+, jac AS (
+  SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
+         round(len(list_intersect(ta.hs, tb.hs))::DOUBLE /
+               (len(ta.hs) + len(tb.hs)
+                - len(list_intersect(ta.hs, tb.hs))), 6) AS j
+  FROM hm ta JOIN hm tb ON ta.doc_id < tb.doc_id
+), truth AS (
+  SELECT doc_a, doc_b FROM jac WHERE j >= 0.8
+), hits AS (
+  SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand
+)
+SELECT (SELECT count(*) FROM hm)::BIGINT AS n_sample,
+       (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM hits)::BIGINT AS n_hits,
+       ((SELECT count(*) FROM hits) * 1000000
+        // greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_ppm,
+       ((SELECT count(*) FROM hits) * 1000000
+        // greatest((SELECT count(*) FROM cand), 1))::BIGINT
+         AS screen_precision_ppm
+"""
+
+
 def embedding_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding drift verdicts (operators/similarity.py::
     embedding_drift_grouped): each label compares its own
@@ -8944,6 +8997,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_drift_by_group": (
         embedding_drift_by_group, EMBEDDING_DRIFT_GROUPED_SQL,
     ),
+    "lsh_recall_audit": (lsh_recall_audit, LSH_RECALL_SQL),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —
     # image_phash_dedup exercises the same synthesize/decode path
@@ -9266,7 +9320,7 @@ assert len(_WINDOW_R7) == 50 and set(_WINDOW_R7) <= set(CATALOG)
 # r3 leftovers (TPC-H batch + converters) which stay multi-round
 # green and rotate in next round.
 # --- r9 driver-window rotation --------------------------------------
-# 9 never-sampled queries (the r8 post-window categorical-drift family
+# 10 never-sampled queries (the r8 post-window categorical-drift family
 # + census, and this round's embedding/quantile drift + freshness), 4 entries whose code
 # paths changed this round (transfer.py truncate/manifest ordering ->
 # k3/cdc_reconcile; similarity.py additions -> knn_ivf; sketches.py
@@ -9280,7 +9334,7 @@ _WINDOW_R9 = [
     "snapshot_drift_categorical_by_group", "embedding_drift",
     "embedding_drift_summary", "component_census",
     "snapshot_drift_quantiles", "source_freshness",
-    "embedding_drift_by_group",
+    "embedding_drift_by_group", "lsh_recall_audit",
     # reads code changed this round
     "k3_transfer_dedupe", "cdc_reconcile", "knn_ivf", "cms_term_freq",
     # stalest: last sampled round 1
@@ -9295,11 +9349,10 @@ _WINDOW_R9 = [
     "q8_market_share", "q9_product_profit", "range_join_bands",
     "text_fingerprint", "text_lang_id", "text_quality", "text_tokens",
     "window_frames",
-    # last sampled round 4 (first 10; the rest rotate in next round)
+    # last sampled round 4 (first 9; the rest rotate in next round)
     "array_functions", "audio_spectrum", "clean_corpus",
     "data_quality_report", "doc_chunks", "json_props_stats",
     "multimodal_resize", "pii_scrub", "pmi_bigrams",
-    "q21_waiting_supplier",
 ]
 
 _WINDOW_R8 = [

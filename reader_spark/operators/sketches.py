@@ -787,3 +787,56 @@ def quantile_drift_from_tiles(
         .otherwise(worst > F.lit(alert_ppm))
         .alias("drifted"),
     )
+
+
+def quantile_drift_watch(
+    ref_path: str,
+    cur_path: str,
+    log_path: str,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 128,
+    id_col: str | None = None,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alert_ppm: int = 100_000,
+):
+    """`foreachBatch` body for STREAMING quantile drift: each
+    micro-batch folds into the current bottom-k tile table
+    (`bottomk_tiles_update` — exact containment merge, epoch-gated
+    against crash replay) and the per-key drift verdict vs the
+    published REFERENCE tiles is logged, partitioned by batch id
+    with dynamic overwrite (replay REPLACES the batch's rows — the
+    drift-watch family contract). Per batch the work is one delta
+    sketch + two KB-sized tile reads; neither corpus is ever
+    rescanned. An empty batch still logs the standing verdict (the
+    tiles didn't move, but the row proves the watch ran)."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.isEmpty():
+            bottomk_tiles_update(
+                spark, cur_path, batch_df, key_cols, value_col,
+                k=k, id_col=id_col, epoch=batch_id,
+            )
+        verdict = quantile_drift_from_tiles(
+            bottomk_tiles_read(spark, ref_path),
+            bottomk_tiles_read(spark, cur_path),
+            probs=probs,
+            alert_ppm=alert_ppm,
+        ).withColumn("batch", F.lit(batch_id))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            verdict.coalesce(1).write.partitionBy("batch").mode(
+                "overwrite"
+            ).parquet(log_path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return body

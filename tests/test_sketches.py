@@ -510,3 +510,47 @@ def test_quantile_drift_from_tiles(spark, sf_dir, tmp_path):
         if t != gone:
             # a 3x scale is a ~2,000,000 ppm relative shift
             assert rows[t]["drifted"] and rows[t]["max_rel_ppm"] > 1_000_000
+
+
+def test_quantile_drift_watch_stream(spark, sf_dir, tmp_path):
+    """Streaming quantile drift: batches fold into the current tiles
+    (exact merge, epoch-gated) and each batch logs a per-key verdict
+    vs the published reference; a replayed batch replaces its rows
+    and leaves the tiles untouched; a stable stream never alarms, a
+    scaled wave does."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value", "event_id"
+    )
+    ref = str(tmp_path / "ref")
+    cur = str(tmp_path / "cur")
+    log = str(tmp_path / "log")
+    SK.bottomk_tiles_write(ev, ref, ["event_type"], "value",
+                           k=64, id_col="event_id")
+    # current starts as a copy of the reference
+    SK.bottomk_tiles_write(ev, cur, ["event_type"], "value",
+                           k=64, id_col="event_id")
+    body = SK.quantile_drift_watch(
+        ref, cur, log, ["event_type"], "value", k=64, id_col="event_id",
+    )
+
+    stable = ev.limit(200)
+    body(stable, 0)
+    body(stable, 0)  # crash replay: tiles unmoved, rows replaced
+    rows0 = [r for r in spark.read.parquet(log).collect() if r["batch"] == 0]
+    assert rows0 and all(not r["drifted"] for r in rows0)
+
+    shifted = ev.select(
+        "event_type", (F.col("value") * 5).alias("value"),
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+    )
+    body(shifted, 1)
+    rows1 = [r for r in spark.read.parquet(log).collect() if r["batch"] == 1]
+    # the 5x wave merged into the current tiles moves the upper tail
+    assert rows1 and any(r["drifted"] for r in rows1)
+
+    # empty batch still logs its standing verdict
+    body(ev.limit(0), 2)
+    assert [r for r in spark.read.parquet(log).collect()
+            if r["batch"] == 2]

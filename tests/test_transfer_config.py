@@ -2082,3 +2082,93 @@ def test_table_diff_between_versions(spark, tmp_path):
 
     # same version vs itself: empty diff
     assert table_diff(w, "t", pin, ["id"], version_new=pin).count() == 0
+
+
+def test_drift_job_watch_categorical_and_vector_yaml(spark, tmp_path, sf_dir):
+    """drift: {mode: watch} routes by configured column for the other
+    two families: a categorical watch logs per-batch mix verdicts and
+    an embedding watch logs per-batch vector verdicts, each against
+    its own published baseline."""
+    import json as _json
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    # --- categorical ------------------------------------------------
+    out = str(tmp_path / "dqwc")
+    base = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  category_column: source
+  top_k: 8
+"""
+    run_job(spark, load_settings(base))
+    inc = tmp_path / "inc_cat" / "documents"
+    inc.mkdir(parents=True)
+    srcs = [r["source"] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").limit(40).collect()]
+    with open(inc / "w1.jsonl", "w") as f:
+        for s in srcs:
+            f.write(_json.dumps({"source": s}) + "\n")
+    watch = f"""
+source:
+  kind: jsonl
+  options: {{path: {tmp_path}/inc_cat}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  category_column: source
+  top_k: 8
+  mode: watch
+"""
+    res = run_job(spark, load_settings(watch))
+    assert res == {"documents": f"{out}/documents/_driftwatch"}
+    log = spark.read.parquet(f"{out}/documents/_driftwatch").collect()
+    assert len(log) == 1 and log[0]["n_cur"] == 40
+
+    # --- embedding ----------------------------------------------------
+    out2 = str(tmp_path / "dqwv")
+    base2 = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: embeddings}}]
+destination:
+  kind: parquet
+  path: {out2}
+drift:
+  vector_column: embedding
+"""
+    run_job(spark, load_settings(base2))
+    inc2 = tmp_path / "inc_vec" / "embeddings"
+    inc2.mkdir(parents=True)
+    vecs = [list(r["embedding"]) for r in spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet").limit(30).collect()]
+    with open(inc2 / "w1.jsonl", "w") as f:
+        for v in vecs:
+            f.write(_json.dumps(
+                {"embedding": [x + 0.5 for x in v]}) + "\n")
+    watch2 = f"""
+source:
+  kind: jsonl
+  options: {{path: {tmp_path}/inc_vec}}
+  tables: [{{name: embeddings}}]
+destination:
+  kind: parquet
+  path: {out2}
+drift:
+  vector_column: embedding
+  mode: watch
+"""
+    run_job(spark, load_settings(watch2))
+    log2 = spark.read.parquet(f"{out2}/embeddings/_driftwatch").collect()
+    assert len(log2) == 1
+    assert log2[0]["n_cur"] == 30 and log2[0]["drifted"]  # +0.5 shift

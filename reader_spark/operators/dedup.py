@@ -1682,3 +1682,82 @@ def lsh_recall_report(
         return out.localCheckpoint()
     finally:
         base.unpersist()
+
+
+def lsh_tuning_report(
+    docs: DataFrame,
+    configs: tuple[tuple[int, int], ...] = ((16, 8), (16, 4), (16, 2)),
+    threshold: float = 0.8,
+    sample: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The banding knob table: `lsh_recall_report`'s audit swept over
+    several (num_hashes, band_size) configurations against ONE shared
+    sample and ground truth — one row per config with recall_ppm and
+    screen_precision_ppm, so choosing the S-curve tradeoff (recall up
+    = more, narrower bands = more candidates to verify) is reading a
+    table instead of rerunning pipelines. Sample-bounded like the
+    single-config audit: the tokenize/truth pass happens once, each
+    config adds only its signature projection + band self-join over
+    `sample` rows."""
+    samp = (
+        docs.select(id_col, text_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample)
+    )
+    base = token_hashes(samp, text_col=text_col, id_col=id_col).persist()
+    try:
+        ta = base.select(
+            F.col(id_col).alias("doc_a"), F.col("toks").alias("__ta")
+        )
+        tb = base.select(
+            F.col(id_col).alias("doc_b"), F.col("toks").alias("__tb")
+        )
+        inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+        jac = F.round(
+            inter
+            / (F.size("__ta") + F.size("__tb") - inter).cast("double"),
+            6,
+        )
+        truth = (
+            ta.join(F.broadcast(tb), F.col("doc_a") < F.col("doc_b"))
+            .filter(jac >= F.lit(threshold))
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        rows = []
+        spark = docs.sparkSession
+        for num_hashes, band_size in configs:
+            sigs = minhash_signature(
+                base, num_hashes=num_hashes, hashes_col="toks",
+                id_col=id_col,
+            )
+            cand = lsh_candidate_pairs(
+                sigs, id_col=id_col, num_hashes=num_hashes,
+                band_size=band_size,
+            ).persist()
+            n_cand = cand.count()
+            n_hits = truth.join(
+                cand, ["doc_a", "doc_b"], "left_semi"
+            ).count()
+            cand.unpersist()
+            rows.append((num_hashes, band_size, n_cand, n_hits))
+        n_true = truth.count()
+        n_sample = base.count()
+        truth.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    k, b, n_sample, n_true, nc, nh,
+                    (nh * 1_000_000) // max(n_true, 1),
+                    (nh * 1_000_000) // max(nc, 1),
+                )
+                for k, b, nc, nh in rows
+            ],
+            "num_hashes int, band_size int, n_sample long, n_true long, "
+            "n_candidates long, n_hits long, recall_ppm long, "
+            "screen_precision_ppm long",
+        )
+    finally:
+        base.unpersist()

@@ -926,3 +926,35 @@ def test_knn_binary_rescore_exact_and_recall(spark):
         & set(exact_vals)
     ) / len(exact_vals)
     assert recall >= 0.9, recall
+
+
+def test_lsh_tuning_report_monotone_tradeoff(spark, sf_dir):
+    """The knob table's invariants: more/narrower bands never lose
+    recall (candidate sets are supersets as band_size drops at fixed
+    num_hashes), every config's hits are bounded by its candidates
+    and the shared truth, and the single-config audit row agrees
+    with the swept row for the same knobs."""
+    from reader_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = {
+        (r["num_hashes"], r["band_size"]): r
+        for r in DD.lsh_tuning_report(
+            docs, configs=((16, 8), (16, 4), (16, 2)), sample=48
+        ).collect()
+    }
+    assert set(rep) == {(16, 8), (16, 4), (16, 2)}
+    n_true = {r["n_true"] for r in rep.values()}
+    assert len(n_true) == 1  # shared ground truth across configs
+    # narrower bands: recall monotone non-decreasing, candidates grow
+    r8, r4, r2 = rep[(16, 8)], rep[(16, 4)], rep[(16, 2)]
+    assert r8["recall_ppm"] <= r4["recall_ppm"] <= r2["recall_ppm"]
+    assert r8["n_candidates"] <= r4["n_candidates"] <= r2["n_candidates"]
+    for r in rep.values():
+        assert r["n_hits"] <= min(r["n_candidates"], r["n_true"])
+
+    single = DD.lsh_recall_report(
+        docs, num_hashes=16, band_size=8, sample=48
+    ).collect()[0]
+    assert single["recall_ppm"] == r8["recall_ppm"]
+    assert single["n_candidates"] == r8["n_candidates"]

@@ -224,6 +224,31 @@ class SketchCfg:
 
 
 @dataclass
+class ChecksCfg:
+    """Constraint gate run against the source table BEFORE anything
+    publishes — the warehouse load gate the reference implies by
+    deduping on PKs at flush time (writers/transfer/writer.go:329-366)
+    made explicit: primary-key uniqueness + not-null, declared
+    not-null columns, numeric range bounds, and a minimum row count.
+    One verdict row per table lands at `<destination>/<table>/_checks`
+    (append — the run history IS the audit log); with
+    `fail_on_violation` the job raises instead of publishing bad
+    data downstream."""
+
+    pk: list[str] = field(default_factory=list)    # unique + not-null
+    not_null: list[str] = field(default_factory=list)
+    # {column: [lo, hi]} inclusive numeric bounds
+    ranges: dict[str, list[float]] = field(default_factory=dict)
+    min_rows: int = 0
+    fail_on_violation: bool = False
+
+    def __post_init__(self) -> None:
+        for c, b in self.ranges.items():
+            if len(b) != 2:
+                raise ValueError(f"range for {c!r} must be [lo, hi]")
+
+
+@dataclass
 class Settings:
     source: SourceCfg
     destination: DestinationCfg
@@ -231,6 +256,7 @@ class Settings:
     index: IndexCfg | None = None
     drift: DriftCfg | None = None
     sketch: SketchCfg | None = None
+    checks: ChecksCfg | None = None
 
 
 def load_settings(path_or_str: str) -> Settings:
@@ -253,7 +279,8 @@ def load_settings(path_or_str: str) -> Settings:
     index = IndexCfg(**raw["index"]) if raw.get("index") else None
     drift = DriftCfg(**raw["drift"]) if raw.get("drift") else None
     sketch = SketchCfg(**raw["sketch"]) if raw.get("sketch") else None
+    checks = ChecksCfg(**raw["checks"]) if raw.get("checks") else None
     return Settings(
         source=source, destination=destination, curate=curate, index=index,
-        drift=drift, sketch=sketch,
+        drift=drift, sketch=sketch, checks=checks,
     )

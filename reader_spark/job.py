@@ -103,6 +103,8 @@ def _publish(env: DataFrame, settings: Settings, table: str) -> str:
 def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
     """Execute one configured job; returns {table: destination}."""
     src = settings.source
+    if settings.checks is not None:
+        return _run_checks(spark, settings)
     if settings.sketch is not None:
         return _run_sketch(spark, settings)
     if settings.drift is not None:
@@ -498,6 +500,76 @@ def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 df, out, model, id_col=cfg.id_column, vec_col=cfg.vector_column
             )
         results[table.name] = out
+    return results
+
+
+def _run_checks(spark: SparkSession, settings: Settings) -> dict[str, str]:
+    """checks: job — the constraint gate (ChecksCfg): per table, ONE
+    aggregation pass computes every violation census (conditional
+    count aggregates — no per-constraint scans) plus one PK-group
+    pass for uniqueness; the verdict row appends to
+    `<destination>/<table>/_checks` and, with fail_on_violation, a
+    non-clean verdict raises BEFORE anything downstream publishes.
+    The reference enforces only PK-dedupe at flush
+    (writers/transfer/writer.go:329-366); at warehouse scale the gate
+    runs first so bad loads never need un-publishing."""
+    from pyspark.sql import functions as F
+
+    cfg = settings.checks
+    results: dict[str, str] = {}
+    for table in settings.source.tables:
+        df = _read_table(spark, settings.source, table)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in dict.fromkeys([*cfg.pk, *cfg.not_null]):
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+            )
+        for c, (lo, hi) in cfg.ranges.items():
+            bad = ~F.col(c).between(F.lit(lo), F.lit(hi))
+            aggs.append(
+                F.sum(
+                    (F.col(c).isNotNull() & bad).cast("long")
+                ).alias(f"range_{c}")
+            )
+        row = df.agg(*aggs).collect()[0].asDict()
+        if cfg.pk:
+            dup = (
+                df.groupBy(*cfg.pk)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .agg(
+                    F.count(F.lit(1)).alias("dup_keys"),
+                    F.coalesce(
+                        F.sum(F.col("n") - 1), F.lit(0)
+                    ).alias("dup_rows"),
+                )
+                .collect()[0]
+            )
+            row["dup_keys"] = int(dup["dup_keys"])
+            row["dup_rows"] = int(dup["dup_rows"])
+        row["min_rows_ok"] = bool(row["n_rows"] >= cfg.min_rows)
+        n_violations = (
+            sum(
+                int(v)
+                for k, v in row.items()
+                if k.startswith(("null_", "range_", "dup_rows"))
+            )
+            + (0 if row["min_rows_ok"] else 1)
+        )
+        row["n_violations"] = int(n_violations)
+        row["clean"] = n_violations == 0
+        verdict = spark.createDataFrame([tuple(row.values())],
+                                        list(row.keys()))
+        log = f"{settings.destination.path}/{table.name}/_checks"
+        verdict.coalesce(1).write.mode("append").parquet(log)
+        results[table.name] = (
+            f"{log} (violations={n_violations} clean={row['clean']})"
+        )
+        if cfg.fail_on_violation and n_violations:
+            raise ValueError(
+                f"checks failed for {table.name}: {n_violations} "
+                f"violation(s) — {row}"
+            )
     return results
 
 

@@ -2172,3 +2172,63 @@ drift:
     log2 = spark.read.parquet(f"{out2}/embeddings/_driftwatch").collect()
     assert len(log2) == 1
     assert log2[0]["n_cur"] == 30 and log2[0]["drifted"]  # +0.5 shift
+
+
+def test_checks_job_gate(spark, tmp_path, sf_dir):
+    """checks: YAML gate — a clean table reads clean; a corrupted
+    copy reads every violation class (PK dup, null, range, min_rows)
+    in one verdict row; fail_on_violation raises before anything
+    downstream would publish."""
+    import pytest
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "gate")
+    clean_cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+checks:
+  pk: [event_id]
+  not_null: [event_type]
+  ranges: {{value: [-1000000.0, 1000000.0]}}
+  min_rows: 10
+"""
+    res = run_job(spark, load_settings(clean_cfg))
+    assert "clean=True" in res["events"]
+    log = spark.read.parquet(f"{out}/events/_checks").collect()
+    assert len(log) == 1 and log[0]["n_violations"] == 0
+    assert log[0]["dup_keys"] == 0
+
+    # corrupt copy: dup PK, null type, out-of-range value, tiny table
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(5)
+    bad = ev.unionByName(ev.limit(1)).select(  # 1 dup key
+        "event_id", "ts", "user_id",
+        F.when(F.col("event_id") == ev.collect()[0]["event_id"],
+               None).otherwise(F.col("event_type")).alias("event_type"),
+        F.lit(9e12).alias("value"),            # every value out of range
+        "props",
+    )
+    corrupted = str(tmp_path / "corrupt")
+    bad.write.parquet(f"{corrupted}/events.parquet")
+    bad_cfg = clean_cfg.replace(f"path: {sf_dir}", f"path: {corrupted}")
+    res2 = run_job(spark, load_settings(bad_cfg))
+    assert "clean=False" in res2["events"]
+    rows = spark.read.parquet(f"{out}/events/_checks").collect()
+    verdicts = {r["n_rows"]: r for r in rows}
+    v = verdicts[6]
+    assert v["dup_keys"] == 1 and v["dup_rows"] == 1
+    assert v["null_event_type"] >= 1
+    assert v["range_value"] == 6
+    assert not v["min_rows_ok"] and not v["clean"]
+
+    with pytest.raises(ValueError, match="checks failed"):
+        run_job(spark, load_settings(
+            bad_cfg + "  fail_on_violation: true\n"))

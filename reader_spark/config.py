@@ -240,12 +240,21 @@ class ChecksCfg:
     # {column: [lo, hi]} inclusive numeric bounds
     ranges: dict[str, list[float]] = field(default_factory=dict)
     min_rows: int = 0
+    # freshness: the table's max(ts_column) must lag the gate's run
+    # time by at most max_lag_s seconds (0 = freshness not checked) —
+    # the enforcement twin of the source_freshness query
+    ts_column: str | None = None
+    max_lag_s: int = 0
     fail_on_violation: bool = False
 
     def __post_init__(self) -> None:
         for c, b in self.ranges.items():
             if len(b) != 2:
                 raise ValueError(f"range for {c!r} must be [lo, hi]")
+        if (self.ts_column is None) != (self.max_lag_s == 0):
+            raise ValueError(
+                "freshness needs both ts_column and max_lag_s (or neither)"
+            )
 
 
 @dataclass

@@ -520,18 +520,41 @@ def _run_checks(spark: SparkSession, settings: Settings) -> dict[str, str]:
     for table in settings.source.tables:
         df = _read_table(spark, settings.source, table)
         aggs = [F.count(F.lit(1)).alias("n_rows")]
+        # coalesce: sum() over ZERO rows is NULL, and an empty table
+        # must still produce a well-typed verdict row
         for c in dict.fromkeys([*cfg.pk, *cfg.not_null]):
             aggs.append(
-                F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+                F.coalesce(
+                    F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+                ).alias(f"null_{c}")
             )
         for c, (lo, hi) in cfg.ranges.items():
             bad = ~F.col(c).between(F.lit(lo), F.lit(hi))
             aggs.append(
-                F.sum(
-                    (F.col(c).isNotNull() & bad).cast("long")
+                F.coalesce(
+                    F.sum((F.col(c).isNotNull() & bad).cast("long")),
+                    F.lit(0),
                 ).alias(f"range_{c}")
             )
+        if cfg.ts_column is not None:
+            # whole-second integer lag vs the gate's run time (the
+            # enforcement twin of the source_freshness query) — NULL
+            # max(ts) (empty table) reads as maximally stale
+            aggs.append(
+                F.coalesce(
+                    (
+                        F.unix_micros(F.current_timestamp())
+                        - F.unix_micros(F.max(cfg.ts_column))
+                    )
+                    / F.lit(1_000_000),
+                    F.lit(float(2**62)),
+                )
+                .cast("long")
+                .alias("lag_s")
+            )
         row = df.agg(*aggs).collect()[0].asDict()
+        if cfg.ts_column is not None:
+            row["fresh_ok"] = bool(row["lag_s"] <= cfg.max_lag_s)
         if cfg.pk:
             dup = (
                 df.groupBy(*cfg.pk)
@@ -555,6 +578,7 @@ def _run_checks(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 if k.startswith(("null_", "range_", "dup_rows"))
             )
             + (0 if row["min_rows_ok"] else 1)
+            + (0 if row.get("fresh_ok", True) else 1)
         )
         row["n_violations"] = int(n_violations)
         row["clean"] = n_violations == 0

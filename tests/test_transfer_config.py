@@ -2232,3 +2232,59 @@ checks:
     with pytest.raises(ValueError, match="checks failed"):
         run_job(spark, load_settings(
             bad_cfg + "  fail_on_violation: true\n"))
+
+
+def test_checks_gate_freshness(spark, tmp_path):
+    """checks: freshness enforcement — a just-written table passes a
+    generous max_lag_s, the fixture's 2024 timestamps fail a tight
+    one, and an empty table reads maximally stale."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    src = str(tmp_path / "src")
+    spark.range(20).select(
+        F.col("id").alias("event_id"),
+        F.current_timestamp().alias("ts"),
+    ).write.parquet(f"{src}/events.parquet")
+
+    out = str(tmp_path / "gate")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {src}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+checks:
+  pk: [event_id]
+  ts_column: ts
+  max_lag_s: 3600
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert "clean=True" in res["events"]
+    row = spark.read.parquet(f"{out}/events/_checks").collect()[0]
+    assert row["fresh_ok"] and row["lag_s"] < 3600
+
+    stale = spark.range(5).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    stale_src = str(tmp_path / "stale")
+    stale.write.parquet(f"{stale_src}/events.parquet")
+    res2 = run_job(spark, load_settings(
+        cfg.replace(f"path: {src}", f"path: {stale_src}")))
+    assert "clean=False" in res2["events"]
+
+    empty_src = str(tmp_path / "empty")
+    stale.limit(0).write.parquet(f"{empty_src}/events.parquet")
+    res3 = run_job(spark, load_settings(
+        cfg.replace(f"path: {src}", f"path: {empty_src}")))
+    assert "clean=False" in res3["events"]  # empty = maximally stale
+
+    import pytest
+
+    with pytest.raises(ValueError, match="freshness"):
+        load_settings(cfg.replace("  max_lag_s: 3600\n", ""))

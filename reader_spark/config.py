@@ -153,9 +153,22 @@ class DriftCfg:
     (re)publishes the reference at `<destination>/<table>/_driftref`;
     mode 'check' reads it and writes a one-row verdict."""
 
-    value_column: str | None = None       # numeric family
+    value_column: str | None = None       # numeric family (histogram)
     category_column: str | None = None    # categorical family (r9)
     vector_column: str | None = None      # embedding family (r9)
+    # quantile family (r10, TILE-BACKED): the verdict reads bottom-k
+    # sample tiles — KB of state per key — instead of running exact
+    # grouped percentiles over both full waves (the one drift member
+    # whose exact form doesn't reduce to map-side partials at 100 TB;
+    # drift_report_quantiles stays as the ad-hoc/audit shape)
+    quantile_column: str | None = None
+    group_column: str | None = None       # quantile: per-key tiles
+    k: int = 128                          # quantile: tile sample width
+    id_column: str | None = None          # quantile: row-identity draw
+    # quantile check: path of a MAINTAINED current-tile table (a
+    # `sketch:` job's output) — when set the verdict never scans the
+    # source at all, it compares two published KB-sized tile tables
+    tiles_path: str | None = None
     n_buckets: int = 20
     top_k: int = 50                       # categorical: top-K + OTHER
     alert_ppm: int = 50_000
@@ -173,15 +186,20 @@ class DriftCfg:
         chosen = [
             c
             for c in (
-                self.value_column, self.category_column, self.vector_column
+                self.value_column,
+                self.category_column,
+                self.vector_column,
+                self.quantile_column,
             )
             if c is not None
         ]
         if len(chosen) != 1:
             raise ValueError(
                 "drift needs exactly one of value_column / "
-                "category_column / vector_column"
+                "category_column / vector_column / quantile_column"
             )
+        if self.tiles_path is not None and self.quantile_column is None:
+            raise ValueError("tiles_path is only valid with quantile_column")
 
 
 @dataclass

@@ -100,8 +100,70 @@ def _publish(env: DataFrame, settings: Settings, table: str) -> str:
     return out
 
 
+# Per-run numeric observations the mode handlers volunteer for the
+# _metrics row (table -> rows). Cleared by run_job per invocation;
+# driver-side plumbing only — never a data-path dependency.
+_JOB_OBS: dict[str, int] = {}
+
+
 def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
-    """Execute one configured job; returns {table: destination}."""
+    """Execute one configured job; returns {table: destination}.
+
+    Every mode also appends one FIXED-SCHEMA flight-recorder row per
+    table to `<destination.path>/_metrics` (run_ts ms, mode, table,
+    rows where the handler knows it cheaply, wall_s, detail — the
+    mode's own result gist). The reference keeps in-process counters
+    (lib/mtr); at warehouse scale the counters land as DATA so
+    operators query the job history like any other table. The
+    recorder is fail-open: a metrics write problem never fails a job
+    that did its work."""
+    import time as _time
+
+    _JOB_OBS.clear()
+    t0 = _time.time()
+    results = _dispatch_job(spark, settings)
+    wall = _time.time() - t0
+    dest = settings.destination
+    if dest.path and results:
+        mode = next(
+            m
+            for m, on in (
+                ("checks", settings.checks),
+                ("sketch", settings.sketch),
+                ("drift", settings.drift),
+                ("index", settings.index),
+                ("curate", settings.curate),
+                ("streaming", settings.source.streaming or None),
+                ("snapshot", True),
+            )
+            if on
+        )
+        run_ts = _time.time_ns() // 1_000_000
+        rows = [
+            (
+                run_ts,
+                mode,
+                t,
+                _JOB_OBS.get(t),
+                round(wall, 3),
+                str(r)[:500],
+            )
+            for t, r in results.items()
+        ]
+        try:
+            spark.createDataFrame(
+                rows,
+                "run_ts long, mode string, table string, rows long, "
+                "wall_s double, detail string",
+            ).coalesce(1).write.mode("append").parquet(
+                f"{dest.path}/_metrics"
+            )
+        except Exception:
+            pass  # fail-open by contract
+    return results
+
+
+def _dispatch_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
     src = settings.source
     if settings.checks is not None:
         return _run_checks(spark, settings)
@@ -154,7 +216,17 @@ def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
             dialect=_DIALECT.get(src.kind, "mysql"),
             ts_col=F.lit(src.options.get("snapshot_ts", 0)).cast("long"),
         )
+        # rows-written for the _metrics row WITHOUT a second scan:
+        # an Observation rides the write action itself
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        env = env.observe(obs, F.count(F.lit(1)).alias("n"))
         results[table.name] = _publish(env, settings, table.name)
+        try:
+            _JOB_OBS[table.name] = int(obs.get["n"])
+        except Exception:
+            pass
     return results
 
 
@@ -367,9 +439,20 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
 
         categorical = cfg.category_column is not None
         vector = cfg.vector_column is not None
+        quantile = cfg.quantile_column is not None
         if cfg.mode == "baseline":
             if vector:
                 embedding_drift_ref_write(df, ref_path, cfg.vector_column)
+            elif quantile:
+                from reader_spark.operators.sketches import (
+                    bottomk_tiles_write,
+                )
+
+                qdf, keys = _drift_quantile_keyed(df, cfg)
+                bottomk_tiles_write(
+                    qdf, ref_path, keys, cfg.quantile_column,
+                    k=cfg.k, id_col=cfg.id_column,
+                )
             elif categorical:
                 drift_ref_write_categorical(
                     df, ref_path, cfg.category_column, cfg.top_k
@@ -384,6 +467,29 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 verdict = embedding_drift_check(
                     spark, ref_path, df, cfg.vector_column, cfg.alert_delta
                 )
+            elif quantile:
+                from reader_spark.operators.sketches import (
+                    bottomk_sample_tiles,
+                    bottomk_tiles_read,
+                    quantile_drift_from_tiles,
+                )
+
+                if cfg.tiles_path:
+                    # two published KB-sized tile tables — the source
+                    # is never scanned (the maintained/standing path)
+                    cur = bottomk_tiles_read(spark, cfg.tiles_path)
+                else:
+                    # one linear sketch pass over the wave; only K
+                    # structs per key cross the shuffle
+                    qdf, keys = _drift_quantile_keyed(df, cfg)
+                    cur = bottomk_sample_tiles(
+                        qdf, keys, cfg.quantile_column,
+                        k=cfg.k, id_col=cfg.id_column,
+                    )
+                verdict = quantile_drift_from_tiles(
+                    bottomk_tiles_read(spark, ref_path), cur,
+                    alert_ppm=cfg.alert_ppm,
+                )
             elif categorical:
                 verdict = drift_check_categorical(
                     spark, ref_path, df, cfg.category_column, cfg.alert_ppm
@@ -392,13 +498,20 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 verdict = drift_check(
                     spark, ref_path, df, cfg.value_column, cfg.alert_ppm
                 )
-            r = verdict.collect()[0]  # one row; compute exactly once
+            rows = verdict.collect()  # per-key rows; compute once
             log = f"{base}/_driftlog"
-            spark.createDataFrame([r], verdict.schema).coalesce(1).write.mode(
-                "append"
-            ).parquet(log)
+            spark.createDataFrame(rows, verdict.schema).coalesce(
+                1
+            ).write.mode("append").parquet(log)
+            if not rows:  # both waves tile-empty: nothing to verdict
+                results[table.name] = f"{log} (keys=0)"
+                continue
+            r = rows[0]
             if vector:
                 gist = f"max_delta={r['max_delta']} drifted={r['drifted']}"
+            elif quantile:
+                n_drifted = sum(1 for x in rows if x["drifted"])
+                gist = f"keys={len(rows)} drifted={n_drifted}"
             elif categorical:
                 gist = (
                     f"tvd_ppm={r['tvd_ppm']} "
@@ -411,6 +524,18 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 )
             results[table.name] = f"{log} ({gist})"
     return results
+
+
+def _drift_quantile_keyed(df, cfg):
+    """The (frame, key-cols) pair the quantile-drift tile calls
+    expect: the configured group column, or an injected constant key
+    for ungrouped tables (tiles are per-key by construction — one
+    synthetic key makes the whole wave one tile)."""
+    from pyspark.sql import functions as F
+
+    if cfg.group_column:
+        return df, [cfg.group_column]
+    return df.withColumn("__wave", F.lit("all")), ["__wave"]
 
 
 def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
@@ -582,8 +707,46 @@ def _run_checks(spark: SparkSession, settings: Settings) -> dict[str, str]:
         )
         row["n_violations"] = int(n_violations)
         row["clean"] = n_violations == 0
-        verdict = spark.createDataFrame([tuple(row.values())],
-                                        list(row.keys()))
+        _JOB_OBS[table.name] = int(row["n_rows"])
+        # FIXED log schema, constraints as DATA (long rows): the old
+        # one-wide-row form derived its columns from the config, so
+        # adding a constraint later appended a different schema to
+        # the same parquet log and a plain read of the history broke
+        # (needed mergeSchema). Every run now appends the same five
+        # columns regardless of which constraints are configured.
+        import time as _time
+
+        run_ts = _time.time_ns() // 1_000_000  # ms: runs never collide
+        long_rows: list[tuple] = [
+            ("rows", "min_rows", int(row["n_rows"]), bool(row["min_rows_ok"]))
+        ]
+        for c in dict.fromkeys([*cfg.pk, *cfg.not_null]):
+            v = int(row[f"null_{c}"])
+            long_rows.append((c, "not_null", v, v == 0))
+        for c in cfg.ranges:
+            v = int(row[f"range_{c}"])
+            long_rows.append((c, "range", v, v == 0))
+        if cfg.pk:
+            pk_name = "/".join(cfg.pk)
+            long_rows.append(
+                (pk_name, "pk_unique",
+                 int(row["dup_rows"]), int(row["dup_rows"]) == 0)
+            )
+            long_rows.append(
+                (pk_name, "pk_dup_keys",
+                 int(row["dup_keys"]), int(row["dup_keys"]) == 0)
+            )
+        if cfg.ts_column is not None:
+            long_rows.append(
+                (cfg.ts_column, "freshness_lag_s",
+                 int(row["lag_s"]), bool(row["fresh_ok"]))
+            )
+        long_rows.append(("*", "verdict", int(n_violations), bool(row["clean"])))
+        verdict = spark.createDataFrame(
+            [(run_ts, *r) for r in long_rows],
+            "run_ts long, constraint string, kind string, "
+            "value long, ok boolean",
+        )
         log = f"{settings.destination.path}/{table.name}/_checks"
         verdict.coalesce(1).write.mode("append").parquet(log)
         results[table.name] = (
@@ -633,6 +796,47 @@ def _run_drift_watch(
             body = embedding_drift_watch(
                 ref_path, log, cfg.vector_column, cfg.alert_delta
             )
+        elif cfg.quantile_column is not None:
+            import os
+
+            from pyspark.sql import functions as F
+
+            from reader_spark.operators.sketches import (
+                bottomk_tiles_write,
+                quantile_drift_watch,
+            )
+
+            parts = []
+            if cfg.group_column:
+                parts.append(f"{cfg.group_column} string")
+            parts.append(f"{cfg.quantile_column} double")
+            if cfg.id_column:
+                parts.append(f"{cfg.id_column} long")
+            schema = ", ".join(parts)
+            keys = [cfg.group_column] if cfg.group_column else ["__wave"]
+            cur_path = f"{base}/_drifttiles"
+            if not os.path.isdir(cur_path):
+                # seed the CURRENT tile table empty so the first
+                # micro-batch's containment merge has a side to read
+                empty = spark.createDataFrame(
+                    [], schema if cfg.group_column else f"{schema}, __wave string"
+                )
+                bottomk_tiles_write(
+                    empty, cur_path, keys, cfg.quantile_column,
+                    k=cfg.k, id_col=cfg.id_column,
+                )
+            inner = quantile_drift_watch(
+                ref_path, cur_path, log, keys, cfg.quantile_column,
+                k=cfg.k, id_col=cfg.id_column, alert_ppm=cfg.alert_ppm,
+            )
+            if cfg.group_column:
+                body = inner
+            else:
+                def body(batch_df, batch_id, _inner=inner):
+                    _inner(
+                        batch_df.withColumn("__wave", F.lit("all")),
+                        batch_id,
+                    )
         elif cfg.category_column is not None:
             schema = f"{cfg.category_column} string"
             body = drift_watch_categorical(

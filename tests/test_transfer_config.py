@@ -2202,8 +2202,12 @@ checks:
     res = run_job(spark, load_settings(clean_cfg))
     assert "clean=True" in res["events"]
     log = spark.read.parquet(f"{out}/events/_checks").collect()
-    assert len(log) == 1 and log[0]["n_violations"] == 0
-    assert log[0]["dup_keys"] == 0
+    # fixed LONG schema: one row per constraint, constraints as data
+    by = {(r["constraint"], r["kind"]): r for r in log}
+    assert by[("*", "verdict")]["value"] == 0
+    assert by[("event_id", "pk_unique")]["ok"]
+    assert by[("event_type", "not_null")]["value"] == 0
+    assert by[("value", "range")]["ok"]
 
     # corrupt copy: dup PK, null type, out-of-range value, tiny table
     from pyspark.sql import functions as F
@@ -2222,16 +2226,37 @@ checks:
     res2 = run_job(spark, load_settings(bad_cfg))
     assert "clean=False" in res2["events"]
     rows = spark.read.parquet(f"{out}/events/_checks").collect()
-    verdicts = {r["n_rows"]: r for r in rows}
-    v = verdicts[6]
-    assert v["dup_keys"] == 1 and v["dup_rows"] == 1
-    assert v["null_event_type"] >= 1
-    assert v["range_value"] == 6
-    assert not v["min_rows_ok"] and not v["clean"]
+    # the corrupt run's rows: pick the run by its failing verdict
+    bad_ts = {r["run_ts"] for r in rows
+              if r["kind"] == "verdict" and not r["ok"]}
+    assert len(bad_ts) == 1
+    v = {(r["constraint"], r["kind"]): r
+         for r in rows if r["run_ts"] in bad_ts}
+    assert v[("event_id", "pk_dup_keys")]["value"] == 1
+    assert v[("event_id", "pk_unique")]["value"] == 1  # dup rows
+    assert v[("event_type", "not_null")]["value"] >= 1
+    assert v[("value", "range")]["value"] == 6
+    assert not v[("rows", "min_rows")]["ok"]
+    assert not v[("*", "verdict")]["ok"]
 
     with pytest.raises(ValueError, match="checks failed"):
         run_job(spark, load_settings(
             bad_cfg + "  fail_on_violation: true\n"))
+
+    # THE regression the fixed schema exists for: a later run with a
+    # DIFFERENT constraint set appends to the same log, and a plain
+    # read (no mergeSchema) returns the whole history as one frame
+    minimal_cfg = clean_cfg.replace(
+        "  pk: [event_id]\n  not_null: [event_type]\n"
+        "  ranges: {value: [-1000000.0, 1000000.0]}\n  min_rows: 10\n",
+        "  min_rows: 1\n",
+    )
+    run_job(spark, load_settings(minimal_cfg))
+    hist = spark.read.parquet(f"{out}/events/_checks")
+    assert set(hist.columns) == {
+        "run_ts", "constraint", "kind", "value", "ok"
+    }
+    assert hist.filter("kind = 'verdict'").count() == 4
 
 
 def test_checks_gate_freshness(spark, tmp_path):
@@ -2265,8 +2290,10 @@ checks:
 """
     res = run_job(spark, load_settings(cfg))
     assert "clean=True" in res["events"]
-    row = spark.read.parquet(f"{out}/events/_checks").collect()[0]
-    assert row["fresh_ok"] and row["lag_s"] < 3600
+    fresh = [r for r in spark.read.parquet(
+        f"{out}/events/_checks").collect()
+        if r["kind"] == "freshness_lag_s"]
+    assert len(fresh) == 1 and fresh[0]["ok"] and fresh[0]["value"] < 3600
 
     stale = spark.range(5).select(
         F.col("id").alias("event_id"),
@@ -2288,3 +2315,404 @@ checks:
 
     with pytest.raises(ValueError, match="freshness"):
         load_settings(cfg.replace("  max_lag_s: 3600\n", ""))
+
+
+def test_bucket_layout_pinned_across_mismatched_callers(spark, tmp_path):
+    """n_buckets is a property of the TABLE, not the call: a merge
+    (or repair) invoked with a different default must resolve the
+    seed-time pin from _layout.json — trusting the parameter would
+    recompute pmod(hash, wrong_n), rewrite the wrong bucket dirs and
+    leave the stale row behind as a duplicate PK."""
+    import os
+
+    from reader_spark.operators.transfer import (
+        TransferWriter,
+        _read_layout_manifest,
+        reconcile,
+        reconcile_repair,
+    )
+
+    w = TransferWriter(spark, str(tmp_path))
+    seed = spark.range(0, 500).selectExpr(
+        "id", "concat('v', id) AS v", "'c' AS op", "0L AS seq"
+    )
+    w.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=16)
+    root = str(tmp_path / "t")
+    assert _read_layout_manifest(root) == 16
+
+    # merge with the OTHER default (64): pinned 16 must win
+    delta = spark.createDataFrame(
+        [(7, "V7", "u", 1)], "id long, v string, op string, seq long"
+    )
+    w.upsert_bucketed("t", delta, ["id"], "seq", n_buckets=64)
+    got = w.read("t")
+    assert got.count() == 500  # no duplicate for id=7
+    assert {r["v"] for r in got.filter("id = 7").collect()} == {"V7"}
+    ids = [
+        int(d.split("=")[1])
+        for d in os.listdir(root)
+        if d.startswith("bucket=")
+    ]
+    assert max(ids) < 16
+
+    # the ADVICE scenario verbatim: repair a 16-bucket table with
+    # repair's own default (64) — must heal, not corrupt
+    source = spark.range(0, 501).selectExpr("id", "concat('v', id) AS v")
+    counts = reconcile_repair(w, "t", source, ["id"])
+    assert counts.get("mismatch", 0) == 1 and counts.get("missing", 0) == 1
+    verdict = {
+        r["status"]: r["n_keys"]
+        for r in reconcile(source, w.read("t").drop("bucket"), ["id"]).collect()
+    }
+    assert verdict == {"ok": 501}
+
+
+def test_legacy_layout_incompatible_buckets_raises(spark, tmp_path):
+    """A legacy table (no _layout.json) merged with an n_buckets
+    smaller than an existing bucket id is provably mismatched —
+    fail loudly instead of scattering keys."""
+    import os
+
+    import pytest
+
+    from reader_spark.operators.transfer import TransferWriter
+
+    w = TransferWriter(spark, str(tmp_path))
+    seed = spark.range(0, 500).selectExpr(
+        "id", "concat('v', id) AS v", "'c' AS op", "0L AS seq"
+    )
+    w.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=16)
+    os.remove(str(tmp_path / "t" / "_layout.json"))
+
+    delta = spark.createDataFrame(
+        [(7, "V7", "u", 1)], "id long, v string, op string, seq long"
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        w.upsert_bucketed("t", delta, ["id"], "seq", n_buckets=8)
+
+    # a compatible legacy merge adopts AND pins the requested value
+    w.upsert_bucketed("t", delta, ["id"], "seq", n_buckets=16)
+    from reader_spark.operators.transfer import _read_layout_manifest
+
+    assert _read_layout_manifest(str(tmp_path / "t")) == 16
+
+
+def test_layout_pin_survives_truncate_and_compact(spark, tmp_path):
+    """truncate/compact publish fresh version dirs; the bucket-layout
+    pin is table identity and must ride along — losing it would
+    reopen the mismatched-default hazard on the next merge."""
+    from reader_spark.operators.transfer import (
+        TransferWriter,
+        _read_layout_manifest,
+    )
+
+    w = TransferWriter(spark, str(tmp_path))
+    seed = spark.range(0, 200).selectExpr(
+        "id", "concat('v', id) AS v", "'c' AS op", "0L AS seq"
+    )
+    w.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=4)
+
+    w.compact("t")
+    assert _read_layout_manifest(w._data_root("t")) == 4
+
+    w.truncate("t")
+    assert _read_layout_manifest(w._data_root("t")) == 4
+    assert w.read("t").count() == 0
+
+    # post-truncate reseed then a mismatched-default merge still lands
+    # in the pinned layout
+    w.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=64)
+    got = w.read("t")
+    assert got.count() == 200
+
+
+def test_scd2_close_all_replay_after_reopen_is_noop(spark, tmp_path):
+    """Crash replay ordering: if the batch's post-truncate DML already
+    merged (fresh intervals opened at seq > truncate seq), re-applying
+    the truncate must NOT close them at the earlier position — that
+    would mint inverted rows (eff_to < eff_from) in the history."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators.transfer import TransferWriter
+
+    w = TransferWriter(spark, str(tmp_path))
+    b1 = spark.createDataFrame(
+        [(1, "a", "c", 1), (2, "b", "c", 2)],
+        "id long, v string, op string, seq long",
+    )
+    w.upsert_scd2("t", b1, ["id"], "seq")
+    w.scd2_close_all("t", at_seq=10)
+
+    # post-truncate insert reopens id=1 at seq 20
+    b2 = spark.createDataFrame(
+        [(1, "a2", "c", 20)], "id long, v string, op string, seq long"
+    )
+    w.upsert_scd2("t", b2, ["id"], "seq")
+
+    # crash replay re-applies the truncate at the OLD position
+    w.scd2_close_all("t", at_seq=10)
+
+    hist = w.read("t")
+    inverted = hist.filter(F.col("eff_to") < F.col("eff_from")).count()
+    assert inverted == 0
+    open_rows = hist.filter(F.col("eff_to").isNull()).collect()
+    assert [(r["id"], r["v"], r["eff_from"]) for r in open_rows] == [
+        (1, "a2", 20)
+    ]
+
+
+def test_drift_job_quantile_tiles_yaml(spark, tmp_path, sf_dir):
+    """drift: {quantile_column} — the TILE-BACKED quantile drift
+    through the YAML loop (VERDICT r9 #2): baseline publishes
+    bottom-k sample tiles, check verdicts a wave against them, and
+    with `tiles_path` the verdict reads a MAINTAINED sketch table
+    (sketch: job output) instead of scanning the source at all.
+    With tile width k >= the wave size, the tile sample IS the full
+    wave, so the tile-read quantiles equal exact nearest-rank
+    quantiles computed directly on the rows."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ref = ev.filter(F.col("event_id") % 2 == 0).limit(100)
+    cur = ev.filter(F.col("event_id") % 2 == 1).limit(100)
+    ref_src, cur_src = str(tmp_path / "ref"), str(tmp_path / "cur")
+    ref.write.parquet(f"{ref_src}/events.parquet")
+    cur.write.parquet(f"{cur_src}/events.parquet")
+    out = str(tmp_path / "dq")
+
+    def cfg(src, extra=""):
+        return f"""
+source:
+  kind: parquet
+  options: {{path: {src}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  quantile_column: value
+  group_column: event_type
+  id_column: event_id
+  k: 4096
+{extra}"""
+
+    res = run_job(spark, load_settings(cfg(ref_src)))
+    assert res == {"events": f"{out}/events/_driftref"}
+
+    chk = run_job(spark, load_settings(cfg(cur_src, "  mode: check\n")))
+    assert "_driftlog" in chk["events"]
+    log = spark.read.parquet(f"{out}/events/_driftlog").collect()
+    assert len(log) > 0 and all(r["n_ref"] >= 0 for r in log)
+
+    # tile quantiles == exact nearest-rank over the full wave
+    # (k >= wave size: the sample is lossless)
+    by_key = {}
+    for r in cur.collect():
+        by_key.setdefault(r["event_type"], []).append(r["value"])
+    for row in log:
+        k = row["event_type"]
+        if k not in by_key or row["n_cur"] == 0:
+            continue
+        vals = sorted(by_key[k])
+        for p, col in ((0.5, "p50_cur"), (0.9, "p90_cur"), (0.99, "p99_cur")):
+            want = vals[max(1, math.ceil(p * len(vals))) - 1]
+            assert row[col] == want, (k, col, row[col], want)
+
+    # tiles_path: a maintained sketch table replaces the source scan
+    tiles_out = str(tmp_path / "sk")
+    sketch_cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {cur_src}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {tiles_out}
+sketch:
+  kind: bottomk
+  key_columns: [event_type]
+  value_column: value
+  id_column: event_id
+  k: 4096
+"""
+    run_job(spark, load_settings(sketch_cfg))
+    run_job(spark, load_settings(cfg(
+        cur_src, f"  mode: check\n  tiles_path: {tiles_out}/events\n"
+    )))
+    log2 = spark.read.parquet(f"{out}/events/_driftlog").collect()
+    # second check appended the same per-key verdicts (same wave,
+    # same tile construction — maintained == direct)
+    assert len(log2) == 2 * len(log)
+    direct = sorted(
+        (tuple(r[c] for c in log[0].__fields__) for r in log)
+    )
+    halves = sorted(direct * 2)
+    assert sorted(
+        tuple(r[c] for c in log2[0].__fields__) for r in log2
+    ) == halves
+
+    # config guard: tiles_path without quantile_column is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="tiles_path"):
+        load_settings(f"""
+source:
+  kind: parquet
+  options: {{path: {cur_src}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  value_column: value
+  tiles_path: {tiles_out}/events
+""")
+
+
+def test_drift_job_quantile_watch_yaml(spark, tmp_path, sf_dir):
+    """drift: {quantile_column, mode: watch} — streaming quantile
+    drift through the YAML loop: each jsonl wave folds into the
+    maintained current tiles and logs per-key verdicts by batch;
+    replay adds nothing; and the final tile state equals the exact
+    wave (k >= rows: lossless), so the watch verdict == the batch
+    check verdict on the same accumulated wave."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ref = ev.filter(F.col("event_id") % 2 == 0).limit(60)
+    ref_src = str(tmp_path / "ref")
+    ref.write.parquet(f"{ref_src}/events.parquet")
+    out = str(tmp_path / "dqw")
+
+    base_cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {ref_src}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  quantile_column: value
+  id_column: event_id
+  k: 4096
+"""
+    run_job(spark, load_settings(base_cfg))
+
+    stream_dir = tmp_path / "incoming" / "events"
+    stream_dir.mkdir(parents=True)
+    cur_rows = ev.filter(F.col("event_id") % 2 == 1).limit(40).collect()
+    with open(stream_dir / "wave1.jsonl", "w") as f:
+        for r in cur_rows[:25]:
+            f.write(_json.dumps(
+                {"value": r["value"], "event_id": r["event_id"]}) + "\n")
+
+    watch_cfg = f"""
+source:
+  kind: jsonl
+  options: {{path: {tmp_path}/incoming}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+drift:
+  quantile_column: value
+  id_column: event_id
+  k: 4096
+  mode: watch
+"""
+    res = run_job(spark, load_settings(watch_cfg))
+    assert res == {"events": f"{out}/events/_driftwatch"}
+    log = spark.read.parquet(f"{out}/events/_driftwatch").collect()
+    assert len(log) == 1 and log[0]["n_cur"] == 25
+
+    # replay: drained backlog adds nothing
+    run_job(spark, load_settings(watch_cfg))
+    assert len(
+        spark.read.parquet(f"{out}/events/_driftwatch").collect()) == 1
+
+    # second wave folds in (containment merge: 25 + 15 rows)
+    with open(stream_dir / "wave2.jsonl", "w") as f:
+        for r in cur_rows[25:]:
+            f.write(_json.dumps(
+                {"value": r["value"], "event_id": r["event_id"]}) + "\n")
+    run_job(spark, load_settings(watch_cfg))
+    rows = {r["batch"]: r for r in
+            spark.read.parquet(f"{out}/events/_driftwatch").collect()}
+    assert len(rows) == 2
+    last = rows[max(rows)]
+    assert last["n_cur"] == 40 and last["n_ref"] == 60
+
+    # watch verdict == exact nearest-rank over everything streamed
+    import math
+
+    vals = sorted(r["value"] for r in cur_rows)
+    for p, col in ((0.5, "p50_cur"), (0.9, "p90_cur"), (0.99, "p99_cur")):
+        want = vals[max(1, math.ceil(p * len(vals))) - 1]
+        assert last[col] == want, (col, last[col], want)
+
+
+def test_job_metrics_flight_recorder(spark, tmp_path, sf_dir):
+    """Every run_job mode appends exactly one fixed-schema row per
+    table to <destination>/_metrics (VERDICT r9 #5 — the reference's
+    lib/mtr counters as DATA): run_ts, mode, table, rows (where the
+    handler knows it without a second scan), wall_s, detail. Four
+    modes exercised; the history reads back as one frame."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "dest")
+    head = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+"""
+    # snapshot mode (rows observed on the write itself)
+    run_job(spark, load_settings(head))
+    # checks mode (rows = the gate's census count)
+    run_job(spark, load_settings(head + """
+checks:
+  pk: [event_id]
+"""))
+    # drift baseline mode
+    run_job(spark, load_settings(head + """
+drift:
+  value_column: value
+"""))
+    # sketch build mode
+    run_job(spark, load_settings(head + """
+sketch:
+  kind: bottomk
+  key_columns: [event_type]
+  value_column: value
+  id_column: event_id
+"""))
+
+    m = spark.read.parquet(f"{out}/_metrics")
+    assert set(m.columns) == {
+        "run_ts", "mode", "table", "rows", "wall_s", "detail"
+    }
+    rows = m.collect()
+    assert sorted(r["mode"] for r in rows) == [
+        "checks", "drift", "sketch", "snapshot"
+    ]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    by_mode = {r["mode"]: r for r in rows}
+    assert by_mode["snapshot"]["rows"] == n_events
+    assert by_mode["checks"]["rows"] == n_events
+    assert all(r["table"] == "events" and r["wall_s"] > 0 for r in rows)
+    assert all(r["detail"] for r in rows)

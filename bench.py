@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (value_v1_subset / value_v2_subset) so totals compare like-for-like
 # across rounds even as the set grows. Add new queries only by
 # bumping the version and appending (never reordering/removing).
-QUERY_SET_VERSION = 10
+QUERY_SET_VERSION = 11
 V1_LEN = 29
 V2_LEN = 45
 V3_LEN = 58
@@ -35,6 +35,7 @@ V6_LEN = 96
 V7_LEN = 104
 V8_LEN = 115
 V9_LEN = 119
+V10_LEN = 127
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -216,6 +217,13 @@ HEADLINE = [
     # v10 (r9): the LSH screen acceptance gate (sample-bounded exact
     # ground truth vs the banded candidates — the S-curve observable)
     "lsh_recall_audit",
+    # v11 (r10): the banding knob sweep that CHOSE the k=128/r=8
+    # production default — four configs against one shared sample.
+    # (decontaminate_incremental stays out with the other
+    # build-dominated queries: it materializes a fresh benchmark
+    # near-dup index per run by definition; its per-wave read path
+    # is the band equi-join dedup_incremental already times.)
+    "lsh_tuning_table",
 ]
 
 
@@ -270,51 +278,34 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "query_set_version": QUERY_SET_VERSION,
-                "repeats": repeats,
-                "calib_hash_agg_2e8_sec": round(calib, 3),
-                # total / calib: unitless, comparable across rounds
-                # despite the +-35% VM drift (r2 verdict task 7).
-                "value_calib_normalized": round(sum(timings.values()) / calib, 2),
-                # like-for-like subtotals vs earlier rounds' sets
-                "value_v1_subset": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE[:V1_LEN]), 3
-                ),
-                "value_v2_subset": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE[:V2_LEN]), 3
-                ),
-                "value_v3_subset": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE[:V3_LEN]), 3
-                ),
-                "value_v4_subset": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE[:V4_LEN]), 3
-                ),
-                "value_v5_subset": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE[:V5_LEN]), 3
-                ),
-                "value_v6_subset": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE[:V6_LEN]), 3
-                ),
-                "value_v7_subset": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE[:V7_LEN]), 3
-                ),
-                "value_v8_subset": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE[:V8_LEN]), 3
-                ),
-                "value_v9_subset": round(
-                    sum(timings.get(n, 0.0) for n in HEADLINE[:V9_LEN]), 3
-                ),
-            }
+    # Key ORDER is load-bearing: the driver records only a truncated
+    # tail of this line, so the round-over-round comparables (calib,
+    # normalized total, the value_v* like-for-like subtotals) come
+    # FIRST and the wide per-query map comes LAST — whatever gets
+    # clipped is the part BENCH_r{N-1} already lets a reader
+    # reconstruct per query.
+    out: dict = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "query_set_version": QUERY_SET_VERSION,
+        "repeats": repeats,
+        "calib_hash_agg_2e8_sec": round(calib, 3),
+        # total / calib: unitless, comparable across rounds
+        # despite the +-35% VM drift (r2 verdict task 7).
+        "value_calib_normalized": round(sum(timings.values()) / calib, 2),
+    }
+    for tag, ln in (
+        ("v1", V1_LEN), ("v2", V2_LEN), ("v3", V3_LEN), ("v4", V4_LEN),
+        ("v5", V5_LEN), ("v6", V6_LEN), ("v7", V7_LEN), ("v8", V8_LEN),
+        ("v9", V9_LEN), ("v10", V10_LEN),
+    ):
+        out[f"value_{tag}_subset"] = round(
+            sum(timings.get(n, 0.0) for n in HEADLINE[:ln]), 3
         )
-    )
+    out["queries"] = timings
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9505,9 +9505,44 @@ _WINDOW_R8 = [
 ]
 assert len(_WINDOW_R8) == 50 and set(_WINDOW_R8) <= set(CATALOG)
 assert len(_WINDOW_R9) == 50 and set(_WINDOW_R9) <= set(CATALOG)
+
+# --- r10 driver-window rotation --------------------------------------
+# 2 new queries (lsh_tuning_table, decontaminate_incremental), then
+# EVERY query whose results or code paths moved with this round's
+# banding change (the whole near-dup/graph/split/decontaminate family
+# rides the k=128 default; lsh_recall_audit re-anchored; k3/
+# cdc_reconcile sit behind the transfer layout pin;
+# embedding_drift_summary gained the empty-wave verdict guard), then
+# the stalest greens: the 15 remaining r4-sampled entries and 12 of
+# the r6 cohort. Per the standing rule nothing goes unsampled for
+# more than ~3 rounds.
+_WINDOW_R10 = [
+    # new this round (never driver-sampled)
+    "lsh_tuning_table", "decontaminate_incremental",
+    # results/code paths changed this round
+    "lsh_recall_audit", "dedup_minhash_lsh", "dedup_near_dup",
+    "dedup_ngram", "dedup_components", "dedup_incremental",
+    "canonical_docs", "canonical_docs_indexed", "component_census",
+    "split_by_component", "split_leakage", "decontaminate_train",
+    "source_overlap", "pagerank_neardup", "triangles_neardup",
+    "kcore_neardup", "lpa_communities", "lpa_communities_indexed",
+    "embedding_drift_summary", "k3_transfer_dedupe", "cdc_reconcile",
+    # stalest: last sampled round 4
+    "q21_waiting_supplier", "quality_repetition", "reservoir_sample",
+    "shard_pack_concat", "sliding_trending", "source_quality_report",
+    "source_top_terms", "stratified_sample", "temperature_resample",
+    "text_shard_pack", "text_weighted_sample", "unigram_logprob",
+    "value_histogram", "video_frames", "vocab_coverage",
+    # last sampled round 6 (first 12; the rest rotate next round)
+    "audio_fingerprint_dedup", "bigram_logprob", "cohort_retention",
+    "customer_rfm", "dataset_split", "doc_keywords", "doc_novelty",
+    "epoch_shuffle", "events_anomaly", "events_wow_trends",
+    "frame_match_search", "funnel_events",
+]
+assert len(_WINDOW_R10) == 50 and set(_WINDOW_R10) <= set(CATALOG)
 CATALOG = {
-    **{k: CATALOG[k] for k in _WINDOW_R9},
-    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R9},
+    **{k: CATALOG[k] for k in _WINDOW_R10},
+    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R10},
 }
 
 CATALOG = {k: (_fresh_entry(fn), sql) for k, (fn, sql) in CATALOG.items()}

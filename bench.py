@@ -224,6 +224,9 @@ HEADLINE = [
     # near-dup index per run by definition; its per-wave read path
     # is the band equi-join dedup_incremental already times.)
     "lsh_tuning_table",
+    # v11 (r10): the one-permutation scheme's recall audit — the
+    # O(tokens) signature swap, priced against the classic gauge
+    "lsh_recall_audit_oph",
 ]
 
 

@@ -220,6 +220,83 @@ def minhash_signature(
     return base.select(F.col(id_col), *sig_cols)
 
 
+def oph_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    hashes_col: str | None = None,
+) -> DataFrame:
+    """One-Permutation Hashing signature (Li/Owen/Zhang 2012, with
+    Shrivastava & Li rotation densification): the O(tokens) scale
+    alternative to the classic k-permutation MinHash — ONE pass over
+    the token hashes instead of k mixes per token. The hash range is
+    split into k residue buckets (h mod k); each bucket keeps its
+    minimum; an EMPTY bucket borrows the nearest filled bucket to the
+    right (circular), offset by distance*P so borrowed values never
+    collide with genuine ones. Collision probability per coordinate
+    approximates Jaccard (densification bias O(1/tokens)), so the
+    banding S-curve — and the whole downstream pipeline: band rows,
+    candidate join, verify, the index format — is UNCHANGED; only
+    the signature pass gets k-times cheaper. On short fixture docs
+    the classic pass is already sub-millisecond; at real-corpus
+    token counts (10^3-10^4) the classic k=128 pass is the dominant
+    linear cost and this is the swap (`lsh_recall_audit_oph`
+    measures what the approximation costs in recall).
+
+    Zero shuffle and zero explode: the token array is already
+    per-row, so bucket minima fold in ONE array pass (the input is
+    SORTED ascending — `token_hashes` — so only the FIRST token per
+    residue inserts into the accumulator map; every later token is a
+    cheap contains-check). Densification is O(k * filled) array
+    expressions. Output schema identical to `minhash_signature`
+    (h0..h{k-1} longs; all-NULL for empty docs)."""
+    k = num_hashes
+    if hashes_col is not None:
+        base = docs.select(F.col(id_col), F.col(hashes_col).alias("__hms"))
+    else:
+        base = ensure_parallelism(docs).select(
+            F.col(id_col),
+            F.transform(word_set(F.col(text_col)), md5_base_mod).alias(
+                "__hms"
+            ),
+        )
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<long>")
+    )
+    mins = F.aggregate(
+        F.col("__hms"),
+        empty_map,
+        lambda acc, h: F.when(
+            F.map_contains_key(acc, F.pmod(h, F.lit(k)).cast("int")), acc
+        ).otherwise(
+            F.map_concat(
+                acc,
+                F.create_map(F.pmod(h, F.lit(k)).cast("int"), h),
+            )
+        ),
+    )
+    staged = base.select(F.col(id_col), mins.alias("__mp")).select(
+        F.col(id_col),
+        F.col("__mp"),
+        F.array_sort(F.map_keys(F.col("__mp"))).alias("__fb"),
+    )
+
+    def sig(i: int):
+        delta = F.array_min(
+            F.transform(
+                F.col("__fb"), lambda p: F.pmod(p - F.lit(i), F.lit(k))
+            )
+        )
+        src = F.pmod(F.lit(i) + delta, F.lit(k)).cast("int")
+        return (
+            F.element_at(F.col("__mp"), src)
+            + delta.cast("long") * F.lit(MINHASH_P)
+        ).alias(f"h{i}")
+
+    return staged.select(F.col(id_col), *[sig(i) for i in range(k)])
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -364,6 +441,15 @@ def jaccard_verify(
             bcast(toks.select(
                 F.col("jid").alias("doc_b"), F.col("toks").alias("toks_b"),
                 F.col("n_toks").alias("nb"))), "doc_b")
+    )
+    # Size-ratio prefilter BEFORE the per-pair set op: J(A,B) <=
+    # min(|A|,|B|)/max(|A|,|B|) (inter <= min, union >= max), so a
+    # pair whose sizes alone cap Jaccard below the threshold never
+    # pays the array_intersect. Two-int comparison on columns the
+    # join already carries; drops no true pair by the inequality.
+    j = j.filter(
+        F.least("na", "nb").cast("double")
+        >= F.lit(float(threshold)) * F.greatest("na", "nb")
     )
     j = j.select(
         "doc_a", "doc_b",
@@ -889,8 +975,23 @@ def incremental_dedup_filter(
 # materialization is the 100 TB shape.
 
 
+def signature_fn(scheme: str):
+    """The signature builder for a scheme name: 'classic' (k mixes
+    per token, shuffle-free, best screen precision) or 'oph'
+    (one-permutation + rotation densification — O(tokens) instead of
+    O(k*tokens), the swap when documents are long; trades screen
+    precision for signature cost, recall holds — both measured by
+    the lsh_recall_audit pair)."""
+    if scheme == "oph":
+        return oph_signature
+    if scheme == "classic":
+        return minhash_signature
+    raise ValueError(f"unknown signature scheme {scheme!r}")
+
+
 def _nd_params_write(
-    path: str, num_hashes: int, band_size: int, threshold: float
+    path: str, num_hashes: int, band_size: int, threshold: float,
+    scheme: str = "classic",
 ) -> None:
     """Pin the index's LSH parameters next to the data. Band keys
     are a function of (num_hashes, band_size) and edges/ of
@@ -911,6 +1012,7 @@ def _nd_params_write(
                 "num_hashes": int(num_hashes),
                 "band_size": int(band_size),
                 "threshold": float(threshold),
+                "scheme": scheme,
             },
             f,
         )
@@ -937,6 +1039,7 @@ def neardup_index_write(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scheme: str = "classic",
 ) -> None:
     """Build the index from scratch: `edges/` (verified doc_a <
     doc_b pairs), `bands/` ((doc_id, band_id, band_key) rows — the
@@ -960,10 +1063,10 @@ def neardup_index_write(
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
-    _nd_params_write(path, num_hashes, band_size, threshold)
+    _nd_params_write(path, num_hashes, band_size, threshold, scheme)
     toks = pin(token_hashes(docs, text_col, id_col))
     sigs = pin(
-        minhash_signature(
+        signature_fn(scheme)(
             toks, id_col=id_col, num_hashes=num_hashes, hashes_col="toks"
         )
     )
@@ -991,6 +1094,7 @@ def neardup_index_update(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scheme: str = "classic",
 ) -> int:
     """Incremental maintenance: new docs' pairs come from (a) LSH
     banding WITHIN the delta and (b) an equi-join of the delta's band
@@ -1019,8 +1123,9 @@ def neardup_index_update(
         num_hashes = pinned["num_hashes"]
         band_size = pinned["band_size"]
         threshold = pinned["threshold"]
+        scheme = pinned.get("scheme", "classic")
     else:
-        _nd_params_write(path, num_hashes, band_size, threshold)
+        _nd_params_write(path, num_hashes, band_size, threshold, scheme)
     old_toks = spark.read.parquet(_nd_root(path, "toks"))
     # within-batch duplicate ids would land duplicate toks/band rows
     # (harmless for edges — .distinct absorbs — but they bloat the
@@ -1035,7 +1140,7 @@ def neardup_index_update(
     if n_fresh == 0:
         return 0
     sigs_new = pin(
-        minhash_signature(
+        signature_fn(scheme)(
             toks_new, id_col=id_col, num_hashes=num_hashes, hashes_col="toks"
         )
     )
@@ -1146,7 +1251,7 @@ def decontaminate_incremental(
     band_size = params["band_size"]
     thr = params["threshold"] if threshold is None else threshold
     toks_delta = pin(token_hashes(delta_docs, text_col, id_col))
-    sigs = minhash_signature(
+    sigs = signature_fn(params.get("scheme", "classic"))(
         toks_delta, id_col=id_col, num_hashes=num_hashes, hashes_col="toks"
     )
     bands_delta = md5_band_rows(sigs, num_hashes, band_size, id_col)
@@ -1813,6 +1918,7 @@ def lsh_recall_report(
     sample: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scheme: str = "classic",
 ) -> DataFrame:
     """Acceptance gate for the banded MinHash-LSH screen — the
     near-dup analogue of `ann_recall_report`: on a deterministic
@@ -1838,7 +1944,7 @@ def lsh_recall_report(
     )
     base = token_hashes(samp, text_col=text_col, id_col=id_col).persist()
     try:
-        sigs = minhash_signature(
+        sigs = signature_fn(scheme)(
             base, num_hashes=num_hashes, hashes_col="toks", id_col=id_col
         )
         cand = lsh_candidate_pairs(

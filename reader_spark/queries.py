@@ -985,6 +985,57 @@ WITH toks AS (
 _MH_CTE = _mh_cte(_MH_K, _MH_BAND)
 
 
+def _oph_sig_duck(k: int) -> str:
+    """One-permutation signature columns, DuckDB form — bucket
+    minima (fb/fm lists from the bk/mp CTEs) densified by rotation:
+    empty bucket i borrows the nearest filled bucket to the right
+    (circular), offset by distance * P. Mirrors
+    operators/dedup.py::oph_signature exactly (integer arithmetic
+    end-to-end, no floats)."""
+    p = DD.MINHASH_P
+    cols = []
+    for i in range(k):
+        delta = f"list_min(list_transform(fb, q -> (q - {i} + {k}) % {k}))"
+        cols.append(
+            f"    fm[list_position(fb, (({i} + {delta}) % {k})::INT)]\n"
+            f"      + {delta}::BIGINT * {p} AS h{i}"
+        )
+    return ",\n".join(cols)
+
+
+def _oph_cte(k: int, band: int) -> str:
+    """The `_mh_cte` chain with the one-permutation signature CTE
+    swapped in: tokenize/hash identical, bucket minima via one
+    grouped pass (bk), per-doc filled lists (mp), densified sigs,
+    then the SAME band/candidate CTEs."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents
+), hm AS (
+  SELECT doc_id, ws,
+         list_transform(ws, w -> ('0x'||substr(md5(w),1,15))::BIGINT % {DD.MINHASH_P}) AS hs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(hs) AS h FROM hm
+), bk AS (
+  SELECT doc_id, (h % {k})::INT AS b, min(h) AS m FROM ex GROUP BY 1, 2
+), mp AS (
+  SELECT doc_id, list(b ORDER BY b) AS fb, list(m ORDER BY b) AS fm
+  FROM bk GROUP BY 1
+), sigs AS (
+  SELECT doc_id,
+{_oph_sig_duck(k)}
+  FROM mp
+), bands AS (
+{_mh_bands_duck(k, band)}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # persist: the band union + self-join reference the signature
@@ -8873,6 +8924,52 @@ LSH_TUNING_SQL = "\nUNION ALL\n".join(
 )
 
 
+def lsh_recall_audit_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`lsh_recall_audit` for the ONE-PERMUTATION signature scheme
+    (operators/dedup.py::oph_signature): same 64-doc sample, same
+    exact ground truth, the O(tokens) signature pass instead of the
+    classic O(k*tokens) mixes. The pair of audits prices the scheme
+    choice: OPH keeps recall (measured 100% here — densification
+    borrows only ADD band-collision ways) while giving up screen
+    precision on short docs (empty buckets borrow in a correlated
+    way, ~2x the candidates at this fixture's ~200-token docs); at
+    real-corpus token counts (10^3+) buckets fill, the borrowing
+    vanishes, and the k-times-cheaper signature pass is the win."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.lsh_recall_report(
+        docs, num_hashes=_MH_K, band_size=_MH_BAND,
+        threshold=0.8, sample=64, scheme="oph",
+    )
+
+
+LSH_RECALL_OPH_SQL = _oph_cte(_MH_K, _MH_BAND).replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, text FROM documents "
+    "ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 64)",
+) + """
+, jac AS (
+  SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
+         round(len(list_intersect(ta.hs, tb.hs))::DOUBLE /
+               (len(ta.hs) + len(tb.hs)
+                - len(list_intersect(ta.hs, tb.hs))), 6) AS j
+  FROM hm ta JOIN hm tb ON ta.doc_id < tb.doc_id
+), truth AS (
+  SELECT doc_a, doc_b FROM jac WHERE j >= 0.8
+), hits AS (
+  SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand
+)
+SELECT (SELECT count(*) FROM hm)::BIGINT AS n_sample,
+       (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM hits)::BIGINT AS n_hits,
+       ((SELECT count(*) FROM hits) * 1000000
+        // greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_ppm,
+       ((SELECT count(*) FROM hits) * 1000000
+        // greatest((SELECT count(*) FROM cand), 1))::BIGINT
+         AS screen_precision_ppm
+"""
+
+
 def embedding_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding drift verdicts (operators/similarity.py::
     embedding_drift_grouped): each label compares its own
@@ -9112,6 +9209,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_recall_audit": (lsh_recall_audit, LSH_RECALL_SQL),
     # r10: the knob sweep that chose the k=128/r=8 production banding
     "lsh_tuning_table": (lsh_tuning_table, LSH_TUNING_SQL),
+    # r10: the one-permutation scheme's recall audit (O(tokens)
+    # signatures — the long-document swap, priced by this gauge)
+    "lsh_recall_audit_oph": (lsh_recall_audit_oph, LSH_RECALL_OPH_SQL),
     # r4c: image perceptual-hash dedup enters the window (new);
     # multimodal_features rotates out (r3 hash-green, untouched —
     # image_phash_dedup exercises the same synthesize/decode path
@@ -9537,7 +9637,10 @@ _WINDOW_R10 = [
     "audio_fingerprint_dedup", "bigram_logprob", "cohort_retention",
     "customer_rfm", "dataset_split", "doc_keywords", "doc_novelty",
     "epoch_shuffle", "events_anomaly", "events_wow_trends",
-    "frame_match_search", "funnel_events",
+    "frame_match_search",
+    # r10 late addition: the OPH scheme audit (never sampled);
+    # funnel_events (r6-green) rotates to next round instead
+    "lsh_recall_audit_oph",
 ]
 assert len(_WINDOW_R10) == 50 and set(_WINDOW_R10) <= set(CATALOG)
 CATALOG = {

@@ -1091,3 +1091,52 @@ def test_decontaminate_maintainer_replay_idempotent(spark, tmp_path, sf_dir):
         .select("doc_id").collect()
     }
     assert final == want
+
+
+def test_oph_signature_scheme(spark, tmp_path, sf_dir):
+    """One-permutation hashing: the O(tokens) signature scheme must
+    (a) keep recall at the production banding (>=90% at j=0.8 — the
+    same gate the classic scheme passes), (b) produce the identical
+    schema so the whole downstream pipeline is scheme-agnostic, and
+    (c) pin its scheme in the index so updates band compatibly:
+    update-after-write == fresh rebuild, both under scheme='oph'."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    row = DD.lsh_recall_report(docs, sample=48, scheme="oph").collect()[0]
+    assert row["recall_ppm"] >= 900_000, dict(row.asDict())
+
+    # schema identity with the classic scheme
+    toks = DD.token_hashes(docs.limit(5))
+    a = DD.minhash_signature(toks, num_hashes=32, hashes_col="toks")
+    b = DD.oph_signature(toks, num_hashes=32, hashes_col="toks")
+    assert a.columns == b.columns
+    assert dict(a.dtypes) == dict(b.dtypes)
+
+    # borrowed coordinates never collide with genuine ones: a genuine
+    # minimum is < P, a borrow is >= P (offset by distance * P)
+    vals = b.collect()[0]
+    assert all(vals[f"h{i}"] is not None for i in range(32))
+
+    # scheme pin: write oph, update with CLASSIC-default call — the
+    # pin routes the delta through oph and update == rebuild
+    sub = docs.limit(20)
+    inc = str(tmp_path / "inc")
+    DD.neardup_index_write(
+        sub.filter("doc_id < 10"), inc,
+        num_hashes=32, band_size=8, threshold=0.7, scheme="oph",
+    )
+    DD.neardup_index_update(spark, inc, sub.filter("doc_id >= 10"))
+    full = str(tmp_path / "full")
+    DD.neardup_index_write(
+        sub, full, num_hashes=32, band_size=8, threshold=0.7, scheme="oph",
+    )
+    got = {(r["doc_a"], r["doc_b"])
+           for r in DD.neardup_edges(spark, inc).collect()}
+    want = {(r["doc_a"], r["doc_b"])
+            for r in DD.neardup_edges(spark, full).collect()}
+    assert got == want
+    assert DD._nd_params(inc)["scheme"] == "oph"

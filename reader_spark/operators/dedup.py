@@ -906,25 +906,34 @@ def md5_band_rows(
 ) -> DataFrame:
     """Melt a signature frame to (id, band_id, band_key) rows with
     md5 band keys (same construction as the oracle CTE:
-    md5(h0 || '_' || h1)). One row per (doc, band); no shuffle."""
+    md5(h0 || '_' || h1)). One row per (doc, band); no shuffle.
+
+    Shape matters: ONE select + posexplode over the band-key array,
+    NOT a b-way union of per-band selects. A union's branches are
+    independent subtrees, so any shared upstream expression — in
+    particular `oph_signature`'s per-row bucket fold, which every
+    h column references — would be re-evaluated once PER BRANCH
+    (measured: the b=16 union made the OPH audit 5x slower than the
+    classic one purely on fold recomputation); posexplode evaluates
+    each source row exactly once."""
     assert num_hashes % band_size == 0
-    parts = []
-    for band in range(num_hashes // band_size):
-        cols = [
-            F.col(f"h{j}")
-            for j in range(band * band_size, (band + 1) * band_size)
-        ]
-        parts.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(band).alias("band_id"),
-                F.md5(F.concat_ws("_", *cols)).alias("band_key"),
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"h{band * band_size + j}")
+                        for j in range(band_size)
+                    ],
+                )
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for band in range(num_hashes // band_size)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(keys).alias("band_id", "band_key")
+    )
 
 
 def band_index(
@@ -1947,9 +1956,11 @@ def lsh_recall_report(
         sigs = signature_fn(scheme)(
             base, num_hashes=num_hashes, hashes_col="toks", id_col=id_col
         )
+        # two consumers (the candidate count and the hits semi-join)
+        # — persist, or the banding join runs twice
         cand = lsh_candidate_pairs(
             sigs, id_col=id_col, num_hashes=num_hashes, band_size=band_size
-        )
+        ).persist()
         ta = base.select(
             F.col(id_col).alias("doc_a"), F.col("toks").alias("__ta")
         )
@@ -1988,7 +1999,9 @@ def lsh_recall_report(
             )
         )
         # materialize before unpersist: callers get a computed row
-        return out.localCheckpoint()
+        result = out.localCheckpoint()
+        cand.unpersist()
+        return result
     finally:
         base.unpersist()
 

@@ -90,6 +90,10 @@ class CurateCfg:
     # index's materialized cc/ artifact (neardup_cc_write) instead of
     # re-deriving minhash -> LSH -> verify -> CC per run
     component_index: str = ""
+    # drop documents with a verified near-dup in this materialized
+    # benchmark index (neardup_index_write over the eval corpus)
+    # BEFORE dedup/sharding — decontamination at ingest (r10)
+    decontaminate_index: str = ""
 
     def __post_init__(self) -> None:
         if self.dedup not in ("exact", "normalized", "minhash", "none"):

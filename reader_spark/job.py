@@ -1002,6 +1002,14 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             docs = docs.filter(
                 quality_score(F.col("text")) >= cfg.min_quality
             )
+        if cfg.decontaminate_index:
+            # ingest-side benchmark decontamination: drop docs with a
+            # verified near-dup in the materialized benchmark index
+            # BEFORE they reach dedup/sharding (the r10 ingest hook —
+            # the benchmark side's banding was paid once at its build)
+            docs = DD.decontaminate_incremental(
+                spark, docs, cfg.decontaminate_index
+            )
         if cfg.dedup in ("exact", "normalized"):
             # "normalized" = the CCNet-style first pass: case/
             # punctuation/whitespace-invariant content hash
@@ -1033,11 +1041,13 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             # and the leakage-free split when both are configured
             from reader_spark.cache import pin
 
+            # the recall-tuned production banding (k=128/r=8) — the
+            # old 16/8 here caught ~46% of true near-dups at j=0.8
             base = pin(DD.token_hashes(docs))
             sigs = pin(
-                DD.minhash_signature(base, num_hashes=16, hashes_col="toks")
+                DD.minhash_signature(base, num_hashes=128, hashes_col="toks")
             )
-            pairs = DD.lsh_candidate_pairs(sigs, num_hashes=16, band_size=8)
+            pairs = DD.lsh_candidate_pairs(sigs, num_hashes=128, band_size=8)
             verified = DD.jaccard_verify(
                 pairs, docs, threshold=0.8, toks=base
             )

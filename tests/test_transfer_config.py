@@ -2716,3 +2716,55 @@ sketch:
     assert by_mode["checks"]["rows"] == n_events
     assert all(r["table"] == "events" and r["wall_s"] > 0 for r in rows)
     assert all(r["detail"] for r in rows)
+
+
+def test_curate_decontaminate_index_yaml(spark, tmp_path, sf_dir):
+    """curate: {decontaminate_index} — benchmark decontamination
+    inside the YAML curation loop: docs with a verified near-dup in
+    the materialized benchmark index never reach the shards, and the
+    surviving set equals the operator-level call."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+    from reader_spark.operators import curation as CU
+    from reader_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    splits = CU.dataset_split(docs).select("doc_id", "split")
+    bench = docs.join(
+        splits.filter(F.col("split") != "train").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    train = docs.join(
+        splits.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    idx = str(tmp_path / "benchidx")
+    DD.neardup_index_write(bench, idx)
+
+    src = str(tmp_path / "src")
+    train.write.parquet(f"{src}/documents.parquet")
+    out = str(tmp_path / "out")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {src}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  dedup: none
+  n_shards: 2
+  decontaminate_index: {idx}
+"""
+    run_job(spark, load_settings(cfg))
+    shards = spark.read.parquet(f"{out}/documents")
+    got = {r["doc_id"] for r in shards.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in DD.decontaminate_incremental(spark, train, idx)
+        .select("doc_id").collect()
+    }
+    assert got == want and len(got) < train.count()

@@ -120,9 +120,13 @@ class IndexCfg:
     id_column: str = "doc_id"
     text_column: str = "text"
     vector_column: str = "embedding"
-    num_hashes: int = 16             # neardup: MinHash signature size
+    # neardup banding: the recall-tuned production point (k=128/r=8,
+    # ~99% measured recall at j=0.8 — see lsh_tuning_table); pinned
+    # in the index's _params.json at build, resolved by updates
+    num_hashes: int = 128            # neardup: MinHash signature size
     band_size: int = 8               # neardup: LSH band width
     threshold: float = 0.8           # neardup: Jaccard verify cut
+    scheme: str = "classic"          # neardup: classic | oph signatures
     components: bool = False         # neardup: also materialize cc/
     cc_buckets: int = 32             # neardup: cc/ label buckets
     # mode 'build' writes a fresh index; mode 'maintain' compacts an

@@ -355,7 +355,7 @@ def _run_index_stream(
                 out, num_hashes=cfg.num_hashes, band_size=cfg.band_size,
                 threshold=cfg.threshold, id_col=cfg.id_column,
                 text_col=cfg.text_column,
-            )
+            )  # updates resolve the index's own _params.json pin
         elif cfg.kind == "bm25":
             from reader_spark.operators.retrieval import (
                 bm25_index_maintainer,
@@ -604,6 +604,7 @@ def _run_index(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 threshold=cfg.threshold,
                 id_col=cfg.id_column,
                 text_col=cfg.text_column,
+                scheme=cfg.scheme,
             )
             if cfg.components:
                 from reader_spark.operators.dedup import neardup_cc_write

@@ -2008,11 +2008,12 @@ def lsh_recall_report(
 
 def lsh_tuning_report(
     docs: DataFrame,
-    configs: tuple[tuple[int, int], ...] = (
+    configs: tuple[tuple, ...] = (
         (16, 8),
         (16, 4),
         (64, 8),
         (128, 8),
+        ("oph", 128, 8),
     ),
     threshold: float = 0.8,
     sample: int = 64,
@@ -2030,7 +2031,10 @@ def lsh_tuning_report(
     hashes at fixed r=8 (64/128) climb the S-curve with the SAME
     per-band selectivity — (128, 8) is the production default
     (measured 99%+ recall at j=0.8 on the sf0.01 fixture vs ~46% for
-    the old (16, 8)). Sample-bounded like the single-config audit:
+    the old (16, 8)). The sweep also prices the SIGNATURE SCHEME
+    (3-tuples: (scheme, k, r)) — the one-permutation row shows what
+    the O(tokens) signature pass costs in screen precision at the
+    same banding. Sample-bounded like the single-config audit:
     the tokenize/truth pass happens once, each config adds only its
     signature projection + band self-join over `sample` rows."""
     samp = (
@@ -2060,8 +2064,14 @@ def lsh_tuning_report(
         )
         rows = []
         spark = docs.sparkSession
-        for num_hashes, band_size in configs:
-            sigs = minhash_signature(
+        for cfg in configs:
+            # 2-tuples default to the classic scheme; 3-tuples name
+            # it explicitly: (scheme, num_hashes, band_size)
+            if len(cfg) == 2:
+                scheme, (num_hashes, band_size) = "classic", cfg
+            else:
+                scheme, num_hashes, band_size = cfg
+            sigs = signature_fn(scheme)(
                 base, num_hashes=num_hashes, hashes_col="toks",
                 id_col=id_col,
             )
@@ -2074,20 +2084,21 @@ def lsh_tuning_report(
                 cand, ["doc_a", "doc_b"], "left_semi"
             ).count()
             cand.unpersist()
-            rows.append((num_hashes, band_size, n_cand, n_hits))
+            rows.append((scheme, num_hashes, band_size, n_cand, n_hits))
         n_true = truth.count()
         n_sample = base.count()
         truth.unpersist()
         return spark.createDataFrame(
             [
                 (
-                    k, b, n_sample, n_true, nc, nh,
+                    s, k, b, n_sample, n_true, nc, nh,
                     (nh * 1_000_000) // max(n_true, 1),
                     (nh * 1_000_000) // max(nc, 1),
                 )
-                for k, b, nc, nh in rows
+                for s, k, b, nc, nh in rows
             ],
-            "num_hashes int, band_size int, n_sample long, n_true long, "
+            "scheme string, num_hashes int, band_size int, "
+            "n_sample long, n_true long, "
             "n_candidates long, n_hits long, recall_ppm long, "
             "screen_precision_ppm long",
         )

@@ -8868,17 +8868,26 @@ SELECT (SELECT count(*) FROM hm)::BIGINT AS n_sample,
 """
 
 
-_LSH_TUNING_CONFIGS = ((16, 8), (16, 4), (64, 8), (128, 8))
+_LSH_TUNING_CONFIGS = (
+    ("classic", 16, 8),
+    ("classic", 16, 4),
+    ("classic", 64, 8),
+    ("classic", 128, 8),
+    ("oph", 128, 8),
+)
 
 
 def lsh_tuning_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banding knob sweep (operators/dedup.py::lsh_tuning_report)
     that CHOSE the production default: recall and screen-precision of
-    four (num_hashes, band_size) configurations against one shared
+    four (num_hashes, band_size) configurations — plus the
+    one-permutation scheme at the chosen banding — against one shared
     64-doc sample and exact ground truth. The table shows why
-    (128, 8) is the default — more hashes at fixed r=8 climbs the
-    S-curve to 99%+ recall at j=0.8 while (16, 4) buys its recall by
-    collapsing per-band selectivity."""
+    (classic, 128, 8) is the default: more hashes at fixed r=8 climbs
+    the S-curve to 99%+ recall at j=0.8 while (16, 4) buys its recall
+    by collapsing per-band selectivity, and the OPH row prices the
+    O(tokens) signature swap (same recall, more candidates to verify
+    on short docs)."""
     docs = _t(spark, sf_dir, "documents")
     return DD.lsh_tuning_report(
         docs, configs=_LSH_TUNING_CONFIGS, threshold=0.8, sample=64
@@ -8891,8 +8900,9 @@ _SAMPLED64 = (
 )
 
 
-def _lsh_tuning_block(k: int, band: int) -> str:
-    cte = _mh_cte(k, band).replace("FROM documents", _SAMPLED64)
+def _lsh_tuning_block(scheme: str, k: int, band: int) -> str:
+    cte_fn = _oph_cte if scheme == "oph" else _mh_cte
+    cte = cte_fn(k, band).replace("FROM documents", _SAMPLED64)
     return f"""SELECT * FROM (
 {cte}
 , jac AS (
@@ -8906,7 +8916,8 @@ def _lsh_tuning_block(k: int, band: int) -> str:
 ), hits AS (
   SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand
 )
-SELECT {k}::INT AS num_hashes, {band}::INT AS band_size,
+SELECT '{scheme}' AS scheme,
+       {k}::INT AS num_hashes, {band}::INT AS band_size,
        (SELECT count(*) FROM hm)::BIGINT AS n_sample,
        (SELECT count(*) FROM truth)::BIGINT AS n_true,
        (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
@@ -8920,7 +8931,7 @@ SELECT {k}::INT AS num_hashes, {band}::INT AS band_size,
 
 
 LSH_TUNING_SQL = "\nUNION ALL\n".join(
-    _lsh_tuning_block(k, b) for k, b in _LSH_TUNING_CONFIGS
+    _lsh_tuning_block(s, k, b) for s, k, b in _LSH_TUNING_CONFIGS
 )
 
 

@@ -252,14 +252,22 @@ def oph_signature(
     expressions. Output schema identical to `minhash_signature`
     (h0..h{k-1} longs; all-NULL for empty docs)."""
     k = num_hashes
+    # the bucket fold below keeps the FIRST hash per residue, which
+    # is the minimum ONLY on an ascending array — sort here
+    # unconditionally (a no-op on `token_hashes` output, which is
+    # already sorted; load-bearing on raw tokenize, where word_set
+    # sorts the token STRINGS, not their hashes — caught by the
+    # hypothesis reference-model property test)
     if hashes_col is not None:
-        base = docs.select(F.col(id_col), F.col(hashes_col).alias("__hms"))
+        base = docs.select(
+            F.col(id_col), F.array_sort(F.col(hashes_col)).alias("__hms")
+        )
     else:
         base = ensure_parallelism(docs).select(
             F.col(id_col),
-            F.transform(word_set(F.col(text_col)), md5_base_mod).alias(
-                "__hms"
-            ),
+            F.array_sort(
+                F.transform(word_set(F.col(text_col)), md5_base_mod)
+            ).alias("__hms"),
         )
     empty_map = F.map_from_arrays(
         F.array().cast("array<int>"), F.array().cast("array<long>")

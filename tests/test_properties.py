@@ -888,3 +888,47 @@ def test_reconcile_repair_heals_any_divergence(
 
     again = reconcile_repair(w, "t", source, ["id"], n_buckets=4)
     assert again == {"ok": n_rows}
+
+
+@given(
+    docsets=st.lists(
+        st.lists(st.text("abcdef", min_size=1, max_size=4),
+                 min_size=1, max_size=30),
+        min_size=1, max_size=6,
+    ),
+    k=st.sampled_from([8, 16, 32]),
+)
+@SET
+def test_oph_signature_matches_reference_model(spark, docsets, k):
+    """oph_signature == a direct Python model of one-permutation
+    hashing with rotation densification, for arbitrary token sets
+    and signature widths: bucket i holds min{h : h % k == i}; an
+    empty bucket borrows the nearest filled bucket to the RIGHT
+    (circular) offset by distance * P; borrowed values are always
+    >= P (disjoint from genuine minima). Guards the density logic
+    against regressions the sample-bounded audits could miss."""
+    import hashlib
+
+    from reader_spark.operators import dedup as DD
+
+    P = DD.MINHASH_P
+
+    def h60(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % P
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docsets)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(k)]
+        for r in DD.oph_signature(df, num_hashes=k).collect()
+    }
+    for doc_id, ws in enumerate(docsets):
+        hs = sorted({h60(w) for w in set(ws)})
+        mins: dict[int, int] = {}
+        for h in hs:
+            mins.setdefault(h % k, h)
+        want = []
+        for i in range(k):
+            delta = min((p - i) % k for p in mins)
+            want.append(mins[(i + delta) % k] + delta * P)
+        assert got[doc_id] == want, (doc_id, ws)

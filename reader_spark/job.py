@@ -149,6 +149,9 @@ def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 str(r)[:500],
             )
             for t, r in results.items()
+            # annotation keys ("manifest:<table>") are result detail,
+            # not tables — they ride the table's own detail string
+            if ":" not in t
         ]
         try:
             spark.createDataFrame(
@@ -993,23 +996,49 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
     results: dict[str, str] = {}
     for table in src.tables:
         docs = _read_table(spark, src, table)
+        # Per-gate drop census at ZERO extra scans: an Observation
+        # per stage rides the shard write's own action — every
+        # observed node is upstream of the write plan, so the counts
+        # materialize with the job the run was already paying for
+        # (never a second pass over the corpus). Logged after the
+        # writes as fixed-schema rows at <dest>/<table>/_gates.
+        from pyspark.sql import Observation
+
+        gate_obs: list[tuple[str, Observation]] = []
+
+        def gated(df, name: str):
+            obs = Observation()
+            gate_obs.append((name, obs))
+            return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+        docs = gated(docs, "raw")
         if cfg.lang:
-            docs = docs.filter(F.col("lang") == cfg.lang)
+            docs = gated(docs.filter(F.col("lang") == cfg.lang), "lang")
         if cfg.min_chars:
-            docs = docs.filter(F.length("text") >= cfg.min_chars)
+            docs = gated(
+                docs.filter(F.length("text") >= cfg.min_chars), "min_chars"
+            )
         if cfg.max_chars:
-            docs = docs.filter(F.length("text") <= cfg.max_chars)
+            docs = gated(
+                docs.filter(F.length("text") <= cfg.max_chars), "max_chars"
+            )
         if cfg.min_quality:
-            docs = docs.filter(
-                quality_score(F.col("text")) >= cfg.min_quality
+            docs = gated(
+                docs.filter(
+                    quality_score(F.col("text")) >= cfg.min_quality
+                ),
+                "min_quality",
             )
         if cfg.decontaminate_index:
             # ingest-side benchmark decontamination: drop docs with a
             # verified near-dup in the materialized benchmark index
             # BEFORE they reach dedup/sharding (the r10 ingest hook —
             # the benchmark side's banding was paid once at its build)
-            docs = DD.decontaminate_incremental(
-                spark, docs, cfg.decontaminate_index
+            docs = gated(
+                DD.decontaminate_incremental(
+                    spark, docs, cfg.decontaminate_index
+                ),
+                "decontaminate",
             )
         if cfg.dedup in ("exact", "normalized"):
             # "normalized" = the CCNet-style first pass: case/
@@ -1032,7 +1061,7 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 .agg(F.min("doc_id").alias("doc_id"))
                 .select("doc_id")
             )
-            docs = docs.join(keep, "doc_id")
+            docs = gated(docs.join(keep, "doc_id"), "dedup")
         comp = None
         need_derive = cfg.dedup == "minhash" or (
             cfg.split == "component" and not cfg.component_index
@@ -1064,6 +1093,7 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 )
                 .drop("node", "label")
             )
+            docs = gated(docs, "dedup")
         if cfg.split:
             from reader_spark.operators.curation import (
                 dataset_split,
@@ -1133,6 +1163,23 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             )
             results[table.name] = out
             results[f"manifest:{table.name}"] = str(sum(manifest.values()))
+        # the writes above ran the plan — harvest the riding gate
+        # counts and log the census (fixed schema; append = history)
+        import time as _time
+
+        run_ts = _time.time_ns() // 1_000_000
+        census = []
+        for stage, (name, obs) in enumerate(gate_obs):
+            try:
+                census.append((run_ts, stage, name, int(obs.get["n"])))
+            except Exception:
+                pass  # fail-open like the _metrics recorder
+        if census:
+            spark.createDataFrame(
+                census,
+                "run_ts long, stage int, gate string, rows_after long",
+            ).coalesce(1).write.mode("append").parquet(f"{out}/_gates")
+            _JOB_OBS[table.name] = census[-1][3]
         # shard write materialized everything — drop the pinned
         # token-hash/signature frames before the next table
         from reader_spark.cache import release_pins

@@ -2768,3 +2768,41 @@ curate:
         .select("doc_id").collect()
     }
     assert got == want and len(got) < train.count()
+
+
+def test_curate_gate_census(spark, tmp_path, sf_dir):
+    """The curate loop logs a per-gate drop census at <out>/<table>/
+    _gates with a fixed schema — counts ride the shard write's own
+    action (Observation), never a second corpus scan. Stages are
+    ordered; each gate's rows_after is monotone non-increasing for
+    row-filtering gates; the final count equals the shard total."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "cg")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  min_chars: 10
+  dedup: normalized
+  n_shards: 2
+"""
+    res = run_job(spark, load_settings(cfg))
+    g = spark.read.parquet(f"{out}/documents/_gates")
+    assert set(g.columns) == {"run_ts", "stage", "gate", "rows_after"}
+    rows = sorted(g.collect(), key=lambda r: r["stage"])
+    names = [r["gate"] for r in rows]
+    assert names == ["raw", "min_chars", "dedup"]
+    counts = [r["rows_after"] for r in rows]
+    assert counts[0] >= counts[1] >= counts[2] > 0
+    assert counts[2] == int(res["manifest:documents"])
+
+    # and the _metrics row carries the final count
+    m = {r["mode"]: r for r in spark.read.parquet(f"{out}/_metrics").collect()}
+    assert m["curate"]["rows"] == counts[2]

@@ -502,6 +502,14 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
                     spark, ref_path, df, cfg.value_column, cfg.alert_ppm
                 )
             rows = verdict.collect()  # per-key rows; compute once
+            if rows and "n_cur" in verdict.columns:
+                # current-wave size for the _metrics row — the
+                # verdict already carries it, no extra scan
+                _JOB_OBS[table.name] = int(
+                    sum(r["n_cur"] or 0 for r in rows)
+                    if quantile
+                    else (rows[0]["n_cur"] or 0)
+                )
             log = f"{base}/_driftlog"
             spark.createDataFrame(rows, verdict.schema).coalesce(
                 1

@@ -2717,6 +2717,21 @@ sketch:
     assert all(r["table"] == "events" and r["wall_s"] > 0 for r in rows)
     assert all(r["detail"] for r in rows)
 
+    # a drift CHECK run carries the current-wave size (the verdict
+    # already computed it — no extra scan)
+    run_job(spark, load_settings(head + """
+drift:
+  value_column: value
+  mode: check
+"""))
+    drift_rows = [
+        r for r in spark.read.parquet(f"{out}/_metrics").collect()
+        if r["mode"] == "drift"
+    ]
+    assert sorted(
+        (r["rows"] for r in drift_rows), key=lambda v: (v is not None, v or 0)
+    ) == [None, n_events]
+
 
 def test_curate_decontaminate_index_yaml(spark, tmp_path, sf_dir):
     """curate: {decontaminate_index} — benchmark decontamination

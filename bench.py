@@ -309,6 +309,15 @@ def main() -> None:
         )
     out["queries"] = timings
     print(json.dumps(out))
+    # The driver records only the LAST 2000 chars of stdout, and the
+    # wide line above overflows that window (r10 lost every
+    # comparable by fronting them inside ONE line). Emit a SECOND,
+    # compact, standalone-parseable JSON line carrying ONLY the
+    # round-over-round comparables as the very last line of stdout —
+    # it is ~400 chars, so it always survives the tail truncation.
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["metric"] = "headline_comparables"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

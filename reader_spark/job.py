@@ -760,6 +760,29 @@ def _run_checks(spark: SparkSession, settings: Settings) -> dict[str, str]:
             "value long, ok boolean",
         )
         log = f"{settings.destination.path}/{table.name}/_checks"
+        # One-time migration: a log written by the pre-r10 wide-row
+        # form holds a config-derived schema; appending the long rows
+        # to the same directory would mix two incompatible schemas in
+        # one parquet dir and break a plain read of the history — the
+        # exact mergeSchema failure the long form exists to end. Move
+        # the legacy log aside (still readable on its own) and start
+        # the fixed-schema log fresh.
+        import os
+
+        if os.path.isdir(log):
+            try:
+                old_cols = set(spark.read.parquet(log).columns)
+            except Exception:
+                old_cols = set()
+            if old_cols and old_cols != {
+                "run_ts", "constraint", "kind", "value", "ok"
+            }:
+                legacy = f"{log}_legacy"
+                i = 0
+                while os.path.exists(legacy):
+                    i += 1
+                    legacy = f"{log}_legacy{i}"
+                os.rename(log, legacy)
         verdict.coalesce(1).write.mode("append").parquet(log)
         results[table.name] = (
             f"{log} (violations={n_violations} clean={row['clean']})"
@@ -1146,14 +1169,22 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 chunks = chunks.join(
                     docs.select("doc_id", "split"), "doc_id"
                 )
-            docs = chunks.select(
-                (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias(
-                    "doc_id"
+            docs = gated(
+                chunks.select(
+                    (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias(
+                        "doc_id"
+                    ),
+                    F.col("chunk_text").alias("text"),
+                    *(["split"] if cfg.split else []),
                 ),
-                F.col("chunk_text").alias("text"),
-                *(["split"] if cfg.split else []),
+                "chunk",
             )
         out = f"{settings.destination.path}/{table.name}"
+        # the shard-write stage's survivor counts come FREE from the
+        # write's own per-shard manifest — the census covers the
+        # whole funnel (raw -> gates -> dedup -> chunk -> write)
+        # without a single extra scan
+        write_counts: list[tuple[str, int]] = []
         if cfg.split:
             for s in ("train", "val", "test"):
                 part = docs.filter(F.col("split") == s).drop("split")
@@ -1164,6 +1195,7 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 results[f"manifest:{table.name}/{s}"] = str(
                     sum(manifest.values())
                 )
+                write_counts.append((f"write:{s}", sum(manifest.values())))
             results[table.name] = out
         else:
             manifest = write_training_shards(
@@ -1171,6 +1203,7 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             )
             results[table.name] = out
             results[f"manifest:{table.name}"] = str(sum(manifest.values()))
+            write_counts.append(("write", sum(manifest.values())))
         # the writes above ran the plan — harvest the riding gate
         # counts and log the census (fixed schema; append = history)
         import time as _time
@@ -1182,6 +1215,8 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 census.append((run_ts, stage, name, int(obs.get["n"])))
             except Exception:
                 pass  # fail-open like the _metrics recorder
+        for i, (name, n) in enumerate(write_counts):
+            census.append((run_ts, len(gate_obs) + i, name, int(n)))
         if census:
             spark.createDataFrame(
                 census,

@@ -772,24 +772,11 @@ def lsh_candidate_pairs_capped(
     (unlike the first-match-only trick, a pair can surface from
     several surviving bands)."""
     assert num_hashes % band_size == 0
-    n_bands = num_hashes // band_size
-    melted = None
-    for band in range(n_bands):
-        key = F.md5(
-            F.concat_ws(
-                ":",
-                *[
-                    F.col(f"h{j}")
-                    for j in range(band * band_size, (band + 1) * band_size)
-                ],
-            )
-        )
-        part = sigs.select(
-            F.col(id_col),
-            F.lit(band).alias("band_id"),
-            key.alias("band_key"),
-        )
-        melted = part if melted is None else melted.unionByName(part)
+    # One posexplode melt (NOT a per-band union: union branches
+    # re-evaluate the shared signature expressions once per band) —
+    # and md5_band_rows' all-NULL guard keeps empty-doc signatures
+    # out of the bucket census entirely.
+    melted = md5_band_rows(sigs, num_hashes, band_size, id_col)
     cold = (
         melted.groupBy("band_id", "band_key")
         .count()
@@ -923,7 +910,19 @@ def md5_band_rows(
     h column references — would be re-evaluated once PER BRANCH
     (measured: the b=16 union made the OPH audit 5x slower than the
     classic one purely on fold recomputation); posexplode evaluates
-    each source row exactly once."""
+    each source row exactly once.
+
+    Degenerate docs (NULL / empty / sub-shingle text) produce
+    all-NULL signatures — minhash/oph h columns are all-or-none
+    NULL. concat_ws SKIPS NULLs, so without a guard every such doc
+    would get md5('') in EVERY band and pairwise band-collide with
+    every other empty doc: E empty docs -> E^2/2 candidate pairs
+    through the screen's one shuffle before the verify drops them
+    all (0/0 Jaccard). The oracle's `h0 || '_' || h1` propagates
+    NULL (NULL keys never equi-join), so dropping all-NULL rows
+    here matches the oracle pair set exactly AND kills the hot key.
+    A NULL-signature doc can never verify at any threshold > 0, so
+    no true pair is lost."""
     assert num_hashes % band_size == 0
     keys = F.array(
         *[
@@ -939,7 +938,7 @@ def md5_band_rows(
             for band in range(num_hashes // band_size)
         ]
     )
-    return sigs.select(
+    return sigs.where(F.col("h0").isNotNull()).select(
         F.col(id_col), F.posexplode(keys).alias("band_id", "band_key")
     )
 
@@ -1006,9 +1005,45 @@ def signature_fn(scheme: str):
     raise ValueError(f"unknown signature scheme {scheme!r}")
 
 
+def oph_bucket_density(toks: DataFrame, num_hashes: int) -> float:
+    """Mean FILLED residue buckets per signature under OPH with k =
+    num_hashes — the observable that prices the densification
+    tradeoff at build time instead of leaving it invisible until
+    someone runs the tuning table. A doc fills the buckets hit by
+    its distinct token-hash residues (h mod k); the rest of its k
+    coordinates are densification borrows, and on short-doc corpora
+    (tokens << k) the borrows correlate across docs and over-generate
+    candidates (measured in SCALE.md r10: 1,799 vs classic's 967 on
+    the audit fixture). One map-side-combinable agg over the token
+    frame; empty corpora report 0.0."""
+    k = num_hashes
+    row = toks.select(
+        F.avg(
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.col("toks"),
+                        lambda h: F.pmod(h, F.lit(k)).cast("int"),
+                    )
+                )
+            )
+        ).alias("mean_filled")
+    ).collect()[0]
+    return float(row["mean_filled"] or 0.0)
+
+
+# Below this mean filled-bucket fraction an OPH signature is mostly
+# densification borrows — the screen's precision collapses on the
+# correlated borrow values while the signature-pass saving (the only
+# reason to pick OPH) is negligible because tokens << k already makes
+# the classic pass cheap. Build verbs fall back to classic and record
+# both the measured density and the requested scheme.
+OPH_MIN_FILLED_FRACTION = 0.5
+
+
 def _nd_params_write(
     path: str, num_hashes: int, band_size: int, threshold: float,
-    scheme: str = "classic",
+    scheme: str = "classic", extra: dict | None = None,
 ) -> None:
     """Pin the index's LSH parameters next to the data. Band keys
     are a function of (num_hashes, band_size) and edges/ of
@@ -1030,6 +1065,7 @@ def _nd_params_write(
                 "band_size": int(band_size),
                 "threshold": float(threshold),
                 "scheme": scheme,
+                **(extra or {}),
             },
             f,
         )
@@ -1078,10 +1114,33 @@ def neardup_index_write(
     left, and tombstones) is removed first — a bare overwrite under a
     stale `_CURRENT` pointer would be invisible to readers."""
     import shutil
+    import warnings
 
     shutil.rmtree(path, ignore_errors=True)
-    _nd_params_write(path, num_hashes, band_size, threshold, scheme)
     toks = pin(token_hashes(docs, text_col, id_col))
+    extra: dict = {}
+    if scheme == "oph":
+        # Price the densification tradeoff AT BUILD TIME: on a
+        # short-doc corpus (mean filled buckets << k) the OPH
+        # coordinates are mostly correlated borrows — candidate
+        # over-generation with no signature-pass saving to show for
+        # it. Record the measured density in the pin either way;
+        # below the floor, build classic instead (and record what
+        # was requested so the fallback is auditable).
+        density = oph_bucket_density(toks, num_hashes)
+        extra["mean_filled_buckets"] = round(density, 2)
+        if density < OPH_MIN_FILLED_FRACTION * num_hashes:
+            warnings.warn(
+                f"oph requested but mean filled buckets "
+                f"{density:.1f} < {OPH_MIN_FILLED_FRACTION} * "
+                f"k={num_hashes}: short-doc corpus — building with "
+                "the classic scheme instead (the pin records both)"
+            )
+            extra["scheme_requested"] = "oph"
+            scheme = "classic"
+    _nd_params_write(
+        path, num_hashes, band_size, threshold, scheme, extra=extra
+    )
     sigs = pin(
         signature_fn(scheme)(
             toks, id_col=id_col, num_hashes=num_hashes, hashes_col="toks"
@@ -1239,6 +1298,8 @@ def decontaminate_incremental(
     threshold: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_hashes: int | None = None,
+    band_size: int | None = None,
 ) -> DataFrame:
     """Decontaminate-at-INGEST: filter a micro-batch/delta of
     candidate training documents against a MATERIALIZED near-dup
@@ -1257,13 +1318,31 @@ def decontaminate_incremental(
     (equality-tested; oracle shares `DECONTAMINATE_SQL`'s CTEs).
 
     LSH parameters resolve from the index pin (`_params.json`);
-    `threshold` defaults to the index's own. Ids must be distinct
-    across delta and benchmark (the index-update contract). The
-    delta is NOT added to the index — the benchmark is static by
+    `threshold` defaults to the index's own. A LEGACY index without
+    the pin is an error unless the caller passes num_hashes AND
+    band_size explicitly (matching `neardup_index_update`'s
+    caller-parameterized legacy contract): silently assuming a
+    default would band the delta incomparably to the stored rows —
+    only the band ids both layouts share could ever match, so
+    contaminated docs would pass at a collapsed recall with no
+    error, the exact failure the pin exists to prevent. Ids must be
+    distinct across delta and benchmark (the index-update contract).
+    The delta is NOT added to the index — the benchmark is static by
     definition; tombstoned benchmark docs stop contaminating."""
-    params = _nd_params(benchmark_index) or {
-        "num_hashes": 128, "band_size": 8, "threshold": 0.8,
-    }
+    params = _nd_params(benchmark_index)
+    if params is None:
+        if num_hashes is None or band_size is None:
+            raise ValueError(
+                f"near-dup index at {benchmark_index!r} has no "
+                "_params.json pin; pass num_hashes= and band_size= "
+                "matching the values the index was built with (an "
+                "assumed default would band the delta incomparably "
+                "to the stored rows and silently collapse recall)"
+            )
+        params = {
+            "num_hashes": num_hashes, "band_size": band_size,
+            "threshold": 0.8 if threshold is None else threshold,
+        }
     num_hashes = params["num_hashes"]
     band_size = params["band_size"]
     thr = params["threshold"] if threshold is None else threshold
@@ -1330,8 +1409,19 @@ def decontaminate_maintainer(
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates([id_col])
         if os.path.isdir(clean_out):
-            seen = spark.read.parquet(clean_out).select(id_col)
-            fresh = fresh.join(seen, id_col, "anti")
+            # A crash mid-append (the very replay this guard exists
+            # for) can leave the dir with only _temporary/partial
+            # files and no readable footers — schema inference then
+            # raises and the stream wedges instead of recovering.
+            # No committed part files == nothing written == nothing
+            # to anti-join.
+            committed = any(
+                f.startswith("part-") and not f.endswith((".tmp", ".crc"))
+                for f in os.listdir(clean_out)
+            )
+            if committed:
+                seen = spark.read.parquet(clean_out).select(id_col)
+                fresh = fresh.join(seen, id_col, "anti")
         survivors = decontaminate_incremental(
             spark, fresh, benchmark_index,
             threshold=threshold, id_col=id_col, text_col=text_col,

@@ -357,7 +357,7 @@ class TransferWriter:
         # (compact/upsert) converted this table's layout
         path = self._data_root(table)
         if self.exists(table):
-            n_buckets = self._resolve_n_buckets(path, n_buckets)
+            n_buckets = self._resolve_n_buckets(path, n_buckets, pk_cols)
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets))
         changes = changes.withColumn("bucket", bucket.cast("int"))
         if not self.exists(table):
@@ -399,24 +399,31 @@ class TransferWriter:
         self._swap_buckets(path, staging, touched)
         return touched
 
-    @staticmethod
-    def _resolve_n_buckets(path: str, requested: int) -> int:
+    def _resolve_n_buckets(
+        self, path: str, requested: int, pk_cols: list[str] | None = None
+    ) -> int:
         """The table's REAL bucket count: the pinned `_layout.json`
         wins over the caller's parameter (silently — the parameter is
         a seed-time knob, not a per-call one). Legacy layouts without
-        a manifest get a best-effort guard: an existing `bucket=` id
-        >= the requested count proves the parameter wrong (ids are
-        pmod residues), so fail loudly instead of corrupting; if the
-        guard passes the requested value is adopted AND pinned so the
-        ambiguity never recurs."""
+        a manifest are PROBED before the requested value is adopted:
+        a max-id check alone is one-sided (a table seeded with 8
+        buckets merged with requested=16 passes it, then new versions
+        of existing keys hash into DIFFERENT bucket dirs and the
+        stale rows become duplicate primary keys — the exact
+        corruption the pin stops). So sample stored rows from one
+        non-empty bucket dir and verify pmod(xxhash64(pk), requested)
+        reproduces that dir's id; only a layout that survives both
+        checks is adopted AND pinned so the ambiguity never recurs.
+        Empty legacy dirs adopt unprobed — with zero stored rows
+        there is nothing to strand."""
         pinned = _read_layout_manifest(path)
         if pinned is not None:
             return pinned
-        existing = [
+        existing = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(path)
             if d.startswith("bucket=")
-        ]
+        )
         if existing and max(existing) >= requested:
             raise ValueError(
                 f"table at {path} has bucket ids up to {max(existing)} "
@@ -424,6 +431,39 @@ class TransferWriter:
                 "are incompatible (seed-time n_buckets is pinned in "
                 "_layout.json for tables built by this version)"
             )
+        if existing and pk_cols:
+            # unprobeable (every bucket dir empty) == zero stored
+            # rows == no key can be stranded: adopting is then safe
+            for b in existing:
+                bdir = os.path.join(path, f"bucket={b}")
+                if not any(
+                    f.startswith("part-") and f.endswith(".parquet")
+                    for f in os.listdir(bdir)
+                ):
+                    continue
+                sample = (
+                    self.spark.read.parquet(bdir)
+                    .select(
+                        F.pmod(
+                            F.xxhash64(*[F.col(c) for c in pk_cols]),
+                            F.lit(requested),
+                        ).alias("__b")
+                    )
+                    .limit(100)
+                    .collect()
+                )
+                if sample:
+                    if any(r["__b"] != b for r in sample):
+                        raise ValueError(
+                            f"table at {path} has no _layout.json and "
+                            f"its stored rows do NOT hash to their "
+                            f"bucket dirs under n_buckets={requested}; "
+                            "the table was seeded with a different "
+                            "bucket count — pass the seed-time value "
+                            "(merging under the wrong count strands "
+                            "stale versions of existing keys)"
+                        )
+                    break
         _write_layout_manifest(path, requested)
         return requested
 
@@ -595,7 +635,7 @@ class TransferWriter:
         every later merge (see `upsert_bucketed`)."""
         path = self._data_root(table)
         if self.exists(table):
-            n_buckets = self._resolve_n_buckets(path, n_buckets)
+            n_buckets = self._resolve_n_buckets(path, n_buckets, pk_cols)
         bucket = F.pmod(
             F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets)
         )

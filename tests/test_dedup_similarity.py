@@ -463,6 +463,67 @@ def test_lsh_capped_drops_hot_buckets_keeps_cold_pairs(spark):
     assert n == 40 * 39 // 2
 
 
+def test_empty_doc_signatures_never_band_collide(spark):
+    # Degenerate docs (empty / sub-shingle text) carry all-NULL
+    # signatures. concat_ws skips NULLs, so without the guard in
+    # md5_band_rows every empty doc would key md5('') in EVERY band
+    # and E empty docs would emit E^2/2 candidate pairs through the
+    # screen's one shuffle. The guard must make candidate volume
+    # INVARIANT to the number of empty docs, for both the wide
+    # (melted) and legacy per-band-join dispatch.
+    base = [
+        "a unique document about spark",
+        "a unique document about spark engines",
+        "something entirely different altogether now",
+    ]
+
+    def n_candidates(n_null, num_hashes, band_size, tokenizer=None):
+        texts = base + [None] * n_null
+        if tokenizer is None:
+            sigs = DD.minhash_signature(
+                docs_df(spark, texts), num_hashes=num_hashes
+            )
+        else:
+            # sub-shingle docs: 1-word text -> empty shingle array ->
+            # all-NULL signature (the ADVICE.md degenerate case)
+            texts = base + ["word"] * n_null
+            toks = DD.token_hashes(
+                docs_df(spark, texts), tokenizer=tokenizer
+            )
+            sigs = DD.minhash_signature(
+                toks, num_hashes=num_hashes, hashes_col="toks"
+            )
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in DD.lsh_candidate_pairs(
+                sigs, num_hashes=num_hashes, band_size=band_size
+            ).collect()
+        }
+
+    # wide dispatch (n_bands > 4): the melted md5_band_rows path
+    assert n_candidates(1, 16, 2) == n_candidates(200, 16, 2)
+    # legacy per-band-join dispatch (NULL == NULL never matches)
+    assert n_candidates(1, 8, 2) == n_candidates(200, 8, 2)
+    # shingle tokenizer: sub-n docs have empty token arrays -> NULL sigs
+    assert n_candidates(1, 16, 2, DD.shingle_set) == n_candidates(
+        200, 16, 2, DD.shingle_set
+    )
+    # and no degenerate-doc id ever appears in a candidate pair
+    wide = n_candidates(200, 16, 2)
+    assert all(a < len(base) and b < len(base) for a, b in wide)
+    # capped variant shares the melt, so it inherits the guard
+    sigs = DD.minhash_signature(
+        docs_df(spark, base + [None] * 200), num_hashes=16
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.lsh_candidate_pairs_capped(
+            sigs, num_hashes=16, band_size=2, max_bucket=10_000
+        ).collect()
+    }
+    assert all(a < len(base) and b < len(base) for a, b in capped)
+
+
 def test_containment_pairs_asymmetric(spark):
     from reader_spark.operators import dedup as DD
 
@@ -1013,6 +1074,82 @@ def test_neardup_index_params_pin_wins(spark, tmp_path, sf_dir):
     assert got == want
     p = DD._nd_params(inc)
     assert (p["num_hashes"], p["band_size"], p["threshold"]) == (8, 2, 0.7)
+
+
+def test_oph_build_records_density_and_falls_back_on_short_docs(
+    spark, tmp_path
+):
+    """OPH's densification tradeoff must be priced AT BUILD TIME:
+    the pin records mean filled buckets, and a short-doc corpus
+    (tokens << k, signature mostly correlated borrows) falls back to
+    the classic scheme with the requested scheme kept auditable."""
+    import warnings as W
+
+    from reader_spark.operators import dedup as DD
+
+    # short docs: ~4 distinct tokens vs k=128 -> density << k/2
+    short = docs_df(
+        spark, [f"tiny doc number {i}" for i in range(12)]
+    )
+    idx = str(tmp_path / "short_oph")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        DD.neardup_index_write(short, idx, scheme="oph")
+    assert any("short-doc corpus" in str(w.message) for w in caught)
+    p = DD._nd_params(idx)
+    assert p["scheme"] == "classic"
+    assert p["scheme_requested"] == "oph"
+    assert 0 < p["mean_filled_buckets"] < 0.5 * p["num_hashes"]
+
+    # long docs: >> k distinct tokens -> density near k, oph kept
+    long_docs = docs_df(
+        spark,
+        [
+            " ".join(f"w{i}t{j}" for j in range(600))
+            for i in range(6)
+        ],
+    )
+    idx2 = str(tmp_path / "long_oph")
+    DD.neardup_index_write(long_docs, idx2, scheme="oph")
+    p2 = DD._nd_params(idx2)
+    assert p2["scheme"] == "oph"
+    assert "scheme_requested" not in p2
+    assert p2["mean_filled_buckets"] >= 0.5 * p2["num_hashes"]
+
+
+def test_decontaminate_incremental_unpinned_index_raises(
+    spark, tmp_path
+):
+    """A legacy index without _params.json must NOT silently assume
+    the current defaults: a pre-r10 index built at k=16 would band
+    incomparably and contaminated docs would pass at collapsed
+    recall. Explicit caller parameters (the index-update legacy
+    contract) unlock it."""
+    import os
+
+    import pytest as _pytest
+
+    from reader_spark.operators import dedup as DD
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs")],
+        ["doc_id", "text"],
+    )
+    train = docs_df(spark, ["the quick brown fox jumps over dogs",
+                            "completely unrelated text entirely"])
+    idx = str(tmp_path / "legacy")
+    DD.neardup_index_write(bench, idx, num_hashes=16, band_size=2)
+    os.remove(os.path.join(idx, "_params.json"))  # legacy index
+    with _pytest.raises(ValueError, match="_params.json"):
+        DD.decontaminate_incremental(spark, train, idx)
+    # explicit params matching the build unlock the legacy index
+    got = {
+        r["doc_id"]
+        for r in DD.decontaminate_incremental(
+            spark, train, idx, num_hashes=16, band_size=2
+        ).collect()
+    }
+    assert got == {1}
 
 
 def test_decontaminate_incremental_equals_batch(spark, tmp_path, sf_dir):

@@ -2259,6 +2259,54 @@ checks:
     assert hist.filter("kind = 'verdict'").count() == 4
 
 
+def test_checks_legacy_wide_log_migrates_aside(spark, tmp_path, sf_dir):
+    """A _checks log written by the pre-r10 WIDE-row form must not be
+    appended to with the long schema (two incompatible schemas in one
+    parquet dir breaks a plain read — the exact failure the long form
+    exists to end): the legacy dir is moved to _checks_legacy and the
+    fixed-schema log starts fresh."""
+    import os
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "gate")
+    log = f"{out}/events/_checks"
+    # simulate the pre-r10 wide row (config-derived columns)
+    spark.createDataFrame(
+        [(100, 0, True, True)],
+        "n_rows long, null_event_type long, min_rows_ok boolean, "
+        "clean boolean",
+    ).write.parquet(log)
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: events}}]
+destination:
+  kind: parquet
+  path: {out}
+checks:
+  min_rows: 1
+"""
+    run_job(spark, load_settings(cfg))
+    hist = spark.read.parquet(log)  # plain read, no mergeSchema
+    assert set(hist.columns) == {
+        "run_ts", "constraint", "kind", "value", "ok"
+    }
+    assert hist.filter("kind = 'verdict'").count() == 1
+    # the legacy history is preserved, readable on its own
+    legacy = f"{log}_legacy"
+    assert os.path.isdir(legacy)
+    assert spark.read.parquet(legacy).collect()[0]["n_rows"] == 100
+    # a second run appends to the migrated log without re-migrating
+    run_job(spark, load_settings(cfg))
+    assert spark.read.parquet(log).filter(
+        "kind = 'verdict'"
+    ).count() == 2
+    assert not os.path.isdir(f"{log}_legacy1")
+
+
 def test_checks_gate_freshness(spark, tmp_path):
     """checks: freshness enforcement — a just-written table passes a
     generous max_lag_s, the fixture's 2024 timestamps fail a tight
@@ -2395,6 +2443,46 @@ def test_legacy_layout_incompatible_buckets_raises(spark, tmp_path):
     from reader_spark.operators.transfer import _read_layout_manifest
 
     assert _read_layout_manifest(str(tmp_path / "t")) == 16
+
+
+def test_legacy_layout_larger_requested_count_probed(spark, tmp_path):
+    """The one-sided max-id guard alone misses the OTHER direction:
+    a legacy table seeded with 8 buckets (ids 0-7) merged with
+    requested=16 passes max(id) < 16 — but new versions of existing
+    keys would hash into different bucket dirs and strand the stale
+    rows as duplicate PKs. The resolve now PROBES stored rows
+    (pmod(xxhash64(pk), requested) must reproduce their dir id)
+    before adopting; the seed-time value still passes."""
+    import os
+
+    import pytest
+
+    from reader_spark.operators.transfer import (
+        TransferWriter,
+        _read_layout_manifest,
+    )
+
+    w = TransferWriter(spark, str(tmp_path))
+    seed = spark.range(0, 500).selectExpr(
+        "id", "concat('v', id) AS v", "'c' AS op", "0L AS seq"
+    )
+    w.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=8)
+    os.remove(str(tmp_path / "t" / "_layout.json"))
+
+    delta = spark.createDataFrame(
+        [(7, "V7", "u", 1)], "id long, v string, op string, seq long"
+    )
+    with pytest.raises(ValueError, match="seeded with a different"):
+        w.upsert_bucketed("t", delta, ["id"], "seq", n_buckets=16)
+    # no pin was written by the failed attempt
+    assert _read_layout_manifest(str(tmp_path / "t")) is None
+
+    # the true seed-time count probes clean, merges, and re-pins
+    w.upsert_bucketed("t", delta, ["id"], "seq", n_buckets=8)
+    assert _read_layout_manifest(str(tmp_path / "t")) == 8
+    got = w.read("t")
+    assert got.count() == 500
+    assert {r["v"] for r in got.filter("id = 7").collect()} == {"V7"}
 
 
 def test_layout_pin_survives_truncate_and_compact(spark, tmp_path):
@@ -2813,11 +2901,58 @@ curate:
     assert set(g.columns) == {"run_ts", "stage", "gate", "rows_after"}
     rows = sorted(g.collect(), key=lambda r: r["stage"])
     names = [r["gate"] for r in rows]
-    assert names == ["raw", "min_chars", "dedup"]
+    assert names == ["raw", "min_chars", "dedup", "write"]
     counts = [r["rows_after"] for r in rows]
     assert counts[0] >= counts[1] >= counts[2] > 0
     assert counts[2] == int(res["manifest:documents"])
+    # the write stage's survivors come from the shard manifest —
+    # zero extra scans — and close the funnel: write == post-dedup
+    assert counts[3] == counts[2]
 
     # and the _metrics row carries the final count
     m = {r["mode"]: r for r in spark.read.parquet(f"{out}/_metrics").collect()}
     assert m["curate"]["rows"] == counts[2]
+
+
+def test_curate_gate_census_covers_chunk_and_split_writes(
+    spark, tmp_path, sf_dir
+):
+    """With chunking and a split configured, the census covers the
+    WHOLE funnel: the chunk stage (rows become windows — the one
+    stage where counts may grow) and one write:<split> row per shard
+    write, each sourced from that write's own manifest (no extra
+    scan). The split writes partition the chunk survivors exactly."""
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    out = str(tmp_path / "cgs")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  min_chars: 10
+  dedup: exact
+  split: doc
+  chunk_width: 40
+  n_shards: 2
+"""
+    res = run_job(spark, load_settings(cfg))
+    rows = sorted(
+        spark.read.parquet(f"{out}/documents/_gates").collect(),
+        key=lambda r: r["stage"],
+    )
+    names = [r["gate"] for r in rows]
+    assert names == [
+        "raw", "min_chars", "dedup", "chunk",
+        "write:train", "write:val", "write:test",
+    ]
+    by = {r["gate"]: r["rows_after"] for r in rows}
+    writes = by["write:train"] + by["write:val"] + by["write:test"]
+    assert writes == by["chunk"] > 0
+    for s in ("train", "val", "test"):
+        assert by[f"write:{s}"] == int(res[f"manifest:documents/{s}"])

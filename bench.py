@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (value_v1_subset / value_v2_subset) so totals compare like-for-like
 # across rounds even as the set grows. Add new queries only by
 # bumping the version and appending (never reordering/removing).
-QUERY_SET_VERSION = 11
+QUERY_SET_VERSION = 12
 V1_LEN = 29
 V2_LEN = 45
 V3_LEN = 58
@@ -36,6 +36,7 @@ V7_LEN = 104
 V8_LEN = 115
 V9_LEN = 119
 V10_LEN = 127
+V11_LEN = 131
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -227,6 +228,8 @@ HEADLINE = [
     # v11 (r10): the one-permutation scheme's recall audit — the
     # O(tokens) signature swap, priced against the classic gauge
     "lsh_recall_audit_oph",
+    "dedup_degenerate_docs",
+    "oph_density_report",
 ]
 
 
@@ -302,7 +305,7 @@ def main() -> None:
     for tag, ln in (
         ("v1", V1_LEN), ("v2", V2_LEN), ("v3", V3_LEN), ("v4", V4_LEN),
         ("v5", V5_LEN), ("v6", V6_LEN), ("v7", V7_LEN), ("v8", V8_LEN),
-        ("v9", V9_LEN), ("v10", V10_LEN),
+        ("v9", V9_LEN), ("v10", V10_LEN), ("v11", V11_LEN),
     ):
         out[f"value_{tag}_subset"] = round(
             sum(timings.get(n, 0.0) for n in HEADLINE[:ln]), 3

@@ -181,7 +181,49 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# Which classic-MinHash implementation `minhash_signature` dispatches
+# to. "arrow" won the r11 probe at EVERY token-length regime — the k
+# affine mixes are interpreted HigherOrderFunction lambdas outside
+# whole-stage codegen, and one Arrow round-trip + vectorized numpy
+# beats them 5.1x on the sf0.1 fixture (23 tokens/doc: 2.26 -> 0.44
+# s), 4.5x at 2k tokens/doc and 3.8x at 10k (it also beats
+# oph_signature's expression form everywhere measured, making
+# classic-arrow the scale default outright). "expr" keeps the pure
+# column-expression plan — zero Python workers, the form embedded
+# oracles/tests mirror — and is bit-identical by construction.
+MINHASH_IMPL = "arrow"
+
+
 def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    hashes_col: str | None = None,
+    impl: str | None = None,
+) -> DataFrame:
+    """MinHash signature as `num_hashes` columns h0..h{k-1} — the
+    canonical entry point; dispatches to the Arrow/numpy kernel
+    (`minhash_signature_arrow`, default — see MINHASH_IMPL) or the
+    column-expression form (`minhash_signature_expr`). Both are
+    BIT-IDENTICAL (asserted in tests), so bands, indexes, and
+    oracles never see which one ran."""
+    impl = impl or MINHASH_IMPL
+    fn = (
+        minhash_signature_arrow
+        if impl == "arrow"
+        else minhash_signature_expr
+    )
+    return fn(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        hashes_col=hashes_col,
+    )
+
+
+def minhash_signature_expr(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -192,10 +234,14 @@ def minhash_signature(
 
     No shuffle: one md5 per token (materialized once as an
     intermediate array column so Catalyst doesn't duplicate it per
-    seed), then `num_hashes` cheap affine mixes + array_min — pure
-    projections, codegen'd. (The pyspark.ml MinHashLSH needs a
-    CountVectorizer vocabulary broadcast; this streaming-friendly
-    formulation avoids any fitted state.)
+    seed), then `num_hashes` affine mixes + array_min — pure
+    projections, no Python workers. NOTE the mixes are higher-order-
+    function lambdas, which Catalyst interprets OUTSIDE whole-stage
+    codegen: the Arrow kernel beats this form ~4-5x at k=128 at every
+    token length measured (SCALE.md r11), so this is the fallback /
+    reference implementation, not the default. (The pyspark.ml
+    MinHashLSH needs a CountVectorizer vocabulary broadcast; this
+    streaming-friendly formulation avoids any fitted state.)
 
     hashes_col: name of a precomputed token-hash array column (see
     `token_hashes`) — skips the md5 pass entirely."""
@@ -218,6 +264,106 @@ def minhash_signature(
         for i in range(num_hashes)
     ]
     return base.select(F.col(id_col), *sig_cols)
+
+
+def minhash_signature_arrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    hashes_col: str | None = None,
+) -> DataFrame:
+    """`minhash_signature` computed in ONE Arrow `mapInPandas` pass —
+    bit-identical output (same md5-base token hashes, same affine mix
+    a_i*h+b_i mod P, all values < 2^60 so int64 never overflows), but
+    the k x tokens arithmetic runs as vectorized numpy instead of k
+    interpreted higher-order-lambda array expressions. SCALE.md (r10)
+    measured the expression form's interpreted-lambda floor: the k=128
+    classic pass realizes ~3x the single-mix cost instead of the
+    arithmetic 128x headroom, because HigherOrderFunction lambdas stay
+    outside whole-stage codegen. This path trades one Arrow
+    serialization of the (id, toks) frame for C-speed arithmetic —
+    and the r11 probe showed the trade wins at EVERY token-length
+    regime, including the short-doc fixture where transfer overhead
+    is largest relative to arithmetic (SCALE.md r11: 5.1x at 23
+    tokens/doc, 4.5x at 2k, 3.8x at 10k; it also beats the OPH
+    expression form everywhere measured). It is therefore the
+    default behind `minhash_signature` (see MINHASH_IMPL).
+
+    The md5 pass itself stays JVM-side (`token_hashes`): only the mix
+    + segmented-min runs in Python, over long arrays, never strings.
+    Batches are sub-chunked so the k x flat_tokens mix matrix stays
+    ~256 MB regardless of input batch shape. Empty/NULL token arrays
+    produce all-NULL signature rows (the expression form's
+    array_min-of-empty semantics, which the banding guard drops)."""
+    import numpy as np
+    import pandas as pd
+
+    if hashes_col is None:
+        docs = token_hashes(docs, text_col, id_col)
+        hashes_col = "toks"
+    base = ensure_parallelism(docs).select(F.col(id_col), F.col(hashes_col))
+    k = num_hashes
+    mix = np.array(
+        [minhash_mix_params(i) for i in range(k)], dtype=np.int64
+    )
+    a_vec = mix[:, 0][:, None]
+    b_vec = mix[:, 1][:, None]
+    id_field = base.schema.fields[0]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [id_field]
+        + [T.StructField(f"h{i}", T.LongType(), True) for i in range(k)]
+    )
+
+    # cap the k x m mix matrix at ~32M int64 cells (256 MB)
+    max_cells = 32 << 20
+
+    def compute(iterator):
+        for pdf in iterator:
+            n = len(pdf)
+            toks = [
+                np.asarray(t, dtype=np.int64)
+                if t is not None
+                else np.empty(0, dtype=np.int64)
+                for t in pdf[hashes_col]
+            ]
+            lens = np.fromiter(
+                (t.size for t in toks), dtype=np.int64, count=n
+            )
+            out = np.empty((n, k), dtype=np.int64)
+            nonempty = np.flatnonzero(lens)
+            i = 0
+            while i < nonempty.size:
+                j = i
+                cells = 0
+                while j < nonempty.size:
+                    nxt = cells + lens[nonempty[j]] * k
+                    if j > i and nxt > max_cells:
+                        break
+                    cells = nxt
+                    j += 1
+                idx = nonempty[i:j]
+                flat = np.concatenate([toks[d] for d in idx])
+                mixed = (a_vec * flat[None, :] + b_vec) % MINHASH_P
+                starts = np.zeros(idx.size, dtype=np.int64)
+                np.cumsum(lens[idx][:-1], out=starts[1:])
+                out[idx] = np.minimum.reduceat(mixed, starts, axis=1).T
+                i = j
+            cols = {id_field.name: pdf[id_field.name]}
+            empty_mask = lens == 0
+            any_empty = bool(empty_mask.any())
+            for c in range(k):
+                col = out[:, c]
+                cols[f"h{c}"] = (
+                    pd.array(np.where(empty_mask, None, col), dtype="Int64")
+                    if any_empty
+                    else col
+                )
+            yield pd.DataFrame(cols)
+
+    return base.mapInPandas(compute, schema)
 
 
 def oph_signature(

@@ -1072,6 +1072,102 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+def dedup_degenerate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation with degenerate (NULL-text) docs mixed
+    in — the r11 hot-key guard's oracle witness. NULL text yields an
+    all-NULL signature; `md5_band_rows` drops those rows before the
+    melt (concat_ws would otherwise key md5('') in every band and E
+    degenerate docs would emit E^2/2 candidate pairs), converging
+    with the oracle's NULL-propagating `||` band keys which never
+    equi-join. One summary row: total candidates must equal the
+    clean corpus's and zero pairs may touch a degenerate id."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # numPartitions=1: range() otherwise contributes defaultParallelism
+    # near-empty partitions to the union, which then LOOKS parallel
+    # enough for ensure_parallelism to skip its rebalance while the
+    # real rows still sit in the scan's few partitions — a straggler
+    # per fat partition through the signature pass (measured 9.8 s vs
+    # 6.1 s for the same work at sf0.1).
+    degen = spark.range(50, numPartitions=1).select(
+        (F.col("id") + F.lit(10_000_000)).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    sigs = pin(
+        DD.minhash_signature(docs.unionByName(degen), num_hashes=_MH_K)
+    )
+    pairs = DD.lsh_candidate_pairs(
+        sigs, num_hashes=_MH_K, band_size=_MH_BAND
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(
+            F.when(
+                (F.col("doc_a") >= 10_000_000)
+                | (F.col("doc_b") >= 10_000_000),
+                1,
+            )
+        ).alias("n_degenerate_pairs"),
+    )
+
+
+DEGENERATE_SQL = _MH_CTE.replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT 10000000 + i AS doc_id, CAST(NULL AS VARCHAR) AS text "
+    "FROM range(50) t(i))",
+    1,
+) + """
+SELECT count(*) AS n_candidates,
+       count(*) FILTER (WHERE doc_a >= 10000000 OR doc_b >= 10000000)
+         AS n_degenerate_pairs
+FROM cand
+"""
+
+
+def oph_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPH short-doc observable as a standing report: mean
+    filled residue buckets per signature at the production k=128
+    (`oph_bucket_density`'s aggregate — the value
+    `neardup_index_write` pins in `_params.json` and gates the
+    classic fallback on). Exposes whether a corpus is in the
+    borrow-dominated regime BEFORE anyone builds an index over it.
+    One map-side-combinable aggregate; no shuffle beyond the final
+    single-row reduce."""
+    toks = DD.token_hashes(_t(spark, sf_dir, "documents"))
+    return toks.agg(
+        F.round(
+            F.avg(
+                F.size(
+                    F.array_distinct(
+                        F.transform(
+                            F.col("toks"),
+                            lambda h: F.pmod(h, F.lit(128)).cast("int"),
+                        )
+                    )
+                )
+            ),
+            6,
+        ).alias("mean_filled_buckets"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+OPH_DENSITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
+  FROM documents
+), hm AS (
+  SELECT doc_id,
+         list_transform(ws, w -> ('0x'||substr(md5(w),1,15))::BIGINT % {DD.MINHASH_P}) AS hs
+  FROM toks
+)
+SELECT round(avg(len(list_distinct(list_transform(hs, h -> (h % 128)::INT)))), 6)
+         AS mean_filled_buckets,
+       count(*) AS n_docs
+FROM hm
+"""
+
+
 def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: verified near-dup pairs
     (same LSH + Jaccard >= 0.8 pipeline as dedup_near_dup) labeled
@@ -9372,6 +9468,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "p3_wire_converters": (p3_wire_converters, P3_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, MINHASH_SQL),
+    "dedup_degenerate_docs": (dedup_degenerate_docs, DEGENERATE_SQL),
+    "oph_density_report": (oph_density_report, OPH_DENSITY_SQL),
     "text_winnowing": (text_winnowing, WINNOW_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_ngram": (dedup_ngram, NGRAM_SQL),

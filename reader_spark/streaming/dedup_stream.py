@@ -73,7 +73,19 @@ def band_keys(
             F.col(f"h{j}")
             for j in range(band * band_size, (band + 1) * band_size)
         ]
-        df = df.withColumn(f"{prefix}{band}", F.xxhash64(F.lit(band), *cols))
+        # xxhash64 SKIPS NULL inputs, so an all-NULL signature
+        # (empty/NULL doc) would key the constant xxhash64(band) in
+        # every band: one degenerate reference doc would then drop
+        # EVERY degenerate stream doc as its "near-dup". Null the
+        # key instead — NULL never equi-matches, so the anti-join
+        # keeps degenerate docs (a NULL signature can never verify
+        # at any threshold > 0; same rule as the batch band melt).
+        df = df.withColumn(
+            f"{prefix}{band}",
+            F.when(
+                F.col("h0").isNotNull(), F.xxhash64(F.lit(band), *cols)
+            ),
+        )
     return df
 
 

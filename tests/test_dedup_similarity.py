@@ -1076,6 +1076,41 @@ def test_neardup_index_params_pin_wins(spark, tmp_path, sf_dir):
     assert (p["num_hashes"], p["band_size"], p["threshold"]) == (8, 2, 0.7)
 
 
+def test_minhash_arrow_bit_identical_to_expression(spark, sf_dir):
+    """The Arrow (mapInPandas + numpy) signature path must be
+    BIT-IDENTICAL to the expression form — same md5-base hashes, same
+    affine mix mod P (all values < 2^60, int64 never overflows), same
+    all-NULL rows for empty/NULL docs — so either can feed the same
+    banding, index layout, and DuckDB oracles interchangeably."""
+    from reader_spark.operators import dedup as DD
+
+    edge = spark.createDataFrame(
+        [(0, "a b c d e"), (1, None), (2, ""), (3, "x"),
+         (4, " ".join(f"t{i}" for i in range(700)))],
+        ["doc_id", "text"],
+    )
+    for df in (
+        edge,
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200),
+    ):
+        exp = DD.minhash_signature_expr(df, num_hashes=32).orderBy(
+            "doc_id"
+        ).collect()
+        arr = DD.minhash_signature_arrow(df, num_hashes=32).orderBy(
+            "doc_id"
+        ).collect()
+        assert [tuple(r) for r in exp] == [tuple(r) for r in arr]
+    # and the canonical entry point dispatches per MINHASH_IMPL /
+    # the impl override, producing the same rows either way
+    one = DD.minhash_signature(edge, num_hashes=8, impl="expr").orderBy(
+        "doc_id"
+    ).collect()
+    two = DD.minhash_signature(edge, num_hashes=8, impl="arrow").orderBy(
+        "doc_id"
+    ).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in two]
+
+
 def test_oph_build_records_density_and_falls_back_on_short_docs(
     spark, tmp_path
 ):

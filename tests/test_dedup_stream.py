@@ -98,3 +98,26 @@ def test_index_shape(spark):
         assert frame.columns == [f"bk{b}"]
         n = frame.count()
         assert 0 < n <= len(REFERENCE)
+
+
+def test_degenerate_docs_pass_the_stream_filter(spark):
+    """All-NULL signatures (NULL/sub-shingle docs) must NOT collapse
+    onto one constant bucket key: xxhash64 skips NULL inputs, so
+    without the guard ONE degenerate reference doc would drop EVERY
+    degenerate stream doc as its "near-dup". A NULL signature can
+    never verify at any threshold > 0 — the filter keeps those docs
+    (same rule as the batch band melt's NULL guard)."""
+    ref = spark.createDataFrame(
+        REFERENCE + [(4, None)], DOC_SCHEMA
+    )
+    idx = DS.reference_band_index(ref)
+    incoming = spark.createDataFrame(
+        INCOMING + [(104, None), (105, None)], DOC_SCHEMA
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in DS.stream_dedup_filter(incoming, idx).collect()
+    )
+    # degenerate docs survive; real dups still drop
+    assert 104 in kept and 105 in kept
+    assert 101 not in kept

@@ -366,7 +366,40 @@ def minhash_signature_arrow(
     return base.mapInPandas(compute, schema)
 
 
+# Which OPH implementation `oph_signature` dispatches to — same story
+# as MINHASH_IMPL: the expression form's per-row bucket fold is an
+# interpreted aggregate outside codegen, and the Arrow kernel
+# (sort + segmented min + vectorized densification) realizes the
+# O(tokens) promise the scheme exists for (SCALE.md r11 numbers).
+OPH_IMPL = "arrow"
+
+
 def oph_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    hashes_col: str | None = None,
+    impl: str | None = None,
+) -> DataFrame:
+    """One-Permutation signature — canonical entry point; dispatches
+    to the Arrow kernel (`oph_signature_arrow`, default) or the
+    column-expression form (`oph_signature_expr`). Bit-identical
+    either way (asserted in tests + the hypothesis reference-model
+    property), so indexes, bands, and the `_oph_cte` oracle never
+    see which one ran."""
+    impl = impl or OPH_IMPL
+    fn = oph_signature_arrow if impl == "arrow" else oph_signature_expr
+    return fn(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        hashes_col=hashes_col,
+    )
+
+
+def oph_signature_expr(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -449,6 +482,104 @@ def oph_signature(
         ).alias(f"h{i}")
 
     return staged.select(F.col(id_col), *[sig(i) for i in range(k)])
+
+
+def oph_signature_arrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    hashes_col: str | None = None,
+) -> DataFrame:
+    """`oph_signature` in ONE Arrow `mapInPandas` pass — bit-identical
+    (bucket minima + the same rotation densification, pure int64),
+    with the per-row map fold replaced by a sort + segmented min over
+    the batch's flat token-hash array and the densification by a
+    k-column backward scan vectorized across the batch's docs. The
+    expression form's fold is an interpreted aggregate OUTSIDE
+    whole-stage codegen — SCALE.md r10 measured it realizing only ~3x
+    over classic instead of the k-times arithmetic headroom; here the
+    O(tokens) pass actually materializes (SCALE.md r11 numbers).
+    Same schema and NULL semantics as every other signature builder."""
+    import numpy as np
+    import pandas as pd
+
+    if hashes_col is None:
+        docs = token_hashes(docs, text_col, id_col)
+        hashes_col = "toks"
+    base = ensure_parallelism(docs).select(F.col(id_col), F.col(hashes_col))
+    k = num_hashes
+    id_field = base.schema.fields[0]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [id_field]
+        + [T.StructField(f"h{i}", T.LongType(), True) for i in range(k)]
+    )
+    SENT = np.iinfo(np.int64).max
+
+    def compute(iterator):
+        for pdf in iterator:
+            n = len(pdf)
+            toks = [
+                np.asarray(t, dtype=np.int64)
+                if t is not None
+                else np.empty(0, dtype=np.int64)
+                for t in pdf[hashes_col]
+            ]
+            lens = np.fromiter(
+                (t.size for t in toks), dtype=np.int64, count=n
+            )
+            # bucket minima: min hash per (doc, residue) via one sort
+            # + reduceat over the batch-flat array
+            mins = np.full((n, k), SENT, dtype=np.int64)
+            if lens.sum():
+                flat = np.concatenate([t for t in toks if t.size])
+                doc_ix = np.repeat(
+                    np.flatnonzero(lens), lens[lens > 0]
+                )
+                key = doc_ix * k + flat % k
+                order = np.argsort(key, kind="stable")
+                sk = key[order]
+                sv = flat[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], sk[1:] != sk[:-1]))
+                )
+                mins.ravel()[sk[starts]] = np.minimum.reduceat(sv, starts)
+            filled = mins != SENT
+            # rotation densification: bucket i borrows the nearest
+            # filled bucket to the RIGHT (circular), offset delta*P.
+            # Backward scan over 2k doubled columns — 2k cheap
+            # vector ops across the whole batch, no per-doc loop.
+            nxt = np.full((n, 2 * k), 2 * k, dtype=np.int64)
+            filled2 = np.concatenate([filled, filled], axis=1)
+            for j in range(2 * k - 1, -1, -1):
+                col = nxt[:, j + 1] if j + 1 < 2 * k else None
+                if col is None:
+                    nxt[:, j] = np.where(filled2[:, j], j, 2 * k)
+                else:
+                    nxt[:, j] = np.where(filled2[:, j], j, col)
+            delta = nxt[:, :k] - np.arange(k)[None, :]
+            has_any = filled.any(axis=1)
+            # clamp unfilled rows so the gather below stays in-bounds
+            delta_c = np.where(has_any[:, None], delta, 0)
+            src = (np.arange(k)[None, :] + delta_c) % k
+            rows = np.arange(n)[:, None]
+            out = mins[rows, src] + delta_c * MINHASH_P
+            cols = {id_field.name: pdf[id_field.name]}
+            any_empty = not bool(has_any.all())
+            for c in range(k):
+                col = out[:, c]
+                cols[f"h{c}"] = (
+                    pd.array(
+                        np.where(has_any, col, None), dtype="Int64"
+                    )
+                    if any_empty
+                    else col
+                )
+            yield pd.DataFrame(cols)
+
+    return base.mapInPandas(compute, schema)
 
 
 def lsh_candidate_pairs(
@@ -1183,8 +1314,12 @@ def oph_bucket_density(toks: DataFrame, num_hashes: int) -> float:
 # correlated borrow values while the signature-pass saving (the only
 # reason to pick OPH) is negligible because tokens << k already makes
 # the classic pass cheap. Build verbs fall back to classic and record
-# both the measured density and the requested scheme.
-OPH_MIN_FILLED_FRACTION = 0.5
+# both the measured density and the requested scheme. 0.25 filled
+# corresponds to ~0.29k distinct tokens per doc (filled =
+# k(1-e^(-t/k))): the r10-measured over-generation regime (the 23-
+# token fixture at k=128 sits at 0.16) trips it, while a deliberate
+# k ~ tokens configuration (same fixture at k=32: 0.52) does not.
+OPH_MIN_FILLED_FRACTION = 0.25
 
 
 def _nd_params_write(

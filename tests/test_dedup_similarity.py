@@ -1134,7 +1134,11 @@ def test_oph_build_records_density_and_falls_back_on_short_docs(
     p = DD._nd_params(idx)
     assert p["scheme"] == "classic"
     assert p["scheme_requested"] == "oph"
-    assert 0 < p["mean_filled_buckets"] < 0.5 * p["num_hashes"]
+    assert (
+        0
+        < p["mean_filled_buckets"]
+        < DD.OPH_MIN_FILLED_FRACTION * p["num_hashes"]
+    )
 
     # long docs: >> k distinct tokens -> density near k, oph kept
     long_docs = docs_df(

@@ -9752,9 +9752,48 @@ _WINDOW_R10 = [
     "lsh_recall_audit_oph",
 ]
 assert len(_WINDOW_R10) == 50 and set(_WINDOW_R10) <= set(CATALOG)
+
+# --- r11 driver-window rotation --------------------------------------
+# 2 new queries (degenerate-doc band-guard witness, OPH density
+# report), then every query whose code path moved this round (the
+# Arrow signature kernels sit under the whole minhash/banding family;
+# decontaminate_incremental changed its unpinned-index contract; k3/
+# cdc_reconcile sit behind the transfer layout probe), then ALL 15
+# r6-stale entries the r10 verdict listed (watch item #4), then 20 of
+# the 39 r7-sampled entries — dedup-adjacent ones first. The 19
+# remaining r7 entries front the r12 window (they hit 4 rounds stale
+# then; standing rule: nothing unsampled for more than ~3 rounds).
+_WINDOW_R11 = [
+    # new this round (never driver-sampled)
+    "dedup_degenerate_docs", "oph_density_report",
+    # code paths changed this round (Arrow kernels / pins / probes)
+    "dedup_minhash_lsh", "dedup_near_dup", "dedup_incremental",
+    "decontaminate_incremental", "decontaminate_train",
+    "split_leakage", "source_overlap", "lsh_recall_audit",
+    "lsh_recall_audit_oph", "lsh_tuning_table", "canonical_docs",
+    "k3_transfer_dedupe", "cdc_reconcile",
+    # r6-stale cohort, complete (last driver-sampled round 6)
+    "funnel_events", "incremental_snapshot", "market_basket",
+    "mixture_apply", "ohlc_bars", "pack_sequences",
+    "price_outliers_mad", "quality_mixture", "session_window_native",
+    "supplier_hhi", "term_stats", "time_decay_features",
+    "trigram_search", "vector_quality_report",
+    "video_fingerprint_dedup",
+    # r7-sampled, dedup-adjacent first
+    "passage_dedup", "dedup_containment", "dedup_exact_normalized",
+    "semantic_dedup", "contamination_check", "duplicate_spans",
+    "remove_dup_spans",
+    # r7-sampled, rest of this round's slice
+    "ann_recall_report", "budget_select", "c5_schema_asof",
+    "cdc_e2e_pipeline", "cluster_health", "cluster_sample",
+    "contrastive_pairs", "curation_audit", "embedding_clusters",
+    "event_path_trigrams", "event_transitions", "events_ewma",
+    "heavy_hitters",
+]
+assert len(_WINDOW_R11) == 50 and set(_WINDOW_R11) <= set(CATALOG)
 CATALOG = {
-    **{k: CATALOG[k] for k in _WINDOW_R10},
-    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R10},
+    **{k: CATALOG[k] for k in _WINDOW_R11},
+    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R11},
 }
 
 CATALOG = {k: (_fresh_entry(fn), sql) for k, (fn, sql) in CATALOG.items()}

@@ -749,14 +749,120 @@ def jaccard_verify(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 63) -> DataFrame:
+# Same dispatch story as MINHASH_IMPL / OPH_IMPL: the per-token
+# 63-way sign fold is interpreted (aggregate + zip_with lambdas), the
+# Arrow kernel vectorizes it (SCALE.md r11).
+SIMHASH_IMPL = "arrow"
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 63,
+    impl: str | None = None,
+) -> DataFrame:
+    """63-bit SimHash — canonical entry point; dispatches to the
+    Arrow kernel (`simhash_arrow`, default) or the expression form
+    (`simhash_expr`). Bit-identical either way (integer sign counts,
+    ties-to-zero on the > 0 test; asserted in tests)."""
+    impl = impl or SIMHASH_IMPL
+    fn = simhash_arrow if impl == "arrow" else simhash_expr
+    return fn(docs, text_col=text_col, id_col=id_col, bits=bits)
+
+
+def simhash_arrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 63,
+) -> DataFrame:
+    """`simhash_expr` in ONE Arrow `mapInPandas` pass: the md5 token
+    hashes stay JVM-side (string work never crosses into Python);
+    the kernel unpacks each 60-bit hash into a (tokens x bits) sign
+    matrix and segment-sums it per doc (`np.add.reduceat`) — the
+    63-expression-per-token interpreted fold becomes three
+    vectorized ops. Bit-identical: same sign counts, same count > 0
+    bit test, NULL text -> NULL simhash, empty token set -> 0."""
+    import numpy as np
+    import pandas as pd
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.transform(
+            word_set(F.col(text_col)), lambda w: md5_hash64(w, "sim")
+        ).alias("__sh"),
+    )
+    from pyspark.sql import types as T
+
+    id_field = base.schema.fields[0]
+    schema = T.StructType(
+        [id_field, T.StructField("simhash", T.LongType(), True)]
+    )
+
+    def compute(iterator):
+        import numpy as np
+
+        bitpos = np.arange(bits, dtype=np.int64)
+        pow2 = (np.int64(1) << bitpos).astype(np.int64)
+        max_tokens = 4 << 20  # 63-byte sign rows -> ~256 MB per chunk
+        for pdf in iterator:
+            n = len(pdf)
+            toks = [
+                np.asarray(t, dtype=np.int64)
+                if t is not None
+                else None
+                for t in pdf["__sh"]
+            ]
+            lens = np.fromiter(
+                (0 if t is None else t.size for t in toks),
+                dtype=np.int64,
+                count=n,
+            )
+            out = np.zeros(n, dtype=np.int64)
+            nonempty = np.flatnonzero(lens)
+            i = 0
+            while i < nonempty.size:
+                j = i
+                total = 0
+                while j < nonempty.size:
+                    nxt = total + lens[nonempty[j]]
+                    if j > i and nxt > max_tokens:
+                        break
+                    total = nxt
+                    j += 1
+                idx = nonempty[i:j]
+                flat = np.concatenate([toks[d] for d in idx])
+                sign = (
+                    ((flat[:, None] >> bitpos[None, :]) & 1) * 2 - 1
+                ).astype(np.int64)
+                starts = np.zeros(idx.size, dtype=np.int64)
+                np.cumsum(lens[idx][:-1], out=starts[1:])
+                counts = np.add.reduceat(sign, starts, axis=0)
+                out[idx] = ((counts > 0) * pow2[None, :]).sum(axis=1)
+                i = j
+            null_mask = np.array([t is None for t in toks])
+            cols = {id_field.name: pdf[id_field.name]}
+            cols["simhash"] = (
+                pd.array(np.where(null_mask, None, out), dtype="Int64")
+                if null_mask.any()
+                else out
+            )
+            yield pd.DataFrame(cols)
+
+    return base.mapInPandas(compute, schema)
+
+
+def simhash_expr(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 bits: int = 63) -> DataFrame:
     """63-bit SimHash, computed WITHOUT a shuffle.
 
     Per doc: fold the token array into a 63-long sign-count vector
     (`aggregate` + `zip_with`), then pack bits where the count is
-    positive. Linear in tokens, pure expressions, codegen'd — at
-    100 TB this is a map-only stage."""
+    positive. Linear in tokens, pure expressions — NOTE the fold is
+    an interpreted aggregate outside codegen; `simhash_arrow` is the
+    adopted default (see SIMHASH_IMPL). At 100 TB both are map-only
+    stages."""
     positions = F.sequence(F.lit(0), F.lit(bits - 1))
     # 2^b lookup (shiftleft takes a Python int, not a Column).
     pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])

@@ -1111,6 +1111,25 @@ def test_minhash_arrow_bit_identical_to_expression(spark, sf_dir):
     assert [tuple(r) for r in one] == [tuple(r) for r in two]
 
 
+def test_simhash_arrow_bit_identical_to_expression(spark):
+    """The Arrow SimHash kernel must equal the expression fold
+    bit-for-bit: same sign counts, same count > 0 bit test, NULL
+    text -> NULL simhash, and the dispatcher honors impl."""
+    from reader_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, None), (2, ""), (3, "x"),
+         (4, " ".join(f"t{i}" for i in range(700)))],
+        ["doc_id", "text"],
+    )
+    e = DD.simhash_expr(docs).orderBy("doc_id").collect()
+    a = DD.simhash_arrow(docs).orderBy("doc_id").collect()
+    assert [tuple(r) for r in e] == [tuple(r) for r in a]
+    d1 = DD.simhash(docs, impl="expr").orderBy("doc_id").collect()
+    d2 = DD.simhash(docs, impl="arrow").orderBy("doc_id").collect()
+    assert [tuple(r) for r in d1] == [tuple(r) for r in d2]
+
+
 def test_oph_build_records_density_and_falls_back_on_short_docs(
     spark, tmp_path
 ):

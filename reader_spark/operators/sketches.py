@@ -840,3 +840,99 @@ def quantile_drift_watch(
             )
 
     return body
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the seen-set membership gate as relational algebra
+
+
+BLOOM_WORD_BITS = 60  # shifts stay in [0, 59]: no sign-bit games in
+#                       either engine (DuckDB raises on 1::BIGINT<<63)
+
+
+def bloom_positions(c: Column, m_words: int, k_hashes: int) -> list[Column]:
+    """The k bit positions of a key in an m_words x 60-bit filter —
+    md5-derived with a per-hash salt (`kmv_hash` arithmetic), so the
+    DuckDB oracle reproduces every position exactly."""
+    m_bits = m_words * BLOOM_WORD_BITS
+    return [
+        kmv_hash(c, salt=f"bloom{i}") % m_bits for i in range(k_hashes)
+    ]
+
+
+def bloom_tiles(
+    df: DataFrame,
+    key_col: str,
+    m_words: int = 4096,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter as (word, bits) rows — only the non-zero
+    words materialize, so the artifact is <= min(m_words, n*k) rows
+    of two longs regardless of corpus size. This is the canonical
+    100 TB ingest gate (seen-URL / seen-doc-id screening): the naive
+    alternative is an anti-join against the full seen-set — a
+    corpus-sized shuffle per wave — while the filter is KB-MB scale,
+    broadcastable, and mergeable by word-wise OR.
+
+    Scale shape: one projection to (word, one-bit mask) rows (k rows
+    per key, map-only), one map-side-combinable bit_or groupBy on
+    the uniform word key. No distinct, no window, no skew (positions
+    are md5-uniform). False-positive rate is the standard
+    (1 - e^(-kn/m))^k; with the defaults and n = 50k keys it is
+    ~1e-6, and `bloom_probe` reports maybe-seen vs definitely-new so
+    the caller decides whether maybes get the exact re-check."""
+    pos = bloom_positions(F.col(key_col), m_words, k_hashes)
+    rows = df.select(
+        F.explode(F.array(*pos)).alias("p")
+    ).select(
+        (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("m"),
+    )
+    return rows.groupBy("word").agg(F.bit_or("m").alias("bits"))
+
+
+def bloom_merge(tiles: DataFrame) -> DataFrame:
+    """Merge any number of Bloom tile sets built with the SAME
+    (m_words, k_hashes): word-wise OR. Idempotent and commutative —
+    replaying a wave's tiles into the union changes nothing, which
+    is the crash-replay story for a maintained seen-set."""
+    return tiles.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    keys: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_words: int = 4096,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Membership verdict per probe key: `maybe_seen` iff ALL k bit
+    positions are set (the Bloom guarantee: definitely-new has zero
+    false negatives). One explode to k rows per key, one equi-join
+    against the word rows (broadcast when the filter fits — it
+    always does at sane m), one count-of-set-bits agg back to key
+    grain."""
+    pos = bloom_positions(F.col(key_col), m_words, k_hashes)
+    probes = keys.select(
+        F.col(key_col), F.explode(F.array(*pos)).alias("p")
+    ).select(
+        F.col(key_col),
+        (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("m"),
+    )
+    j = probes.join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0
+    ).cast("long")
+    return (
+        j.groupBy(key_col)
+        .agg(F.sum(hit).alias("_set"))
+        .select(
+            F.col(key_col),
+            (F.col("_set") == k_hashes).alias("maybe_seen"),
+        )
+    )

@@ -7439,6 +7439,68 @@ FROM per GROUP BY 1
 """
 
 
+def bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-set gate (operators/sketches.py
+    bloom_tiles/bloom_probe): build the filter over 90% of the
+    corpus's doc ids (the "already ingested" set), probe every id,
+    and report the membership-verdict census against ground truth.
+    The Bloom guarantee is asserted by value: n_false_negative MUST
+    be 0 (a definitely-new verdict is always safe to ingest), and
+    false positives are the priced, bounded cost of replacing a
+    corpus-sized anti-join with a KB-scale broadcast bitmap — the
+    canonical 100 TB dedup-at-ingest primitive. Fully relational
+    (md5 positions + bit_or words + bit-test join), so the oracle
+    reproduces every bit."""
+    from reader_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    seen = docs.filter(F.col("doc_id") % 10 != 0)
+    bloom = pin(SK.bloom_tiles(seen, "doc_id"))
+    v = SK.bloom_probe(docs, bloom, "doc_id")
+    truly_seen = F.col("doc_id") % 10 != 0
+    return v.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.count(F.when(F.col("maybe_seen"), 1)).alias("n_maybe_seen"),
+        F.count(F.when(~F.col("maybe_seen"), 1)).alias(
+            "n_definitely_new"
+        ),
+        F.count(
+            F.when(F.col("maybe_seen") & ~truly_seen, 1)
+        ).alias("n_false_positive"),
+        F.count(
+            F.when(~F.col("maybe_seen") & truly_seen, 1)
+        ).alias("n_false_negative"),
+    )
+
+
+BLOOM_SQL = """
+WITH spos AS (
+  SELECT ('0x'||substr(md5('bloom'||i::VARCHAR||':'||doc_id::VARCHAR),1,15))::BIGINT % 245760 AS p
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0), range(5) t(i)
+), words AS (
+  SELECT p // 60 AS word,
+         bit_or(1::BIGINT << (p % 60)::INT) AS bits
+  FROM spos GROUP BY 1
+), ppos AS (
+  SELECT doc_id,
+         ('0x'||substr(md5('bloom'||i::VARCHAR||':'||doc_id::VARCHAR),1,15))::BIGINT % 245760 AS p
+  FROM documents, range(5) t(i)
+), verdict AS (
+  SELECT d.doc_id,
+         (sum(CASE WHEN coalesce(w.bits, 0) & (1::BIGINT << (d.p % 60)::INT) != 0
+                   THEN 1 ELSE 0 END) = 5) AS maybe_seen
+  FROM ppos d LEFT JOIN words w ON w.word = d.p // 60
+  GROUP BY d.doc_id
+)
+SELECT count(*) AS n_probed,
+       count(*) FILTER (WHERE maybe_seen) AS n_maybe_seen,
+       count(*) FILTER (WHERE NOT maybe_seen) AS n_definitely_new,
+       count(*) FILTER (WHERE maybe_seen AND doc_id % 10 = 0) AS n_false_positive,
+       count(*) FILTER (WHERE NOT maybe_seen AND doc_id % 10 != 0) AS n_false_negative
+FROM verdict
+"""
+
+
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event type:
     keep the k = 64 smallest md5 hash values of the key; estimate =
@@ -9428,6 +9490,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "price_outliers_mad": (price_outliers_mad, PRICE_MAD_SQL),
     "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     "kmv_distinct": (kmv_distinct, KMV_SQL),
+    "bloom_seen_filter": (bloom_seen_filter, BLOOM_SQL),
     "source_overlap_kmv": (source_overlap_kmv, SOURCE_OVERLAP_KMV_SQL),
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
     "lpa_communities": (lpa_communities_q, LPA_SQL),
@@ -9766,6 +9829,7 @@ assert len(_WINDOW_R10) == 50 and set(_WINDOW_R10) <= set(CATALOG)
 _WINDOW_R11 = [
     # new this round (never driver-sampled)
     "dedup_degenerate_docs", "oph_density_report",
+    "bloom_seen_filter",
     # code paths changed this round (Arrow kernels / pins / probes)
     "dedup_minhash_lsh", "dedup_near_dup", "dedup_incremental",
     "decontaminate_incremental", "decontaminate_train",
@@ -9788,7 +9852,6 @@ _WINDOW_R11 = [
     "cdc_e2e_pipeline", "cluster_health", "cluster_sample",
     "contrastive_pairs", "curation_audit", "embedding_clusters",
     "event_path_trigrams", "event_transitions", "events_ewma",
-    "heavy_hitters",
 ]
 assert len(_WINDOW_R11) == 50 and set(_WINDOW_R11) <= set(CATALOG)
 CATALOG = {

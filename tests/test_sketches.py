@@ -554,3 +554,37 @@ def test_quantile_drift_watch_stream(spark, sf_dir, tmp_path):
     body(ev.limit(0), 2)
     assert [r for r in spark.read.parquet(log).collect()
             if r["batch"] == 2]
+
+
+def test_bloom_no_false_negatives_and_merge_equals_direct(spark):
+    """Bloom guarantees: (a) every inserted key probes maybe_seen
+    (zero false negatives — the property that makes definitely-new
+    safe to ingest); (b) word-wise OR merge of per-wave tiles equals
+    the directly-built filter bit-for-bit (mergeable seen-set); (c)
+    the merge is idempotent under replay; (d) unseen keys are mostly
+    definitely-new at the default sizing."""
+    from reader_spark.operators import sketches as SK
+
+    keys = spark.range(2000).select(F.col("id").alias("k"))
+    seen = keys.filter("k < 1500")
+
+    direct = SK.bloom_tiles(seen, "k")
+    # (a) zero false negatives
+    v = SK.bloom_probe(keys, direct, "k")
+    assert v.filter("k < 1500 AND NOT maybe_seen").count() == 0
+    # (d) at m=4096*60 bits / n=1500 keys the fp rate is ~0: the
+    # unseen half must be overwhelmingly definitely-new
+    fp = v.filter("k >= 1500 AND maybe_seen").count()
+    assert fp <= 2
+
+    # (b) wave-wise build + merge == direct build, bit for bit
+    w1 = SK.bloom_tiles(seen.filter("k < 700"), "k")
+    w2 = SK.bloom_tiles(seen.filter("k >= 700"), "k")
+    merged = SK.bloom_merge(w1.unionByName(w2))
+    got = {(r["word"], r["bits"]) for r in merged.collect()}
+    want = {(r["word"], r["bits"]) for r in direct.collect()}
+    assert got == want
+
+    # (c) replaying a wave into the union changes nothing
+    replay = SK.bloom_merge(w1.unionByName(w2).unionByName(w2))
+    assert {(r["word"], r["bits"]) for r in replay.collect()} == want

@@ -936,3 +936,117 @@ def bloom_probe(
             (F.col("_set") == k_hashes).alias("maybe_seen"),
         )
     )
+
+
+def bloom_write(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    m_words: int = 4096,
+    k_hashes: int = 5,
+) -> None:
+    """Materialize the seen-set filter behind an atomic pointer flip
+    (the stored side of a dedup-at-ingest gate). Geometry is pinned
+    in `_bloom.json` — positions are a function of (m_words,
+    k_hashes), so probing or updating with different values would be
+    silently meaningless (the `_params.json` lesson from the
+    near-dup index, applied at build time here)."""
+    import json
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    tiles = bloom_tiles(df, key_col, m_words, k_hashes)
+
+    def write_fn(vdir: str) -> None:
+        tiles.coalesce(1).write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_bloom.json"), "w") as f:
+            json.dump(
+                {"m_words": m_words, "k_hashes": k_hashes, "epoch": -1},
+                f,
+            )
+
+    atomic_dir.publish(path, write_fn)
+
+
+def bloom_read(spark, path: str) -> tuple[DataFrame, int, int]:
+    """(word-rows frame, m_words, k_hashes) — geometry resolved from
+    the pin, never trusted from a caller."""
+    import json
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    with open(os.path.join(root, "_bloom.json")) as f:
+        meta = json.load(f)
+    return (
+        spark.read.parquet(root),
+        int(meta["m_words"]),
+        int(meta["k_hashes"]),
+    )
+
+
+def bloom_update(
+    spark, path: str, batch: DataFrame, key_col: str,
+    epoch: int | None = None,
+) -> None:
+    """Fold a wave's keys into the stored filter: sketch the delta at
+    the PINNED geometry, word-wise OR with the stored rows, republish.
+    OR is idempotent, so a crash-replayed wave changes nothing; the
+    epoch marker still skips the wasted work (same contract as the
+    other sketch maintainers). update == rebuild bit-for-bit
+    (bloom_merge's property, asserted in tests)."""
+    import json
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    with open(os.path.join(root, "_bloom.json")) as f:
+        meta = json.load(f)
+    if epoch is not None and int(meta.get("epoch", -1)) >= epoch:
+        return
+    m_words, k_hashes = int(meta["m_words"]), int(meta["k_hashes"])
+    merged = bloom_merge(
+        spark.read.parquet(root).unionByName(
+            bloom_tiles(batch, key_col, m_words, k_hashes)
+        )
+    )
+
+    def write_fn(vdir: str) -> None:
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_bloom.json"), "w") as f:
+            json.dump(
+                {
+                    "m_words": m_words,
+                    "k_hashes": k_hashes,
+                    "epoch": epoch if epoch is not None
+                    else int(meta.get("epoch", -1)),
+                },
+                f,
+            )
+
+    atomic_dir.publish(path, write_fn)
+
+
+def bloom_maintainer(path: str, key_col: str = "doc_id"):
+    """`foreachBatch` body keeping a materialized seen-set filter
+    fresh from an ingest stream — the membership-gate member of the
+    maintainer family. Pair with `bloom_probe(wave,
+    *bloom_read(spark, path)[:1], ...)` upstream of the expensive
+    stages: definitely-new rows skip the exact dedup entirely.
+
+        docs.writeStream.foreachBatch(
+            bloom_maintainer(path, "doc_id")).start()
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bloom_update(
+            batch_df.sparkSession, path, batch_df, key_col,
+            epoch=batch_id,
+        )
+
+    return body

@@ -588,3 +588,37 @@ def test_bloom_no_false_negatives_and_merge_equals_direct(spark):
     # (c) replaying a wave into the union changes nothing
     replay = SK.bloom_merge(w1.unionByName(w2).unionByName(w2))
     assert {(r["word"], r["bits"]) for r in replay.collect()} == want
+
+
+def test_bloom_maintained_artifact_update_equals_rebuild(spark, tmp_path):
+    """The materialized filter: geometry pinned at write, update ==
+    from-scratch rebuild bit-for-bit (OR mergeability), replayed
+    epochs skip, and a probe through the stored artifact keeps the
+    zero-false-negative guarantee."""
+    from reader_spark.operators import sketches as SK
+
+    keys = spark.range(1200).select(F.col("id").alias("k"))
+    w1, w2 = keys.filter("k < 500"), keys.filter("k >= 500 AND k < 900")
+
+    path = str(tmp_path / "bloom")
+    SK.bloom_write(w1, path, "k", m_words=512, k_hashes=4)
+    SK.bloom_update(spark, path, w2, "k", epoch=1)
+
+    direct = SK.bloom_tiles(
+        keys.filter("k < 900"), "k", m_words=512, k_hashes=4
+    )
+    stored, m_words, k_hashes = SK.bloom_read(spark, path)
+    assert (m_words, k_hashes) == (512, 4)
+    got = {(r["word"], r["bits"]) for r in stored.collect()}
+    want = {(r["word"], r["bits"]) for r in direct.collect()}
+    assert got == want
+
+    # replayed epoch: a no-op (and the artifact stays identical)
+    SK.bloom_update(spark, path, w2, "k", epoch=1)
+    stored2, _, _ = SK.bloom_read(spark, path)
+    assert {(r["word"], r["bits"]) for r in stored2.collect()} == want
+
+    # probe through the artifact: no false negatives
+    v = SK.bloom_probe(keys, stored, "k", m_words=m_words,
+                       k_hashes=k_hashes)
+    assert v.filter("k < 900 AND NOT maybe_seen").count() == 0

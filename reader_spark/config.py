@@ -94,6 +94,17 @@ class CurateCfg:
     # benchmark index (neardup_index_write over the eval corpus)
     # BEFORE dedup/sharding — decontamination at ingest (r10)
     decontaminate_index: str = ""
+    # Bloom seen-set gate (r11): path to a materialized filter
+    # (sketches.bloom_write). Before the gates, probe each doc id
+    # and DROP maybe-seen docs (already-ingested waves); after the
+    # shard write, fold this wave's survivor ids back in, so the
+    # next run's probe sees them. First run creates the filter.
+    # The documented tradeoff: maybe-seen includes the filter's
+    # false positives (~(1-e^(-kn/m))^k, ~1e-6 at the default
+    # geometry for 50k keys) — the gate trades that bounded loss
+    # for screening waves with a KB-scale broadcast instead of a
+    # corpus-sized anti-join against every id ever ingested.
+    seen_index: str = ""
 
     def __post_init__(self) -> None:
         if self.dedup not in ("exact", "normalized", "minhash", "none"):

@@ -1043,6 +1043,33 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             return df.observe(obs, F.count(F.lit(1)).alias("n"))
 
         docs = gated(docs, "raw")
+        if cfg.seen_index:
+            # Bloom seen-set gate (r11): screen the wave against the
+            # materialized filter BEFORE any per-text work — already-
+            # ingested docs cost one broadcast join + bit test, never
+            # a quality score or a signature. First run: no filter
+            # yet, everything passes, the post-write update creates
+            # it. maybe_seen includes the filter's bounded false
+            # positives (geometry pinned in the artifact).
+            import os as _os
+
+            from reader_spark.operators import sketches as SK
+
+            if _os.path.isdir(cfg.seen_index):
+                stored, m_w, k_h = SK.bloom_read(spark, cfg.seen_index)
+                verdict = SK.bloom_probe(
+                    docs.select("doc_id"), stored, "doc_id",
+                    m_words=m_w, k_hashes=k_h,
+                )
+                docs = gated(
+                    docs.join(
+                        verdict.filter(~F.col("maybe_seen")).select(
+                            "doc_id"
+                        ),
+                        "doc_id",
+                    ),
+                    "seen",
+                )
         if cfg.lang:
             docs = gated(docs.filter(F.col("lang") == cfg.lang), "lang")
         if cfg.min_chars:
@@ -1223,6 +1250,44 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 "run_ts long, stage int, gate string, rows_after long",
             ).coalesce(1).write.mode("append").parquet(f"{out}/_gates")
             _JOB_OBS[table.name] = census[-1][3]
+        if cfg.seen_index:
+            # fold this wave's SURVIVOR ids into the seen-set so the
+            # next run's probe drops them at the gate. Ids come from
+            # a column-pruned read of the JUST-WRITTEN shards (never
+            # a second pass over the corpus plan); chunk ids map
+            # back to their parent doc via the documented
+            # doc_id // 1e6 scheme. OR-merge is idempotent, so a
+            # crashed-and-rerun wave re-folds the same bits; the
+            # first run creates the filter (geometry pinned in the
+            # artifact from then on).
+            import os as _os
+
+            from reader_spark.operators import sketches as SK
+
+            written = (
+                [f"{out}/{s_}" for s_ in ("train", "val", "test")]
+                if cfg.split
+                else [out]
+            )
+            ids = None
+            for w in written:
+                try:
+                    part = spark.read.parquet(w).select("doc_id")
+                except Exception:
+                    continue  # empty wave: no footers to read
+                ids = part if ids is None else ids.unionByName(part)
+            if ids is not None and cfg.chunk_width:
+                ids = ids.select(
+                    F.floor(F.col("doc_id") / 1_000_000)
+                    .cast("long")
+                    .alias("doc_id")
+                ).distinct()
+            if ids is None:
+                pass  # nothing shipped, nothing to fold in
+            elif _os.path.isdir(cfg.seen_index):
+                SK.bloom_update(spark, cfg.seen_index, ids, "doc_id")
+            else:
+                SK.bloom_write(ids, cfg.seen_index, "doc_id")
         # shard write materialized everything — drop the pinned
         # token-hash/signature frames before the next table
         from reader_spark.cache import release_pins

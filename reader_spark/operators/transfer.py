@@ -1018,12 +1018,19 @@ def write_training_shards(
         .parquet(out_dir)
     )
     spark = docs.sparkSession
-    manifest = (
-        spark.read.parquet(out_dir)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .collect()
-    )
+    try:
+        manifest = (
+            spark.read.parquet(out_dir)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .collect()
+        )
+    except Exception:
+        # an EMPTY wave (e.g. fully screened by the seen-set gate)
+        # writes a dir with no parquet footers — schema inference
+        # then raises. Zero shards is a legitimate result, not a
+        # failed job.
+        return {}
     return {int(r["shard"]): int(r["n_docs"]) for r in manifest}
 
 

@@ -2914,6 +2914,79 @@ curate:
     assert m["curate"]["rows"] == counts[2]
 
 
+def test_curate_seen_index_gate_two_waves(spark, tmp_path, sf_dir):
+    """curate: seen_index — the Bloom ingest gate end-to-end. Wave 1
+    creates the filter from its survivors; wave 2 (old corpus + new
+    docs) drops every previously-ingested doc at the gate (zero
+    false negatives means no old doc ever re-ships) and ingests only
+    the new ones; the census logs the seen stage; survivor ids come
+    from a column-pruned read of the written shards, never a second
+    corpus pass."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    bloom = str(tmp_path / "seen_bloom")
+
+    def cfg(src, out):
+        return f"""
+source:
+  kind: parquet
+  options: {{path: {src}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  dedup: none
+  n_shards: 2
+  seen_index: {bloom}
+"""
+
+    out1 = str(tmp_path / "wave1")
+    res1 = run_job(spark, load_settings(cfg(sf_dir, out1)))
+    n1 = int(res1["manifest:documents"])
+    assert n1 > 0
+    import os
+
+    assert os.path.isdir(bloom)  # first run created the filter
+
+    # wave 2: the same corpus plus 20 genuinely new docs
+    src2 = str(tmp_path / "src2")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = docs.limit(20).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    docs.unionByName(extra).write.parquet(f"{src2}/documents.parquet")
+
+    out2 = str(tmp_path / "wave2")
+    res2 = run_job(spark, load_settings(cfg(src2, out2)))
+    n2 = int(res2["manifest:documents"])
+    # only the new docs survive the gate (fp could drop a few new
+    # ones; false negatives CANNOT re-ship an old one)
+    assert 0 < n2 <= 20
+    shipped = {
+        r["doc_id"]
+        for r in spark.read.parquet(out2 + "/documents").select(
+            "doc_id"
+        ).collect()
+    }
+    assert all(d >= 50_000_000 for d in shipped)
+    # census logged the seen stage between raw and write
+    g = sorted(
+        spark.read.parquet(f"{out2}/documents/_gates").collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["gate"] for r in g] == ["raw", "seen", "write"]
+    # wave 2's survivors were folded in: a third run of wave 2's
+    # corpus ships nothing new
+    out3 = str(tmp_path / "wave3")
+    res3 = run_job(spark, load_settings(cfg(src2, out3)))
+    assert int(res3["manifest:documents"]) == 0
+
+
 def test_curate_gate_census_covers_chunk_and_split_writes(
     spark, tmp_path, sf_dir
 ):

@@ -932,3 +932,35 @@ def test_oph_signature_matches_reference_model(spark, docsets, k):
             delta = min((p - i) % k for p in mins)
             want.append(mins[(i + delta) % k] + delta * P)
         assert got[doc_id] == want, (doc_id, ws)
+
+
+@given(
+    docsets=st.lists(
+        st.lists(st.text("abcdef", min_size=1, max_size=4),
+                 min_size=0, max_size=30),
+        min_size=1, max_size=6,
+    ),
+    k=st.sampled_from([8, 16, 32]),
+)
+@SET
+def test_arrow_signature_kernels_equal_expression_forms(spark, docsets, k):
+    """The Arrow kernels (numpy mapInPandas) == the expression forms,
+    bit for bit, for arbitrary token sets including EMPTY docs (all
+    three must emit the same NULL/0 degenerate rows). One fixture
+    run can't cover chunk boundaries and mixed-empty batches; random
+    corpora can. (The OPH kernel is covered by the reference-model
+    property above, which runs through the dispatcher.)"""
+    from reader_spark.operators import dedup as DD
+
+    rows = [(i, " ".join(ws) if ws else None) for i, ws in enumerate(docsets)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh_e = DD.minhash_signature_expr(df, num_hashes=k).orderBy("doc_id")
+    mh_a = DD.minhash_signature_arrow(df, num_hashes=k).orderBy("doc_id")
+    assert [tuple(r) for r in mh_e.collect()] == [
+        tuple(r) for r in mh_a.collect()
+    ], docsets
+    sh_e = DD.simhash_expr(df).orderBy("doc_id")
+    sh_a = DD.simhash_arrow(df).orderBy("doc_id")
+    assert [tuple(r) for r in sh_e.collect()] == [
+        tuple(r) for r in sh_a.collect()
+    ], docsets

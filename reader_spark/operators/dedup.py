@@ -2547,8 +2547,20 @@ def lsh_tuning_report(
             .select("doc_a", "doc_b")
             .persist()
         )
-        rows = []
         spark = docs.sparkSession
+        # ONE action for the whole sweep: each config contributes a
+        # single-row aggregate (n_cand + n_hits in one pass over its
+        # candidate stream — the truth join is a left join, so both
+        # counts come off the same plan), and the rows union into
+        # one job. The previous per-config count() + semi-join
+        # count() shape paid 2 Spark jobs x 5 configs + 2 more for
+        # the totals — ~13 fixed-overhead jobs over a 64-doc sample,
+        # which WAS the query's cost (the sweep data is KB). The
+        # union's branches share only PERSISTED frames (base,
+        # truth), so the per-branch re-evaluation hazard that killed
+        # the r9 band melt does not apply.
+        marked = truth.withColumn("__t", F.lit(1))
+        parts = []
         for cfg in configs:
             # 2-tuples default to the classic scheme; 3-tuples name
             # it explicitly: (scheme, num_hashes, band_size)
@@ -2563,15 +2575,35 @@ def lsh_tuning_report(
             cand = lsh_candidate_pairs(
                 sigs, id_col=id_col, num_hashes=num_hashes,
                 band_size=band_size,
-            ).persist()
-            n_cand = cand.count()
-            n_hits = truth.join(
-                cand, ["doc_a", "doc_b"], "left_semi"
-            ).count()
-            cand.unpersist()
-            rows.append((scheme, num_hashes, band_size, n_cand, n_hits))
-        n_true = truth.count()
-        n_sample = base.count()
+            )
+            parts.append(
+                cand.join(marked, ["doc_a", "doc_b"], "left")
+                .agg(
+                    F.count(F.lit(1)).alias("n_cand"),
+                    F.count("__t").alias("n_hits"),
+                )
+                .select(
+                    F.lit(scheme).alias("scheme"),
+                    F.lit(num_hashes).alias("num_hashes"),
+                    F.lit(band_size).alias("band_size"),
+                    "n_cand",
+                    "n_hits",
+                )
+            )
+        sweep = parts[0]
+        for p in parts[1:]:
+            sweep = sweep.unionByName(p)
+        rows = [
+            (r["scheme"], r["num_hashes"], r["band_size"],
+             r["n_cand"], r["n_hits"])
+            for r in sweep.collect()
+        ]
+        totals = (
+            truth.agg(F.count(F.lit(1)).alias("n_true"))
+            .crossJoin(base.agg(F.count(F.lit(1)).alias("n_sample")))
+            .collect()[0]
+        )
+        n_true, n_sample = int(totals["n_true"]), int(totals["n_sample"])
         truth.unpersist()
         return spark.createDataFrame(
             [

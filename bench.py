@@ -36,7 +36,7 @@ V7_LEN = 104
 V8_LEN = 115
 V9_LEN = 119
 V10_LEN = 127
-V11_LEN = 132
+V11_LEN = 133
 
 HEADLINE = [
     "s1_snapshot_scan",
@@ -231,6 +231,7 @@ HEADLINE = [
     "dedup_degenerate_docs",
     "oph_density_report",
     "bloom_seen_filter",
+    "bloom_tuning_table",
 ]
 
 

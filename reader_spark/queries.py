@@ -7501,6 +7501,80 @@ FROM verdict
 """
 
 
+def bloom_tuning_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom geometry knob table — `lsh_tuning_table`'s pattern
+    applied to the seen-set gate: ONE row per m_words sweeping the
+    filter size at fixed k, with the MEASURED false-positive count
+    over the known-new probe set (ids the filter never saw). Small
+    m saturates (every probe collides), production m drives fp to
+    ~zero; choosing the size is reading a table, not rerunning
+    ingest. Integer-only outputs (counts, not float rates) so the
+    oracle compares exactly; the whole sweep is ONE Spark action
+    (per-geometry one-row aggregates unioned — the
+    lsh_tuning_report lesson)."""
+    from reader_spark.operators import sketches as SK
+
+    docs = pin(_t(spark, sf_dir, "documents").select("doc_id"))
+    seen = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    parts = []
+    for m_words in (16, 256, 4096):
+        bloom = SK.bloom_tiles(seen, "doc_id", m_words=m_words)
+        verdict = SK.bloom_probe(
+            new, bloom, "doc_id", m_words=m_words
+        )
+        parts.append(
+            verdict.agg(
+                F.count(F.lit(1)).alias("n_probed_new"),
+                F.count(F.when(F.col("maybe_seen"), 1)).alias(
+                    "n_false_positive"
+                ),
+            ).select(
+                F.lit(m_words).alias("m_words"),
+                F.lit(5).alias("k_hashes"),
+                "n_probed_new",
+                "n_false_positive",
+            )
+        )
+    sweep = parts[0]
+    for p in parts[1:]:
+        sweep = sweep.unionByName(p)
+    return sweep
+
+
+def _bloom_sweep_duck(m_words: int) -> str:
+    m_bits = m_words * 60
+    return f"""
+SELECT {m_words} AS m_words, 5 AS k_hashes,
+       count(*) AS n_probed_new,
+       count(*) FILTER (WHERE maybe_seen) AS n_false_positive
+FROM (
+  SELECT d.doc_id,
+         (sum(CASE WHEN coalesce(w.bits, 0)
+                        & (1::BIGINT << (d.p % 60)::INT) != 0
+                   THEN 1 ELSE 0 END) = 5) AS maybe_seen
+  FROM (
+    SELECT doc_id,
+           ('0x'||substr(md5('bloom'||i::VARCHAR||':'||doc_id::VARCHAR),1,15))::BIGINT % {m_bits} AS p
+    FROM documents, range(5) t(i) WHERE doc_id % 10 = 0
+  ) d
+  LEFT JOIN (
+    SELECT p // 60 AS word, bit_or(1::BIGINT << (p % 60)::INT) AS bits
+    FROM (
+      SELECT ('0x'||substr(md5('bloom'||i::VARCHAR||':'||doc_id::VARCHAR),1,15))::BIGINT % {m_bits} AS p
+      FROM documents, range(5) t(i) WHERE doc_id % 10 != 0
+    ) GROUP BY 1
+  ) w ON w.word = d.p // 60
+  GROUP BY d.doc_id
+) v
+"""
+
+
+BLOOM_TUNING_SQL = "\nUNION ALL\n".join(
+    _bloom_sweep_duck(m) for m in (16, 256, 4096)
+)
+
+
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event type:
     keep the k = 64 smallest md5 hash values of the key; estimate =
@@ -9491,6 +9565,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "knn_filtered": (knn_filtered, KNN_FILTERED_SQL),
     "kmv_distinct": (kmv_distinct, KMV_SQL),
     "bloom_seen_filter": (bloom_seen_filter, BLOOM_SQL),
+    "bloom_tuning_table": (bloom_tuning_table, BLOOM_TUNING_SQL),
     "source_overlap_kmv": (source_overlap_kmv, SOURCE_OVERLAP_KMV_SQL),
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
     "lpa_communities": (lpa_communities_q, LPA_SQL),
@@ -9829,7 +9904,7 @@ assert len(_WINDOW_R10) == 50 and set(_WINDOW_R10) <= set(CATALOG)
 _WINDOW_R11 = [
     # new this round (never driver-sampled)
     "dedup_degenerate_docs", "oph_density_report",
-    "bloom_seen_filter",
+    "bloom_seen_filter", "bloom_tuning_table",
     # code paths changed this round (Arrow kernels / pins / probes)
     "dedup_minhash_lsh", "dedup_near_dup", "dedup_incremental",
     "decontaminate_incremental", "decontaminate_train",
@@ -9846,7 +9921,6 @@ _WINDOW_R11 = [
     # r7-sampled, dedup-adjacent first
     "passage_dedup", "dedup_containment", "dedup_exact_normalized",
     "semantic_dedup", "contamination_check", "duplicate_spans",
-    "remove_dup_spans",
     # r7-sampled, rest of this round's slice
     "ann_recall_report", "budget_select", "c5_schema_asof",
     "cdc_e2e_pipeline", "cluster_health", "cluster_sample",

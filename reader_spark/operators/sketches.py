@@ -910,32 +910,52 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership verdict per probe key: `maybe_seen` iff ALL k bit
     positions are set (the Bloom guarantee: definitely-new has zero
-    false negatives). One explode to k rows per key, one equi-join
-    against the word rows (broadcast when the filter fits — it
-    always does at sane m), one count-of-set-bits agg back to key
-    grain."""
+    false negatives). ZERO-shuffle plan: k broadcast left joins of
+    the word rows (one per hash — the same KB-MB build side each
+    time, map-only stages) with the bit tests ANDed in a final
+    projection. The explode + groupBy-back-to-key alternative costs
+    one shuffle of k rows per probe key — at a 100 TB ingest wave
+    that's the wave's own shuffle paid just to re-assemble what was
+    never disassembled; the k-join form keeps the wave's
+    partitioning untouched end to end."""
+    from reader_spark.cache import pin
+
+    # one materialization of the word rows shared by all k joins —
+    # without it each join's build side re-runs the tiles plan
+    bloom = pin(bloom)
     pos = bloom_positions(F.col(key_col), m_words, k_hashes)
-    probes = keys.select(
-        F.col(key_col), F.explode(F.array(*pos)).alias("p")
-    ).select(
-        F.col(key_col),
-        (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word"),
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
-        ).alias("m"),
+    out = keys.select(
+        F.col(key_col), *[p.alias(f"__p{i}") for i, p in enumerate(pos)]
     )
-    j = probes.join(F.broadcast(bloom), "word", "left")
-    hit = (
-        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0
-    ).cast("long")
-    return (
-        j.groupBy(key_col)
-        .agg(F.sum(hit).alias("_set"))
-        .select(
-            F.col(key_col),
-            (F.col("_set") == k_hashes).alias("maybe_seen"),
+    proj = [F.col(key_col)]
+    for i in range(k_hashes):
+        proj.append(
+            (F.col(f"__p{i}") / BLOOM_WORD_BITS).cast("long").alias(f"__w{i}")
         )
-    )
+        proj.append(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(__p{i} % {BLOOM_WORD_BITS} AS INT))"
+            ).alias(f"__m{i}")
+        )
+    out = out.select(*proj)
+    hit = None
+    for i in range(k_hashes):
+        side = F.broadcast(
+            bloom.select(
+                F.col("word").alias(f"__w{i}"),
+                F.col("bits").alias(f"__b{i}"),
+            )
+        )
+        out = out.join(side, f"__w{i}", "left")
+        h = (
+            F.coalesce(F.col(f"__b{i}"), F.lit(0)).bitwiseAND(
+                F.col(f"__m{i}")
+            )
+            != 0
+        )
+        hit = h if hit is None else (hit & h)
+    return out.select(F.col(key_col), hit.alias("maybe_seen"))
 
 
 def bloom_write(

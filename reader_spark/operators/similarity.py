@@ -1668,7 +1668,115 @@ def pq_codebooks(
     ).select(F.col("e.s").alias("s"), "cw", F.col("e.c").alias("c"))
 
 
+# Same dispatch story as the dedup signature kernels: the per-
+# (piece, codeword) squared-L2 fold is interpreted, and the encode
+# fan-out (m x |codebook| evaluations per vector) is THE ingest-scan
+# cost of a PQ index at 100 TB. The Arrow kernel closes over the
+# collected codebook (m x C x sub doubles — KB, a bounded control-
+# plane read like the IVF centroid reads) and computes every
+# distance as vectorized numpy with a sequential cumsum, which is
+# bit-identical to the fold (products identical; (0.0 + x) == x; the
+# partial-sum order matches), so argmin-first == min(struct(d2, cw))
+# with ascending-cw codebooks and the DuckDB oracle never sees which
+# ran.
+PQ_ENCODE_IMPL = "arrow"
+
+
 def pq_encode(
+    vecs: DataFrame,
+    books: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    impl: str | None = None,
+) -> DataFrame:
+    """Encode each vector as `m` codeword ids — canonical entry
+    point; dispatches per PQ_ENCODE_IMPL (arrow kernel default,
+    expression form as `pq_encode_expr`, bit-identical)."""
+    impl = impl or PQ_ENCODE_IMPL
+    fn = pq_encode_arrow if impl == "arrow" else pq_encode_expr
+    return fn(vecs, books, m, dim, id_col=id_col, vec_col=vec_col)
+
+
+def pq_encode_arrow(
+    vecs: DataFrame,
+    books: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """`pq_encode_expr` as ONE Arrow `mapInPandas` pass over the
+    vectors: the codebook (tiny by construction) is collected once
+    driver-side and closed over; each batch computes the full
+    (n, C, sub) difference tensor per subspace in numpy, reduces it
+    with a sequential cumsum (bit-identical to the left fold), and
+    emits the (id, s, code) long rows directly — no explode, no
+    m x C-way join fan-out, no shuffle (the struct-min aggregate
+    disappears because the kernel sees all codewords at once).
+    Batches sub-chunk so the tensor stays ~256 MB."""
+    import numpy as np
+    import pandas as pd
+
+    sub = dim // m
+    rows = sorted(
+        ((int(r["s"]), int(r["cw"]), list(r["c"])) for r in books.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    cw_by_s: dict[int, list[int]] = {}
+    mat_by_s: dict[int, list[list[float]]] = {}
+    for s, cw, c in rows:
+        cw_by_s.setdefault(s, []).append(cw)
+        mat_by_s.setdefault(s, []).append(c)
+    cws = {s: np.asarray(v, dtype=np.int64) for s, v in cw_by_s.items()}
+    mats = {
+        s: np.asarray(v, dtype=np.float64) for s, v in mat_by_s.items()
+    }
+    base = vecs.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    from pyspark.sql import types as T
+
+    id_field = base.schema.fields[0]
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("s", T.IntegerType(), False),
+            T.StructField("code", T.LongType(), True),
+        ]
+    )
+    n_codes = max(len(v) for v in cw_by_s.values())
+    max_rows = max(1, (32 << 20) // max(1, n_codes * sub))
+
+    def compute(iterator):
+        for pdf in iterator:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            ids = pdf[id_field.name].to_numpy()
+            out_codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                B = mats[s]  # (C, sub)
+                Vs = V[:, s * sub : (s + 1) * sub]
+                for lo in range(0, n, max_rows):
+                    hi = min(n, lo + max_rows)
+                    diff = Vs[lo:hi, None, :] - B[None, :, :]
+                    d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                    out_codes[lo:hi, s] = cws[s][np.argmin(d2, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_field.name: np.repeat(ids, m),
+                    "s": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": out_codes.reshape(-1),
+                }
+            )
+
+    return base.mapInPandas(compute, schema)
+
+
+def pq_encode_expr(
     vecs: DataFrame,
     books: DataFrame,
     m: int,
@@ -1680,7 +1788,9 @@ def pq_encode(
     codeword with minimum squared L2 distance (ties to the smaller
     codeword id). One explode to (vec, subspace) rows, a broadcast
     join against the tiny codebook, and a struct-min aggregate —
-    map-side combinable, no window. Output: (id, s, code)."""
+    map-side combinable, no window. Output: (id, s, code). NOTE the
+    d2 fold is interpreted — `pq_encode_arrow` is the adopted
+    default (PQ_ENCODE_IMPL)."""
     sub = dim // m
     pieces = vecs.select(
         F.col(id_col),

@@ -1335,3 +1335,33 @@ def test_oph_signature_scheme(spark, tmp_path, sf_dir):
             for r in DD.neardup_edges(spark, full).collect()}
     assert got == want
     assert DD._nd_params(inc)["scheme"] == "oph"
+
+
+def test_pq_encode_arrow_bit_identical_to_expression(spark, sf_dir):
+    """The Arrow PQ encoder == the expression form row-for-row: same
+    squared-L2 partial-sum order (sequential cumsum == left fold),
+    same tie-to-smaller-codeword rule (argmin-first over
+    ascending-cw codebooks == min(struct(d2, cw)))."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import similarity as SI
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    m = 8
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.col("label").alias("cluster"),
+    )
+    books = SI.pq_codebooks(vecs, m, dim)
+    from reader_spark.cache import pin
+
+    books = pin(books)
+    e = SI.pq_encode_expr(vecs, books, m, dim).orderBy(
+        "vec_id", "s"
+    ).collect()
+    a = SI.pq_encode_arrow(vecs, books, m, dim).orderBy(
+        "vec_id", "s"
+    ).collect()
+    assert [tuple(r) for r in e] == [tuple(r) for r in a]

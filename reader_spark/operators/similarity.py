@@ -178,11 +178,70 @@ def label_seeded_centroids(
     )
 
 
+# nprobe=1 assignment implementation: "arrow" closes over the
+# collected centroid table (a handful of rows by construction) and
+# computes the distance matrix in numpy — bit-identical to the
+# expression path (sequential-cumsum dot == the left fold; the
+# (nv - 2*dot) + nc op order matches; argmin-first over ascending-cl
+# centroids == min(struct(dist, cl))) — replacing the broadcast
+# nested-loop x interpreted fold AND the groupBy-back-to-row shuffle
+# with one map-only pass. "expr" keeps the zero-Python plan.
+NEAREST_IMPL = "arrow"
+
+
+def _nearest_cluster_arrow(
+    side: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    """nprobe=1 cluster attach as ONE Arrow map-only pass: every
+    side column passes through untouched, `cl` is appended. No join,
+    no aggregate, no shuffle — the assignment is a pure projection
+    of the row against the closed-over centroid matrix."""
+    import numpy as np
+
+    rows = sorted(cents.collect(), key=lambda r: r["cl"])
+    CL = np.asarray([r["cl"] for r in rows], dtype=np.int64)
+    C = np.asarray([list(r["c"]) for r in rows], dtype=np.float64)
+    NC = np.asarray([r["nc"] for r in rows], dtype=np.float64)
+    n_c, dim = C.shape
+    cl_field = cents.schema["cl"]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(side.schema.fields)
+        + [T.StructField("cl", cl_field.dataType, True)]
+    )
+    max_rows = max(1, (32 << 20) // max(1, n_c * dim))
+
+    def compute(iterator):
+        for pdf in iterator:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            nv = pdf["nv"].to_numpy(dtype=np.float64)
+            cl = np.empty(n, dtype=np.int64)
+            for lo in range(0, n, max_rows):
+                hi = min(n, lo + max_rows)
+                dots = np.cumsum(
+                    V[lo:hi, None, :] * C[None, :, :], axis=2
+                )[:, :, -1]
+                dist = (nv[lo:hi, None] - 2.0 * dots) + NC[None, :]
+                cl[lo:hi] = CL[np.argmin(dist, axis=1)]
+            out = pdf.copy()
+            out["cl"] = cl
+            yield out
+
+    return side.mapInPandas(compute, schema)
+
+
 def nearest_clusters(
     side: DataFrame,
     cents: DataFrame,
     nprobe: int,
     id_col: str,
+    impl: str | None = None,
 ) -> DataFrame:
     """Attach each row's `nprobe` nearest centroids (squared-L2 argmin,
     ties broken by cluster id). Centroids are a handful of rows —
@@ -190,14 +249,17 @@ def nearest_clusters(
     ingest-time assignment job; its output column is what the big
     equi-join keys on.
 
-    nprobe=1 (the corpus-sized side) reduces via
-    `min(struct(dist, cl))` — lexicographic struct-min == ORDER BY
-    (dist, cl), and unlike a window it PARTIAL-aggregates map-side, so
+    nprobe=1 (the corpus-sized side) dispatches per NEAREST_IMPL:
+    the Arrow kernel (default — map-only, no shuffle at all) or the
+    expression reduce via `min(struct(dist, cl))` — lexicographic
+    struct-min == ORDER BY (dist, cl), PARTIAL-aggregated map-side so
     the exchange carries ~N pre-reduced rows instead of N x C scored
     rows. nprobe>1 keeps the window; it only ever runs on the tiny
     query side."""
     from pyspark.sql import Window as W
 
+    if nprobe == 1 and (impl or NEAREST_IMPL) == "arrow":
+        return _nearest_cluster_arrow(side, cents, id_col)
     dist = F.col("nv") - F.lit(2.0) * dot(F.col("vec"), F.col("c")) + F.col("nc")
     joined = side.join(F.broadcast(cents), F.lit(True)).withColumn("__dist", dist)
     passthrough = [c for c in side.columns if c != id_col]

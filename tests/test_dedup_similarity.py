@@ -1365,3 +1365,29 @@ def test_pq_encode_arrow_bit_identical_to_expression(spark, sf_dir):
         "vec_id", "s"
     ).collect()
     assert [tuple(r) for r in e] == [tuple(r) for r in a]
+
+
+def test_nearest_clusters_arrow_identical_to_expression(spark, sf_dir):
+    """The Arrow nprobe=1 assignment == the expression struct-min
+    path: same dot (sequential cumsum == left fold), same
+    (nv - 2*dot) + nc op order, argmin-first over ascending-cl
+    centroids == min(struct(dist, cl))."""
+    from reader_spark.cache import release_pins
+    from reader_spark.operators import similarity as SI
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    try:
+        arrow = sorted(
+            (r["vec_id"], r["cl"])
+            for r in SI.kmeans_assign(emb).collect()
+        )
+        release_pins()
+        SI.NEAREST_IMPL = "expr"
+        expr = sorted(
+            (r["vec_id"], r["cl"])
+            for r in SI.kmeans_assign(emb).collect()
+        )
+        assert arrow == expr
+    finally:
+        SI.NEAREST_IMPL = "arrow"
+        release_pins()

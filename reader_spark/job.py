@@ -771,9 +771,23 @@ def _run_checks(spark: SparkSession, settings: Settings) -> dict[str, str]:
 
         if os.path.isdir(log):
             try:
-                old_cols = set(spark.read.parquet(log).columns)
+                # mergeSchema: a dir that already MIXES wide and long
+                # files (an r10 run appended long rows into a legacy
+                # wide log) must be detected deterministically — a
+                # plain read samples ONE footer and would migrate or
+                # not depending on file listing order. The merged
+                # column set is the union, so any wide residue shows.
+                old_cols = set(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(log)
+                    .columns
+                )
             except Exception:
-                old_cols = set()
+                # unreadable even WITH mergeSchema (torn write, true
+                # type conflict): the history is already broken for
+                # every reader — archiving it aside is strictly
+                # better than appending more rows into it
+                old_cols = {"__unreadable__"}
             if old_cols and old_cols != {
                 "run_ts", "constraint", "kind", "value", "ok"
             }:
@@ -1007,6 +1021,28 @@ def _run_sketch_stream(
     return results
 
 
+def _bloom_ready(path: str) -> bool:
+    """True iff the seen-set filter at `path` is a COMPLETE artifact
+    (its resolved data root carries the `_bloom.json` geometry pin).
+    A crash during the very first bloom_write can leave the
+    directory existing but pointerless/pinless; a bare isdir check
+    would then wedge every later curate run at the gate — probing
+    readiness lets the rerun fall through to "no filter yet" (gate
+    passes everything, the post-write publish creates the artifact
+    properly; atomic_dir.publish handles the half-created dir)."""
+    import os
+
+    from reader_spark.operators import atomic_dir
+
+    if not os.path.isdir(path):
+        return False
+    try:
+        root = atomic_dir.resolve(path)
+    except Exception:
+        return False
+    return os.path.isfile(os.path.join(root, "_bloom.json"))
+
+
 def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
     """Curation job: gates -> dedup -> epoch-shuffled training shards.
 
@@ -1051,11 +1087,9 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
             # yet, everything passes, the post-write update creates
             # it. maybe_seen includes the filter's bounded false
             # positives (geometry pinned in the artifact).
-            import os as _os
-
             from reader_spark.operators import sketches as SK
 
-            if _os.path.isdir(cfg.seen_index):
+            if _bloom_ready(cfg.seen_index):
                 stored, m_w, k_h = SK.bloom_read(spark, cfg.seen_index)
                 verdict = SK.bloom_probe(
                     docs.select("doc_id"), stored, "doc_id",
@@ -1269,22 +1303,35 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
                 if cfg.split
                 else [out]
             )
+            from pyspark.errors import AnalysisException
+
             ids = None
             for w in written:
                 try:
                     part = spark.read.parquet(w).select("doc_id")
-                except Exception:
-                    continue  # empty wave: no footers to read
+                except AnalysisException as e:
+                    # ONLY the empty-wave shape (no footers to infer
+                    # a schema from) reads as "nothing shipped" —
+                    # any other failure must surface: swallowing it
+                    # would skip marking a WHOLE WAVE as seen and
+                    # the next run would re-ingest it wholesale.
+                    if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                        continue
+                    raise
                 ids = part if ids is None else ids.unionByName(part)
             if ids is not None and cfg.chunk_width:
+                # integer div: chunk ids are parent*1e6+ordinal in
+                # exact long arithmetic — float division would round
+                # at the 2^53 boundary and fold a NEIGHBORING parent
+                # id in (marking a never-ingested doc as seen)
                 ids = ids.select(
-                    F.floor(F.col("doc_id") / 1_000_000)
-                    .cast("long")
-                    .alias("doc_id")
+                    F.expr(
+                        "CAST(doc_id div 1000000 AS BIGINT) AS doc_id"
+                    )
                 ).distinct()
             if ids is None:
                 pass  # nothing shipped, nothing to fold in
-            elif _os.path.isdir(cfg.seen_index):
+            elif _bloom_ready(cfg.seen_index):
                 SK.bloom_update(spark, cfg.seen_index, ids, "doc_id")
             else:
                 SK.bloom_write(ids, cfg.seen_index, "doc_id")

@@ -270,7 +270,7 @@ def minhash_signature_arrow(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 128,
+    num_hashes: int = 8,
     hashes_col: str | None = None,
 ) -> DataFrame:
     """`minhash_signature` computed in ONE Arrow `mapInPandas` pass —
@@ -805,7 +805,10 @@ def simhash_arrow(
 
         bitpos = np.arange(bits, dtype=np.int64)
         pow2 = (np.int64(1) << bitpos).astype(np.int64)
-        max_tokens = 4 << 20  # 63-byte sign rows -> ~256 MB per chunk
+        # cap by CELLS like the other kernels: a sign row is `bits`
+        # int64s (504 B at bits=63, not 63 B) — the (tokens x bits)
+        # matrix stays ~256 MB per chunk
+        max_tokens = max(1, (32 << 20) // bits)
         for pdf in iterator:
             n = len(pdf)
             toks = [

@@ -199,6 +199,13 @@ def _nearest_cluster_arrow(
     import numpy as np
 
     rows = sorted(cents.collect(), key=lambda r: r["cl"])
+    if not rows:
+        # empty centroid frame: the expression path's cross join
+        # with an empty side returns an empty frame — reproduce
+        # that instead of crashing the (0,)-shape unpack below
+        return side.withColumn(
+            "cl", F.lit(None).cast(cents.schema["cl"].dataType)
+        ).limit(0)
     CL = np.asarray([r["cl"] for r in rows], dtype=np.int64)
     C = np.asarray([list(r["c"]) for r in rows], dtype=np.float64)
     NC = np.asarray([r["nc"] for r in rows], dtype=np.float64)

@@ -1018,6 +1018,8 @@ def write_training_shards(
         .parquet(out_dir)
     )
     spark = docs.sparkSession
+    from pyspark.errors import AnalysisException
+
     try:
         manifest = (
             spark.read.parquet(out_dir)
@@ -1025,12 +1027,17 @@ def write_training_shards(
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .collect()
         )
-    except Exception:
+    except AnalysisException as e:
         # an EMPTY wave (e.g. fully screened by the seen-set gate)
         # writes a dir with no parquet footers — schema inference
         # then raises. Zero shards is a legitimate result, not a
-        # failed job.
-        return {}
+        # failed job. ONLY that shape maps to {}: any other failure
+        # (permissions, a corrupt footer, lost executor) must
+        # surface — an empty manifest for a wave that DID ship would
+        # read downstream as "nothing written".
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return {}
+        raise
     return {int(r["shard"]): int(r["n_docs"]) for r in manifest}
 
 

@@ -3029,3 +3029,40 @@ curate:
     assert writes == by["chunk"] > 0
     for s in ("train", "val", "test"):
         assert by[f"write:{s}"] == int(res[f"manifest:documents/{s}"])
+
+
+def test_curate_seen_index_recovers_from_half_created_filter(
+    spark, tmp_path, sf_dir
+):
+    """A crash during the very FIRST bloom_write can leave the
+    seen_index directory existing but without a readable artifact
+    (no _bloom.json). The rerun must treat that as 'no filter yet'
+    (gate passes everything) and publish the artifact properly —
+    not wedge every later run at the gate."""
+    import os
+
+    from reader_spark.config import load_settings
+    from reader_spark.job import run_job
+
+    bloom = str(tmp_path / "torn_bloom")
+    os.makedirs(bloom)  # the torn first write: dir, no artifact
+    out = str(tmp_path / "wave")
+    cfg = f"""
+source:
+  kind: parquet
+  options: {{path: {sf_dir}}}
+  tables: [{{name: documents}}]
+destination:
+  kind: parquet
+  path: {out}
+curate:
+  dedup: none
+  n_shards: 2
+  seen_index: {bloom}
+"""
+    res = run_job(spark, load_settings(cfg))
+    assert int(res["manifest:documents"]) > 0  # nothing dropped
+    from reader_spark.operators import sketches as SK
+
+    stored, m_w, k_h = SK.bloom_read(spark, bloom)  # artifact healed
+    assert stored.count() > 0 and m_w > 0 and k_h > 0

@@ -485,14 +485,22 @@ def semdedup_prune(
     # scored feeds both sides of the dominance join AND the final
     # keep/drop join — pin it so the interpreted-fold k-means scoring
     # (the expensive stage) runs once, not three times (the
-    # budget_select pattern).
+    # budget_select pattern). ensure_parallelism BEFORE the pin: on a
+    # one-file input the assignment inherits the scan's single
+    # partition, and when the b-side broadcasts the quadratic
+    # per-cluster pair generation runs wherever the PROBE side's
+    # partitions are — serialized onto one core without the spread
+    # (the r11 `NEAREST_IMPL` flip regression: arrow 3.7 s vs expr
+    # 2.3 s at sf0.1, entirely this serialization).
     scored = pin(
-        SIM.kmeans_assign_scored(
-            emb,
-            n_iters=n_iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            seed_col=seed_col,
+        DD.ensure_parallelism(
+            SIM.kmeans_assign_scored(
+                emb,
+                n_iters=n_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                seed_col=seed_col,
+            )
         )
     )
     joinable = scored
@@ -507,7 +515,17 @@ def semdedup_prune(
             .drop("_csz")
         )
     a = joinable.alias("a")
-    b = DD.maybe_broadcast(joinable.alias("b"))
+    # decide the b-side hint from the MATERIALIZED size of the pinned
+    # frame, not the plan estimate — the estimate swings 17 orders of
+    # magnitude with the kernel dispatcher (see should_broadcast's
+    # hazard note), so the hint must not depend on which impl ran.
+    # joinable only ever filters scored, so scored's size is a sound
+    # upper bound for the build side.
+    b = (
+        F.broadcast(joinable.alias("b"))
+        if DD.should_broadcast_pinned(scored)
+        else joinable.alias("b")
+    )
     cos = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (
         F.sqrt(F.col("a.nv")) * F.sqrt(F.col("b.nv"))
     )

@@ -121,11 +121,54 @@ def should_broadcast(df: DataFrame, cap_bytes: int | None = None) -> bool:
     """The maybe_broadcast decision alone — use it when one shared
     frame feeds several join sides, so the optimizer's stats pass runs
     once instead of per side (it costs a driver-side optimization of
-    the whole plan)."""
+    the whole plan).
+
+    HAZARD (r11 semdedup regression): the pre-execution estimate is a
+    function of the PLAN, not the data — for the same frame it swings
+    orders of magnitude with the implementation (a `mapInPandas`
+    kernel reports ~actual bytes while an interpreted-lambda fold
+    inflates to absurd sizes), so a dispatcher default flip can
+    silently flip every downstream hint. For a frame that is already
+    `pin()`ed (the shared-self-join pattern), use
+    `should_broadcast_pinned` instead: it decides from the
+    materialized cache's REAL byte size and is impl-invariant."""
     cap = BROADCAST_BYTE_CAP if cap_bytes is None else cap_bytes
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - estimate unavailable
+        return False  # conservative: let AQE decide at runtime
+    return est <= cap
+
+
+def should_broadcast_pinned(
+    df: DataFrame, cap_bytes: int | None = None
+) -> bool:
+    """Broadcast decision for a PERSISTED frame, made from the
+    materialized cache's real size instead of Catalyst's pre-execution
+    estimate. `count()` forces materialization (a no-op if the cache
+    is already built — and a pinned frame is about to be consumed
+    multiple times anyway, so the work is never wasted), then a FRESH
+    plan over the same frame resolves through the CacheManager to the
+    InMemoryRelation, whose stats are the actual cached bytes. The
+    memoized QueryExecution on `df` itself would still report the
+    pre-execution estimate — hence the `select("*")`.
+
+    This closes the r11 `NEAREST_IMPL` regression class: the arrow
+    and expression forms of a kernel-fed frame estimate 1.4 MB vs
+    242 TB for the SAME data, so every estimate-gated hint downstream
+    of a dispatcher flips with the default; the materialized size is
+    identical either way (asserted in tests)."""
+    cap = BROADCAST_BYTE_CAP if cap_bytes is None else cap_bytes
+    try:
+        df.count()
+        est = int(
+            df.select("*")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
         )
     except Exception:  # pragma: no cover - estimate unavailable
         return False  # conservative: let AQE decide at runtime

@@ -193,9 +193,22 @@ def _nearest_cluster_arrow(
     side: DataFrame, cents: DataFrame, id_col: str
 ) -> DataFrame:
     """nprobe=1 cluster attach as ONE Arrow map-only pass: every
-    side column passes through untouched, `cl` is appended. No join,
+    side column passes through untouched, `cl` is attached. No join,
     no aggregate, no shuffle — the assignment is a pure projection
-    of the row against the closed-over centroid matrix."""
+    of the row against the closed-over centroid matrix.
+
+    Contract notes (vs the expression form, which groupBys on
+    `id_col`): this pass emits one output row PER INPUT ROW — callers
+    must feed unique ids (every in-repo caller does: the side is a
+    projected corpus keyed by its primary id; the expression form's
+    groupBy would silently collapse duplicates instead, so neither
+    path supports duplicate-id inputs by design). Output column
+    order is aligned to the expression form's (`id_col` first, then
+    passthrough, then `cl`) via a final projection, so positional
+    consumers see one shape regardless of NEAREST_IMPL. `cents` is
+    collect()ed at PLAN-CONSTRUCTION time — a bounded control-plane
+    read (K centroid rows by construction), same class as the IVF
+    directory reads."""
     import numpy as np
 
     rows = sorted(cents.collect(), key=lambda r: r["cl"])
@@ -240,7 +253,10 @@ def _nearest_cluster_arrow(
             out["cl"] = cl
             yield out
 
-    return side.mapInPandas(compute, schema)
+    passthrough = [c for c in side.columns if c != id_col]
+    return side.mapInPandas(compute, schema).select(
+        id_col, *passthrough, "cl"
+    )
 
 
 def nearest_clusters(
@@ -262,7 +278,10 @@ def nearest_clusters(
     struct-min == ORDER BY (dist, cl), PARTIAL-aggregated map-side so
     the exchange carries ~N pre-reduced rows instead of N x C scored
     rows. nprobe>1 keeps the window; it only ever runs on the tiny
-    query side."""
+    query side. For nprobe=1, `side` rows must be unique on `id_col`
+    (the arrow kernel passes rows through 1:1 where the expression
+    form's groupBy would collapse duplicates); both paths emit
+    `id_col` first, then the passthrough columns, then `cl`."""
     from pyspark.sql import Window as W
 
     if nprobe == 1 and (impl or NEAREST_IMPL) == "arrow":

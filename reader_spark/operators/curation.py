@@ -138,6 +138,10 @@ def ngram_contamination(
             .select("doc_id", DD.md5_hash64(F.col("g"), "cg").alias("gh"))
         )
 
+    # broadcast-gate audit (r12): bench_set is a distinct over md5
+    # expressions (no kernel dispatcher upstream — estimate stable),
+    # and the probe side is ensure_parallelism'd in sh(); a missed
+    # broadcast degrades to a shuffle join, never a serialization.
     bench_set = DD.maybe_broadcast(
         sh(benchmark).select("gh").distinct().withColumn("hit", F.lit(1))
     )
@@ -341,6 +345,58 @@ def reservoir_sample(
 # semantic (embedding) dedup
 
 
+# Occupancy-cap defaults for the quadratic-in-group-size dominance
+# joins (semantic_dedup buckets, semdedup_prune clusters): a group of
+# k members emits O(k^2) candidate pairs, and embedding-space
+# boilerplate (near-identical template documents) concentrates into
+# ONE group on a real crawl — unguarded, a single mega-group makes
+# the pair list quadratic in its occupancy. "auto" caps at
+# FACTOR x mean occupancy (integer arithmetic, oracle-reproducible),
+# floored so healthy small corpora never trip it.
+SKEW_CAP_FLOOR = 256
+SKEW_CAP_FACTOR = 10
+
+
+def _occupancy_cap(
+    vecs: DataFrame, key: str, max_param
+) -> tuple[DataFrame, DataFrame]:
+    """(joinable, capped_keys) for a group-occupancy skew guard.
+
+    `max_param`: "auto" — cap = greatest(SKEW_CAP_FLOOR,
+    SKEW_CAP_FACTOR * total DIV n_groups), all integer so the DuckDB
+    oracle lands on the same boundary; an int — literal cap; None —
+    no cap (explicit opt-out, capped_keys empty).
+
+    Plan shape: one map-side-combinable groupBy to the K-row size
+    table, the cap as a 1-row broadcast scalar, and a broadcast ANTI
+    join of the corpus against the (tiny) capped-key list — the
+    corpus is never shuffled or windowed for the guard. Members of
+    capped groups PASS THROUGH kept (callers attach `is_capped` from
+    capped_keys so the pass-through is observable); boilerplate
+    mega-groups belong to exact/MinHash dedup upstream."""
+    if max_param is None:
+        capped = vecs.select(key).limit(0)
+        return vecs, capped
+    sizes = vecs.groupBy(key).agg(F.count("*").alias("_ksz"))
+    if max_param == "auto":
+        cap = sizes.agg(
+            F.greatest(
+                F.lit(SKEW_CAP_FLOOR).cast("long"),
+                F.expr(f"{SKEW_CAP_FACTOR} * sum(_ksz) DIV count(1)"),
+            ).alias("_cap")
+        )
+        capped = (
+            sizes.crossJoin(F.broadcast(cap))
+            .filter(F.col("_ksz") > F.col("_cap"))
+            .select(key)
+        )
+    else:
+        capped = sizes.filter(
+            F.col("_ksz") > F.lit(int(max_param))
+        ).select(key)
+    return vecs.join(F.broadcast(capped), key, "anti"), capped
+
+
 def hyperplane(p: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane p: each component is an
     md5-derived integer in [-1000, 1000] scaled to [-1, 1]. Inlined
@@ -370,7 +426,7 @@ def semantic_dedup(
     threshold: float = 0.2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_bucket: int | None = None,
+    max_bucket="auto",
 ) -> DataFrame:
     """SemDeDup-shaped embedding dedup with a deterministic quantizer.
 
@@ -381,16 +437,17 @@ def semantic_dedup(
     is an equi-join on the bucket key — never all-pairs; raising
     n_planes shrinks buckets for denser corpora.
 
-    max_bucket — the hot-bucket skew guard (same contract as
-    skewed_lsh in dedup.py): a bucket of k members emits O(k^2)
-    candidate pairs, and embedding-space boilerplate (near-identical
-    template documents) concentrates in one bucket. With the guard
-    on, buckets larger than `max_bucket` are excluded from the
-    dominance self-join BEFORE it runs (one COUNT window over the
-    bucket key — a single shuffle), and their members pass through
-    kept. Documented recall tradeoff: boilerplate clusters are better
-    handled by exact/MinHash dedup upstream; this operator then never
-    builds their quadratic pair list.
+    max_bucket — the hot-bucket skew guard (`_occupancy_cap`),
+    DEFAULT-ON since r12 at "auto" (SKEW_CAP_FACTOR x mean occupancy,
+    floored at SKEW_CAP_FLOOR): buckets above the cap are excluded
+    from the dominance self-join BEFORE it runs and their members
+    pass through kept with `is_capped = 1` — observable, and the
+    quadratic pair list of a boilerplate mega-bucket is never built.
+    Pass an int to pin the cap, None to opt out. Documented recall
+    tradeoff: boilerplate clusters are better handled by exact /
+    MinHash dedup upstream.
+
+    Output: (id_col, bucket, is_kept, is_capped).
     """
     planes = [hyperplane(p, dim) for p in range(n_planes)]
     vecs = DD.ensure_parallelism(
@@ -409,18 +466,14 @@ def semantic_dedup(
     # this plan's 8x64 literal hyperplanes would tax every subsequent
     # query's planning via cache-manager plan matching. In a job
     # script, persist + unpersist around the action instead.
-    joinable = vecs
-    if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        joinable = (
-            vecs.withColumn(
-                "_bsz", F.count("*").over(W.partitionBy("bucket"))
-            )
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
+    joinable, capped = _occupancy_cap(vecs, "bucket", max_bucket)
     a = joinable.alias("a")
+    # broadcast-gate audit (r12): joinable is deliberately unpinned
+    # (see note above) so the pinned-stats decision is unavailable;
+    # the lsh_bucket literal-plane folds inflate the estimate, which
+    # keeps this a shuffle equi-join on `bucket` today. If lsh_bucket
+    # is ever kernelized, re-audit: the probe side is already spread
+    # (ensure_parallelism above), so a flipped hint stays parallel.
     b = DD.maybe_broadcast(joinable.alias("b"))
     cos = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -436,12 +489,18 @@ def semantic_dedup(
     dropped = cand.filter(F.col("cs") >= threshold).select("vid").distinct()
     return (
         vecs.join(dropped.withColumn("dropped", F.lit(1)), "vid", "left")
+        .join(
+            F.broadcast(capped.withColumn("__capped", F.lit(1))),
+            "bucket",
+            "left",
+        )
         .select(
             F.col("vid").alias(id_col),
             "bucket",
             F.when(F.col("dropped").isNull(), F.lit(1))
             .otherwise(F.lit(0))
             .alias("is_kept"),
+            F.coalesce(F.col("__capped"), F.lit(0)).alias("is_capped"),
         )
     )
 
@@ -453,7 +512,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_col: str = "label",
-    max_cluster: int | None = None,
+    max_cluster="auto",
 ) -> DataFrame:
     """SemDeDup proper (Abbas et al. 2023, arXiv:2303.09540): k-means
     the embedding space, then within each cluster drop every member
@@ -476,10 +535,15 @@ def semdedup_prune(
     holding n/K — and the per-cluster O((n/K)^2) dominance join —
     flat; the join is an equi-join on the cluster key, never
     all-pairs across clusters. `max_cluster` is the same
-    by-construction skew guard as `semantic_dedup.max_bucket`:
-    clusters above the cap pass through kept and never build a
-    quadratic pair list (boilerplate mega-clusters belong to exact /
-    MinHash dedup upstream)."""
+    by-construction skew guard as `semantic_dedup.max_bucket`
+    (`_occupancy_cap`), DEFAULT-ON since r12 at "auto": clusters
+    above SKEW_CAP_FACTOR x mean occupancy (floored at
+    SKEW_CAP_FLOOR) pass through kept with `is_capped = 1` and never
+    build a quadratic pair list (boilerplate mega-clusters belong to
+    exact / MinHash dedup upstream). Pass an int to pin the cap,
+    None to opt out.
+
+    Output: (id_col, cluster_id, is_kept, is_capped)."""
     from reader_spark.cache import pin
 
     # scored feeds both sides of the dominance join AND the final
@@ -503,17 +567,7 @@ def semdedup_prune(
             )
         )
     )
-    joinable = scored
-    if max_cluster is not None:
-        from pyspark.sql import Window as W
-
-        joinable = (
-            scored.withColumn(
-                "_csz", F.count("*").over(W.partitionBy("cl"))
-            )
-            .filter(F.col("_csz") <= max_cluster)
-            .drop("_csz")
-        )
+    joinable, capped = _occupancy_cap(scored, "cl", max_cluster)
     a = joinable.alias("a")
     # decide the b-side hint from the MATERIALIZED size of the pinned
     # frame, not the plan estimate — the estimate swings 17 orders of
@@ -548,12 +602,18 @@ def semdedup_prune(
             scored[id_col] == dropped["__vid"],
             "left",
         )
+        .join(
+            F.broadcast(capped.withColumn("__capped", F.lit(1))),
+            "cl",
+            "left",
+        )
         .select(
             F.col(id_col),
             F.col("cl").alias("cluster_id"),
             F.when(F.col("__drop").isNull(), F.lit(1))
             .otherwise(F.lit(0))
             .alias("is_kept"),
+            F.coalesce(F.col("__capped"), F.lit(0)).alias("is_capped"),
         )
     )
 

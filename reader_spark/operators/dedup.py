@@ -664,6 +664,12 @@ def lsh_candidate_pairs(
     if n_bands > 4:
         bands = md5_band_rows(sigs, num_hashes, band_size, id_col)
         a2 = bands.alias("a")
+        # broadcast-gate audit (r12): bands derives from the arrow
+        # MINHASH kernel, whose estimate is ~real bytes (vs the expr
+        # form's inflation) — the hint may flip with the dispatcher,
+        # but the probe side is ensure_parallelism'd at token_hashes,
+        # so either decision executes parallel; the byte cap still
+        # bounds driver memory.
         b2 = maybe_broadcast(bands.alias("b"), broadcast_cap)
         return (
             a2.join(
@@ -679,6 +685,8 @@ def lsh_candidate_pairs(
             .distinct()
         )
     a = sigs.alias("a")
+    # broadcast-gate audit (r12): same note as the banded branch —
+    # kernel-fed estimate, parallel probe side, capped build side.
     b = maybe_broadcast(sigs.alias("b"), broadcast_cap)
     out = None
     for band in range(n_bands):
@@ -975,6 +983,9 @@ def simhash_candidate_pairs(
         return c.bitwiseAND(F.lit((1 << widths[band]) - 1))
 
     a = sh.alias("a")
+    # broadcast-gate audit (r12): sh is kernel-fed (SIMHASH_IMPL) but
+    # the probe side is ensure_parallelism'd inside both simhash
+    # impls — an impl-flipped hint cannot serialize the band joins.
     b = maybe_broadcast(sh.alias("b"), broadcast_cap)
     hamming = F.bit_count(
         F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
@@ -1402,6 +1413,9 @@ def incremental_dedup_filter(
     otherwise; never a cartesian."""
     bands = md5_band_rows(incoming_sigs, num_hashes, band_size, id_col)
     hits = (
+        # broadcast-gate audit (r12): index is a parquet read —
+        # file-size estimate, impl-invariant; probe side is banded
+        # incoming sigs (parallel via token_hashes).
         bands.join(maybe_broadcast(index), ["band_id", "band_key"], "semi")
         .select(id_col)
         .distinct()

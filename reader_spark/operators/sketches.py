@@ -860,6 +860,57 @@ def bloom_positions(c: Column, m_words: int, k_hashes: int) -> list[Column]:
     ]
 
 
+def _bits_per_key_micro(target_fp: float) -> int:
+    """-ln(p)/ln(2)^2 as a micro-scaled integer literal. Fixing the
+    float math HERE (driver-side python, once) means the geometry
+    arithmetic downstream is pure integer — reproducible verbatim in
+    SQL with the same interpolated constant, never a cross-engine
+    ulp away from a different ceil."""
+    import math
+
+    # 3% over the optimum: k is rounded to an integer, which alone
+    # can leave the realized fp a hair past the budget at the exact
+    # optimum; the margin keeps the guarantee strict (fp shrinks
+    # ~2^(-0.03 * bits-per-key * ln 2) ~= 0.66x at 1e-6).
+    return math.ceil(
+        -math.log(target_fp) / (math.log(2.0) ** 2) * 1.03 * 1_000_000
+    )
+
+
+def bloom_geometry(
+    n_keys: int, target_fp: float = 1e-6
+) -> tuple[int, int]:
+    """Optimal Bloom geometry for `n_keys` at `target_fp`:
+    m_bits = ceil(n * -ln(p)/ln(2)^2) via integer-scaled arithmetic
+    ((n*micro + 999_999) DIV 1_000_000), k = round(ln(2) *
+    bits-per-key) — the standard optimum, where the per-probe fp is
+    (1 - e^(-kn/m))^k ~= 2^(-m/n * ln 2). At 1e-6 that is ~28.76
+    bits (3.6 bytes) per key and k = 20 — a 10^9-key seen-set gate
+    is ~3.6 GB of word rows, still a broadcastable artifact."""
+    import math
+
+    n = max(1, int(n_keys))
+    micro = _bits_per_key_micro(target_fp)
+    m_bits = (n * micro + 999_999) // 1_000_000
+    m_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    k_hashes = max(1, round(math.log(2.0) * micro / 1_000_000))
+    return m_words, k_hashes
+
+
+def bloom_fp_rate(n_keys: int, m_words: int, k_hashes: int) -> float:
+    """Expected false-positive rate of an m_words x 60-bit filter
+    holding n_keys: (1 - e^(-kn/m))^k. Operational estimate (load
+    monitoring), never part of an oracle comparison."""
+    import math
+
+    m_bits = m_words * BLOOM_WORD_BITS
+    if m_bits <= 0 or k_hashes <= 0:
+        return 1.0
+    return (
+        1.0 - math.exp(-k_hashes * max(0, n_keys) / m_bits)
+    ) ** k_hashes
+
+
 def bloom_tiles(
     df: DataFrame,
     key_col: str,
@@ -955,26 +1006,65 @@ def bloom_probe(
             != 0
         )
         hit = h if hit is None else (hit & h)
-    return out.select(F.col(key_col), hit.alias("maybe_seen"))
+    # NULL keys: every position is NULL, every bit test NULL — the
+    # raw AND would verdict NULL and a `~maybe_seen` gate would
+    # silently drop the row. A filter never SAW a NULL key (kmv_hash
+    # propagates NULL at build too), so the honest verdict is
+    # definitely-new: coalesce to false and let the row flow to the
+    # downstream gates.
+    return out.select(
+        F.col(key_col),
+        F.coalesce(hit, F.lit(False)).alias("maybe_seen"),
+    )
+
+
+BLOOM_AUTOSIZE_HEADROOM = 8  # a maintained filter keeps absorbing
+#  waves after the first; sizing the first write for 8x its observed
+#  keys costs 8 x 3.6 bytes/key at 1e-6 and defers the refit warning
+#  by ~3 wave-doublings
 
 
 def bloom_write(
     df: DataFrame,
     path: str,
     key_col: str,
-    m_words: int = 4096,
-    k_hashes: int = 5,
+    m_words: int | None = None,
+    k_hashes: int | None = None,
+    target_fp: float = 1e-6,
+    expected_keys: int | None = None,
 ) -> None:
     """Materialize the seen-set filter behind an atomic pointer flip
     (the stored side of a dedup-at-ingest gate). Geometry is pinned
     in `_bloom.json` — positions are a function of (m_words,
     k_hashes), so probing or updating with different values would be
     silently meaningless (the `_params.json` lesson from the
-    near-dup index, applied at build time here)."""
+    near-dup index, applied at build time here).
+
+    Geometry default (r12): when m_words is omitted it is DERIVED —
+    `bloom_geometry` at `target_fp` over `expected_keys` (or, when
+    that is omitted too, the wave's observed distinct key count x
+    BLOOM_AUTOSIZE_HEADROOM, one count over the wave at write time).
+    The pre-r12 fixed 4096x5 default saturated silently past ~50k
+    keys; callers with a known corpus size pass `expected_keys`,
+    everyone else gets a filter sized to what the first wave actually
+    carried. `bloom_update` re-estimates load from the stored bits
+    and warns when the fp budget (also pinned) is crossed."""
     import json
     import os
 
     from reader_spark.operators import atomic_dir
+
+    if m_words is None:
+        n = expected_keys
+        if n is None:
+            observed = df.select(key_col).distinct().count()
+            n = max(1, observed) * BLOOM_AUTOSIZE_HEADROOM
+        auto_m, auto_k = bloom_geometry(n, target_fp)
+        m_words = auto_m
+        if k_hashes is None:
+            k_hashes = auto_k
+    elif k_hashes is None:
+        k_hashes = 5  # the pre-r12 pinned default for explicit sizes
 
     tiles = bloom_tiles(df, key_col, m_words, k_hashes)
 
@@ -982,7 +1072,12 @@ def bloom_write(
         tiles.coalesce(1).write.mode("overwrite").parquet(vdir)
         with open(os.path.join(vdir, "_bloom.json"), "w") as f:
             json.dump(
-                {"m_words": m_words, "k_hashes": k_hashes, "epoch": -1},
+                {
+                    "m_words": m_words,
+                    "k_hashes": k_hashes,
+                    "target_fp": target_fp,
+                    "epoch": -1,
+                },
                 f,
             )
 
@@ -1041,6 +1136,7 @@ def bloom_update(
                 {
                     "m_words": m_words,
                     "k_hashes": k_hashes,
+                    "target_fp": meta.get("target_fp", 1e-6),
                     "epoch": epoch if epoch is not None
                     else int(meta.get("epoch", -1)),
                 },
@@ -1048,14 +1144,59 @@ def bloom_update(
             )
 
     atomic_dir.publish(path, write_fn)
+    _bloom_load_warn(spark, path)
+
+
+def _bloom_load_warn(spark, path: str) -> None:
+    """Post-update load audit: the per-probe fp of a Bloom filter is
+    exactly (set-bit fraction)^k in expectation, so one bit_count
+    aggregate over the <= m_words stored rows (KB-scale, no corpus
+    touch) measures the REAL load — no inserted-key ledger needed,
+    which also makes the audit free for legacy artifacts. Warns (does
+    not fail: the zero-false-negative guarantee is load-independent)
+    when the measured fp crosses the pinned budget — the refit signal
+    for the maintained seen-set gate."""
+    import json
+    import os
+    import warnings
+
+    from reader_spark.operators import atomic_dir
+
+    root = atomic_dir.resolve(path)
+    with open(os.path.join(root, "_bloom.json")) as f:
+        meta = json.load(f)
+    m_words, k_hashes = int(meta["m_words"]), int(meta["k_hashes"])
+    target = float(meta.get("target_fp", 1e-6))
+    set_bits = (
+        spark.read.parquet(root)
+        .agg(F.sum(F.bit_count(F.col("bits"))))
+        .collect()[0][0]
+        or 0
+    )
+    fill = set_bits / float(m_words * BLOOM_WORD_BITS)
+    est_fp = fill**k_hashes
+    if est_fp > target:
+        warnings.warn(
+            f"bloom filter at {path} is over its fp budget: "
+            f"fill={fill:.3f}, estimated fp={est_fp:.2e} > "
+            f"target {target:.0e} (m_words={m_words}, k={k_hashes}) "
+            f"— rebuild with bloom_write (autosizes from current "
+            f"keys) or route maybes through the exact re-check",
+            stacklevel=2,
+        )
 
 
 def bloom_maintainer(path: str, key_col: str = "doc_id"):
     """`foreachBatch` body keeping a materialized seen-set filter
     fresh from an ingest stream — the membership-gate member of the
-    maintainer family. Pair with `bloom_probe(wave,
-    *bloom_read(spark, path)[:1], ...)` upstream of the expensive
-    stages: definitely-new rows skip the exact dedup entirely.
+    maintainer family. Pair with a probe at the STORED geometry
+    upstream of the expensive stages (definitely-new rows skip the
+    exact dedup entirely) — geometry always comes from the artifact
+    pin, never from caller defaults:
+
+        stored, m_w, k_h = bloom_read(spark, path)
+        verdict = bloom_probe(wave, stored, "doc_id",
+                              m_words=m_w, k_hashes=k_h)
 
         docs.writeStream.foreachBatch(
             bloom_maintainer(path, "doc_id")).start()

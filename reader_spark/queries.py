@@ -841,7 +841,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("nrm", F.sqrt(SIM.dot(F.col("vec"), F.col("vec"))))
     )
     a = vecs.alias("a")
-    b = DD.maybe_broadcast(vecs.alias("b"))
+    # pinned self-join: decide the hint from the materialized cache
+    # size (impl-invariant), not the interpreted-fold-inflated plan
+    # estimate — the r12 should_broadcast_pinned pattern. The probe
+    # side is spread above, so a broadcast build never serializes
+    # the pair stage.
+    b = (
+        F.broadcast(vecs.alias("b"))
+        if DD.should_broadcast_pinned(vecs)
+        else vecs.alias("b")
+    )
     sim = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
         a.join(
@@ -3702,14 +3711,22 @@ SEMANTIC_DEDUP_SQL = (
     )
     + ")::BIGINT AS bucket,\n"
     + f"    sqrt({_sem_dot_sql('e', 'e')}) AS nrm\n  FROM v\n),\n"
+    + "bsz AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY bucket),\n"
+    + f"cap AS (SELECT greatest({CU.SKEW_CAP_FLOOR}, "
+    + f"{CU.SKEW_CAP_FACTOR} * sum(n) // count(*)) AS c FROM bsz),\n"
+    + "capped AS (SELECT bsz.bucket FROM bsz, cap WHERE bsz.n > cap.c),\n"
+    + "j AS (SELECT * FROM b WHERE bucket NOT IN "
+    + "(SELECT bucket FROM capped)),\n"
     + "dropped AS (\n"
     + "  SELECT DISTINCT a.vec_id AS vid\n"
-    + "  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id > b2.vec_id\n"
+    + "  FROM j a JOIN j b2 ON a.bucket = b2.bucket AND a.vec_id > b2.vec_id\n"
     + f"  WHERE round({_sem_dot_sql('a.e', 'b2.e')} / (a.nrm * b2.nrm), 6)"
     + f" >= {_SEM_TAU}\n)\n"
-    + "SELECT b.vec_id AS vec_id, bucket,\n"
-    + "       CASE WHEN dropped.vid IS NULL THEN 1 ELSE 0 END AS is_kept\n"
-    + "FROM b LEFT JOIN dropped ON dropped.vid = b.vec_id"
+    + "SELECT b.vec_id AS vec_id, b.bucket AS bucket,\n"
+    + "       CASE WHEN dropped.vid IS NULL THEN 1 ELSE 0 END AS is_kept,\n"
+    + "       CASE WHEN cp.bucket IS NULL THEN 0 ELSE 1 END AS is_capped\n"
+    + "FROM b LEFT JOIN dropped ON dropped.vid = b.vec_id\n"
+    + "LEFT JOIN capped cp ON cp.bucket = b.bucket"
 )
 
 
@@ -3833,10 +3850,17 @@ FROM (
 ) WHERE rr = 1
 """
 
-SEMDEDUP_PRUNE_SQL = _KMEANS_PREFIX_SQL + """
+SEMDEDUP_PRUNE_SQL = _KMEANS_PREFIX_SQL + f"""
+, csz AS (SELECT cl, count(*)::BIGINT AS n FROM assign2 GROUP BY cl)
+, cap AS (SELECT greatest({CU.SKEW_CAP_FLOOR},
+                          {CU.SKEW_CAP_FACTOR} * sum(n) // count(*)) AS c
+          FROM csz)
+, capped AS (SELECT csz.cl FROM csz, cap WHERE csz.n > cap.c)
+, joinable AS (SELECT a.* FROM assign2 a
+               WHERE a.cl NOT IN (SELECT cl FROM capped))
 , dropped AS (
   SELECT DISTINCT a.vec_id AS vid
-  FROM assign2 a JOIN assign2 b
+  FROM joinable a JOIN joinable b
     ON a.cl = b.cl AND a.vec_id <> b.vec_id
   WHERE (list_reduce(list_transform(generate_series(1, len(a.e)),
                                     i -> a.e[i] * b.e[i]),
@@ -3845,8 +3869,10 @@ SEMDEDUP_PRUNE_SQL = _KMEANS_PREFIX_SQL + """
     AND (b.dist > a.dist OR (b.dist = a.dist AND b.vec_id < a.vec_id))
 )
 SELECT a.vec_id, a.cl AS cluster_id,
-       CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS is_kept
+       CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS is_kept,
+       CASE WHEN cp.cl IS NULL THEN 0 ELSE 1 END AS is_capped
 FROM assign2 a LEFT JOIN dropped d ON d.vid = a.vec_id
+LEFT JOIN capped cp ON cp.cl = a.cl
 """
 
 CLUSTER_SAMPLE_SQL = _KMEANS_PREFIX_SQL + """
@@ -5847,6 +5873,8 @@ def source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").desc(), F.col("term")
     )
     return (
+        # broadcast-gate audit (r12): df is a term-vocabulary-sized
+        # aggregate, no kernel upstream — estimate stable.
         tf.join(DD.maybe_broadcast(df), "term")
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))
@@ -6592,6 +6620,8 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("n_hours") * (F.col("n_hours") - 1))
     z = (F.col("cnt") - mean) / F.sqrt(var)
     return (
+        # broadcast-gate audit (r12): stats is a per-event-type
+        # K-row aggregate, no kernel upstream — estimate stable.
         hourly.join(DD.maybe_broadcast(stats), "event_type")
         .filter(F.abs(z) >= 2.0)
         .select(
@@ -6949,6 +6979,8 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = singles.select(F.col("l_partkey").alias("part_a"), F.col("n_one").alias("n_a"))
     sb = singles.select(F.col("l_partkey").alias("part_b"), F.col("n_one").alias("n_b"))
     return (
+        # broadcast-gate audit (r12): part-count aggregates over the
+        # scan, no kernel upstream — estimates stable.
         pairs.join(DD.maybe_broadcast(sa), "part_a")
         .join(DD.maybe_broadcast(sb), "part_b")
         .crossJoin(F.broadcast(n))

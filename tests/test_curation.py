@@ -893,3 +893,69 @@ def test_drift_report_grouped_isolates_minority_drift(spark):
     assert out["small"]["tvd_ppm"] >= 700_000  # 80% of range shifted
     assert out["gone"]["n_cur"] == 0
     assert out["gone"]["tvd_ppm"] >= 499_999  # vanished source alarms
+
+
+def test_occupancy_cap_auto_arithmetic(spark):
+    """The 'auto' cap is greatest(SKEW_CAP_FLOOR, FACTOR x mean
+    occupancy) with integer DIV — groups above it are excluded from
+    the joinable frame and listed in capped_keys; None opts out."""
+    from reader_spark.operators import curation as CU
+
+    # 300-member hot key + 600 singleton keys: mean occupancy =
+    # 900 DIV 601 = 1, cap = greatest(256, 10) = 256 < 300
+    rows = [(i, 0) for i in range(300)] + [
+        (1000 + j, 1 + j) for j in range(600)
+    ]
+    df = spark.createDataFrame(rows, "vid long, k long")
+    joinable, capped = CU._occupancy_cap(df, "k", "auto")
+    assert {r["k"] for r in capped.collect()} == {0}
+    assert joinable.count() == 600
+    assert joinable.filter("k = 0").count() == 0
+
+    # explicit int cap
+    j2, c2 = CU._occupancy_cap(df, "k", 299)
+    assert {r["k"] for r in c2.collect()} == {0}
+    # opt-out
+    j3, c3 = CU._occupancy_cap(df, "k", None)
+    assert j3.count() == 900 and c3.count() == 0
+
+
+def test_semantic_dedup_auto_cap_mega_bucket(spark):
+    """Default-on skew guard (r12): a mega-bucket past the auto cap
+    never enters the dominance join — its members pass through kept
+    and carry is_capped = 1, so the pair list stays bounded by the
+    capped occupancy, not the mega-bucket's square."""
+    import math
+
+    from reader_spark.operators import curation as CU
+
+    base = [1.0] + [0.0] * 63
+    mega = [(i, base) for i in range(300)]
+    # scattered deterministic loners (decorrelated across planes)
+    loners = [
+        (
+            10_000 + j,
+            [math.sin(0.7 * j * (d + 1)) for d in range(64)],
+        )
+        for j in range(1, 601)  # j=0 would be the zero vector
+    ]
+    emb = spark.createDataFrame(
+        mega + loners, "vec_id long, embedding array<double>"
+    )
+    out = CU.semantic_dedup(emb).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # identical vectors, uncapped, would collapse to min id; the cap
+    # must keep them ALL and mark them
+    for i in range(300):
+        assert by_id[i]["is_kept"] == 1
+        assert by_id[i]["is_capped"] == 1
+    # loners keep flowing through the normal dominance path (a loner
+    # whose signs happen to match the mega bucket is capped with it)
+    assert 300 <= sum(r["is_capped"] for r in out) <= 310
+    # sanity: explicit opt-out restores the collapse
+    uncapped = {
+        r["vec_id"]: r["is_kept"]
+        for r in CU.semantic_dedup(emb, max_bucket=None).collect()
+    }
+    assert uncapped[0] == 1
+    assert all(uncapped[i] == 0 for i in range(1, 300))

@@ -622,3 +622,75 @@ def test_bloom_maintained_artifact_update_equals_rebuild(spark, tmp_path):
     v = SK.bloom_probe(keys, stored, "k", m_words=m_words,
                        k_hashes=k_hashes)
     assert v.filter("k < 900 AND NOT maybe_seen").count() == 0
+
+
+def test_bloom_geometry_autosize_meets_budget(spark, tmp_path):
+    """r12 autosizing: the derived geometry meets the fp budget with
+    the standard optimum's k, is not grossly oversized (half the
+    words would blow the budget), and an un-sized bloom_write pins
+    bloom_geometry(observed_keys x HEADROOM) in the artifact."""
+    from reader_spark.operators import sketches as SK
+
+    for n in (1_000, 50_000, 1_000_000):
+        m_w, k_h = SK.bloom_geometry(n, 1e-6)
+        assert SK.bloom_fp_rate(n, m_w, k_h) <= 1e-6
+        assert SK.bloom_fp_rate(n, m_w // 2, k_h) > 1e-6
+        assert k_h == 21  # round(ln2 * 29.62 margined bits/key) at 1e-6
+
+    keys = spark.range(1_000).select(F.col("id").alias("k"))
+    path = str(tmp_path / "bloom_auto")
+    SK.bloom_write(keys, path, "k")
+    stored, m_w, k_h = SK.bloom_read(spark, path)
+    assert (m_w, k_h) == SK.bloom_geometry(
+        1_000 * SK.BLOOM_AUTOSIZE_HEADROOM, 1e-6
+    )
+    v = SK.bloom_probe(keys, stored, "k", m_words=m_w, k_hashes=k_h)
+    assert v.filter("NOT maybe_seen").count() == 0
+
+
+def test_bloom_update_warns_past_fp_budget(spark, tmp_path):
+    """A maintained filter whose measured set-bit fill pushes the
+    expected fp past the pinned budget warns on update (refit
+    signal); a comfortably-sized filter stays silent."""
+    import warnings
+
+    from reader_spark.operators import sketches as SK
+
+    keys = spark.range(800).select(F.col("id").alias("k"))
+    tiny = str(tmp_path / "bloom_tiny")
+    SK.bloom_write(keys.filter("k < 10"), tiny, "k", m_words=4,
+                   k_hashes=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        SK.bloom_update(spark, tiny, keys, "k", epoch=1)
+    assert any("fp budget" in str(x.message) for x in w)
+
+    roomy = str(tmp_path / "bloom_roomy")
+    SK.bloom_write(keys.filter("k < 10"), roomy, "k",
+                   expected_keys=10_000)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        SK.bloom_update(spark, roomy, keys, "k", epoch=1)
+    assert not any("fp budget" in str(x.message) for x in w)
+
+
+def test_bloom_probe_null_key_definitely_new(spark):
+    """NULL keys verdict definitely-new (False, never NULL): the
+    filter cannot have seen a NULL (build-side hash propagates NULL),
+    and a NULL verdict would make a `~maybe_seen` curate gate
+    silently drop the row instead of passing it downstream."""
+    from reader_spark.operators import sketches as SK
+
+    seen = spark.range(100).select(F.col("id").alias("k"))
+    probe = spark.createDataFrame(
+        [(1,), (None,), (500,)], "k long"
+    )
+    v = {
+        r["k"]: r["maybe_seen"]
+        for r in SK.bloom_probe(
+            probe, SK.bloom_tiles(seen, "k"), "k"
+        ).collect()
+    }
+    assert v[1] is True
+    assert v[None] is False  # not None/NULL
+    assert v[500] is False

@@ -1832,10 +1832,20 @@ def pq_encode_arrow(
             T.StructField("code", T.LongType(), True),
         ]
     )
+    # degenerate-codebook parity with pq_encode_expr (whose broadcast
+    # INNER join simply drops what the codebook lacks): an empty
+    # codebook encodes nothing, and a subspace absent from the books
+    # emits no rows for that s — the dispatcher's "bit-identical
+    # either way" contract must hold on degenerate inputs too, not
+    # raise from max()/KeyError where the expression form degrades.
+    present = sorted(s for s in cw_by_s if 0 <= s < m)
+    if not present:
+        return vecs.sparkSession.createDataFrame([], schema)
     n_codes = max(len(v) for v in cw_by_s.values())
     max_rows = max(1, (32 << 20) // max(1, n_codes * sub))
 
     def compute(iterator):
+        n_s = len(present)
         for pdf in iterator:
             n = len(pdf)
             if n == 0:
@@ -1844,19 +1854,21 @@ def pq_encode_arrow(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
             )
             ids = pdf[id_field.name].to_numpy()
-            out_codes = np.empty((n, m), dtype=np.int64)
-            for s in range(m):
+            out_codes = np.empty((n, n_s), dtype=np.int64)
+            for j, s in enumerate(present):
                 B = mats[s]  # (C, sub)
                 Vs = V[:, s * sub : (s + 1) * sub]
                 for lo in range(0, n, max_rows):
                     hi = min(n, lo + max_rows)
                     diff = Vs[lo:hi, None, :] - B[None, :, :]
                     d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
-                    out_codes[lo:hi, s] = cws[s][np.argmin(d2, axis=1)]
+                    out_codes[lo:hi, j] = cws[s][np.argmin(d2, axis=1)]
             yield pd.DataFrame(
                 {
-                    id_field.name: np.repeat(ids, m),
-                    "s": np.tile(np.arange(m, dtype=np.int32), n),
+                    id_field.name: np.repeat(ids, n_s),
+                    "s": np.tile(
+                        np.asarray(present, dtype=np.int32), n
+                    ),
                     "code": out_codes.reshape(-1),
                 }
             )

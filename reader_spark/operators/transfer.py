@@ -410,12 +410,18 @@ class TransferWriter:
         buckets merged with requested=16 passes it, then new versions
         of existing keys hash into DIFFERENT bucket dirs and the
         stale rows become duplicate primary keys — the exact
-        corruption the pin stops). So sample stored rows from one
+        corruption the pin stops). So sample stored rows from EVERY
         non-empty bucket dir and verify pmod(xxhash64(pk), requested)
-        reproduces that dir's id; only a layout that survives both
+        reproduces each dir's id; only a layout that survives both
         checks is adopted AND pinned so the ambiguity never recurs.
-        Empty legacy dirs adopt unprobed — with zero stored rows
-        there is nothing to strand."""
+        All dirs are probed (r12, was first-non-empty-only): under a
+        wrong count a near-empty dir passes its 100-row sample with
+        non-trivial probability — e.g. a 1-row bucket survives an
+        8-seeded/16-requested mismatch ~50% of the time — and a
+        single lucky dir must not pin the wrong count permanently;
+        the miss probability now multiplies across every stored row
+        sampled in every dir. Empty legacy dirs adopt unprobed —
+        with zero stored rows there is nothing to strand."""
         pinned = _read_layout_manifest(path)
         if pinned is not None:
             return pinned
@@ -452,18 +458,16 @@ class TransferWriter:
                     .limit(100)
                     .collect()
                 )
-                if sample:
-                    if any(r["__b"] != b for r in sample):
-                        raise ValueError(
-                            f"table at {path} has no _layout.json and "
-                            f"its stored rows do NOT hash to their "
-                            f"bucket dirs under n_buckets={requested}; "
-                            "the table was seeded with a different "
-                            "bucket count — pass the seed-time value "
-                            "(merging under the wrong count strands "
-                            "stale versions of existing keys)"
-                        )
-                    break
+                if sample and any(r["__b"] != b for r in sample):
+                    raise ValueError(
+                        f"table at {path} has no _layout.json and "
+                        f"its stored rows do NOT hash to their "
+                        f"bucket dirs under n_buckets={requested}; "
+                        "the table was seeded with a different "
+                        "bucket count — pass the seed-time value "
+                        "(merging under the wrong count strands "
+                        "stale versions of existing keys)"
+                    )
         _write_layout_manifest(path, requested)
         return requested
 

@@ -1391,3 +1391,42 @@ def test_nearest_clusters_arrow_identical_to_expression(spark, sf_dir):
     finally:
         SI.NEAREST_IMPL = "arrow"
         release_pins()
+
+
+def test_pq_encode_degenerate_codebooks_parity(spark, sf_dir):
+    """r12 (advice): the arrow encoder must DEGRADE exactly like the
+    expression form on degenerate codebooks — empty books encode
+    nothing (no ValueError from max()), and a subspace absent from
+    the books emits no rows for that s (no worker KeyError) — the
+    'bit-identical either way' dispatcher contract on bad inputs."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import similarity as SI
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    dim = len(emb.select("embedding").first()[0])
+    m = 8
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.col("label").alias("cluster"),
+    )
+    full_books = SI.pq_codebooks(vecs, m, dim)
+
+    empty_books = full_books.limit(0)
+    for impl in (SI.pq_encode_arrow, SI.pq_encode_expr):
+        out = impl(vecs, empty_books, m, dim)
+        assert out.count() == 0
+        assert out.columns == ["vec_id", "s", "code"]
+
+    # drop subspace 3 entirely: both impls emit rows only for the
+    # 7 remaining subspaces, identically
+    holey = full_books.filter(F.col("s") != 3)
+    e = SI.pq_encode_expr(vecs, holey, m, dim).orderBy(
+        "vec_id", "s"
+    ).collect()
+    a = SI.pq_encode_arrow(vecs, holey, m, dim).orderBy(
+        "vec_id", "s"
+    ).collect()
+    assert [tuple(r) for r in e] == [tuple(r) for r in a]
+    assert {r["s"] for r in a} == {0, 1, 2, 4, 5, 6, 7}

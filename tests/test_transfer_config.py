@@ -3066,3 +3066,53 @@ curate:
 
     stored, m_w, k_h = SK.bloom_read(spark, bloom)  # artifact healed
     assert stored.count() > 0 and m_w > 0 and k_h > 0
+
+
+def test_legacy_layout_probe_not_fooled_by_near_empty_bucket(
+    spark, tmp_path
+):
+    """r12 (advice): the legacy probe must sample EVERY non-empty
+    bucket dir — a near-empty dir whose few rows happen to also hash
+    correctly under the (wrong) requested count would otherwise pass
+    alone and pin the wrong count permanently. Fixture: bucket 0
+    holds exactly one 'lucky' row (h8 == h16 == 0) while later
+    buckets contain provable mismatches; the first-dir-only probe
+    adopted 16, the all-dirs probe must raise."""
+    import os
+
+    import pytest
+
+    from reader_spark.operators.transfer import (
+        TransferWriter,
+        _read_layout_manifest,
+    )
+
+    h = spark.range(0, 4000).selectExpr(
+        "id",
+        "pmod(xxhash64(id), 8) AS h8",
+        "pmod(xxhash64(id), 16) AS h16",
+    ).collect()
+    lucky = next(r.id for r in h if r.h8 == 0 and r.h16 == 0)
+    others = [r.id for r in h if r.h8 != 0][:400]
+    # precondition: some later-bucket row mismatches under 16
+    byid = {r.id: r for r in h}
+    assert any(byid[i].h8 != byid[i].h16 for i in others)
+
+    seed = (
+        spark.createDataFrame([(i,) for i in [lucky] + others], "id long")
+        .selectExpr("id", "concat('v', id) AS v", "'c' AS op", "0L AS seq")
+    )
+    w = TransferWriter(spark, str(tmp_path))
+    w.upsert_bucketed("t", seed, ["id"], "seq", n_buckets=8)
+    os.remove(str(tmp_path / "t" / "_layout.json"))
+    # bucket 0 really is the single lucky row
+    got0 = spark.read.parquet(str(tmp_path / "t" / "bucket=0"))
+    assert got0.count() == 1
+
+    delta = spark.createDataFrame(
+        [(int(lucky), "V", "u", 1)],
+        "id long, v string, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="seeded with a different"):
+        w.upsert_bucketed("t", delta, ["id"], "seq", n_buckets=16)
+    assert _read_layout_manifest(str(tmp_path / "t")) is None

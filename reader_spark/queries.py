@@ -7607,6 +7607,58 @@ BLOOM_TUNING_SQL = "\nUNION ALL\n".join(
 )
 
 
+def bloom_autosize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 seen-set autosizer as ONE relational row: the geometry
+    `bloom_write` derives when no size is passed — distinct key count
+    of the corpus, optimal m_bits = ceil(n x bits-per-key) with the
+    margined bits-per-key fixed as an integer micro-scaled constant
+    (sketches._bits_per_key_micro — float math happens ONCE in
+    python, both engines see the same literal), 60-bit word count,
+    and the rounded-optimal k. Pure integer arithmetic after the
+    constant, so the oracle lands on the same ceil boundary; one
+    count-distinct aggregate over the corpus, K=1 rows out."""
+    from reader_spark.operators import sketches as SK
+
+    micro = SK._bits_per_key_micro(1e-6)
+    _, k_h = SK.bloom_geometry(1, 1e-6)
+    return (
+        _t(spark, sf_dir, "documents")
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_keys"))
+        .select(
+            "n_keys",
+            F.lit(micro).alias("bits_per_key_micro"),
+            F.expr(
+                f"(n_keys * {micro}L + 999999) DIV 1000000"
+            ).alias("m_bits"),
+            F.expr(
+                f"((n_keys * {micro}L + 999999) DIV 1000000 "
+                f"+ {SK.BLOOM_WORD_BITS - 1}) DIV {SK.BLOOM_WORD_BITS}"
+            ).alias("m_words"),
+            F.lit(k_h).cast("int").alias("k_hashes"),
+        )
+    )
+
+
+def _bloom_autosize_sql() -> str:
+    from reader_spark.operators import sketches as SK
+
+    micro = SK._bits_per_key_micro(1e-6)
+    _, k_h = SK.bloom_geometry(1, 1e-6)
+    return f"""
+WITH n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_keys FROM documents)
+SELECT n_keys,
+       {micro}::BIGINT AS bits_per_key_micro,
+       (n_keys * {micro} + 999999) // 1000000 AS m_bits,
+       ((n_keys * {micro} + 999999) // 1000000
+        + {SK.BLOOM_WORD_BITS - 1}) // {SK.BLOOM_WORD_BITS} AS m_words,
+       {k_h}::INT AS k_hashes
+FROM n
+"""
+
+
+BLOOM_AUTOSIZE_SQL = _bloom_autosize_sql()
+
+
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event type:
     keep the k = 64 smallest md5 hash values of the key; estimate =
@@ -9598,6 +9650,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmv_distinct": (kmv_distinct, KMV_SQL),
     "bloom_seen_filter": (bloom_seen_filter, BLOOM_SQL),
     "bloom_tuning_table": (bloom_tuning_table, BLOOM_TUNING_SQL),
+    "bloom_autosize": (bloom_autosize, BLOOM_AUTOSIZE_SQL),
     "source_overlap_kmv": (source_overlap_kmv, SOURCE_OVERLAP_KMV_SQL),
     "kcore_neardup": (kcore_neardup, KCORE_SQL),
     "lpa_communities": (lpa_communities_q, LPA_SQL),
@@ -9960,9 +10013,43 @@ _WINDOW_R11 = [
     "event_path_trigrams", "event_transitions", "events_ewma",
 ]
 assert len(_WINDOW_R11) == 50 and set(_WINDOW_R11) <= set(CATALOG)
+
+# --- r12 driver-window rotation --------------------------------------
+# The complete 21-query r7-stale cohort FIRST (4 driver-rounds stale —
+# the r11 verdict's watch item #4 and its own task #3), then every
+# query whose code path moved this round (the occupancy caps sit under
+# semantic_dedup/semdedup_prune with new is_capped output columns; the
+# kmeans family self-joins sit behind should_broadcast_pinned and the
+# arrow column-order alignment; the bloom pair sits behind the probe
+# NULL coalesce + autosized writes), then the stalest r8 greens to
+# fill 50 (computed from CORRECTNESS_r0*.json keys as usual).
+_WINDOW_R12 = [
+    # new this round (never driver-sampled)
+    "bloom_autosize",
+    # r7-stale cohort, complete (last driver-sampled round 7)
+    "heavy_hitters", "hybrid_search_rrf", "image_phash_dedup",
+    "join_skew_report", "kmv_distinct", "knn_binary", "knn_filtered",
+    "knn_ivf_pq", "knn_ivf_sq8", "knn_pq", "knn_sq8", "mixture_plan",
+    "props_key_census", "record_linkage", "remove_dup_spans",
+    "sampled_quantiles", "scd2_user_state", "semdedup_prune",
+    "text_bm25", "text_bm25_indexed", "trigram_search_indexed",
+    # code paths changed this round (caps / pinned-broadcast / bloom)
+    "semantic_dedup", "embedding_near_dup", "cluster_sample",
+    "cluster_health", "embedding_clusters", "budget_select",
+    "bloom_seen_filter", "bloom_tuning_table",
+    # stalest r8 greens fill the remainder
+    "anti_join_customers", "approx_distinct_users", "asof_join_orders",
+    "b1_chunked_scan", "c10_json_extract", "date_functions",
+    "dedup_exact", "dedup_simhash", "dedup_simhash_pairs",
+    "events_hourly", "events_resample_locf", "knn_bruteforce",
+    "lead_lag_events", "max_order_per_customer", "multimodal_features",
+    "p1_projection", "p2_value_parse", "p3_wire_converters",
+    "p5_envelope", "q13_customer_distribution",
+]
+assert len(_WINDOW_R12) == 50 and set(_WINDOW_R12) <= set(CATALOG)
 CATALOG = {
-    **{k: CATALOG[k] for k in _WINDOW_R11},
-    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R11},
+    **{k: CATALOG[k] for k in _WINDOW_R12},
+    **{k: v for k, v in CATALOG.items() if k not in _WINDOW_R12},
 }
 
 CATALOG = {k: (_fresh_entry(fn), sql) for k, (fn, sql) in CATALOG.items()}

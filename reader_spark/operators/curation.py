@@ -573,13 +573,7 @@ def semdedup_prune(
     # frame, not the plan estimate — the estimate swings 17 orders of
     # magnitude with the kernel dispatcher (see should_broadcast's
     # hazard note), so the hint must not depend on which impl ran.
-    # joinable only ever filters scored, so scored's size is a sound
-    # upper bound for the build side.
-    b = (
-        F.broadcast(joinable.alias("b"))
-        if DD.should_broadcast_pinned(scored)
-        else joinable.alias("b")
-    )
+    b = DD.maybe_broadcast_pinned(joinable.alias("b"), pinned=scored)
     cos = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (
         F.sqrt(F.col("a.nv")) * F.sqrt(F.col("b.nv"))
     )

@@ -142,6 +142,22 @@ def should_broadcast(df: DataFrame, cap_bytes: int | None = None) -> bool:
     return est <= cap
 
 
+def maybe_broadcast_pinned(
+    df: DataFrame,
+    pinned: DataFrame | None = None,
+    cap_bytes: int | None = None,
+) -> DataFrame:
+    """`maybe_broadcast` for the pinned-self-join pattern — hint
+    decided by `should_broadcast_pinned` (materialized cache size,
+    impl-invariant). When the join side is a DERIVED frame (an alias
+    or filter of the pin, whose plan the CacheManager may not match),
+    pass the underlying persisted frame as `pinned`: the decision
+    runs on the pin (a sound upper bound — derivations only ever
+    shrink it) while the hint lands on the frame that joins."""
+    gate = df if pinned is None else pinned
+    return F.broadcast(df) if should_broadcast_pinned(gate, cap_bytes) else df
+
+
 def should_broadcast_pinned(
     df: DataFrame, cap_bytes: int | None = None
 ) -> bool:
@@ -159,9 +175,19 @@ def should_broadcast_pinned(
     and expression forms of a kernel-fed frame estimate 1.4 MB vs
     242 TB for the SAME data, so every estimate-gated hint downstream
     of a dispatcher flips with the default; the materialized size is
-    identical either way (asserted in tests)."""
+    identical either way (asserted in tests).
+
+    Guard: a frame that is NOT actually persisted would silently
+    reproduce the hazard this function closes (count() runs a full
+    job, caches nothing, and the fresh plan resolves to the same
+    impl-dependent estimate) — so an unpinned input falls back to
+    plain `should_broadcast` without paying the count."""
     cap = BROADCAST_BYTE_CAP if cap_bytes is None else cap_bytes
     try:
+        if not (
+            df.storageLevel.useMemory or df.storageLevel.useDisk
+        ):  # pragma: no cover - misuse guard
+            return should_broadcast(df, cap_bytes)
         df.count()
         est = int(
             df.select("*")

@@ -212,13 +212,19 @@ def _nearest_cluster_arrow(
     import numpy as np
 
     rows = sorted(cents.collect(), key=lambda r: r["cl"])
+    passthrough = [c for c in side.columns if c != id_col]
     if not rows:
         # empty centroid frame: the expression path's cross join
         # with an empty side returns an empty frame — reproduce
-        # that instead of crashing the (0,)-shape unpack below
-        return side.withColumn(
-            "cl", F.lit(None).cast(cents.schema["cl"].dataType)
-        ).limit(0)
+        # that instead of crashing the (0,)-shape unpack below,
+        # in the SAME aligned column order as the non-empty path
+        return (
+            side.withColumn(
+                "cl", F.lit(None).cast(cents.schema["cl"].dataType)
+            )
+            .limit(0)
+            .select(id_col, *passthrough, "cl")
+        )
     CL = np.asarray([r["cl"] for r in rows], dtype=np.int64)
     C = np.asarray([list(r["c"]) for r in rows], dtype=np.float64)
     NC = np.asarray([r["nc"] for r in rows], dtype=np.float64)
@@ -253,7 +259,6 @@ def _nearest_cluster_arrow(
             out["cl"] = cl
             yield out
 
-    passthrough = [c for c in side.columns if c != id_col]
     return side.mapInPandas(compute, schema).select(
         id_col, *passthrough, "cl"
     )

@@ -881,12 +881,17 @@ def bloom_geometry(
     n_keys: int, target_fp: float = 1e-6
 ) -> tuple[int, int]:
     """Optimal Bloom geometry for `n_keys` at `target_fp`:
-    m_bits = ceil(n * -ln(p)/ln(2)^2) via integer-scaled arithmetic
-    ((n*micro + 999_999) DIV 1_000_000), k = round(ln(2) *
-    bits-per-key) — the standard optimum, where the per-probe fp is
-    (1 - e^(-kn/m))^k ~= 2^(-m/n * ln 2). At 1e-6 that is ~28.76
-    bits (3.6 bytes) per key and k = 20 — a 10^9-key seen-set gate
-    is ~3.6 GB of word rows, still a broadcastable artifact."""
+    m_bits = ceil(n * -ln(p)/ln(2)^2 * 1.03) via integer-scaled
+    arithmetic ((n*micro + 999_999) DIV 1_000_000), k = round(ln(2)
+    * bits-per-key) — the standard optimum plus the 3% rounding
+    margin, where the per-probe fp is (1 - e^(-kn/m))^k. At 1e-6
+    that is ~29.62 bits per key and k = 21: a 10^7-key gate is
+    ~37 MB of raw bitmap (~79 MB as (word, bits) rows — two longs
+    carry 60 payload bits), comfortably broadcastable; a 10^9-key
+    gate is ~3.7 GB of bitmap (~7.9 GB of rows) — past
+    BROADCAST_BYTE_CAP, where the probe correctly degrades to the
+    shuffle join, or the operator trades fp budget for size
+    (1e-3 -> ~14.8 bits/key) / shards the filter by key range."""
     import math
 
     n = max(1, int(n_keys))

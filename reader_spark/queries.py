@@ -846,11 +846,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate — the r12 should_broadcast_pinned pattern. The probe
     # side is spread above, so a broadcast build never serializes
     # the pair stage.
-    b = (
-        F.broadcast(vecs.alias("b"))
-        if DD.should_broadcast_pinned(vecs)
-        else vecs.alias("b")
-    )
+    b = DD.maybe_broadcast_pinned(vecs.alias("b"), pinned=vecs)
     sim = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
         a.join(
@@ -7609,9 +7605,12 @@ BLOOM_TUNING_SQL = "\nUNION ALL\n".join(
 
 def bloom_autosize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r12 seen-set autosizer as ONE relational row: the geometry
-    `bloom_write` derives when no size is passed — distinct key count
-    of the corpus, optimal m_bits = ceil(n x bits-per-key) with the
-    margined bits-per-key fixed as an integer micro-scaled constant
+    `bloom_write` derives for a KNOWN corpus size (the
+    `expected_keys=n` path; the unknown-size first-wave path
+    additionally multiplies n by BLOOM_AUTOSIZE_HEADROOM before this
+    same arithmetic) — distinct key count of the corpus, optimal
+    m_bits = ceil(n x bits-per-key) with the margined bits-per-key
+    fixed as an integer micro-scaled constant
     (sketches._bits_per_key_micro — float math happens ONCE in
     python, both engines see the same literal), 60-bit word count,
     and the rounded-optimal k. Pure integer arithmetic after the

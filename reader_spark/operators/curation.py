@@ -352,9 +352,19 @@ def reservoir_sample(
 # ONE group on a real crawl — unguarded, a single mega-group makes
 # the pair list quadratic in its occupancy. "auto" caps at
 # FACTOR x mean occupancy (integer arithmetic, oracle-reproducible),
-# floored so healthy small corpora never trip it.
+# floored so healthy small corpora never trip it, and CEILINGED
+# absolutely: the relative rule alone is blind when the group count
+# is small (the r12 scale probe: K=10 label-seeded clusters, one
+# 22k-member mega-cluster = only ~5x the mean, so "10x mean" passed
+# it and the dominance join ran 4x10^8 pairs for 365 s). Past the
+# ceiling a group is quadratic-prohibitive REGARDLESS of how normal
+# it is for its corpus — 10k members is already 10^8 pairs on one
+# key; such groups pass through kept (is_capped=1) and the right
+# lever is raising K / n_planes, exactly the SemDeDup paper's K
+# scaling.
 SKEW_CAP_FLOOR = 256
 SKEW_CAP_FACTOR = 10
+SKEW_CAP_CEIL = 10_000
 
 
 def _occupancy_cap(
@@ -363,9 +373,9 @@ def _occupancy_cap(
     """(joinable, capped_keys) for a group-occupancy skew guard.
 
     `max_param`: "auto" — cap = greatest(SKEW_CAP_FLOOR,
-    SKEW_CAP_FACTOR * total DIV n_groups), all integer so the DuckDB
-    oracle lands on the same boundary; an int — literal cap; None —
-    no cap (explicit opt-out, capped_keys empty).
+    least(SKEW_CAP_FACTOR * total DIV n_groups, SKEW_CAP_CEIL)), all
+    integer so the DuckDB oracle lands on the same boundary; an int —
+    literal cap; None — no cap (explicit opt-out, capped_keys empty).
 
     Plan shape: one map-side-combinable groupBy to the K-row size
     table, the cap as a 1-row broadcast scalar, and a broadcast ANTI
@@ -382,7 +392,12 @@ def _occupancy_cap(
         cap = sizes.agg(
             F.greatest(
                 F.lit(SKEW_CAP_FLOOR).cast("long"),
-                F.expr(f"{SKEW_CAP_FACTOR} * sum(_ksz) DIV count(1)"),
+                F.least(
+                    F.expr(
+                        f"{SKEW_CAP_FACTOR} * sum(_ksz) DIV count(1)"
+                    ),
+                    F.lit(SKEW_CAP_CEIL).cast("long"),
+                ),
             ).alias("_cap")
         )
         capped = (
@@ -439,7 +454,8 @@ def semantic_dedup(
 
     max_bucket — the hot-bucket skew guard (`_occupancy_cap`),
     DEFAULT-ON since r12 at "auto" (SKEW_CAP_FACTOR x mean occupancy,
-    floored at SKEW_CAP_FLOOR): buckets above the cap are excluded
+    floored at SKEW_CAP_FLOOR, absolute-ceilinged at SKEW_CAP_CEIL —
+    see the constants' note): buckets above the cap are excluded
     from the dominance self-join BEFORE it runs and their members
     pass through kept with `is_capped = 1` — observable, and the
     quadratic pair list of a boilerplate mega-bucket is never built.
@@ -537,8 +553,10 @@ def semdedup_prune(
     all-pairs across clusters. `max_cluster` is the same
     by-construction skew guard as `semantic_dedup.max_bucket`
     (`_occupancy_cap`), DEFAULT-ON since r12 at "auto": clusters
-    above SKEW_CAP_FACTOR x mean occupancy (floored at
-    SKEW_CAP_FLOOR) pass through kept with `is_capped = 1` and never
+    above SKEW_CAP_FACTOR x mean occupancy (floored at SKEW_CAP_FLOOR,
+    absolute-ceilinged at SKEW_CAP_CEIL — a 10k-member cluster is
+    10^8 pairs on one key no matter how normal it is for its corpus)
+    pass through kept with `is_capped = 1` and never
     build a quadratic pair list (boilerplate mega-clusters belong to
     exact / MinHash dedup upstream). Pass an int to pin the cap,
     None to opt out.

@@ -3698,7 +3698,7 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 
 SEMANTIC_DEDUP_SQL = (
     "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),\n"
-    "b AS (\n  SELECT vec_id, e,\n    ("
+    "b AS MATERIALIZED (\n  SELECT vec_id, e,\n    ("
     + " + ".join(
         "CASE WHEN {d} >= 0 THEN {v} ELSE 0 END".format(
             d=_sem_dot_sql("e", f"({_sem_plane_lit(p)})"), v=1 << p
@@ -3709,7 +3709,8 @@ SEMANTIC_DEDUP_SQL = (
     + f"    sqrt({_sem_dot_sql('e', 'e')}) AS nrm\n  FROM v\n),\n"
     + "bsz AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY bucket),\n"
     + f"cap AS (SELECT greatest({CU.SKEW_CAP_FLOOR}, "
-    + f"{CU.SKEW_CAP_FACTOR} * sum(n) // count(*)) AS c FROM bsz),\n"
+    + f"least({CU.SKEW_CAP_FACTOR} * sum(n) // count(*), "
+    + f"{CU.SKEW_CAP_CEIL})) AS c FROM bsz),\n"
     + "capped AS (SELECT bsz.bucket FROM bsz, cap WHERE bsz.n > cap.c),\n"
     + "j AS (SELECT * FROM b WHERE bucket NOT IN "
     + "(SELECT bucket FROM capped)),\n"
@@ -3849,7 +3850,8 @@ FROM (
 SEMDEDUP_PRUNE_SQL = _KMEANS_PREFIX_SQL + f"""
 , csz AS (SELECT cl, count(*)::BIGINT AS n FROM assign2 GROUP BY cl)
 , cap AS (SELECT greatest({CU.SKEW_CAP_FLOOR},
-                          {CU.SKEW_CAP_FACTOR} * sum(n) // count(*)) AS c
+                          least({CU.SKEW_CAP_FACTOR} * sum(n) // count(*),
+                                {CU.SKEW_CAP_CEIL})) AS c
           FROM csz)
 , capped AS (SELECT csz.cl FROM csz, cap WHERE csz.n > cap.c)
 , joinable AS (SELECT a.* FROM assign2 a

@@ -836,6 +836,82 @@ def r8cc_mode(copies: int) -> None:
     release_pins()
 
 
+def r12_mode(copies: int) -> None:
+    """Round-12 probe: the occupancy-cap skew guard's value at scale.
+    Corpus = embeddings x copies (disjoint ids) PLUS a synthetic
+    mega-cluster of `mega` identical vectors — the boilerplate shape
+    (one template embedded everywhere). Times semantic_dedup and
+    semdedup_prune with the default auto cap versus the uncapped
+    opt-out: uncapped, the mega-group's dominance join is
+    O(mega^2) pairs on ONE key; capped, its members pass through
+    kept and the cost is the healthy remainder."""
+    emb_path = build_emb(copies)
+    mega = 20_000
+
+    import pyspark.sql.functions as F
+
+    from reader_spark.operators import curation as CU
+    from reader_spark.session import get_spark
+
+    spark = get_spark("scale_r12", extra_conf={"spark.ui.enabled": "true"})
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    base = spark.read.parquet(emb_path)
+    dim = len(base.select("embedding").first()[0])
+    tmpl = (
+        spark.range(mega)
+        .select(
+            (F.col("id") + 50_000_000).alias("vec_id"),
+            F.array(
+                *[F.lit(1.0 if d == 0 else 0.25) for d in range(dim)]
+            ).alias("embedding"),
+            F.lit(0).cast(base.schema["label"].dataType).alias("label"),
+        )
+    )
+    emb = base.unionByName(tmpl)
+    n = emb.count()
+    print(f"corpus: {n} vectors ({copies}x + {mega} mega-cluster)")
+    last = [_shuffle_bytes(spark)]
+
+    def timed(name, fn):
+        from reader_spark import cache
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        cache.release_pins()
+        sb = _shuffle_bytes(spark)
+        delta = sb - last[0] if sb >= 0 and last[0] >= 0 else -1
+        last[0] = sb
+        print(f"{name}: {wall:.2f}s  shuffle_write={delta / 1e6:.1f}MB")
+        return out
+
+    def run(df):
+        return df.agg(
+            F.count("*"), F.sum("is_kept"), F.sum("is_capped")
+        ).collect()[0]
+
+    r = timed(
+        "semantic_dedup auto cap",
+        lambda: run(CU.semantic_dedup(emb)),
+    )
+    print(f"  rows={r[0]} kept={r[1]} capped={r[2]}")
+    r = timed(
+        "semdedup_prune auto cap",
+        lambda: run(CU.semdedup_prune(emb)),
+    )
+    print(f"  rows={r[0]} kept={r[1]} capped={r[2]}")
+    # the uncapped control at 1/10th the mega size — the quadratic
+    # makes the full-size control impractical, which is the point
+    small = base.unionByName(tmpl.limit(mega // 10))
+    r = timed(
+        "semantic_dedup UNCAPPED (mega/10 control)",
+        lambda: run(CU.semantic_dedup(small, max_bucket=None)),
+    )
+    print(f"  rows={r[0]} kept={r[1]} capped={r[2]}")
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "r8cc":
         r8cc_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
@@ -860,6 +936,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "r7c":
         r7c_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r12":
+        r12_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
         kmeans_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 100)

@@ -959,3 +959,22 @@ def test_semantic_dedup_auto_cap_mega_bucket(spark):
     }
     assert uncapped[0] == 1
     assert all(uncapped[i] == 0 for i in range(1, 300))
+
+
+def test_occupancy_cap_absolute_ceiling(spark):
+    """r12 scale-probe finding: when the group count is SMALL, the
+    relative 10x-mean rule is blind (a half-the-corpus mega-group is
+    only ~2x the mean) — the absolute ceiling must cap it anyway.
+    Two groups of 12k/11k rows: 10x mean = 115k, but both exceed
+    SKEW_CAP_CEIL=10k and are excluded from the joinable frame."""
+    from pyspark.sql import functions as F
+
+    from reader_spark.operators import curation as CU
+
+    df = spark.range(23_000).select(
+        F.col("id").alias("vid"),
+        F.when(F.col("id") < 12_000, 0).otherwise(1).alias("k"),
+    )
+    joinable, capped = CU._occupancy_cap(df, "k", "auto")
+    assert {r["k"] for r in capped.collect()} == {0, 1}
+    assert joinable.count() == 0

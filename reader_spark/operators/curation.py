@@ -426,12 +426,84 @@ def hyperplane(p: int, dim: int) -> list[float]:
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit p = (vec . plane_p >= 0), packed into
-    an integer. Map-only column expression."""
+    an integer. Map-only column expression. NOTE the per-plane dot is
+    an interpreted `aggregate` fold outside codegen — `semantic_dedup`
+    dispatches to the Arrow kernel below by default (LSH_BUCKET_IMPL);
+    this expression form is the oracle-pinnable fallback."""
     bucket = F.lit(0).cast("long")
     for p, w in enumerate(planes):
         d = SIM.dot(vec, F.array(*[F.lit(x) for x in w]))
         bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+# Same dispatch story as the dedup signature kernels (r11 pattern):
+# the 8 x dim literal-plane folds per vector are interpreted, and the
+# bucket/norm map pass is re-evaluated per consumer because the frame
+# is deliberately unpinned. The Arrow kernel computes all planes and
+# the norm in ONE map-only pass — bit-identical (cumsum partial-sum
+# order == the left fold from 0.0; sign test and power-of-two packing
+# are exact integer ops; np.sqrt and Spark sqrt are both correctly
+# rounded IEEE) — asserted against the expression form in tests.
+LSH_BUCKET_IMPL = "arrow"
+
+
+def _sem_vecs_arrow(
+    src: DataFrame, planes: list[list[float]]
+) -> DataFrame:
+    """(vid, vec, bucket, nrm) in one Arrow `mapInPandas` pass over a
+    (vid, vec) frame — the kernel form of the semantic_dedup scan
+    stage. Requires fixed-dimension vectors (the embeddings-table
+    contract); the closed-over plane matrix is k x dim literals."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    P = np.asarray(planes, dtype=np.float64)  # (k, dim)
+    vid_field = src.schema["vid"]
+    schema = T.StructType(
+        [
+            vid_field,
+            T.StructField(
+                "vec", T.ArrayType(T.DoubleType(), True), True
+            ),
+            T.StructField("bucket", T.LongType(), True),
+            T.StructField("nrm", T.DoubleType(), True),
+        ]
+    )
+
+    def compute(iterator):
+        for pdf in iterator:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            if V.dtype == object:
+                raise ValueError(
+                    "semantic_dedup arrow kernel requires "
+                    "fixed-dimension vectors; pass impl='expr' for "
+                    "ragged inputs"
+                )
+            bucket = np.zeros(n, dtype=np.int64)
+            if V.ndim == 2 and V.shape[1] > 0:
+                for p in range(P.shape[0]):
+                    d = np.cumsum(V * P[p][None, :], axis=1)[:, -1]
+                    bucket += np.where(d >= 0.0, 1 << p, 0)
+                nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            else:
+                # zero-length vectors: every fold is its 0.0 init,
+                # 0.0 >= 0 sets every bit — the expression form's
+                # exact degenerate behavior
+                bucket[:] = (1 << P.shape[0]) - 1
+                nrm = np.zeros(n, dtype=np.float64)
+            out = pdf.copy()
+            out["bucket"] = bucket
+            out["nrm"] = nrm
+            yield out
+
+    return src.mapInPandas(compute, schema)
 
 
 def semantic_dedup(
@@ -442,8 +514,12 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket="auto",
+    impl: str | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped embedding dedup with a deterministic quantizer.
+    The bucket/norm scan stage dispatches per LSH_BUCKET_IMPL (arrow
+    kernel default; `impl="expr"` pins the expression form —
+    bit-identical, asserted in tests).
 
     Vectors land in sign-LSH buckets (expected occupancy n / 2^P);
     within a bucket, a vector is DROPPED iff some smaller-id vector
@@ -466,31 +542,51 @@ def semantic_dedup(
     Output: (id_col, bucket, is_kept, is_capped).
     """
     planes = [hyperplane(p, dim) for p in range(n_planes)]
-    vecs = DD.ensure_parallelism(
+    src = DD.ensure_parallelism(
         emb.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
-    ).select(
-        "vid",
-        "vec",
-        lsh_bucket(F.col("vec"), planes).alias("bucket"),
-        F.sqrt(SIM.dot(F.col("vec"), F.col("vec"))).alias("nrm"),
     )
-    # vecs is deliberately NOT persisted: the bucket/norm map pass is
-    # recomputed per use (scan-bound, cheap) — a persisted frame with
-    # this plan's 8x64 literal hyperplanes would tax every subsequent
-    # query's planning via cache-manager plan matching. In a job
-    # script, persist + unpersist around the action instead.
+    arrow = (impl or LSH_BUCKET_IMPL) == "arrow"
+    if arrow:
+        # the kernel output IS pinned (unlike the expr form below):
+        # the frame feeds four plan branches (size table, both join
+        # sides, the final keep map) and each unpinned use would pay
+        # a full Python-worker round trip; the arrow plan is compact
+        # (one mapInPandas node, no wide literals), so the
+        # cache-manager planning tax that forbids pinning the
+        # expression form does not apply. pin() scopes the cache to
+        # this query.
+        from reader_spark.cache import pin
+
+        vecs = pin(_sem_vecs_arrow(src, planes))
+    else:
+        vecs = src.select(
+            "vid",
+            "vec",
+            lsh_bucket(F.col("vec"), planes).alias("bucket"),
+            F.sqrt(SIM.dot(F.col("vec"), F.col("vec"))).alias("nrm"),
+        )
+    # the EXPR form's vecs is deliberately NOT persisted: its
+    # wide-literal plan (8 x dim hyperplane constants) would tax
+    # every subsequent query's planning via cache-manager plan
+    # matching; its bucket pass recomputes per use, JVM-side.
     joinable, capped = _occupancy_cap(vecs, "bucket", max_bucket)
     a = joinable.alias("a")
-    # broadcast-gate audit (r12): joinable is deliberately unpinned
-    # (see note above) so the pinned-stats decision is unavailable;
-    # the lsh_bucket literal-plane folds inflate the estimate, which
-    # keeps this a shuffle equi-join on `bucket` today. If lsh_bucket
-    # is ever kernelized, re-audit: the probe side is already spread
-    # (ensure_parallelism above), so a flipped hint stays parallel.
-    b = DD.maybe_broadcast(joinable.alias("b"))
+    # broadcast-gate audit (re-done for the r12 kernel): under the
+    # arrow default vecs is pinned, so the hint comes from the
+    # MATERIALIZED size (impl-invariant, the r12 rule) — KB-MB at
+    # test scale fires it; a 10^8-doc corpus exceeds the cap and it
+    # correctly doesn't. Under impl='expr' the inflated wide-literal
+    # estimate disables the hint and the join shuffles on `bucket`.
+    # The probe side is spread (ensure_parallelism above), so either
+    # decision executes parallel and capped.
+    b = (
+        DD.maybe_broadcast_pinned(joinable.alias("b"), pinned=vecs)
+        if arrow
+        else DD.maybe_broadcast(joinable.alias("b"))
+    )
     cos = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )

@@ -978,3 +978,22 @@ def test_occupancy_cap_absolute_ceiling(spark):
     joinable, capped = CU._occupancy_cap(df, "k", "auto")
     assert {r["k"] for r in capped.collect()} == {0, 1}
     assert joinable.count() == 0
+
+
+def test_semantic_dedup_arrow_bucket_bit_identical(spark, sf_dir):
+    """r12 kernel: the Arrow bucket/norm pass == the expression form
+    row-for-row (cumsum partial-sum order == the left fold; integer
+    sign packing exact), and the full semantic_dedup output is
+    identical under either impl."""
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {
+        impl: sorted(
+            tuple(r)
+            for r in CU.semantic_dedup(emb, impl=impl).collect()
+        )
+        for impl in ("arrow", "expr")
+    }
+    assert got["arrow"] == got["expr"]
+    assert len(got["arrow"]) == emb.count()

@@ -438,14 +438,22 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 # Same dispatch story as the dedup signature kernels (r11 pattern):
-# the 8 x dim literal-plane folds per vector are interpreted, and the
-# bucket/norm map pass is re-evaluated per consumer because the frame
-# is deliberately unpinned. The Arrow kernel computes all planes and
-# the norm in ONE map-only pass — bit-identical (cumsum partial-sum
-# order == the left fold from 0.0; sign test and power-of-two packing
-# are exact integer ops; np.sqrt and Spark sqrt are both correctly
-# rounded IEEE) — asserted against the expression form in tests.
-LSH_BUCKET_IMPL = "arrow"
+# the 8 x dim literal-plane folds per vector are interpreted; the
+# Arrow kernel computes all planes and the norm in ONE map-only pass
+# — bit-identical (cumsum partial-sum order == the left fold from
+# 0.0; sign test and power-of-two packing are exact integer ops;
+# np.sqrt and Spark sqrt are both correctly rounded IEEE) — asserted
+# against the expression form in tests. UNLIKE the r11 kernels the
+# default is SIZE-AWARE, because the composed-plan A/B showed a
+# crossover, not a uniform win: at 2k vectors the kernel's fixed
+# costs (pin + count action, Python worker spin-up) exceed the fold
+# saving (~2.7 s vs ~2.0 s bench protocol), while at 40k it wins
+# 1.5-2x (12.6 s vs 17.9-26.3 s warm) and the gap widens with scale.
+# "auto" reads the INPUT's Catalyst size estimate (a parquet scan's
+# file size — impl-independent, cheap) and takes the kernel past
+# LSH_KERNEL_BYTES; "arrow"/"expr" pin either form.
+LSH_BUCKET_IMPL = "auto"
+LSH_KERNEL_BYTES = 8 << 20
 
 
 def _sem_vecs_arrow(
@@ -517,9 +525,11 @@ def semantic_dedup(
     impl: str | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped embedding dedup with a deterministic quantizer.
-    The bucket/norm scan stage dispatches per LSH_BUCKET_IMPL (arrow
-    kernel default; `impl="expr"` pins the expression form —
-    bit-identical, asserted in tests).
+    The bucket/norm scan stage dispatches per LSH_BUCKET_IMPL
+    (size-aware "auto" default: the Arrow kernel past
+    LSH_KERNEL_BYTES of input, the expression form below it — see
+    the constants' crossover note; `impl="arrow"`/`"expr"` pin
+    either, bit-identical, asserted in tests).
 
     Vectors land in sign-LSH buckets (expected occupancy n / 2^P);
     within a bucket, a vector is DROPPED iff some smaller-id vector
@@ -548,7 +558,19 @@ def semantic_dedup(
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
     )
-    arrow = (impl or LSH_BUCKET_IMPL) == "arrow"
+    mode = impl or LSH_BUCKET_IMPL
+    if mode == "auto":
+        try:
+            est = int(
+                src._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:  # pragma: no cover - estimate unavailable
+            est = 0
+        mode = "arrow" if est >= LSH_KERNEL_BYTES else "expr"
+    arrow = mode == "arrow"
     if arrow:
         # the kernel output IS pinned (unlike the expr form below):
         # the frame feeds four plan branches (size table, both join

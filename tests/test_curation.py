@@ -997,3 +997,29 @@ def test_semantic_dedup_arrow_bucket_bit_identical(spark, sf_dir):
     }
     assert got["arrow"] == got["expr"]
     assert len(got["arrow"]) == emb.count()
+
+
+def test_semantic_dedup_auto_dispatch_size_aware(spark, sf_dir):
+    """The 'auto' default takes the expression form on small inputs
+    (kernel fixed costs dominate below the crossover) and the Arrow
+    kernel past LSH_KERNEL_BYTES — observable in the physical plan."""
+    from reader_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = plan_of(CU.semantic_dedup(emb))
+    assert "MapInPandas" not in small
+
+    old = CU.LSH_KERNEL_BYTES
+    CU.LSH_KERNEL_BYTES = 0
+    try:
+        big = plan_of(CU.semantic_dedup(emb))
+    finally:
+        CU.LSH_KERNEL_BYTES = old
+    from reader_spark import cache
+
+    cache.release_pins()
+    assert "MapInPandas" in big

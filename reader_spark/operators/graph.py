@@ -31,7 +31,7 @@ Scale (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from reader_spark.cache import pin
@@ -279,29 +279,54 @@ def lpa_communities(
     pagerank pattern): no per-round blocking job, but each round's
     result still materializes once instead of re-deriving the whole
     prefix (measured at sf0.1: eager 7.4 s, no checkpoint 12.4 s,
-    lazy 6.4 s). Returns (node, community)."""
-    edges = (
+    lazy 6.4 s). Returns (node, community).
+
+    Round-plan shape (r12): the edge list is hash-partitioned on the
+    join key and PINNED (persisted, not checkpointed — a
+    localCheckpoint's LogicalRDD reports UnknownPartitioning, which
+    re-inserts the edges exchange in every round; the
+    InMemoryRelation keeps HashPartitioning(s)), so the per-round
+    label join never re-shuffles the edges — only the K-row label
+    frame moves, as the build side of a shuffled hash join (edges
+    would otherwise be exchanged AND sorted every round under
+    sort-merge). The partition count is pinned to defaultParallelism
+    so AQE cannot coalesce the rounds' join parallelism down to the
+    edge list's byte size (`dropDuplicates` on a superset of the
+    partitioning key adds no second exchange). The winner pick is
+    `min(struct(-n, lbl))` — identical ordering to the old
+    `row_number() over (order by n desc, lbl asc) = 1`, but
+    partial-aggregated BELOW the exchange, so the per-round shuffle
+    carries at most (distinct d per partition) pre-reduced rows
+    instead of the full (d, lbl, n) stream, and the full-stream sort
+    is by the single grouping key rather than (d, n desc, lbl)."""
+    edges = pin(
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .union(
             pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
         )
-        .distinct()
-        .localCheckpoint()
+        .repartition(
+            pairs.sparkSession.sparkContext.defaultParallelism, F.col("s")
+        )
+        .dropDuplicates(["s", "d"])
     )
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
     for _ in range(iterations):
         nb = edges.join(
-            labels.withColumnRenamed("node", "s"), "s"
+            labels.withColumnRenamed("node", "s").hint("shuffle_hash"),
+            "s",
         ).groupBy("d", "lbl").agg(F.count(F.lit(1)).alias("n"))
-        w = Window.partitionBy("d").orderBy(
-            F.col("n").desc(), F.col("lbl").asc()
-        )
         labels = (
-            nb.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select(F.col("d").alias("node"), "lbl")
+            nb.groupBy("d")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("nn"), F.col("lbl").alias("l")
+                    )
+                ).alias("__m")
+            )
+            .select(F.col("d").alias("node"), F.col("__m.l").alias("lbl"))
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lbl").alias("community"))

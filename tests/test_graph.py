@@ -132,6 +132,54 @@ def test_lpa_separates_bridged_cliques(spark):
     assert again == out
 
 
+def test_lpa_winner_pick_frequency_then_min_label(spark):
+    """The r12 agg rewrite (min(struct(-n, lbl)) replacing the
+    row_number window) must keep the exact winner semantics: most
+    frequent neighbor label first, ties to the SMALLEST label.
+
+    Star center 100 with neighbors {1, 2, 3}: after round 1 every
+    node still holds its own id, so the center sees labels 1,2,3
+    once each — a 3-way tie that must resolve to label 1 (min), not
+    3 (max) — this catches a sign slip in the -n encoding, because
+    max(struct(n, lbl)) would tie-break to the LARGEST label."""
+    pairs = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in GR.lpa_communities(pairs, iterations=1).collect()
+    }
+    # center: 3-way count tie among {1,2,3} -> min label 1.
+    assert out[100] == 1
+    # leaves: single neighbor label (100) wins outright.
+    assert out[1] == out[2] == out[3] == 100
+
+    # frequency beats label order: neighbors {5, 5-clique mass} vs a
+    # smaller-id singleton — label with n=2 must beat label 4 (n=1)
+    # even though 4 < 7. Node 6's neighbors after round 0: 4 (once),
+    # 7 (once), 8 (once) -> tie resolves to 4; but after giving 7
+    # and 8 a shared neighbor the counts diverge.
+    pairs2 = spark.createDataFrame(
+        [(6, 4), (6, 7), (6, 8), (7, 8)], "doc_a long, doc_b long"
+    )
+    out2 = {
+        r["node"]: r["community"]
+        for r in GR.lpa_communities(pairs2, iterations=2).collect()
+    }
+    # round 1: 6 -> min(4,7,8) = 4; 7 -> min(6,8) = 6; 8 -> min(6,7)
+    #   = 6; 4 -> 6.
+    # round 2: 6 sees labels {4:(from 4->6? 4 holds 6), ...}:
+    #   neighbors 4,7,8 hold 6,6,6 -> n=3 for label 6; 6 -> 6.
+    assert out2[6] == 6
+
+    # determinism across runs (the agg is order-independent)
+    again = {
+        r["node"]: r["community"]
+        for r in GR.lpa_communities(pairs2, iterations=2).collect()
+    }
+    assert again == out2
+
+
 # ---------------------------------------------------------------------------
 # Materialized near-dup graph index (dedup.py::neardup_index_*)
 

@@ -732,6 +732,14 @@ def lsh_candidate_pairs(
     return out
 
 
+# Spread strategy for the verify pair stream: "hash" repartitions on
+# the (unique) pair key — identical uniform spread to round-robin
+# without the sortBeforeRepartition local sort (SPARK-23207), and it
+# collapses into the pair-dedup aggregate's exchange. "rr" keeps the
+# r11 round-robin form. Same rows either way; dispatch is perf-only.
+PAIR_SPREAD = "hash"
+
+
 def jaccard_verify(
     pairs: DataFrame,
     docs: DataFrame,
@@ -772,9 +780,22 @@ def jaccard_verify(
     # sf0.1, 2.27M candidate pairs):
     #  * |A∪B| = |A|+|B| - |A∩B| (arrays are distinct sets) — ONE
     #    array op per pair instead of intersect+union.
-    #  * An explicit round-robin repartition of the pair list: its
-    #    shuffle footprint is tiny (two longs/row) so AQE would
-    #    coalesce it onto 1-2 tasks and serialize the CPU-bound stage.
+    #  * An explicit repartition of the pair list: its shuffle
+    #    footprint is tiny (two longs/row) so AQE would coalesce it
+    #    onto 1-2 tasks and serialize the CPU-bound stage. r12: the
+    #    spread is HASH on the (unique) pair key, not round-robin —
+    #    identical uniform spread, but round-robin pays a local sort
+    #    of its input first (sortBeforeRepartition, SPARK-23207,
+    #    needed only so retried tasks reproduce the row->partition
+    #    map, which a deterministic hash key gives for free).
+    #    The hash form collapses into the pair-dedup aggregate's own
+    #    ENSURE_REQUIREMENTS exchange (one exchange saved). AQE cannot
+    #    coalesce that surviving exchange onto 1-2 tasks (the hazard
+    #    the round-robin guarded): it sits inside the pinned subtree,
+    #    and cached-plan compilation runs without AQE
+    #    (canChangeCachedPlanOutputPartitioning=false), so the stage
+    #    keeps all shuffle.partitions tasks — executed-plan verified
+    #    (plans/r12/dedup_near_dup_after.txt).
     #  * A cache barrier between the inter-projection and the
     #    threshold filter: without it, predicate pushdown rewrites the
     #    filter into the join CONDITION with the intersect inlined
@@ -782,7 +803,10 @@ def jaccard_verify(
     #    The barrier table is 4 longs/pair, far smaller than its
     #    inputs, so it is persistable even at the 100 TB tier.
     fanout = pairs.sparkSession.sparkContext.defaultParallelism
-    pairs = pairs.repartition(fanout)
+    if PAIR_SPREAD == "hash":
+        pairs = pairs.repartition(fanout, F.col("doc_a"), F.col("doc_b"))
+    else:
+        pairs = pairs.repartition(fanout)
     toks = toks.withColumn("n_toks", F.size(F.col("toks")))
     # Size-gated broadcast: the token-hash table is ~200 B/doc, far
     # smaller than the pair list it joins against, but its size

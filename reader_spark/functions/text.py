@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from reader_spark.functions.localrel import local_df
+
 # Tiny marker lexicons for the n-gram/stopword language heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "a"],
@@ -163,7 +165,7 @@ def shard_pack(
     for r in sorted(subs, key=lambda r: r["_b"]):
         offsets.append((r["_b"], run))
         run += int(r["_t"])
-    off = docs.sparkSession.createDataFrame(offsets, "_b long, _off long")
+    off = local_df(docs.sparkSession, offsets, "_b long, _off long")
     w = W.partitionBy("_b").orderBy(F.col(id_col)).rowsBetween(
         W.unboundedPreceding, -1
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reader_spark.config import Settings, SourceCfg, TableCfg
+from reader_spark.functions.localrel import local_df
 from reader_spark.envelope import snapshot_envelope
 from reader_spark.plans.snapshot import project_columns
 
@@ -154,7 +155,8 @@ def run_job(spark: SparkSession, settings: Settings) -> dict[str, str]:
             if ":" not in t
         ]
         try:
-            spark.createDataFrame(
+            local_df(
+                spark,
                 rows,
                 "run_ts long, mode string, table string, rows long, "
                 "wall_s double, detail string",
@@ -511,7 +513,7 @@ def _run_drift(spark: SparkSession, settings: Settings) -> dict[str, str]:
                     else (rows[0]["n_cur"] or 0)
                 )
             log = f"{base}/_driftlog"
-            spark.createDataFrame(rows, verdict.schema).coalesce(
+            local_df(spark, rows, verdict.schema).coalesce(
                 1
             ).write.mode("append").parquet(log)
             if not rows:  # both waves tile-empty: nothing to verdict
@@ -754,7 +756,8 @@ def _run_checks(spark: SparkSession, settings: Settings) -> dict[str, str]:
                  int(row["lag_s"]), bool(row["fresh_ok"]))
             )
         long_rows.append(("*", "verdict", int(n_violations), bool(row["clean"])))
-        verdict = spark.createDataFrame(
+        verdict = local_df(
+            spark,
             [(run_ts, *r) for r in long_rows],
             "run_ts long, constraint string, kind string, "
             "value long, ok boolean",
@@ -867,8 +870,10 @@ def _run_drift_watch(
             if not os.path.isdir(cur_path):
                 # seed the CURRENT tile table empty so the first
                 # micro-batch's containment merge has a side to read
-                empty = spark.createDataFrame(
-                    [], schema if cfg.group_column else f"{schema}, __wave string"
+                empty = local_df(
+                    spark,
+                    [],
+                    schema if cfg.group_column else f"{schema}, __wave string",
                 )
                 bottomk_tiles_write(
                     empty, cur_path, keys, cfg.quantile_column,
@@ -1279,7 +1284,8 @@ def _run_curate(spark: SparkSession, settings: Settings) -> dict[str, str]:
         for i, (name, n) in enumerate(write_counts):
             census.append((run_ts, len(gate_obs) + i, name, int(n)))
         if census:
-            spark.createDataFrame(
+            local_df(
+                spark,
                 census,
                 "run_ts long, stage int, gate string, rows_after long",
             ).coalesce(1).write.mode("append").parquet(f"{out}/_gates")

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from reader_spark.cache import pin
+from reader_spark.functions.localrel import local_df
 
 HASH_HEX_LEN = 15  # 60 bits < 2^63: sign-safe in both engines
 
@@ -220,7 +221,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
 def token_hashes(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    out_col: str = "toks", tokenizer=None,
+    out_col: str = "toks", tokenizer=None, spread: bool = True,
 ) -> DataFrame:
     """(id, sorted 60-bit token-hash array) — the shared input of
     MinHash signatures AND exact Jaccard verification. Compute once,
@@ -228,8 +229,25 @@ def token_hashes(
     total instead of one per band branch / join side.
 
     tokenizer: Column -> array<string> set builder (default
-    `word_set`; pass `shingle_set` for n-gram dedup)."""
+    `word_set`; pass `shingle_set` for n-gram dedup).
+
+    spread=False skips the `ensure_parallelism` fan-out — for the
+    SAMPLED diagnostic paths (recall audits, tuning sweeps) whose
+    input is a 64-row TakeOrdered sample: spreading 64 rows over
+    defaultParallelism partitions makes every downstream narrow
+    stage (signature kernel, banding, per-config aggregates — ~19
+    stages in the 5-config sweep) a 32-task stage of 2-row tasks,
+    and the whole query is per-task fixed overhead (profiled:
+    ~245 s summed task time for a 64-doc sweep). One partition is
+    the right layout for sample-bounded work."""
     tokenizer = tokenizer or word_set
+    if not spread:
+        return docs.select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform(tokenizer(F.col(text_col)), md5_base_mod)
+            ).alias(out_col),
+        )
     return ensure_parallelism(docs).select(
         F.col(id_col),
         F.array_sort(F.transform(tokenizer(F.col(text_col)), md5_base_mod)).alias(out_col),
@@ -371,7 +389,15 @@ def minhash_signature_arrow(
     if hashes_col is None:
         docs = token_hashes(docs, text_col, id_col)
         hashes_col = "toks"
-    base = ensure_parallelism(docs).select(F.col(id_col), F.col(hashes_col))
+        base = docs.select(F.col(id_col), F.col(hashes_col))
+    else:
+        # caller-owns-layout (same contract as the expression form):
+        # a precomputed hashes_col frame was already spread by
+        # token_hashes -- or deliberately kept single-partition by
+        # the sampled diagnostics -- so re-spreading here would force
+        # a pointless exchange of the token arrays (and undo the
+        # 1-partition layout the 64-row audits rely on).
+        base = docs.select(F.col(id_col), F.col(hashes_col))
     k = num_hashes
     mix = np.array(
         [minhash_mix_params(i) for i in range(k)], dtype=np.int64
@@ -576,7 +602,15 @@ def oph_signature_arrow(
     if hashes_col is None:
         docs = token_hashes(docs, text_col, id_col)
         hashes_col = "toks"
-    base = ensure_parallelism(docs).select(F.col(id_col), F.col(hashes_col))
+        base = docs.select(F.col(id_col), F.col(hashes_col))
+    else:
+        # caller-owns-layout (same contract as the expression form):
+        # a precomputed hashes_col frame was already spread by
+        # token_hashes -- or deliberately kept single-partition by
+        # the sampled diagnostics -- so re-spreading here would force
+        # a pointless exchange of the token arrays (and undo the
+        # 1-partition layout the 64-row audits rely on).
+        base = docs.select(F.col(id_col), F.col(hashes_col))
     k = num_hashes
     id_field = base.schema.fields[0]
     from pyspark.sql import types as T
@@ -2016,8 +2050,8 @@ def neardup_index_delete(spark, path: str, doc_ids: list) -> int:
     of newly deleted docs."""
     from reader_spark.operators import atomic_dir
 
-    ids = spark.createDataFrame(
-        [(int(i),) for i in doc_ids], "doc_id long"
+    ids = local_df(
+        spark, [(int(i),) for i in doc_ids], "doc_id long"
     ).distinct()
     newly = (
         spark.read.parquet(_nd_root(path, "toks"))
@@ -2113,7 +2147,7 @@ def neardup_index_maintain(
         n_buckets = _cc_meta(_nd_root(path, "cc"))
         out["cc"] = neardup_cc_write(spark, path, n_buckets=n_buckets)
     if dead is not None:
-        empty = spark.createDataFrame([], "doc_id long")
+        empty = local_df(spark, [], "doc_id long")
         atomic_dir.publish(
             f"{path}/tombstones",
             lambda vdir: empty.coalesce(1).write.mode("overwrite").parquet(vdir),
@@ -2173,7 +2207,8 @@ def neardup_index_health(spark, path: str) -> DataFrame:
         if counts["raw"]
         else 0
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(
             n_docs, counts["raw"], counts["dedup"], dup_ppm, n_dead,
             dead_edge_rows, _n_files("edges"), _n_files("bands"),
@@ -2431,9 +2466,7 @@ def _label_graph_min(spark, t_edges) -> DataFrame:
             parent[hi] = lo
     out = [(n, find(n)) for n in parent]
     changed = [(n, l) for n, l in out if n != l]
-    return spark.createDataFrame(
-        changed or [], "node long, label long"
-    )
+    return local_df(spark, changed or [], "node long, label long")
 
 
 def neardup_canonical(spark, path: str) -> DataFrame:
@@ -2514,6 +2547,30 @@ def neardup_cc_occupancy(spark, path: str) -> DataFrame:
     )
 
 
+def _md5_topk_sample(
+    docs: DataFrame, sample: int, id_col: str, text_col: str
+) -> DataFrame:
+    """The md5-ordered deterministic sample used by the recall/tuning
+    diagnostics, selected WITHOUT dragging `text` through the TopK:
+    the ordering key is a function of the id alone, so the TopK runs
+    on an id-only columnar scan (bytes instead of the text column),
+    the winning ids come to the driver (a bounded control-plane read
+    — `sample` longs, same class as the centroid/touched-bucket
+    reads), and an `isin` literal filter re-reads only the winners —
+    pushed into the parquet scan, so row-group statistics skip the
+    text pages of everything else. The old shape (orderBy+limit on
+    (id, text)) decompressed and carried the whole text column into
+    a single-task TopK merge."""
+    ids = [
+        r[0]
+        for r in docs.select(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample)
+        .collect()
+    ]
+    return docs.select(id_col, text_col).filter(F.col(id_col).isin(ids))
+
+
 def lsh_recall_report(
     docs: DataFrame,
     num_hashes: int = 128,
@@ -2541,12 +2598,12 @@ def lsh_recall_report(
     corpus; the audited LSH pipeline runs on the same sample. The
     operator takes the frame, so the sampling frame IS the argument
     at 100 TB (stratify it upstream if one slice matters)."""
-    samp = (
-        docs.select(id_col, text_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(sample)
-    )
-    base = token_hashes(samp, text_col=text_col, id_col=id_col).persist()
+    samp = _md5_topk_sample(docs, sample, id_col, text_col)
+    # spread=False + coalesce(1): the sample is `sample` rows — one
+    # partition is the right layout (see token_hashes docstring).
+    base = token_hashes(
+        samp.coalesce(1), text_col=text_col, id_col=id_col, spread=False
+    ).persist()
     try:
         sigs = signature_fn(scheme)(
             base, num_hashes=num_hashes, hashes_col="toks", id_col=id_col
@@ -2632,12 +2689,13 @@ def lsh_tuning_report(
     same banding. Sample-bounded like the single-config audit:
     the tokenize/truth pass happens once, each config adds only its
     signature projection + band self-join over `sample` rows."""
-    samp = (
-        docs.select(id_col, text_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(sample)
-    )
-    base = token_hashes(samp, text_col=text_col, id_col=id_col).persist()
+    samp = _md5_topk_sample(docs, sample, id_col, text_col)
+    # spread=False + coalesce(1): one partition for the 64-row
+    # sample, so the config branches are 1-task stages (see
+    # token_hashes docstring).
+    base = token_hashes(
+        samp.coalesce(1), text_col=text_col, id_col=id_col, spread=False
+    ).persist()
     try:
         ta = base.select(
             F.col(id_col).alias("doc_a"), F.col("toks").alias("__ta")
@@ -2715,7 +2773,8 @@ def lsh_tuning_report(
         )
         n_true, n_sample = int(totals["n_true"]), int(totals["n_sample"])
         truth.unpersist()
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [
                 (
                     s, k, b, n_sample, n_true, nc, nh,
@@ -2728,6 +2787,6 @@ def lsh_tuning_report(
             "n_sample long, n_true long, "
             "n_candidates long, n_hits long, recall_ppm long, "
             "screen_precision_ppm long",
-        )
+        )  # LocalTableScan: JVM-resident, worker-free actions
     finally:
         base.unpersist()

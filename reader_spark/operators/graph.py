@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from reader_spark.cache import pin
+from reader_spark.functions.localrel import local_df
 
 DAMPING = 0.85
 
@@ -92,7 +93,7 @@ def pagerank(
     # control-plane scalar, bounded: the graph's node count
     n = ed.select("src").distinct().count()
     if n == 0:
-        return spark.createDataFrame([], "node long, pr double")
+        return local_df(spark, [], "node long, pr double")
     pr = ed.select(F.col("src").alias("node")).distinct().withColumn(
         "pr", F.lit(1.0 / n)
     )

@@ -36,6 +36,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from reader_spark.functions.localrel import local_df
 from reader_spark.operators import dedup as DD
 
 BM25_K1 = 1.2
@@ -165,7 +166,7 @@ def bm25_topk(
         for term in qtext.split(" ")
     ]
     qterms = (
-        spark.createDataFrame(qrows, "query_id long, term string")
+        local_df(spark, qrows, "query_id long, term string")
         .distinct()
     )
     # Semi-restrict to query terms BEFORE any aggregate: the broadcast
@@ -295,8 +296,8 @@ def bm25_topk_indexed(
     qrows = [
         (qid, term) for qid, qtext in queries for term in qtext.split(" ")
     ]
-    qterms = spark.createDataFrame(
-        qrows, "query_id long, term string"
+    qterms = local_df(
+        spark, qrows, "query_id long, term string"
     ).distinct()
     buckets = [
         r["b"]
@@ -340,7 +341,8 @@ def bm25_topk_indexed(
             s0 = scalars.collect()[0]
             n_live = max(s0["n_docs"] - t["tn"], 1)
             sd_live = s0["sum_dl"] - t["tdl"]
-            scalars = spark.createDataFrame(
+            scalars = local_df(
+                spark,
                 [(n_live, sd_live, sd_live / n_live)],
                 "n_docs long, sum_dl long, avgdl double",
             )
@@ -416,7 +418,7 @@ def trigram_search(
         assert len(pat) >= 3, f"pattern {pid} too short for trigrams"
         grams = {pat[i : i + 3] for i in range(len(pat) - 2)}
         prows += [(pid, g) for g in sorted(grams)]
-    pat_grams = spark.createDataFrame(prows, "pattern_id long, trigram string")
+    pat_grams = local_df(spark, prows, "pattern_id long, trigram string")
     n_grams = {
         pid: len({p[i : i + 3] for i in range(len(p) - 2)})
         for pid, p in patterns
@@ -432,7 +434,7 @@ def trigram_search(
         .filter(F.col("n_hit") == need[F.col("pattern_id")])
         .select("pattern_id", "doc_id")
     )
-    pats = spark.createDataFrame(list(patterns), "pattern_id long, pat string")
+    pats = local_df(spark, list(patterns), "pattern_id long, pat string")
     return (
         cands.join(docs.select("doc_id", text_col), "doc_id")
         .join(F.broadcast(pats), "pattern_id")
@@ -504,8 +506,8 @@ def trigram_index_delete(spark, path: str, doc_ids: list) -> int:
     removal at the next rebuild."""
     from reader_spark.operators import atomic_dir
 
-    ids = spark.createDataFrame(
-        [(int(i),) for i in doc_ids], "doc_id long"
+    ids = local_df(
+        spark, [(int(i),) for i in doc_ids], "doc_id long"
     ).distinct()
     existing = _tombstones(spark, path)
     newly = (
@@ -551,7 +553,7 @@ def trigram_search_indexed(
         grams = {pat[i : i + 3] for i in range(len(pat) - 2)}
         n_grams[pid] = len(grams)
         prows += [(pid, g) for g in sorted(grams)]
-    pat_grams = spark.createDataFrame(prows, "pattern_id long, trigram string")
+    pat_grams = local_df(spark, prows, "pattern_id long, trigram string")
     buckets = [
         r["b"]
         for r in pat_grams.select(
@@ -578,7 +580,7 @@ def trigram_search_indexed(
         .filter(F.col("n_hit") == need[F.col("pattern_id")])
         .select("pattern_id", "doc_id")
     )
-    pats = spark.createDataFrame(list(patterns), "pattern_id long, pat string")
+    pats = local_df(spark, list(patterns), "pattern_id long, pat string")
     return (
         cands.join(docs.select("doc_id", text_col), "doc_id")
         .join(F.broadcast(pats), "pattern_id")
@@ -685,8 +687,8 @@ def bm25_index_delete(spark, path: str, doc_ids: list) -> int:
     the same id-discipline contract as the append-only update."""
     from reader_spark.operators import atomic_dir
 
-    ids = spark.createDataFrame(
-        [(int(i),) for i in doc_ids], "doc_id long"
+    ids = local_df(
+        spark, [(int(i),) for i in doc_ids], "doc_id long"
     ).distinct()
     newly = (
         spark.read.parquet(f"{path}/doc_lengths")
@@ -807,8 +809,8 @@ def bm25_index_update(
     ).write.mode("append").parquet(f"{path}/doc_lengths")
     s = spark.read.parquet(scalars_root).collect()[0]
     n, sd = s["n_docs"] + d["dn"], s["sum_dl"] + d["dsum"]
-    new_scalars = spark.createDataFrame(
-        [(n, sd, sd / n)], "n_docs long, sum_dl long, avgdl double"
+    new_scalars = local_df(
+        spark, [(n, sd, sd / n)], "n_docs long, sum_dl long, avgdl double"
     )
     new_epoch = epoch if epoch is not None else _read_epoch(scalars_root)
 

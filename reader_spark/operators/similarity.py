@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from reader_spark.cache import pin
+from reader_spark.functions.localrel import local_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -462,7 +463,8 @@ def knn_ivf_trained(
     probe mechanics as `knn_ivf`, quantizer swapped for the trained
     one."""
     spark = embeddings.sparkSession
-    cents = spark.createDataFrame(
+    cents = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cl int, c array<double>",
     ).withColumn("nc", dot(F.col("c"), F.col("c")))
@@ -787,7 +789,8 @@ def ivf_index_write(
     from reader_spark.operators import atomic_dir
 
     spark = embeddings.sparkSession
-    cents = spark.createDataFrame(
+    cents = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cl int, c array<double>",
     ).withColumn("nc", dot(F.col("c"), F.col("c")))
@@ -1149,8 +1152,8 @@ def ivf_index_delete(
     from reader_spark.operators import atomic_dir
 
     root = atomic_dir.resolve(path)
-    idf = spark.createDataFrame(
-        [(int(i),) for i in ids], f"{id_col} long"
+    idf = local_df(
+        spark, [(int(i),) for i in ids], f"{id_col} long"
     ).distinct()
     corpus = spark.read.parquet(f"{root}/corpus")
     touched = sorted(
@@ -1275,7 +1278,8 @@ def ivf_drift_check(
     ev = ivf_refit_check(
         spark, health_path, baseline_path, max_skew_ppm, max_err_growth_ppm
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 int(ev["n_members"]),
@@ -1443,7 +1447,8 @@ def ivf_pq_index_write(
     from reader_spark.operators import atomic_dir
 
     spark = embeddings.sparkSession
-    cents = spark.createDataFrame(
+    cents = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cl int, c array<double>",
     ).withColumn("nc", dot(F.col("c"), F.col("c")))
@@ -1680,8 +1685,8 @@ def ivf_pq_index_delete(
     from reader_spark.operators import atomic_dir
 
     root = atomic_dir.resolve(path)
-    idf = spark.createDataFrame(
-        [(int(i),) for i in ids], f"{id_col} long"
+    idf = local_df(
+        spark, [(int(i),) for i in ids], f"{id_col} long"
     ).distinct()
     corpus = spark.read.parquet(f"{root}/corpus")
     touched = sorted(
@@ -1845,7 +1850,7 @@ def pq_encode_arrow(
     # raise from max()/KeyError where the expression form degrades.
     present = sorted(s for s in cw_by_s if 0 <= s < m)
     if not present:
-        return vecs.sparkSession.createDataFrame([], schema)
+        return local_df(vecs.sparkSession, [], schema)
     n_codes = max(len(v) for v in cw_by_s.values())
     max_rows = max(1, (32 << 20) // max(1, n_codes * sub))
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from reader_spark.envelope import cdc_envelope
+from reader_spark.functions.localrel import local_df
 from reader_spark.streaming.binlog import gtid_dedupe_batch, gtid_highwater_filter
 from reader_spark.streaming.schema_history import SchemaAdapter
 
@@ -156,7 +157,8 @@ def process_batch(
                 u["statement"],
             )
         if quarantine_path:
-            batch.sparkSession.createDataFrame(
+            local_df(
+                batch.sparkSession,
                 [
                     (u["unix_ts"], u["table"], u["statement"], u["reason"])
                     for u in adapter.unmatched

@@ -74,7 +74,8 @@ def main() -> None:
                 si = ev["Stage Info"]
                 ent = stages.setdefault(
                     si["Stage ID"],
-                    {"name": "?", "tasks": 0, "wall": 0.0, "task_time": 0.0},
+                    {"name": "?", "tasks": 0, "wall": 0.0,
+                     "task_time": 0.0, "cpu": 0.0},
                 )
                 ent["name"] = si["Stage Name"].splitlines()[0][:90]
                 ent["tasks"] = si["Number of Tasks"]
@@ -83,21 +84,33 @@ def main() -> None:
                 sid = ev["Stage ID"]
                 ti = ev.get("Task Info") or {}
                 rt = max(0, ti.get("Finish Time", 0) - ti.get("Launch Time", 0))
-                if sid in stages:
-                    stages[sid]["task_time"] += rt / 1000.0
-                else:
-                    stages.setdefault(sid, {"name": "?", "tasks": 0, "wall": 0.0, "task_time": 0.0})
-                    stages[sid]["task_time"] += rt / 1000.0
+                # ThreadMXBean CPU ns: excludes hypervisor steal, the
+                # only metric that holds still on this noisy VM.
+                cpu = (ev.get("Task Metrics") or {}).get(
+                    "Executor CPU Time", 0
+                )
+                ent = stages.setdefault(
+                    sid,
+                    {"name": "?", "tasks": 0, "wall": 0.0,
+                     "task_time": 0.0, "cpu": 0.0},
+                )
+                ent["task_time"] += rt / 1000.0
+                ent["cpu"] += cpu / 1e9
     # only the last rep's stages: take the top half of stage ids
     ids = sorted(stages)
     cut = ids[len(ids) * (reps - 1) // reps] if reps > 1 else ids[0]
     last = {k: v for k, v in stages.items() if k >= cut}
     tot_task = sum(s["task_time"] for s in last.values())
     tot_wall = sum(s["wall"] for s in last.values())
-    print(f"last-rep stages={len(last)} total_task_time={tot_task:.2f}s sum_stage_wall={tot_wall:.2f}s")
-    for sid, s in sorted(last.items(), key=lambda kv: -kv[1]["task_time"])[:18]:
+    tot_cpu = sum(s["cpu"] for s in last.values())
+    print(
+        f"last-rep stages={len(last)} total_task_time={tot_task:.2f}s "
+        f"sum_stage_wall={tot_wall:.2f}s total_cpu={tot_cpu:.2f}s"
+    )
+    for sid, s in sorted(last.items(), key=lambda kv: -kv[1]["cpu"])[:18]:
         print(
-            f"  stage {sid:>4} tasks={s['tasks']:>3} task_time={s['task_time']:>7.2f}s "
+            f"  stage {sid:>4} tasks={s['tasks']:>3} cpu={s['cpu']:>7.2f}s "
+            f"task_time={s['task_time']:>7.2f}s "
             f"wall={s['wall']:>6.2f}s  {s['name']}"
         )
     shutil.rmtree(log_dir, ignore_errors=True)

@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from reader_spark.functions.localrel import local_df
 from reader_spark.operators import dedup as DD
 from reader_spark.operators import similarity as SIM
 
@@ -387,29 +388,41 @@ def _occupancy_cap(
     if max_param is None:
         capped = vecs.select(key).limit(0)
         return vecs, capped
-    sizes = vecs.groupBy(key).agg(F.count("*").alias("_ksz"))
+    # K-row control-plane read (K = group count: clusters / sign-LSH
+    # buckets — the same bound as the centroid collect in
+    # kmeans_lloyd, which moves K x dim doubles where this moves K
+    # ints). The r11 form kept sizes/cap/capped as lazy frames, so
+    # the whole aggregate->scalar->anti-join chain re-evaluated once
+    # per consumer (both dominance-join sides AND the final
+    # `is_capped` attach: 3x, ~12 extra stages — the r12 profile's
+    # stage explosion on semdedup_prune). Collect the size table
+    # once; the cap becomes a Python int, the capped keys a literal
+    # filter plus a LocalTableScan, and the guard costs ONE job.
+    sizes = vecs.groupBy(key).agg(F.count("*").alias("_ksz")).collect()
     if max_param == "auto":
-        cap = sizes.agg(
-            F.greatest(
-                F.lit(SKEW_CAP_FLOOR).cast("long"),
-                F.least(
-                    F.expr(
-                        f"{SKEW_CAP_FACTOR} * sum(_ksz) DIV count(1)"
-                    ),
-                    F.lit(SKEW_CAP_CEIL).cast("long"),
-                ),
-            ).alias("_cap")
-        )
-        capped = (
-            sizes.crossJoin(F.broadcast(cap))
-            .filter(F.col("_ksz") > F.col("_cap"))
-            .select(key)
+        total = sum(r["_ksz"] for r in sizes)
+        n_groups = len(sizes)
+        cap = max(
+            SKEW_CAP_FLOOR,
+            min(
+                SKEW_CAP_FACTOR * total // max(n_groups, 1),
+                SKEW_CAP_CEIL,
+            ),
         )
     else:
-        capped = sizes.filter(
-            F.col("_ksz") > F.lit(int(max_param))
-        ).select(key)
-    return vecs.join(F.broadcast(capped), key, "anti"), capped
+        cap = int(max_param)
+    keys = sorted(r[key] for r in sizes if r["_ksz"] > cap)
+    capped = local_df(
+        vecs.sparkSession, [(k,) for k in keys], vecs.select(key).schema
+    )
+    if not keys:
+        return vecs, capped
+    # replicate the anti-join's NULL semantics: a NULL key matches no
+    # capped key and flows through joinable.
+    joinable = vecs.filter(
+        ~F.coalesce(F.col(key).isin(keys), F.lit(False))
+    )
+    return joinable, capped
 
 
 def hyperplane(p: int, dim: int) -> list[float]:
@@ -683,33 +696,39 @@ def semdedup_prune(
     from reader_spark.cache import pin
 
     # scored feeds both sides of the dominance join AND the final
-    # keep/drop join — pin it so the interpreted-fold k-means scoring
-    # (the expensive stage) runs once, not three times (the
-    # budget_select pattern). ensure_parallelism BEFORE the pin: on a
-    # one-file input the assignment inherits the scan's single
-    # partition, and when the b-side broadcasts the quadratic
-    # per-cluster pair generation runs wherever the PROBE side's
-    # partitions are — serialized onto one core without the spread
-    # (the r11 `NEAREST_IMPL` flip regression: arrow 3.7 s vs expr
-    # 2.3 s at sf0.1, entirely this serialization).
+    # keep/drop join — pin it so the k-means scoring runs once, not
+    # three times (the budget_select pattern).
     scored = pin(
-        DD.ensure_parallelism(
-            SIM.kmeans_assign_scored(
-                emb,
-                n_iters=n_iters,
-                id_col=id_col,
-                vec_col=vec_col,
-                seed_col=seed_col,
-            )
+        SIM.kmeans_assign_scored(
+            emb,
+            n_iters=n_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed_col=seed_col,
         )
     )
     joinable, capped = _occupancy_cap(scored, "cl", max_cluster)
-    a = joinable.alias("a")
-    # decide the b-side hint from the MATERIALIZED size of the pinned
-    # frame, not the plan estimate — the estimate swings 17 orders of
-    # magnitude with the kernel dispatcher (see should_broadcast's
-    # hazard note), so the hint must not depend on which impl ran.
-    b = DD.maybe_broadcast_pinned(joinable.alias("b"), pinned=scored)
+    # SHUFFLE self-join keyed on `cl`, never a broadcast: the
+    # quadratic per-cluster pair generation must run where the
+    # CLUSTER KEY's partitioning puts it. A broadcast b-side pins
+    # pair-gen onto the probe side's scan partitioning — one
+    # partition on a one-file input, the r11 `NEAREST_IMPL`
+    # regression (arrow 3.7 s vs expr 2.3 s at sf0.1, entirely that
+    # serialization) — and pre-spreading `scored` round-robin just
+    # moves the cost into defaultParallelism-many tiny-task stages
+    # across the whole query (r12 A/B). The repartition's EXPLICIT
+    # partition count keeps AQE from coalescing the tiny exchange
+    # back to one task (measured: a bare merge hint here ran the
+    # whole 2.4 s pair-gen in a single AQE-coalesced task); both
+    # join sides share the one exchange, and this is the same
+    # cluster-keyed plan shape the 10^8-doc tier runs (a
+    # corpus-sized build side is past any broadcast cap; the
+    # occupancy cap bounds per-cluster pair counts).
+    spread = joinable.repartition(
+        scored.sparkSession.sparkContext.defaultParallelism, "cl"
+    )
+    a = spread.alias("a")
+    b = spread.alias("b")
     cos = SIM.dot(F.col("a.vec"), F.col("b.vec")) / (
         F.sqrt(F.col("a.nv")) * F.sqrt(F.col("b.nv"))
     )
@@ -726,9 +745,15 @@ def semdedup_prune(
         .select(a_id.alias("__vid"))
         .distinct()
     )
+    # size-gated broadcast of the drop list: locally it saves the
+    # two id-keyed exchanges of a sort-merge left join; at the
+    # 10^8-doc tier `dropped` can approach corpus size (everything
+    # duplicated), its estimate grows with it, and the hint drops.
     return (
         scored.join(
-            dropped.withColumn("__drop", F.lit(1)),
+            DD.maybe_broadcast(
+                dropped.withColumn("__drop", F.lit(1))
+            ),
             scored[id_col] == dropped["__vid"],
             "left",
         )

@@ -2716,62 +2716,96 @@ def lsh_tuning_report(
             .persist()
         )
         spark = docs.sparkSession
-        # ONE action for the whole sweep: each config contributes a
-        # single-row aggregate (n_cand + n_hits in one pass over its
-        # candidate stream — the truth join is a left join, so both
-        # counts come off the same plan), and the rows union into
-        # one job. The previous per-config count() + semi-join
-        # count() shape paid 2 Spark jobs x 5 configs + 2 more for
-        # the totals — ~13 fixed-overhead jobs over a 64-doc sample,
-        # which WAS the query's cost (the sweep data is KB). The
-        # union's branches share only PERSISTED frames (base,
-        # truth), so the per-branch re-evaluation hazard that killed
-        # the r9 band melt does not apply.
+        # ONE action AND ONE join for the whole sweep (r12): every
+        # config's banding melts to the same (band_id, band_key) row
+        # shape (`md5_band_rows` — the per-band-join and melted
+        # forms emit the identical pair SET, see
+        # `lsh_candidate_pairs`), so the configs union into one
+        # config-tagged band frame and the whole sweep is a single
+        # self-join on (cfg, band_id, band_key) + one grouped
+        # aggregate. The r11 form ran a separate
+        # signature->band->self-join->aggregate chain per config —
+        # ~25 of the query's 33 stages were those five branches, and
+        # with ~0.15 s of fixed per-stage cost on a 64-doc sample
+        # the stage count WAS the cost (driver-measured 5.3 s against
+        # ~1.3 s of actual CPU). The union's branches share only the
+        # PERSISTED `base`, so the per-branch re-evaluation hazard
+        # that killed the r9 band melt does not apply; the unioned
+        # band frame is itself persisted because the self-join reads
+        # it twice.
         marked = truth.withColumn("__t", F.lit(1))
-        parts = []
-        for cfg in configs:
+        metas = []
+        band_parts = []
+        for i, cfg in enumerate(configs):
             # 2-tuples default to the classic scheme; 3-tuples name
             # it explicitly: (scheme, num_hashes, band_size)
             if len(cfg) == 2:
                 scheme, (num_hashes, band_size) = "classic", cfg
             else:
                 scheme, num_hashes, band_size = cfg
+            metas.append((i, scheme, num_hashes, band_size))
             sigs = signature_fn(scheme)(
                 base, num_hashes=num_hashes, hashes_col="toks",
                 id_col=id_col,
             )
-            cand = lsh_candidate_pairs(
-                sigs, id_col=id_col, num_hashes=num_hashes,
-                band_size=band_size,
+            band_parts.append(
+                md5_band_rows(sigs, num_hashes, band_size, id_col)
+                .select(
+                    F.lit(i).alias("__cfg"),
+                    F.col(id_col),
+                    "band_id",
+                    "band_key",
+                )
             )
-            parts.append(
-                cand.join(marked, ["doc_a", "doc_b"], "left")
+        bands = band_parts[0]
+        for p in band_parts[1:]:
+            bands = bands.unionByName(p)
+        bands = bands.persist()
+        try:
+            a2, b2 = bands.alias("a"), bands.alias("b")
+            cand = (
+                a2.join(
+                    F.broadcast(b2),
+                    (F.col("a.__cfg") == F.col("b.__cfg"))
+                    & (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.col("a.__cfg").alias("__cfg"),
+                    F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                )
+                .distinct()
+            )
+            sweep = (
+                cand.join(F.broadcast(marked), ["doc_a", "doc_b"], "left")
+                .groupBy("__cfg")
                 .agg(
                     F.count(F.lit(1)).alias("n_cand"),
                     F.count("__t").alias("n_hits"),
                 )
-                .select(
-                    F.lit(scheme).alias("scheme"),
-                    F.lit(num_hashes).alias("num_hashes"),
-                    F.lit(band_size).alias("band_size"),
-                    "n_cand",
-                    "n_hits",
-                )
             )
-        sweep = parts[0]
-        for p in parts[1:]:
-            sweep = sweep.unionByName(p)
+            # the (n_true, n_sample) totals ride along as a sentinel
+            # row so the whole report is ONE action instead of two
+            totals = (
+                truth.agg(F.count(F.lit(1)).alias("n_cand"))
+                .crossJoin(base.agg(F.count(F.lit(1)).alias("n_hits")))
+                .select(F.lit(-1).alias("__cfg"), "n_cand", "n_hits")
+            )
+            collected = sweep.unionByName(totals).collect()
+        finally:
+            bands.unpersist()
+        by_cfg = {
+            int(r["__cfg"]): (int(r["n_cand"]), int(r["n_hits"]))
+            for r in collected
+        }
+        n_true, n_sample = by_cfg.pop(-1)
+        # a config whose banding surfaced no candidates has no group
+        # row — it reports (0, 0), same as the old per-config agg.
         rows = [
-            (r["scheme"], r["num_hashes"], r["band_size"],
-             r["n_cand"], r["n_hits"])
-            for r in sweep.collect()
+            (s, k, b, *by_cfg.get(i, (0, 0))) for i, s, k, b in metas
         ]
-        totals = (
-            truth.agg(F.count(F.lit(1)).alias("n_true"))
-            .crossJoin(base.agg(F.count(F.lit(1)).alias("n_sample")))
-            .collect()[0]
-        )
-        n_true, n_sample = int(totals["n_true"]), int(totals["n_sample"])
         truth.unpersist()
         return local_df(
             spark,

@@ -483,6 +483,32 @@ def knn_ivf_trained(
     return _topk_probed(corpus, probes, k, id_col)
 
 
+def _kmeans_vecs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str = "label",
+) -> DataFrame:
+    """Shared pinned (id, cluster, vec, nv) frame for the Lloyd
+    family. Deliberately NOT spread: per-row numeric work here (one
+    64-dim fold per row) is ~1000x lighter than the md5 text passes
+    `ensure_parallelism` exists for, and an r12 A/B showed spreading
+    the 2000-row embeddings scan to defaultParallelism made every
+    Lloyd stage a 32-tiny-task stage and regressed the whole family
+    (cluster_sample 0.73 s -> 1.71 s, cluster_health 1.05 -> 2.23,
+    embedding_clusters 1.14 -> 2.33 best-of-3). Consumers that need
+    parallel downstream work key it from a shuffle (e.g.
+    semdedup_prune's merge-hinted dominance join on `cl`) rather
+    than pre-spreading this frame."""
+    return pin(
+        embeddings.select(
+            F.col(id_col),
+            F.col(seed_col).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
+    )
+
+
 def kmeans_lloyd(
     vecs: DataFrame,
     n_iters: int = 2,
@@ -534,13 +560,7 @@ def kmeans_clusters(
     the quantizer with `ivf_fit` on a sample, where the mean is a
     true partial aggregate and K scales with the corpus). The census
     aggregation itself is min-struct partial-aggregated, K rows out."""
-    vecs = pin(
-        embeddings.select(
-            F.col(id_col),
-            F.col(seed_col).alias("cluster"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
-    )
+    vecs = _kmeans_vecs(embeddings, id_col, vec_col, seed_col)
     cents = kmeans_lloyd(vecs, n_iters=n_iters, id_col=id_col)
     final = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
     scored = final.join(F.broadcast(cents), "cl").withColumn(
@@ -572,13 +592,7 @@ def kmeans_assign(
     (id_col, vec, nv, cl) — the ingest-time labeling job downstream
     cluster-aware curation (balanced sampling, SemDeDup pruning)
     keys on."""
-    vecs = pin(
-        embeddings.select(
-            F.col(id_col),
-            F.col(seed_col).alias("cluster"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
-    )
+    vecs = _kmeans_vecs(embeddings, id_col, vec_col, seed_col)
     cents = kmeans_lloyd(vecs, n_iters=n_iters, id_col=id_col)
     return nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
 
@@ -708,13 +722,7 @@ def kmeans_assign_scored(
     is the same `nv - 2<vec,c> + nc` shape `nearest_clusters` scored
     with, so it is bit-identical to the argmin's winning value (and to
     the DuckDB oracle's)."""
-    vecs = pin(
-        embeddings.select(
-            F.col(id_col),
-            F.col(seed_col).alias("cluster"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        ).withColumn("nv", dot(F.col("vec"), F.col("vec")))
-    )
+    vecs = _kmeans_vecs(embeddings, id_col, vec_col, seed_col)
     cents = kmeans_lloyd(vecs, n_iters=n_iters, id_col=id_col)
     assigned = nearest_clusters(vecs.drop("cluster"), cents, 1, id_col)
     return (

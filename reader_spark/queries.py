@@ -8816,13 +8816,31 @@ def decontaminate_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
     lb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
     lab = verified.join(F.broadcast(la), "doc_a").join(F.broadcast(lb), "doc_b")
+    # ONE pass over the labeled pair stream: each pair contributes
+    # its train-side id(s) through an explode instead of two union
+    # branches that would each re-read the verified-pair cache and
+    # re-run both label joins (r12: the branches were the only
+    # consumers of `lab`, so the union literally doubled the
+    # label-attach work). explode drops NULLs via the filter; the
+    # distinct is unchanged, so the leaked id SET is identical.
     leaked = (
-        lab.filter((F.col("sp_a") == "train") & (F.col("sp_b") != "train"))
-        .select(F.col("doc_a").alias("doc_id"))
-        .unionByName(
-            lab.filter((F.col("sp_b") == "train") & (F.col("sp_a") != "train"))
-            .select(F.col("doc_b").alias("doc_id"))
+        lab.select(
+            F.explode(
+                F.array(
+                    F.when(
+                        (F.col("sp_a") == "train")
+                        & (F.col("sp_b") != "train"),
+                        F.col("doc_a"),
+                    ),
+                    F.when(
+                        (F.col("sp_b") == "train")
+                        & (F.col("sp_a") != "train"),
+                        F.col("doc_b"),
+                    ),
+                )
+            ).alias("doc_id")
         )
+        .filter(F.col("doc_id").isNotNull())
         .distinct()
     )
     return (

@@ -480,22 +480,27 @@ def test_pinned_broadcast_decision_impl_invariant(spark, sf_dir):
 
 def test_semdedup_probe_side_parallel(spark, sf_dir):
     """r12 regression guard (r11 verdict #1): on a ONE-file input the
-    scored frame semdedup_prune self-joins must be spread to
-    defaultParallelism partitions before the pin — otherwise a
-    broadcast b-side pins the per-cluster quadratic pair generation
-    onto the single scan partition (the r11 semdedup regression)."""
+    quadratic per-cluster pair generation must not inherit the single
+    scan partition (the r11 semdedup regression, where a broadcast
+    b-side pinned pair-gen onto one core). The r12 shape keys the
+    dominance join on `cl` through an EXPLICIT
+    repartition(defaultParallelism, "cl") — explicit so AQE cannot
+    coalesce the tiny exchange back to one task (measured: a bare
+    merge hint re-serialized the whole pair-gen). Assert the plan
+    carries that user-specified exchange on the probe side."""
+    import re
+
     from reader_spark import cache
 
     cache.release_pins()
     emb = _emb(spark, sf_dir)
     assert emb.rdd.getNumPartitions() == 1  # fixture precondition
-    CU.semdedup_prune(emb, n_iters=2, threshold=0.2)
-    # semdedup pins scored LAST (kmeans_assign_scored pins vecs first)
-    scored = cache._PINNED[-1]
-    assert (
-        scored.rdd.getNumPartitions()
-        >= spark.sparkContext.defaultParallelism
-    )
+    out = CU.semdedup_prune(emb, n_iters=2, threshold=0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    dp = spark.sparkContext.defaultParallelism
+    assert re.search(
+        rf"hashpartitioning\(cl#\d+L?, {dp}\), REPARTITION_BY_NUM", plan
+    ), plan
     cache.release_pins()
 
 

@@ -340,6 +340,20 @@ def run_pipeline_merge(
     )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        # cache the micro-batch for the handler's lifetime: the DDL
+        # collect and every per-table merge are separate actions, and
+        # each would otherwise re-read the batch through the Python
+        # data source's partition readers (measured on the e2e
+        # pipeline: the uncached addBatch ran ~2x the same work on a
+        # static frame). Scoped persist, released before the offset
+        # commit — never a cross-batch or cross-run cache.
+        batch.persist()
+        try:
+            _handle_merge_batch(batch)
+        finally:
+            batch.unpersist()
+
+    def _handle_merge_batch(batch: DataFrame) -> None:
         changed = decoded_changes(batch, adapter, db, tables, history_path)
         # Replicated TRUNCATE TABLE maps onto the transfer truncate
         # verb (writer.go:310-327): clear the destination behind a
@@ -428,6 +442,16 @@ def run_pipeline(
     )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        # scoped micro-batch cache — same rationale as the merge
+        # pipeline's handler: the DDL collect and the per-table
+        # publishes are separate actions over a Python-source batch
+        batch.persist()
+        try:
+            _publish_batch(batch, epoch_id)
+        finally:
+            batch.unpersist()
+
+    def _publish_batch(batch: DataFrame, epoch_id: int) -> None:
         for table, env in process_batch(
             batch, adapter, db, tables, history_path
         ).items():

@@ -7542,34 +7542,104 @@ def bloom_tuning_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle compares exactly; the whole sweep is ONE Spark action
     (per-geometry one-row aggregates unioned — the
     lsh_tuning_report lesson)."""
+    from reader_spark.functions.localrel import local_df
     from reader_spark.operators import sketches as SK
 
+    # r12 sweep collapse (the lsh_tuning_report lesson, second
+    # application): the per-geometry bloom_tiles + 5-broadcast-join
+    # bloom_probe + aggregate chains were ~41 stages of ~KB work.
+    # Tag every tile and probe row with its geometry instead: ONE
+    # bit_or exchange builds all three word tables, ONE chain of 5
+    # broadcast joins (keyed on geometry + word) probes all three,
+    # and ONE grouped aggregate yields the table — collected into a
+    # LocalTableScan so row order stays the sweep order. Identical
+    # integer outputs; bloom_probe's NULL-key coalesce semantics
+    # reproduced (probe keys here are non-NULL doc ids either way).
+    geoms = (16, 256, 4096)
+    k_hashes = 5
     docs = pin(_t(spark, sf_dir, "documents").select("doc_id"))
     seen = docs.filter(F.col("doc_id") % 10 != 0)
     new = docs.filter(F.col("doc_id") % 10 == 0)
-    parts = []
-    for m_words in (16, 256, 4096):
-        bloom = SK.bloom_tiles(seen, "doc_id", m_words=m_words)
-        verdict = SK.bloom_probe(
-            new, bloom, "doc_id", m_words=m_words
-        )
-        parts.append(
-            verdict.agg(
-                F.count(F.lit(1)).alias("n_probed_new"),
-                F.count(F.when(F.col("maybe_seen"), 1)).alias(
-                    "n_false_positive"
-                ),
+    wb = SK.BLOOM_WORD_BITS
+    tile_parts, probe_parts = [], []
+    for m_words in geoms:
+        pos = SK.bloom_positions(F.col("doc_id"), m_words, k_hashes)
+        tile_parts.append(
+            seen.select(
+                F.lit(m_words).alias("g"),
+                F.explode(F.array(*pos)).alias("p"),
             ).select(
-                F.lit(m_words).alias("m_words"),
-                F.lit(5).alias("k_hashes"),
-                "n_probed_new",
-                "n_false_positive",
+                "g",
+                (F.col("p") / wb).cast("long").alias("word"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(p % {wb} AS INT))"
+                ).alias("m"),
             )
         )
-    sweep = parts[0]
-    for p in parts[1:]:
-        sweep = sweep.unionByName(p)
-    return sweep
+        probe_parts.append(
+            new.select(
+                F.lit(m_words).alias("g"),
+                F.col("doc_id"),
+                *[p.alias(f"__p{i}") for i, p in enumerate(pos)],
+            )
+        )
+    tiles_rows = tile_parts[0]
+    for t in tile_parts[1:]:
+        tiles_rows = tiles_rows.unionByName(t)
+    tiles = pin(
+        tiles_rows.groupBy("g", "word").agg(F.bit_or("m").alias("bits"))
+    )
+    out = probe_parts[0]
+    for pr in probe_parts[1:]:
+        out = out.unionByName(pr)
+    wm = [F.col("g"), F.col("doc_id")]
+    for i in range(k_hashes):
+        wm.append(
+            (F.col(f"__p{i}") / wb).cast("long").alias(f"__w{i}")
+        )
+        wm.append(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(__p{i} % {wb} AS INT))"
+            ).alias(f"__m{i}")
+        )
+    out = out.select(*wm)
+    hit = None
+    for i in range(k_hashes):
+        side = F.broadcast(
+            tiles.select(
+                F.col("g"),
+                F.col("word").alias(f"__w{i}"),
+                F.col("bits").alias(f"__b{i}"),
+            )
+        )
+        out = out.join(side, ["g", f"__w{i}"], "left")
+        h = (
+            F.coalesce(F.col(f"__b{i}"), F.lit(0)).bitwiseAND(
+                F.col(f"__m{i}")
+            )
+            != 0
+        )
+        hit = h if hit is None else (hit & h)
+    maybe_seen = F.coalesce(hit, F.lit(False))
+    agg = (
+        out.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed_new"),
+            F.count(F.when(maybe_seen, 1)).alias("n_false_positive"),
+        )
+        .collect()
+    )
+    by_g = {
+        int(r["g"]): (int(r["n_probed_new"]), int(r["n_false_positive"]))
+        for r in agg
+    }
+    return local_df(
+        spark,
+        [(m, k_hashes, *by_g.get(m, (0, 0))) for m in geoms],
+        "m_words int, k_hashes int, n_probed_new long, "
+        "n_false_positive long",
+    )
 
 
 def _bloom_sweep_duck(m_words: int) -> str:

@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from reader_spark.cache import pin
 from reader_spark.functions.localrel import local_df
 from reader_spark.operators import dedup as DD
 from reader_spark.operators import similarity as SIM
@@ -1097,6 +1098,41 @@ def passage_stats(
     )
 
 
+# r12: the window-hash frame (doc_id, s, sh) feeds BOTH the
+# corpus-wide occurrence count and the duplicated-window join probe.
+# "pin" persists it so the split + stride-1 explode + per-window md5
+# pass (the span family's CPU hot spot) runs ONCE; "recompute"
+# keeps the r11 shape (two full hash passes). ~20 B/row cached —
+# linear in corpus tokens, the same bound as the shuffle the count
+# already pays, so it holds at the 100 TB tier.
+SPAN_REUSE = "pin"
+
+
+def _span_hashes(base: DataFrame, width: int) -> DataFrame:
+    """(doc_id, s, sh): every width-token window's 60-bit hash,
+    stride 1 — shared by `duplicate_spans` / `remove_duplicate_spans`
+    and pinned under SPAN_REUSE="pin" (see note above)."""
+    ws = F.col("ws")
+    spans = (
+        base.filter(F.size(ws) >= width)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.size(ws) - width).cast("int"))
+            ).alias("s"),
+            ws,
+        )
+        .select(
+            "doc_id",
+            "s",
+            DD.md5_hash64(
+                F.concat_ws(" ", F.slice(ws, F.col("s") + 1, width)), "sp"
+            ).alias("sh"),
+        )
+    )
+    return pin(spans) if SPAN_REUSE == "pin" else spans
+
+
 def duplicate_spans(
     docs: DataFrame, width: int = 8, text_col: str = "text"
 ) -> DataFrame:
@@ -1126,23 +1162,7 @@ def duplicate_spans(
         "doc_id", F.split(F.col(text_col), " ").alias("ws")
     )
     lens = base.select("doc_id", F.size(ws).alias("n_tokens"))
-    spans = (
-        base.filter(F.size(ws) >= width)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(0), (F.size(ws) - width).cast("int"))
-            ).alias("s"),
-            ws,
-        )
-        .select(
-            "doc_id",
-            "s",
-            DD.md5_hash64(
-                F.concat_ws(" ", F.slice(ws, F.col("s") + 1, width)), "sp"
-            ).alias("sh"),
-        )
-    )
+    spans = _span_hashes(base, width)
     counts = spans.groupBy("sh").agg(F.count("*").alias("cnt"))
     dup = spans.join(counts, "sh").filter(F.col("cnt") > 1)
     # gaps-and-islands over [s, s+width): a span starts a new island
@@ -1202,23 +1222,7 @@ def remove_duplicate_spans(
     base = DD.ensure_parallelism(docs).select(
         "doc_id", F.split(F.col(text_col), " ").alias("ws")
     )
-    spans = (
-        base.filter(F.size(ws) >= width)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(0), (F.size(ws) - width).cast("int"))
-            ).alias("s"),
-            ws,
-        )
-        .select(
-            "doc_id",
-            "s",
-            DD.md5_hash64(
-                F.concat_ws(" ", F.slice(ws, F.col("s") + 1, width)), "sp"
-            ).alias("sh"),
-        )
-    )
+    spans = _span_hashes(base, width)
     counts = spans.groupBy("sh").agg(F.count("*").alias("cnt"))
     dup = spans.join(counts, "sh").filter(F.col("cnt") > 1)
     wo = W.partitionBy("doc_id").orderBy("s")

@@ -250,6 +250,46 @@ MEDIA_STATS_SCHEMA = (
 )
 
 
+def _stats_row(media_id, kind, payload):
+    """One `extract_media_stats` output row — module-level so fused
+    kernels (`synth_image_stats_resized`) compose it with upstream
+    row transforms inside a single mapInPandas pass."""
+    import math
+
+    row = {
+        "media_id": media_id, "kind": kind, "decoded": False,
+        "width": None, "height": None,
+        "mean_r": None, "mean_g": None, "mean_b": None,
+        "sample_rate": None, "duration_ms": None, "rms": None,
+    }
+    if payload is None:
+        return row
+    try:
+        if kind == "image":
+            img = _decode_image(bytes(payload))
+            h, w, _ = img.shape
+            sums = img.reshape(-1, 3).sum(axis=0, dtype="int64")
+            n = h * w
+            row.update(
+                decoded=True, width=w, height=h,
+                mean_r=float(sums[0]) / n,
+                mean_g=float(sums[1]) / n,
+                mean_b=float(sums[2]) / n,
+            )
+        elif kind == "audio":
+            au = _decode_audio(bytes(payload))
+            pcm = au["pcm"].astype("float64")
+            row.update(
+                decoded=True,
+                sample_rate=au["sample_rate"],
+                duration_ms=au["duration_ms"],
+                rms=math.sqrt(float((pcm * pcm).mean())) if pcm.size else 0.0,
+            )
+    except (NotImplementedError, ValueError):
+        pass  # unsupported codec: decoded stays False
+    return row
+
+
 def extract_media_stats(media: DataFrame) -> DataFrame:
     """REAL decode path over mapInPandas for the formats this
     container can decode (PPM/BMP images, PCM WAV audio): per-blob
@@ -258,41 +298,7 @@ def extract_media_stats(media: DataFrame) -> DataFrame:
     decoded=false with null stats instead of failing the batch, so
     mixed corpora stream through. Same scale shape as
     extract_features: blobs never shuffle, only small stat rows do."""
-    import math
-
-    def one(media_id, kind, payload):
-        row = {
-            "media_id": media_id, "kind": kind, "decoded": False,
-            "width": None, "height": None,
-            "mean_r": None, "mean_g": None, "mean_b": None,
-            "sample_rate": None, "duration_ms": None, "rms": None,
-        }
-        if payload is None:
-            return row
-        try:
-            if kind == "image":
-                img = _decode_image(bytes(payload))
-                h, w, _ = img.shape
-                sums = img.reshape(-1, 3).sum(axis=0, dtype="int64")
-                n = h * w
-                row.update(
-                    decoded=True, width=w, height=h,
-                    mean_r=float(sums[0]) / n,
-                    mean_g=float(sums[1]) / n,
-                    mean_b=float(sums[2]) / n,
-                )
-            elif kind == "audio":
-                au = _decode_audio(bytes(payload))
-                pcm = au["pcm"].astype("float64")
-                row.update(
-                    decoded=True,
-                    sample_rate=au["sample_rate"],
-                    duration_ms=au["duration_ms"],
-                    rms=math.sqrt(float((pcm * pcm).mean())) if pcm.size else 0.0,
-                )
-        except (NotImplementedError, ValueError):
-            pass  # unsupported codec: decoded stays False
-        return row
+    one = _stats_row
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -339,6 +345,37 @@ def encode_ppm(img) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
+def _resize_row(media_id, kind, payload, out_w: int, out_h: int):
+    """One `resize_images` output row — module-level for fused
+    kernels (see `_stats_row`)."""
+    import numpy as np
+
+    row = {
+        "media_id": media_id, "decoded": False, "in_w": None,
+        "in_h": None, "out_w": out_w, "out_h": out_h, "payload": None,
+    }
+    if payload is None or kind != "image":
+        return row
+    try:
+        img = _decode_image(bytes(payload))
+    except (NotImplementedError, ValueError):
+        return row
+    h, w, _ = img.shape
+    # nearest-neighbor: center-of-pixel sampling grid
+    ys = np.minimum(
+        ((np.arange(out_h) + 0.5) * h / out_h).astype("int64"), h - 1
+    )
+    xs = np.minimum(
+        ((np.arange(out_w) + 0.5) * w / out_w).astype("int64"), w - 1
+    )
+    resized = img[ys][:, xs]
+    row.update(
+        decoded=True, in_w=w, in_h=h,
+        payload=bytearray(encode_ppm(np.ascontiguousarray(resized))),
+    )
+    return row
+
+
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """REAL nearest-neighbor image resize over mapInPandas (numpy
     index arithmetic — no PIL). Decodable rasters (PPM / 24-bit BMP)
@@ -350,33 +387,8 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     bounded by out_w*out_h*3 regardless of input size, so a
     downstream shuffle of resized thumbnails is safe where one of
     raw scans is not."""
-    import numpy as np
-
     def one(media_id, kind, payload):
-        row = {
-            "media_id": media_id, "decoded": False, "in_w": None,
-            "in_h": None, "out_w": out_w, "out_h": out_h, "payload": None,
-        }
-        if payload is None or kind != "image":
-            return row
-        try:
-            img = _decode_image(bytes(payload))
-        except (NotImplementedError, ValueError):
-            return row
-        h, w, _ = img.shape
-        # nearest-neighbor: center-of-pixel sampling grid
-        ys = np.minimum(
-            ((np.arange(out_h) + 0.5) * h / out_h).astype("int64"), h - 1
-        )
-        xs = np.minimum(
-            ((np.arange(out_w) + 0.5) * w / out_w).astype("int64"), w - 1
-        )
-        resized = img[ys][:, xs]
-        row.update(
-            decoded=True, in_w=w, in_h=h,
-            payload=bytearray(encode_ppm(np.ascontiguousarray(resized))),
-        )
-        return row
+        return _resize_row(media_id, kind, payload, out_w, out_h)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -391,6 +403,20 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 DHASH_SCHEMA = "media_id long, decoded boolean, dhash long"
+
+
+def _dhash_row(media_id, kind, payload, hash_w: int, hash_h: int):
+    """One `image_dhash` output row — module-level for fused
+    kernels (see `_stats_row`)."""
+    row = {"media_id": media_id, "decoded": False, "dhash": None}
+    if payload is None or kind != "image":
+        return row
+    try:
+        img = _decode_image(bytes(payload))
+    except (NotImplementedError, ValueError):
+        return row
+    row.update(decoded=True, dhash=_dhash_of(img, hash_w, hash_h))
+    return row
 
 
 def _dhash_of(img, hash_w: int, hash_h: int) -> int:
@@ -435,18 +461,8 @@ def image_dhash(
     groupBy on the hash; near-dup pairing composes with
     `dedup.simhash_candidate_pairs(bits=56)` (pigeonhole hamming
     banding — tested in test_multimodal.py)."""
-    import numpy as np
-
     def one(media_id, kind, payload):
-        row = {"media_id": media_id, "decoded": False, "dhash": None}
-        if payload is None or kind != "image":
-            return row
-        try:
-            img = _decode_image(bytes(payload))
-        except (NotImplementedError, ValueError):
-            return row
-        row.update(decoded=True, dhash=_dhash_of(img, hash_w, hash_h))
-        return row
+        return _dhash_row(media_id, kind, payload, hash_w, hash_h)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -461,6 +477,35 @@ def image_dhash(
 
 
 FINGERPRINT_SCHEMA = "media_id long, decoded boolean, fingerprint long"
+
+
+def _fingerprint_row(media_id, kind, payload, frame: int, n_frames: int):
+    """One `audio_fingerprint` output row — module-level for fused
+    kernels (see `_stats_row`)."""
+    import numpy as np
+
+    need = frame * n_frames
+    row = {"media_id": media_id, "decoded": False, "fingerprint": None}
+    if payload is None or kind != "audio":
+        return row
+    try:
+        au = _decode_audio(bytes(payload))
+    except (NotImplementedError, ValueError):
+        return row
+    pcm = au["pcm"].astype("float64").mean(axis=1)
+    if pcm.size < need:
+        return row
+    frames = pcm[:need].reshape(n_frames, frame)
+    spec = np.fft.rfft(frames, axis=1)
+    mag2 = spec.real**2 + spec.imag**2
+    # skip DC; argmax takes the FIRST (lowest) bin on ties —
+    # matching the oracle's ORDER BY mag2 DESC, k
+    bins = 1 + np.argmax(mag2[:, 1 : frame // 2 + 1], axis=1)
+    fp = 0
+    for f, b in enumerate(bins):
+        fp |= int(b) << (6 * f)
+    row.update(decoded=True, fingerprint=fp)
+    return row
 
 
 def audio_fingerprint(
@@ -478,32 +523,8 @@ def audio_fingerprint(
     Scale shape: decode + FFT run mapInPandas on the scan
     partitioning; blobs never shuffle, one (id, int64) row leaves
     per clip."""
-    import numpy as np
-
-    need = frame * n_frames
-
     def one(media_id, kind, payload):
-        row = {"media_id": media_id, "decoded": False, "fingerprint": None}
-        if payload is None or kind != "audio":
-            return row
-        try:
-            au = _decode_audio(bytes(payload))
-        except (NotImplementedError, ValueError):
-            return row
-        pcm = au["pcm"].astype("float64").mean(axis=1)
-        if pcm.size < need:
-            return row
-        frames = pcm[:need].reshape(n_frames, frame)
-        spec = np.fft.rfft(frames, axis=1)
-        mag2 = spec.real**2 + spec.imag**2
-        # skip DC; argmax takes the FIRST (lowest) bin on ties —
-        # matching the oracle's ORDER BY mag2 DESC, k
-        bins = 1 + np.argmax(mag2[:, 1 : frame // 2 + 1], axis=1)
-        fp = 0
-        for f, b in enumerate(bins):
-            fp |= int(b) << (6 * f)
-        row.update(decoded=True, fingerprint=fp)
-        return row
+        return _fingerprint_row(media_id, kind, payload, frame, n_frames)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -523,42 +544,47 @@ SPECTRUM_SCHEMA = (
 )
 
 
+def _spectrum_row(media_id, kind, payload):
+    """One `audio_spectrum` output row — module-level for fused
+    kernels (see `_stats_row`)."""
+    import numpy as np
+
+    row = {
+        "media_id": media_id, "decoded": False,
+        "sample_rate": None, "dominant_hz": None,
+        "spectral_centroid": None,
+    }
+    if payload is None or kind != "audio":
+        return row
+    try:
+        au = _decode_audio(bytes(payload))
+    except (NotImplementedError, ValueError):
+        return row
+    pcm = au["pcm"].astype("float64").mean(axis=1)
+    if pcm.size < 2:
+        return row
+    mag = np.abs(np.fft.rfft(pcm))
+    freqs = np.fft.rfftfreq(pcm.size, d=1.0 / au["sample_rate"])
+    dom = 1 + int(np.argmax(mag[1:]))  # skip the DC bin
+    total = float(mag.sum())
+    row.update(
+        decoded=True,
+        sample_rate=au["sample_rate"],
+        dominant_hz=float(freqs[dom]),
+        spectral_centroid=(
+            float((freqs * mag).sum() / total) if total > 0 else 0.0
+        ),
+    )
+    return row
+
+
 def audio_spectrum(media: DataFrame) -> DataFrame:
     """REAL spectral features for PCM WAV over mapInPandas: mono-mix
     the channels, rFFT (numpy), and emit the dominant frequency (max
     magnitude bin above DC) and the spectral centroid in Hz.
     Undecodable/empty audio yields decoded=false. Blobs never
     shuffle; two doubles per clip do."""
-    import numpy as np
-
-    def one(media_id, kind, payload):
-        row = {
-            "media_id": media_id, "decoded": False,
-            "sample_rate": None, "dominant_hz": None,
-            "spectral_centroid": None,
-        }
-        if payload is None or kind != "audio":
-            return row
-        try:
-            au = _decode_audio(bytes(payload))
-        except (NotImplementedError, ValueError):
-            return row
-        pcm = au["pcm"].astype("float64").mean(axis=1)
-        if pcm.size < 2:
-            return row
-        mag = np.abs(np.fft.rfft(pcm))
-        freqs = np.fft.rfftfreq(pcm.size, d=1.0 / au["sample_rate"])
-        dom = 1 + int(np.argmax(mag[1:]))  # skip the DC bin
-        total = float(mag.sum())
-        row.update(
-            decoded=True,
-            sample_rate=au["sample_rate"],
-            dominant_hz=float(freqs[dom]),
-            spectral_centroid=(
-                float((freqs * mag).sum() / total) if total > 0 else 0.0
-            ),
-        )
-        return row
+    one = _spectrum_row
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -584,17 +610,7 @@ def synthesize_images(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     arithmetic, so a SQL oracle can reproduce any pixel (and anything
     derived from it) without a codec. mapInPandas keeps blobs on the
     scan partitioning."""
-    import numpy as np
-
-    def one(mid: int) -> dict:
-        w, h = 4 + mid % 5, 2 + mid % 3
-        y, x, c = np.ogrid[0:h, 0:w, 0:3]
-        img = ((mid * 7 + y * 13 + x * 17 + c * 29) % 256).astype("uint8")
-        return {
-            "media_id": mid,
-            "kind": "image",
-            "payload": bytearray(encode_ppm(np.ascontiguousarray(img))),
-        }
+    one = _synth_image_row
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -603,6 +619,21 @@ def synthesize_images(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.mapInPandas(
         op, schema="media_id long, kind string, payload binary"
     )
+
+
+def _synth_image_row(mid: int) -> dict:
+    """One `synthesize_images` output row — module-level for fused
+    kernels (see `_stats_row`)."""
+    import numpy as np
+
+    w, h = 4 + mid % 5, 2 + mid % 3
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    img = ((mid * 7 + y * 13 + x * 17 + c * 29) % 256).astype("uint8")
+    return {
+        "media_id": mid,
+        "kind": "image",
+        "payload": bytearray(encode_ppm(np.ascontiguousarray(img))),
+    }
 
 
 def synthesize_wavs(
@@ -614,27 +645,8 @@ def synthesize_wavs(
     """Deterministic mono 16-bit PCM WAV per id: sample_i =
     ((id*31 + i*i*7) % 2001) - 1000 — integer pseudo-noise whose DFT
     a SQL oracle can recompute term-by-term."""
-    import struct
-
     def one(mid: int) -> dict:
-        samples = [
-            ((mid * 31 + i * i * 7) % 2001) - 1000 for i in range(n_samples)
-        ]
-        data = struct.pack(f"<{n_samples}h", *samples)
-        hdr = (
-            b"RIFF"
-            + struct.pack("<I", 36 + len(data))
-            + b"WAVEfmt "
-            + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
-                          sample_rate * 2, 2, 16)
-            + b"data"
-            + struct.pack("<I", len(data))
-        )
-        return {
-            "media_id": mid,
-            "kind": "audio",
-            "payload": bytearray(hdr + data),
-        }
+        return _synth_wav_row(mid, sample_rate, n_samples)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -643,6 +655,31 @@ def synthesize_wavs(
     return ids.mapInPandas(
         op, schema="media_id long, kind string, payload binary"
     )
+
+
+def _synth_wav_row(mid: int, sample_rate: int, n_samples: int) -> dict:
+    """One `synthesize_wavs` output row — module-level for fused
+    kernels (see `_stats_row`)."""
+    import struct
+
+    samples = [
+        ((mid * 31 + i * i * 7) % 2001) - 1000 for i in range(n_samples)
+    ]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return {
+        "media_id": mid,
+        "kind": "audio",
+        "payload": bytearray(hdr + data),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -690,23 +727,8 @@ def synthesize_videos(
 ) -> DataFrame:
     """Deterministic PPMV per id: 3 + id % 3 frames of the
     synthesize_images pixel formula shifted per frame."""
-    import numpy as np
-
     def one(mid: int) -> dict:
-        n = n_frames_base + mid % 3
-        frames = []
-        for f in range(n):
-            w, h = 4 + mid % 5, 2 + mid % 3
-            y, x, c = np.ogrid[0:h, 0:w, 0:3]
-            img = ((mid * 7 + f * 41 + y * 13 + x * 17 + c * 29) % 256).astype(
-                "uint8"
-            )
-            frames.append(np.ascontiguousarray(img))
-        return {
-            "media_id": mid,
-            "kind": "video",
-            "payload": bytearray(encode_ppmv(frames, fps_milli=2000)),
-        }
+        return _synth_video_row(mid, n_frames_base)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -715,6 +737,27 @@ def synthesize_videos(
     return ids.mapInPandas(
         op, schema="media_id long, kind string, payload binary"
     )
+
+
+def _synth_video_row(mid: int, n_frames_base: int) -> dict:
+    """One `synthesize_videos` output row — module-level for fused
+    kernels (see `_stats_row`)."""
+    import numpy as np
+
+    n = n_frames_base + mid % 3
+    frames = []
+    for f in range(n):
+        w, h = 4 + mid % 5, 2 + mid % 3
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        img = ((mid * 7 + f * 41 + y * 13 + x * 17 + c * 29) % 256).astype(
+            "uint8"
+        )
+        frames.append(np.ascontiguousarray(img))
+    return {
+        "media_id": mid,
+        "kind": "video",
+        "payload": bytearray(encode_ppmv(frames, fps_milli=2000)),
+    }
 
 
 FRAME_SCHEMA = (
@@ -799,3 +842,177 @@ def video_dhash(
             )
 
     return media.mapInPandas(op, schema=VIDEO_DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# fused synthesis pipelines (r12): each synthesize_* -> kernel chain
+# used by a catalog query crossed the JVM<->Python boundary once per
+# kernel — every MapInPandas node is its own PythonRunner, so a
+# 3-stage chain serialized the blobs through Arrow three times just
+# to hand them to the next Python function. These entry points run
+# the SAME module-level row transforms (single source of truth with
+# the unfused operators, parity-tested) composed inside ONE
+# mapInPandas pass: one boundary crossing, blobs never leave the
+# Python worker between steps (guide §4). Output schemas/rows are
+# identical to the chained forms.
+
+
+def synth_image_stats_resized(
+    ids: DataFrame, out_w: int, out_h: int, id_col: str = "media_id"
+) -> DataFrame:
+    """Fused synthesize_images -> resize_images -> extract_media_stats
+    (the multimodal_resize query path), one Python pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[id_col]:
+                s = _synth_image_row(int(m))
+                r = _resize_row(
+                    s["media_id"], s["kind"], s["payload"], out_w, out_h
+                )
+                rows.append(_stats_row(r["media_id"], "image", r["payload"]))
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(op, schema=MEDIA_STATS_SCHEMA)
+
+
+def synth_wav_spectrum(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    sample_rate: int = 8000,
+    n_samples: int = 64,
+) -> DataFrame:
+    """Fused synthesize_wavs -> audio_spectrum (the audio_spectrum
+    query path), one Python pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[id_col]:
+                s = _synth_wav_row(int(m), sample_rate, n_samples)
+                rows.append(
+                    _spectrum_row(s["media_id"], s["kind"], s["payload"])
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(op, schema=SPECTRUM_SCHEMA)
+
+
+def synth_image_dhash(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 7,
+) -> DataFrame:
+    """Fused synthesize_images -> image_dhash (image_phash_dedup and
+    the frame_match_search probe side), one Python pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[id_col]:
+                s = _synth_image_row(int(m))
+                rows.append(
+                    _dhash_row(
+                        s["media_id"], s["kind"], s["payload"],
+                        hash_w, hash_h,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(op, schema=DHASH_SCHEMA)
+
+
+def synth_wav_fingerprint(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    sample_rate: int = 8000,
+    n_samples: int = 64,
+    frame: int = 64,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Fused synthesize_wavs -> audio_fingerprint
+    (audio_fingerprint_dedup), one Python pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[id_col]:
+                s = _synth_wav_row(int(m), sample_rate, n_samples)
+                rows.append(
+                    _fingerprint_row(
+                        s["media_id"], s["kind"], s["payload"],
+                        frame, n_frames,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(op, schema=FINGERPRINT_SCHEMA)
+
+
+def synth_video_dhash(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    n_frames_base: int = 3,
+    every_n: int = 1,
+    hash_w: int = 8,
+    hash_h: int = 7,
+) -> DataFrame:
+    """Fused synthesize_videos -> video_dhash (video_fingerprint_dedup
+    and the frame_match_search frame side), one Python pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[id_col]:
+                s = _synth_video_row(int(m), n_frames_base)
+                try:
+                    _fps, frames = decode_ppmv(bytes(s["payload"]))
+                except Exception:
+                    continue
+                for i in range(0, len(frames), every_n):
+                    rows.append(
+                        (int(m), i, _dhash_of(frames[i], hash_w, hash_h))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_id", "dhash"]
+            )
+
+    return ids.mapInPandas(op, schema=VIDEO_DHASH_SCHEMA)
+
+
+def synth_video_frames(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    n_frames_base: int = 3,
+    every_n: int = 1,
+) -> DataFrame:
+    """Fused synthesize_videos -> extract_frames (video_frames),
+    one Python pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[id_col]:
+                s = _synth_video_row(int(m), n_frames_base)
+                try:
+                    fps_milli, frames = decode_ppmv(bytes(s["payload"]))
+                except Exception:
+                    continue
+                frame_ms = 1_000_000 // max(fps_milli, 1)
+                for i in range(0, len(frames), every_n):
+                    img = frames[i]
+                    h, w, _ = img.shape
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (int(m), i, i * frame_ms, w, h,
+                         float(means[0]), float(means[1]), float(means[2]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_id", "ts_ms", "width",
+                         "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return ids.mapInPandas(op, schema=FRAME_SCHEMA)

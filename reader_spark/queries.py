@@ -4270,10 +4270,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("media_id")
         )
     )
-    resized = MM.resize_images(MM.synthesize_images(ids), 3, 2)
-    stats = MM.extract_media_stats(
-        resized.select("media_id", F.lit("image").alias("kind"), "payload")
-    )
+    # r12: fused synthesize -> resize -> stats kernel (one Python
+    # boundary crossing instead of three MapInPandas nodes; same row
+    # transforms, parity-tested in test_multimodal.py)
+    stats = MM.synth_image_stats_resized(ids, 3, 2)
     return stats.filter(F.col("decoded")).select(
         "media_id",
         "width",
@@ -4322,7 +4322,8 @@ def audio_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("media_id")
         )
     )
-    sp = MM.audio_spectrum(MM.synthesize_wavs(ids))
+    # r12: fused synthesize -> spectrum kernel (one Python crossing)
+    sp = MM.synth_wav_spectrum(ids)
     return sp.filter(F.col("decoded")).select(
         "media_id",
         "sample_rate",
@@ -4385,7 +4386,8 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = DD.ensure_parallelism(
         _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     )
-    hashes = MM.image_dhash(MM.synthesize_images(ids)).filter(F.col("decoded"))
+    # r12: fused synthesize -> dhash kernel (one Python crossing)
+    hashes = MM.synth_image_dhash(ids).filter(F.col("decoded"))
     w = W.partitionBy("dhash")
     return hashes.select(
         "media_id",
@@ -4456,9 +4458,10 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = DD.ensure_parallelism(
         _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     )
-    fp = MM.audio_fingerprint(
-        MM.synthesize_wavs(ids, n_samples=256)
-    ).filter(F.col("decoded"))
+    # r12: fused synthesize -> fingerprint kernel (one Python crossing)
+    fp = MM.synth_wav_fingerprint(ids, n_samples=256).filter(
+        F.col("decoded")
+    )
     w = W.partitionBy("fingerprint")
     return fp.select(
         "media_id",
@@ -4524,7 +4527,8 @@ def video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select(F.col("doc_id").alias("media_id"))
     )
-    fd = MM.video_dhash(MM.synthesize_videos(ids))
+    # r12: fused synthesize -> per-frame dhash kernel (one crossing)
+    fd = MM.synth_video_dhash(ids)
     fp = fd.groupBy("media_id").agg(
         F.md5(
             F.concat_ws(
@@ -4604,23 +4608,21 @@ def frame_match_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reader_spark.operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
-    probes = MM.image_dhash(
-        MM.synthesize_images(
-            DD.ensure_parallelism(
-                docs.filter(F.col("doc_id") < 5).select(
-                    F.col("doc_id").alias("media_id")
-                )
+    # r12: both sides run their fused synthesize->dhash kernels (one
+    # Python crossing each instead of two)
+    probes = MM.synth_image_dhash(
+        DD.ensure_parallelism(
+            docs.filter(F.col("doc_id") < 5).select(
+                F.col("doc_id").alias("media_id")
             )
         )
     ).filter(F.col("decoded")).select(
         F.col("media_id").alias("probe_id"), "dhash"
     )
-    frames = MM.video_dhash(
-        MM.synthesize_videos(
-            DD.ensure_parallelism(
-                docs.filter(F.col("doc_id") < 100).select(
-                    F.col("doc_id").alias("media_id")
-                )
+    frames = MM.synth_video_dhash(
+        DD.ensure_parallelism(
+            docs.filter(F.col("doc_id") < 100).select(
+                F.col("doc_id").alias("media_id")
             )
         )
     ).select(F.col("media_id").alias("video_id"), "frame_id", "dhash")
@@ -5810,7 +5812,8 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select(F.col("doc_id").alias("media_id"))
     )
-    fr = MM.extract_frames(MM.synthesize_videos(ids))
+    # r12: fused synthesize -> frame-stats kernel (one crossing)
+    fr = MM.synth_video_frames(ids)
     return fr.select(
         "media_id",
         "frame_id",

@@ -394,3 +394,40 @@ def test_video_dhash_matches_image_dhash_per_frame(spark):
         "media_id long, kind string, payload binary",
     )
     assert MM.video_dhash(bad).count() == 0
+
+
+def test_fused_synth_pipelines_match_chained(spark):
+    """The r12 fused synthesize->kernel entry points must emit
+    byte-identical rows to the chained mapInPandas forms they
+    replace in the catalog (single-source row transforms)."""
+    ids = spark.range(0, 40).select(F.col("id").alias("media_id"))
+
+    def rows(df):
+        return sorted(
+            [tuple(r) for r in df.collect()],
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    chained_resize = MM.extract_media_stats(
+        MM.resize_images(MM.synthesize_images(ids), 3, 2).select(
+            "media_id", F.lit("image").alias("kind"), "payload"
+        )
+    )
+    assert rows(MM.synth_image_stats_resized(ids, 3, 2)) == rows(
+        chained_resize
+    )
+    assert rows(MM.synth_wav_spectrum(ids)) == rows(
+        MM.audio_spectrum(MM.synthesize_wavs(ids))
+    )
+    assert rows(MM.synth_image_dhash(ids)) == rows(
+        MM.image_dhash(MM.synthesize_images(ids))
+    )
+    assert rows(MM.synth_wav_fingerprint(ids, n_samples=256)) == rows(
+        MM.audio_fingerprint(MM.synthesize_wavs(ids, n_samples=256))
+    )
+    assert rows(MM.synth_video_dhash(ids)) == rows(
+        MM.video_dhash(MM.synthesize_videos(ids))
+    )
+    assert rows(MM.synth_video_frames(ids)) == rows(
+        MM.extract_frames(MM.synthesize_videos(ids))
+    )

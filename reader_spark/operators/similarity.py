@@ -2175,7 +2175,10 @@ def knn_ivf_sq8(
         F.col("vec").alias("qvec"),
         F.col("cl").alias("qcl"),
     )
-    stats = sq8_stats(vecs, dim)
+    # r12: pinned — the min/max subtree (posexplode + grouped extrema
+    # over the corpus) feeds BOTH the sq8_encode crossJoin and the
+    # query-side dequantization factoring; unpinned it executed twice.
+    stats = pin(sq8_stats(vecs, dim))
     # Factored approximate dot: sum_i q_i * (mn_i + (code_i+0.5)*d_i)
     # with d_i = (mx_i-mn_i)/256 rearranges to
     #   qs0 + sum_i s_i * code_i,  s_i = q_i*d_i,
@@ -2450,7 +2453,10 @@ def knn_sq8_rescore(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
         )
     )
-    stats = sq8_stats(vecs, dim)
+    # r12: pinned — the min/max subtree (posexplode + grouped extrema
+    # over the corpus) feeds BOTH the sq8_encode crossJoin and the
+    # query-side dequantization factoring; unpinned it executed twice.
+    stats = pin(sq8_stats(vecs, dim))
     # Factored approximate dot (the knn_ivf_sq8 form): the
     # dequantization folds into QUERY-side constants —
     #   approx_dot = qs0 + sum_i s_i * code_i,

@@ -256,26 +256,36 @@ def bm25_index_write(
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
-    # sum_dl stored as an exact integer so INCREMENTAL updates
-    # (bm25_index_update) can recompute avgdl = sum_dl / n_docs with
-    # arithmetic identical to a full rebuild — no float accumulation
-    # drift between the two paths.
-    docs.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split(F.col(text_col), " "))).alias("sum_dl"),
-    ).select(
-        "n_docs",
-        "sum_dl",
-        (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
-    ).write.mode("overwrite").parquet(f"{path}/scalars")
     # doc -> length side table: the ONLY per-doc fact a later DELETE
     # needs (postings are keyed by term bucket, so a doc's rows are
     # unfindable without its terms; Lucene keeps the same per-doc
     # norms file). Tiny relative to postings: one long per doc.
-    docs.select(
+    # r12: computed ONCE and persisted for the function's two writes —
+    # the scalars job below derives n_docs / sum_dl from this frame
+    # instead of re-scanning and re-splitting the corpus text a third
+    # time (same integers: count over the same rows, sum over the same
+    # per-doc sizes). Scoped persist, released before return — never a
+    # lingering cache in job-loop callers.
+    dls = docs.select(
         F.col("doc_id"),
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
-    ).write.mode("overwrite").parquet(f"{path}/doc_lengths")
+    ).persist()
+    try:
+        dls.write.mode("overwrite").parquet(f"{path}/doc_lengths")
+        # sum_dl stored as an exact integer so INCREMENTAL updates
+        # (bm25_index_update) can recompute avgdl = sum_dl / n_docs
+        # with arithmetic identical to a full rebuild — no float
+        # accumulation drift between the two paths.
+        dls.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("dl")).alias("sum_dl"),
+        ).select(
+            "n_docs",
+            "sum_dl",
+            (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+        ).write.mode("overwrite").parquet(f"{path}/scalars")
+    finally:
+        dls.unpersist()
 
 
 def bm25_topk_indexed(

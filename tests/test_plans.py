@@ -204,12 +204,15 @@ def test_knn_sq8_broadcasts_queries_only(spark):
 
 
 def test_media_pipeline_stays_on_scan_partitioning(spark):
-    # synth -> resize -> stats are three chained MapInPandas ops; the
-    # only exchange is the ensure_parallelism round-robin of the tiny
-    # id column — blobs themselves never shuffle.
+    # r12: synth -> resize -> stats run FUSED in ONE MapInPandas (one
+    # Python boundary crossing; parity with the chained forms asserted
+    # in test_multimodal.py); the only exchange is the
+    # ensure_parallelism round-robin of the tiny id column — blobs
+    # themselves never shuffle and never leave the Python worker
+    # between steps.
     fn, _ = CATALOG["multimodal_resize"]
     plan = _plan(fn(spark, SF_DIR))
-    assert plan.count("MapInPandas") == 3
+    assert plan.count("MapInPandas") == 1
     import re
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges

@@ -31,33 +31,74 @@ def pipeline(spark, sf_dir):
 
 
 def lpa_old(pairs, iterations=4):
-    edges = (
+    """The r12 shape: pinned edges + SHJ + two-exchange aggregate
+    chain, round exit via localCheckpoint(eager=False) (which drops
+    the round output's HashPartitioning, re-inserting the label-side
+    join exchange every round)."""
+    spark = pairs.sparkSession
+    edges = pin(
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .distinct()
-        .localCheckpoint()
+        .repartition(spark.sparkContext.defaultParallelism, F.col("s"))
+        .dropDuplicates(["s", "d"])
     )
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
     for _ in range(iterations):
-        nb = edges.join(labels.withColumnRenamed("node", "s"), "s").groupBy(
-            "d", "lbl"
-        ).agg(F.count(F.lit(1)).alias("n"))
-        w = Window.partitionBy("d").orderBy(F.col("n").desc(), F.col("lbl").asc())
+        nb = edges.join(
+            labels.withColumnRenamed("node", "s").hint("shuffle_hash"), "s"
+        ).groupBy("d", "lbl").agg(F.count(F.lit(1)).alias("n"))
         labels = (
-            nb.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select(F.col("d").alias("node"), "lbl")
+            nb.groupBy("d")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("nn"), F.col("lbl").alias("l"))
+                ).alias("__m")
+            )
+            .select(F.col("d").alias("node"), F.col("__m.l").alias("lbl"))
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lbl").alias("community"))
 
 
 def lpa_new(pairs, iterations=4):
-    from reader_spark.operators import graph as GR
-
-    return GR.lpa_communities(pairs, iterations=iterations)
+    """A-variant: keep the (d,lbl) partial-agg exchange (map-side
+    reduction), add repartition(N, d) between the two aggregates
+    (tiny, fully-reduced rows), pin the round exit so the next
+    round's join is exchange-free on both sides."""
+    spark = pairs.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    edges = pin(
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .repartition(n_part, F.col("s"))
+        .dropDuplicates(["s", "d"])
+    )
+    edges.count()
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(iterations):
+        nb = (
+            edges.join(
+                labels.withColumnRenamed("node", "s").hint("shuffle_hash"), "s"
+            )
+            .groupBy("d", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .repartition(n_part, F.col("d"))
+        )
+        labels = pin(
+            nb.groupBy("d")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("nn"), F.col("lbl").alias("l"))
+                ).alias("__m")
+            )
+            .select(F.col("d").alias("node"), F.col("__m.l").alias("lbl"))
+        )
+        labels.count()
+    return labels.select("node", F.col("lbl").alias("community"))
 
 
 def main() -> None:

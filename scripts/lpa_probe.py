@@ -1,12 +1,19 @@
 """Capture the PER-ROUND physical plan of lpa_communities' label
-update (the localCheckpoints truncate the returned frame's plan, so
-plans/r12/lpa_communities_{before,after}.txt show only the final RDD
-scan — this probe rebuilds one round the way the operator does and
-prints the un-truncated round plan, plus a warm timing of the full
-catalog query).
+update (the round-exit truncation means the catalog query's returned
+frame shows only the tail — this probe rebuilds rounds the way the
+operator does and dumps the ROUND-2 update plan, i.e. a round whose
+label input came through the previous round's exit, which is exactly
+where the r12 shape re-inserted the label-side exchange).
 
-Usage: python scripts/lpa_probe.py <suffix>
-Writes plans/r12/lpa_round_<suffix>.txt
+Usage: LPA_SHAPE={r12|r13} python scripts/lpa_probe.py <suffix>
+Writes plans/r13/lpa_round_<suffix>.txt, then warm-times the catalog
+query (bench protocol, best of 3).
+
+Shapes (keep in sync with graph.lpa_communities):
+  r12: round exit = localCheckpoint(eager=False); two aggregate
+       exchanges per round (hash(d,lbl) then hash(d)).
+  r13: round exit = pin(); one repartition(N, d) below both
+       aggregates — the operator's current shape.
 """
 
 from __future__ import annotations
@@ -19,15 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from reader_spark.cache import release_pins  # noqa: E402
+from reader_spark.cache import pin, release_pins  # noqa: E402
 from reader_spark.operators import dedup as DD  # noqa: E402
 from reader_spark.queries import CATALOG  # noqa: E402
 from reader_spark.session import get_spark, read_table  # noqa: E402
 
-# mirror the operator's current edge construction (import-time code
-# can't be reused because the operator builds edges inside the
-# function); keep in sync with graph.lpa_communities.
-USE_R12_SHAPE = os.environ.get("LPA_SHAPE", "r12") == "r12"
+SHAPE = os.environ.get("LPA_SHAPE", "r13")
 
 
 def main() -> None:
@@ -36,8 +40,6 @@ def main() -> None:
     spark = get_spark("lpa_probe")
     docs = read_table(spark, sf_dir, "documents")
 
-    from reader_spark.cache import pin
-
     base = pin(DD.token_hashes(docs))
     sigs = pin(DD.minhash_signature(base, num_hashes=128, hashes_col="toks"))
     pairs = DD.lsh_candidate_pairs(sigs, num_hashes=128, band_size=8)
@@ -45,31 +47,33 @@ def main() -> None:
         "doc_a", "doc_b"
     )
 
+    n_part = spark.sparkContext.defaultParallelism
     sym = verified.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).union(
         verified.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     )
-    if USE_R12_SHAPE:
-        edges = pin(
-            sym.repartition(
-                spark.sparkContext.defaultParallelism, F.col("s")
-            ).dropDuplicates(["s", "d"])
-        )
-        edges.count()  # materialize so the round plan reads the cache
-    else:
-        edges = sym.distinct().localCheckpoint()
+    edges = pin(
+        sym.repartition(n_part, F.col("s")).dropDuplicates(["s", "d"])
+    )
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    nb = edges.join(
-        labels.withColumnRenamed("node", "s").hint("shuffle_hash")
-        if USE_R12_SHAPE
-        else labels.withColumnRenamed("node", "s"),
-        "s",
-    ).groupBy("d", "lbl").agg(F.count(F.lit(1)).alias("n"))
-    if USE_R12_SHAPE:
-        upd = (
+
+    def one_round(labels):
+        joined = edges.join(
+            labels.withColumnRenamed("node", "s").hint("shuffle_hash"), "s"
+        )
+        if SHAPE == "r13":
+            nb = (
+                joined.select("d", "lbl")
+                .repartition(n_part, F.col("d"))
+                .groupBy("d", "lbl")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+        else:
+            nb = joined.groupBy("d", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        return (
             nb.groupBy("d")
             .agg(
                 F.min(
@@ -78,21 +82,24 @@ def main() -> None:
             )
             .select(F.col("d").alias("node"), F.col("__m.l").alias("lbl"))
         )
-    else:
-        from pyspark.sql import Window
 
-        w = Window.partitionBy("d").orderBy(F.col("n").desc(), F.col("lbl").asc())
-        upd = (
-            nb.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select(F.col("d").alias("node"), "lbl")
-        )
+    if SHAPE == "r13":
+        # mirror the operator: materialize each step so the next
+        # round's plan compiles against the cache's real partitioning
+        # (un-executed AQE cached plans report UnknownPartitioning)
+        edges.count()
+        labels1 = pin(one_round(labels))
+        labels1.count()
+    else:
+        labels1 = one_round(labels).localCheckpoint(eager=False)
+    upd = one_round(labels1)
+
     plan = upd._sc._jvm.PythonSQLUtils.explainString(
         upd._jdf.queryExecution(), "formatted"
     )
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", "r13",
     )
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"lpa_round_{suffix}.txt")

@@ -367,6 +367,12 @@ def reservoir_sample(
 SKEW_CAP_FLOOR = 256
 SKEW_CAP_FACTOR = 10
 SKEW_CAP_CEIL = 10_000
+# Past this many over-cap keys the literal-isin filter gives way to a
+# broadcast anti-join (r13, VERDICT item 9): the filter is cheaper
+# for the normal few-hot-groups case, but a pathological corpus with
+# thousands of capped groups would otherwise ship them all through a
+# driver-side literal into every consumer plan.
+SKEW_CAP_ISIN_MAX = 1_000
 
 
 def _occupancy_cap(
@@ -412,12 +418,27 @@ def _occupancy_cap(
         )
     else:
         cap = int(max_param)
-    keys = sorted(r[key] for r in sizes if r["_ksz"] > cap)
+    # NULL keys never match the isin filter or the anti-join (the
+    # documented pass-through), so a NULL group is never "capped" —
+    # it must not enter the key list (sorted() would also choke on
+    # None; latent in r12, only reachable with an over-cap NULL
+    # group, which no catalog query produces).
+    keys = sorted(
+        r[key] for r in sizes if r[key] is not None and r["_ksz"] > cap
+    )
     capped = local_df(
         vecs.sparkSession, [(k,) for k in keys], vecs.select(key).schema
     )
     if not keys:
         return vecs, capped
+    if len(keys) > SKEW_CAP_ISIN_MAX:
+        # Pathological corpus: thousands of over-cap groups. A
+        # literal isin of that many keys bloats every downstream
+        # plan (analysis cost is per-consumer) — fall back to a
+        # broadcast ANTI join against the capped-key frame, whose
+        # NULL semantics (NULL key matches nothing, flows through)
+        # are exactly what the isin+coalesce filter replicates.
+        return vecs.join(F.broadcast(capped), [key], "left_anti"), capped
     # replicate the anti-join's NULL semantics: a NULL key matches no
     # capped key and flows through joinable.
     joinable = vecs.filter(
@@ -1104,7 +1125,15 @@ def passage_stats(
 # pass (the span family's CPU hot spot) runs ONCE; "recompute"
 # keeps the r11 shape (two full hash passes). ~20 B/row cached —
 # linear in corpus tokens, the same bound as the shuffle the count
-# already pays, so it holds at the 100 TB tier.
+# already pays, so it holds at the 100 TB tier. Caller obligation
+# (ADVICE r12): the pin is released by the catalog lifecycle
+# (queries._fresh_entry / the harnesses call cache.release_pins()
+# after each query) — LIBRARY callers invoking duplicate_spans /
+# remove_duplicate_spans directly must call
+# reader_spark.cache.release_pins() when done, or pinned span frames
+# accumulate across calls. At very large corpora the
+# MEMORY_AND_DISK persist trades recompute for spill; if the spill
+# exceeds the saved hash pass, set SPAN_REUSE="recompute".
 SPAN_REUSE = "pin"
 
 

@@ -928,12 +928,27 @@ def synth_wav_fingerprint(
     ids: DataFrame,
     id_col: str = "media_id",
     sample_rate: int = 8000,
-    n_samples: int = 64,
+    n_samples: int = 256,
     frame: int = 64,
     n_frames: int = 4,
 ) -> DataFrame:
     """Fused synthesize_wavs -> audio_fingerprint
-    (audio_fingerprint_dedup), one Python pass."""
+    (audio_fingerprint_dedup), one Python pass.
+
+    Default n_samples is frame * n_frames (ADVICE r12): the
+    fingerprint needs frame*n_frames PCM samples, so a shorter synth
+    clip silently yields decoded=False for every row. An explicitly
+    shorter n_samples is allowed (it is how the too-short path is
+    tested) but warns."""
+    if n_samples < frame * n_frames:
+        import warnings
+
+        warnings.warn(
+            f"synth_wav_fingerprint: n_samples={n_samples} < "
+            f"frame*n_frames={frame * n_frames}; every row will be "
+            "decoded=False",
+            stacklevel=2,
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

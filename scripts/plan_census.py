@@ -30,11 +30,23 @@ def main() -> None:
         fn, _sql = CATALOG[name]
         try:
             df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # capture the public explain("formatted") output instead
+            # of calling JVM internals directly (ADVICE r12: the
+            # PythonSQLUtils path breaks under Spark Connect / across
+            # versions); DataFrame.explain prints via Python print,
+            # so redirect_stdout captures it on both backends.
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
         except Exception as e:  # pragma: no cover
-            rows.append((name, f"ERROR {e}"))
+            # sanitize: a message containing tabs/newlines would
+            # corrupt the one-row-per-query TSV
+            msg = re.sub(r"\s+", " ", str(e))[:300]
+            rows.append((name, f"ERROR {msg}"))
             release_pins()
             continue
         release_pins()

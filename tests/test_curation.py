@@ -980,6 +980,44 @@ def test_occupancy_cap_absolute_ceiling(spark):
     assert joinable.count() == 0
 
 
+def test_occupancy_cap_many_groups_antijoin_fallback(spark, monkeypatch):
+    """r13 (VERDICT item 9): past SKEW_CAP_ISIN_MAX over-cap keys the
+    driver-side literal isin gives way to a broadcast anti-join, with
+    identical semantics — capped keys excluded, under-cap and
+    NULL-key rows flow through — verified by running the same fixture
+    through BOTH paths and comparing row sets."""
+    from reader_spark.operators import curation as CU
+
+    # 1,500 capped pairs + 50 singletons + 5 NULL-key rows, cap=1
+    rows = (
+        [(2 * g, g) for g in range(1500)]
+        + [(2 * g + 1, g) for g in range(1500)]
+        + [(10_000 + j, 100_000 + j) for j in range(50)]
+        + [(20_000 + j, None) for j in range(5)]
+    )
+    df = spark.createDataFrame(rows, "vid long, k long")
+
+    def run():
+        joinable, capped = CU._occupancy_cap(df, "k", 1)
+        return (
+            sorted(r["vid"] for r in joinable.collect()),
+            sorted(r["k"] for r in capped.collect()),
+        )
+
+    # fallback path (1,500 > 1,000)
+    assert CU.SKEW_CAP_ISIN_MAX < 1500
+    got_anti = run()
+    # literal path, same fixture
+    monkeypatch.setattr(CU, "SKEW_CAP_ISIN_MAX", 10_000)
+    got_isin = run()
+    assert got_anti == got_isin
+    vids, keys = got_anti
+    assert keys == list(range(1500))
+    assert vids == sorted(
+        [10_000 + j for j in range(50)] + [20_000 + j for j in range(5)]
+    )
+
+
 def test_semantic_dedup_arrow_bucket_bit_identical(spark, sf_dir):
     """r12 kernel: the Arrow bucket/norm pass == the expression form
     row-for-row (cumsum partial-sum order == the left fold; integer

@@ -773,6 +773,91 @@ def lsh_candidate_pairs(
 # r11 round-robin form. Same rows either way; dispatch is perf-only.
 PAIR_SPREAD = "hash"
 
+# Per-pair intersection-size implementation for jaccard_verify:
+# "expr" = JVM array_intersect (per-pair OpenHashSet build + probe +
+# materialized result array); "arrow" = one mapInArrow pass that
+# counts common elements of the two sorted-distinct hash arrays with
+# a vectorized lexsort + adjacent-duplicate scan (no per-pair Python,
+# no intermediate array materialization). Both emit the IDENTICAL
+# integer `inter` (set cardinalities are exact ints; the jaccard
+# division stays a JVM expression over the same ints either way, so
+# there is no float-parity risk). Dispatch is perf-only. r13 gate:
+# parity EXACT over all 5,822,682 sf0.1 candidate pairs (count +
+# order-insensitive xxhash64 xor + jaccard sum identical at
+# threshold 0.0 and 0.8), but the interleaved A/B REFUTES the kernel
+# for speed — dedup_near_dup best 5.62 s (arrow) vs 3.39 s (expr),
+# split_leakage 5.93 vs 3.17 over 6 alternating reps: shipping two
+# ~23-element int64 arrays per pair across the Arrow boundary
+# (~1 GB at sf0.1) costs more than array_intersect's per-pair hash
+# set saves. "expr" stays the default; the kernel is kept
+# parity-tested for corpora with much longer token arrays, where
+# the per-pair set build grows linearly but the transfer amortizes.
+INTERSECT_IMPL = "expr"
+
+
+def _intersect_sizes_arrow(j: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, toks_a, toks_b, tot) -> (doc_a, doc_b, inter,
+    tot): the per-pair |A ∩ B| as ONE vectorized Arrow pass.
+
+    Within a batch the two list columns are flattened to (pair_id,
+    value) rows; a lexsort by (pair_id, value) makes every value
+    common to both sides of a pair adjacent (each side is distinct,
+    so a duplicate == a match), and a bincount of adjacent-equal
+    positions yields the intersection sizes — no per-row Python, no
+    per-pair hash set. ~O(E log E) per batch in numpy on E flattened
+    tokens, against array_intersect's per-pair set build."""
+    import numpy as np
+    import pyarrow as pa
+
+    names = j.columns
+    ia, ib = names.index("toks_a"), names.index("toks_b")
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            j.schema["doc_a"],
+            j.schema["doc_b"],
+            T.StructField("inter", T.IntegerType(), True),
+            j.schema["tot"],
+        ]
+    )
+
+    def compute(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ta, tb = rb.column(ia), rb.column(ib)
+            # absolute offsets into the (unsliced) child buffers
+            oa = ta.offsets.to_numpy().astype(np.int64)
+            ob = tb.offsets.to_numpy().astype(np.int64)
+            va = ta.values.to_numpy(zero_copy_only=False)
+            vb = tb.values.to_numpy(zero_copy_only=False)
+            na = oa[1:] - oa[:-1]
+            nb = ob[1:] - ob[:-1]
+            idx = np.arange(n, dtype=np.int64)
+            pid = np.concatenate([np.repeat(idx, na), np.repeat(idx, nb)])
+            vals = np.concatenate(
+                [va[oa[0] : oa[-1]], vb[ob[0] : ob[-1]]]
+            )
+            order = np.lexsort((vals, pid))
+            sp = pid[order]
+            sv = vals[order]
+            dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+            inter = np.bincount(sp[1:][dup], minlength=n).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("doc_a")),
+                    rb.column(names.index("doc_b")),
+                    pa.array(inter, type=pa.int32()),
+                    rb.column(names.index("tot")),
+                ],
+                ["doc_a", "doc_b", "inter", "tot"],
+            )
+
+    return j.mapInArrow(compute, out_schema)
+
 
 def jaccard_verify(
     pairs: DataFrame,
@@ -871,12 +956,24 @@ def jaccard_verify(
         F.least("na", "nb").cast("double")
         >= F.lit(float(threshold)) * F.greatest("na", "nb")
     )
-    j = j.select(
-        "doc_a", "doc_b",
-        F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).alias("inter"),
-        (F.col("na") + F.col("nb")).alias("tot"),
-    )
-    j = pin(j)
+    if INTERSECT_IMPL == "arrow":
+        # the kernel is an opaque barrier, so the threshold filter
+        # cannot be pushed back into the join condition — the pin
+        # barrier the expr path needs is unnecessary here (and
+        # skipping it saves materializing the 16 B/pair frame).
+        j = _intersect_sizes_arrow(
+            j.select(
+                "doc_a", "doc_b", "toks_a", "toks_b",
+                (F.col("na") + F.col("nb")).alias("tot"),
+            )
+        )
+    else:
+        j = j.select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).alias("inter"),
+            (F.col("na") + F.col("nb")).alias("tot"),
+        )
+        j = pin(j)
     jac = F.col("inter").cast("double") / (F.col("tot") - F.col("inter")).cast("double")
     return (
         j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))

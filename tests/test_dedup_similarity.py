@@ -51,6 +51,33 @@ def test_jaccard_verify_values(spark):
     assert vals[(0, 2)] == 0.0
 
 
+def test_jaccard_intersect_impl_parity(spark, monkeypatch):
+    """r13 dispatcher: the Arrow intersect kernel and the JVM
+    array_intersect expression emit byte-identical verified rows
+    (inter is an exact int either way; the jaccard division is the
+    same JVM expression over the same ints). The kernel lost the
+    r13 A/B (Arrow transfer of the token arrays dominates at the
+    fixture's array lengths) so "expr" is the default, but the
+    parity contract keeps the kernel honest."""
+    texts = [
+        "a b c d", "a b c e", "x y z w", "a b c d e f",
+        "p q", "", "a b c d", "p q r s t u v w",
+    ]
+    df = docs_df(spark, texts)
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(len(texts)) for j in range(i + 1, len(texts))],
+        ["doc_a", "doc_b"],
+    )
+    got = {}
+    for impl in ("expr", "arrow"):
+        monkeypatch.setattr(DD, "INTERSECT_IMPL", impl)
+        got[impl] = sorted(
+            tuple(r) for r in DD.jaccard_verify(pairs, df, threshold=0.0).collect()
+        )
+    assert got["expr"] == got["arrow"]
+    assert len(got["expr"]) > 0
+
+
 def test_simhash_similar_docs_close(spark):
     df = docs_df(spark, ["a b c d e f g h", "a b c d e f g x", "q w r t y u i o"])
     out = {r["doc_id"]: r["simhash"] for r in DD.simhash(df).collect()}

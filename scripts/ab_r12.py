@@ -54,7 +54,9 @@ def main() -> None:
             setattr(mod, attr, v)
             print(f"# override {attr}={v}")
 
-    mods = {"dedup": DD, "similarity": SIM, "curation": CU}
+    from reader_spark.operators import retrieval as RT
+
+    mods = {"dedup": DD, "similarity": SIM, "curation": CU, "retrieval": RT}
 
     def set_attr(attr, val):
         for m in mods.values():

@@ -12,14 +12,20 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    # r13: core/partition counts env-tunable so the suite can use the
-    # host it runs on (the driver's box has 32 cores; the historical
-    # local[8] left e2e tests 4x under-parallel). Defaults raised
-    # after an interleaved A/B on the heaviest e2e file — see
-    # OPTIMIZATION_r13.md "pytest gate".
+    # r13 (VERDICT item 2, the pytest-gate wall): the suite's e2e
+    # tests are driver/control-plane bound — more cores do nothing
+    # (test_graph.py interleaved A/B: local[8] 238 s vs local[16]
+    # 239 s), but AQE's per-job adaptive re-planning round-trips on
+    # hundreds of tiny jobs are a real tax: AQE off took the same
+    # file to 150 s (1.58x). Tests verify operator LOGIC and their
+    # assertions are AQE-independent; AQE-enabled end-to-end
+    # execution of every catalog query is still exercised by the
+    # oracle gate (scripts/check.py uses the production session
+    # factory) and by bench.py. Set SPARK_GRAFT_TEST_AQE=1 to run
+    # the suite under AQE again.
     cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
     extra = {}
-    if os.environ.get("SPARK_GRAFT_TEST_AQE", "1") == "0":
+    if os.environ.get("SPARK_GRAFT_TEST_AQE", "0") == "0":
         extra["spark.sql.adaptive.enabled"] = "false"
     s = get_spark(
         "tests",

@@ -82,6 +82,7 @@ def test_bare_layout_migration(tmp_path):
     assert _read(path) == "v2"
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_transfer_writer_pointer_flip_roundtrip(spark, tmp_path):
     """The full-rewrite verbs publish via the pointer flip; reads,
     appends and bucketed merges follow the live data root — including

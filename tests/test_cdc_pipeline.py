@@ -6,6 +6,7 @@ import json
 
 from reader_spark.plans.cdc_mysql import run_pipeline
 from reader_spark.streaming.schema_history import SchemaAdapter
+import pytest
 
 
 def _append(path, records):
@@ -552,6 +553,7 @@ def test_merge_pipeline_destination_evolves_on_alter_add(spark, tmp_path):
     }
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_truncate_mid_stream_empties_merged_destination(spark, tmp_path):
     """A replicated TRUNCATE TABLE maps onto the transfer truncate
     verb (writer.go:310-327): the merged destination empties behind a

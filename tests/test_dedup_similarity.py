@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from reader_spark.operators import dedup as DD
 from reader_spark.operators import similarity as SIM
+import pytest
 
 
 def _ivf_root(path):
@@ -234,6 +235,7 @@ def test_knn_ivf_pq_indexed_identity_and_pruning(spark, tmp_path, sf_dir):
     assert counts == {0: 5, 1: 5, 2: 5}
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_ivf_pq_index_update_equals_rebuild_and_replay(spark, tmp_path, sf_dir):
     """PQ-layout incremental update == a full rebuild under the SAME
     quantizers (stored centroids + stored books), and replaying the
@@ -425,6 +427,7 @@ def test_connected_components_star_matches_propagation(spark):
     assert star[35] == 20 and star[82] == 70 and star[90] == 90
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_connected_components_star_random_graphs(spark):
     # randomized equivalence: 5 seeded Erdos-Renyi-ish graphs, star vs
     # propagation vs a driver-side union-find ground truth

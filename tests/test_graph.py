@@ -4,6 +4,7 @@ values, mass conservation, and determinism of the sorted fold."""
 import pyspark.sql.functions as F
 
 from reader_spark.operators import graph as GR
+import pytest
 
 
 def test_pagerank_path_graph_known_values(spark):
@@ -287,6 +288,7 @@ def test_lpa_over_index_matches_direct(spark, tmp_path):
     assert via_index[1] != via_index[10]
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_neardup_index_maintainer_stream(spark, tmp_path):
     """Streamed doc batches keep the graph index equal to a scratch
     rebuild over the full corpus (availableNow + checkpoint, the
@@ -414,6 +416,7 @@ def test_neardup_index_delete_tombstones(spark, tmp_path):
     assert final == _edges(spark, scratch)
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_neardup_index_maintain_compacts_and_purges(spark, tmp_path):
     """OPTIMIZE: after update waves + a delete, maintain rewrites the
     subdirs behind pointer flips — the distinct-edge view is
@@ -607,6 +610,7 @@ def test_neardup_cc_update_equals_rebuild_and_merges(spark, tmp_path):
         assert lbl <= d and got[lbl] == lbl
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_neardup_cc_update_touches_only_affected_buckets(spark, tmp_path):
     """A delta that only extends ONE component leaves every other
     label bucket's files byte-identical — the rewrite is bounded by
@@ -652,6 +656,7 @@ def test_neardup_cc_update_touches_only_affected_buckets(spark, tmp_path):
     assert got == _cc_rebuild_map(spark, path, str(tmp_path / "scratch"))
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_neardup_cc_replay_is_noop(spark, tmp_path):
     """Crash after the cc rewrite, before the toks/ append: the
     replayed batch's endpoints already share merged labels (identity
@@ -705,6 +710,7 @@ def test_neardup_cc_delete_then_maintain_rebuilds(spark, tmp_path):
         assert got[10] == 10  # the split is physical again
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_neardup_cc_distributed_fallback_matches_driver_path(
     spark, tmp_path, monkeypatch
 ):
@@ -736,6 +742,7 @@ def test_neardup_cc_distributed_fallback_matches_driver_path(
     assert run(0) == run(500_000)  # distributed == driver union-find
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_neardup_cc_crash_after_edges_before_cc_heals(spark, tmp_path):
     """First crash point in the edges -> cc -> bands -> toks order:
     edges appended, component map untouched. The replay re-runs the

@@ -183,6 +183,7 @@ def test_ivf_health_update_equals_rescan(spark, sf_dir, tmp_path):
     assert again == got
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_autorefit_triggers_on_drift_and_rebaselines(spark, sf_dir, tmp_path):
     """The composed maintainer loop: a same-distribution batch leaves
     the index version alone; a drifted batch trips ivf_refit_check,

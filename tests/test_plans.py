@@ -9,6 +9,7 @@ cartesian product.
 import pyspark.sql.functions as F
 
 from reader_spark.queries import CATALOG
+import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -17,6 +18,7 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_no_cartesian_product_anywhere(spark):
     from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 

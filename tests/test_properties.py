@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 
 from reader_spark.operators import joins as JO
 from reader_spark.sources.jdbc import MYSQL, composite_pk_predicates
+import pytest
 
 SET = settings(
     max_examples=12,
@@ -699,6 +700,7 @@ def test_apply_changes_evolution_invariants(
     nb=st.integers(2, 8),
 )
 @SET
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_drift_summary_invariants(spark, ref_vals, cur_vals, dup, nb):
     """Drift metrics are shares, not counts: duplicating every row of
     both sides k times changes nothing; TVD/L-inf live in [0, 1e6];
@@ -800,6 +802,7 @@ def test_truncate_merge_matches_sequential_model(
     shift=st.floats(0.06, 4.0, allow_nan=False),
 )
 @SET
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_embedding_drift_invariants(spark, vecs, shift):
     """Embedding drift invariants under arbitrary vector waves: an
     identical wave reads zero delta on every dimension and never
@@ -837,6 +840,7 @@ def test_embedding_drift_invariants(spark, vecs, shift):
     extra=st.sets(st.integers(100, 110), max_size=3),
 )
 @SET
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_reconcile_repair_heals_any_divergence(
     spark, n_rows, missing, mismatch, extra, tmp_path_factory
 ):
@@ -943,6 +947,7 @@ def test_oph_signature_matches_reference_model(spark, docsets, k):
     k=st.sampled_from([8, 16, 32]),
 )
 @SET
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_arrow_signature_kernels_equal_expression_forms(spark, docsets, k):
     """The Arrow kernels (numpy mapInPandas) == the expression forms,
     bit for bit, for arbitrary token sets including EMPTY docs (all

@@ -8,6 +8,7 @@ import os
 import pyspark.sql.functions as F
 
 from reader_spark.streaming.shard_source import ShardStreamDataSource
+import pytest
 
 SCHEMA = "event_name string, keys string, seq string"
 
@@ -152,6 +153,7 @@ def test_shard_restart_never_redelivers(tmp_path):
     assert ck3 == {"s1": 10} and [x[2] for x in recs3] == ["r9"]
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_shard_restart_end_to_end_exactly_once(spark, tmp_path):
     """Real-engine restart over a growing shard with the cap on: the
     memory sink holds each record exactly once across runs."""

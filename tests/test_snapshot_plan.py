@@ -33,7 +33,13 @@ def test_chunk_predicates_cover_exactly_once():
         assert sum(matches(i, p) for p in preds) == 1, i
 
 
-@pytest.mark.parametrize("n_chunks", [1, 2, 5, 32, 1000])
+@pytest.mark.parametrize(
+    "n_chunks",
+    # the 1000-chunk stress case is driver-plan-bound (~70 s alone:
+    # a thousand predicate scans) — slow tier; boundary correctness
+    # stays covered by the 1/2/5/32 cases (r13, see pytest.ini)
+    [1, 2, 5, 32, pytest.param(1000, marks=pytest.mark.slow)],
+)
 def test_chunked_scan_equals_full_table(spark, sf_dir, n_chunks):
     orders = read_table(spark, sf_dir, "orders")
     full = orders.select("o_orderkey").orderBy("o_orderkey").collect()

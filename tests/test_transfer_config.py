@@ -1371,6 +1371,7 @@ curate:
         assert a == b  # index path == derive path, split for split
 
 
+@pytest.mark.slow  # r13 tier: see pytest.ini
 def test_index_job_stream_mode_maintains_neardup(spark, tmp_path, sf_dir):
     """index: {mode: stream} drains a jsonl backlog through the
     neardup maintainer from YAML: edges AND component map equal a
